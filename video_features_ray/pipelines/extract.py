@@ -1,0 +1,63 @@
+"""Flagship extraction pipeline.
+
+The Ray-Data-native replacement for the reference's per-clip loop
+(``main.py:47-48`` → skip-if-exists → windowed GPU forward → sink,
+``base_extractor.py:29-53``):
+
+    sequences (read_parquet, pruned)
+      → slide_windows (stateless map_batches, vectorized, zero-copy Arrow)
+      → Encoder (actor pool: matrix built once per actor)
+      [→ write_parquet partitioned, or returned lazy]
+
+No stage materializes the dataset; the streaming executor pipelines
+blocks with backpressure. Batch sizes are derived from the spec so a
+batch of exploded windows stays ~tens of MB even for stack=64.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import ray.data
+
+from ..specs import EncoderSpec, get_spec
+from ..stages.encode import Encoder
+from ..stages.windows import make_window_stage
+
+
+def _window_batch_rows(spec: EncoderSpec) -> int:
+    # windows are win_len int32 + D float32 ≈ 4*(win_len + D) bytes/row;
+    # target ~32 MB encoder batches
+    bytes_per_row = 4 * (spec.window_len + spec.dim * (2 if spec.kind == "w2" else 1))
+    return max(1024, min(65536, (32 << 20) // max(bytes_per_row, 1)))
+
+
+def extract(
+    sequences: "ray.data.Dataset",
+    spec: EncoderSpec | str,
+    encoder_concurrency: Optional[int] = None,
+    with_features: bool = True,
+) -> "ray.data.Dataset":
+    """sequences → window rows (+ deterministic features). Lazy."""
+    if isinstance(spec, str):
+        spec = get_spec(spec)
+    windows = sequences.map_batches(
+        make_window_stage(spec), batch_format="pyarrow", zero_copy_batch=True
+    )
+    if not with_features:
+        return windows
+    if encoder_concurrency is None:
+        # leave headroom for the read + window stages so the pool doesn't
+        # starve the rest of the pipeline (actor pools reserve their CPUs)
+        import ray
+
+        total = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        encoder_concurrency = max(2, (total * 3) // 4)
+    return windows.map_batches(
+        Encoder,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=_window_batch_rows(spec),
+        fn_constructor_args=(spec,),
+        concurrency=encoder_concurrency,
+    )
