@@ -1,0 +1,115 @@
+"""Per-entity stream operators + as-of join vs. pandas oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from video_features_ray.stages.asof import asof_join, asof_join_broadcast
+from video_features_ray.stages.events import forward_fill, lag_lead, sessionize
+
+
+@pytest.fixture(scope="module")
+def events_df():
+    rng = np.random.default_rng(11)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 50, n),
+            "ts": rng.integers(0, 100_000, n).astype(np.int64),
+            "value": rng.normal(size=n),
+        }
+    )
+    # make (user_id, ts) unique so ordering is deterministic
+    df = df.drop_duplicates(["user_id", "ts"]).reset_index(drop=True)
+    df.loc[rng.integers(0, len(df), 300), "value"] = np.nan
+    return df
+
+
+def test_lag_lead(events_df):
+    ds = ray.data.from_pandas(events_df)
+    got = (
+        lag_lead(ds, "user_id", "ts", "value", lags=[1, 2], leads=[1], num_buckets=8)
+        .to_pandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    want = events_df.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    g = want.groupby("user_id", sort=False)["value"]
+    for col, series in [
+        ("value_lag1", g.shift(1)),
+        ("value_lag2", g.shift(2)),
+        ("value_lead1", g.shift(-1)),
+    ]:
+        np.testing.assert_allclose(got[col].to_numpy(), series.to_numpy(), equal_nan=True)
+
+
+def test_sessionize(events_df):
+    gap = 2000.0
+    ds = ray.data.from_pandas(events_df)
+    got = (
+        sessionize(ds, "user_id", "ts", gap, num_buckets=8)
+        .to_pandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    want = events_df.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    new = want.groupby("user_id", sort=False)["ts"].diff() > gap
+    want_sid = new.groupby(want["user_id"], sort=False).cumsum().astype(np.int64)
+    np.testing.assert_array_equal(got["session_id"].to_numpy(), want_sid.to_numpy())
+
+
+def test_forward_fill(events_df):
+    ds = ray.data.from_pandas(events_df)
+    got = (
+        forward_fill(ds, "user_id", "ts", "value", num_buckets=8)
+        .to_pandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    want = events_df.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    ffill = want.groupby("user_id", sort=False)["value"].ffill()
+    np.testing.assert_allclose(got["value_ffill"].to_numpy(), ffill.to_numpy(), equal_nan=True)
+
+
+def _asof_oracle(left, right, key, ts, direction="backward"):
+    out = pd.merge_asof(
+        left.sort_values(ts, kind="mergesort"),
+        right.sort_values(ts, kind="mergesort").rename(columns={"rv": "rv_r"}),
+        on=ts, by=key, direction=direction,
+    )
+    return out.sort_values([key, ts]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_join(direction):
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 20, 500), "ts": rng.integers(0, 10_000, 500).astype("int64")}
+    ).drop_duplicates(["k", "ts"]).reset_index(drop=True)
+    right = pd.DataFrame(
+        {"k": rng.integers(0, 25, 300), "ts": rng.integers(0, 10_000, 300).astype("int64"),
+         "rv": rng.normal(size=300)}
+    ).drop_duplicates(["k", "ts"]).reset_index(drop=True)
+
+    got = (
+        asof_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            key="k", left_ts="ts", direction=direction, num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    want = _asof_oracle(left, right, "k", "ts", direction)
+    np.testing.assert_array_equal(got["k"].to_numpy(), want["k"].to_numpy())
+    np.testing.assert_allclose(got["rv_r"].to_numpy(), want["rv_r"].to_numpy(), equal_nan=True)
+
+    got_b = (
+        asof_join_broadcast(ray.data.from_pandas(left), right, key="k", left_ts="ts",
+                            direction=direction)
+        .to_pandas()
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    np.testing.assert_allclose(got_b["rv_r"].to_numpy(), want["rv_r"].to_numpy(), equal_nan=True)

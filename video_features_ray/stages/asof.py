@@ -1,0 +1,115 @@
+"""Point-in-time as-of / backward merge join.
+
+The reference's positional zip of features↔timestamps
+(``base_framewise_extractor.py:69-79``, ``extract_i3d.py:117-124``) made
+explicit: for each left (probe) row ``(key, ts)`` find the latest right
+row of the same key with ``right_ts <= ts`` (direction='backward';
+zero temporal leakage — a probe never reads rows from its future).
+
+Two physical strategies, chosen by the caller:
+
+- ``asof_join``            — both sides large: ONE hash shuffle. Tag the
+  sides, pad to a common schema, union, bucket by key, and inside each
+  bucket run a sorted ``pd.merge_asof`` (``by=key``). Key never splits
+  across buckets. This is the range-partitioned merge of SURVEY §2.5 J3.
+- ``asof_join_broadcast``  — small right side (feature timestamps,
+  dimension grids): ``ray.put`` the sorted right table ONCE, every map
+  task reads it zero-copy from the object store and does a per-batch
+  ``merge_asof``. No shuffle at all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from .events import stable_bucket
+
+
+def _merge_asof(left: pd.DataFrame, right: pd.DataFrame, key: str, left_ts: str,
+                right_ts: str, direction: str, suffix: str, tolerance=None) -> pd.DataFrame:
+    right = right.rename(columns={right_ts: left_ts}) if right_ts != left_ts else right
+    right = right.rename(
+        columns={c: f"{c}{suffix}" for c in right.columns if c not in (key, left_ts) }
+    )
+    left_s = left.sort_values(left_ts, kind="mergesort")
+    right_s = right.sort_values(left_ts, kind="mergesort")
+    out = pd.merge_asof(
+        left_s, right_s, on=left_ts, by=key, direction=direction,
+        tolerance=tolerance, suffixes=("", suffix),
+    )
+    return out
+
+
+def asof_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str,
+    left_ts: str,
+    right_ts: str | None = None,
+    direction: str = "backward",
+    num_buckets: int = 64,
+    suffix: str = "_r",
+    tolerance=None,
+) -> "ray.data.Dataset":
+    right_ts = right_ts or left_ts
+    left_cols = left.schema().names
+    right_cols = right.schema().names
+
+    # pad both sides to the union schema, tagging the side
+    def _tag(side: int, own_ts: str, other_cols: list[str]):
+        def _fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            cols = {c: batch[c] for c in batch.column_names}
+            cols["_side"] = pa.array(np.full(n, side, dtype=np.int8))
+            cols["_ts"] = batch[own_ts]
+            for c in other_cols:
+                if c not in cols:
+                    cols[c] = pa.nulls(n)
+            b = stable_bucket(batch[key].to_numpy(zero_copy_only=False), num_buckets)
+            cols["_bucket"] = pa.array(b, type=pa.int32())
+            return pa.table(cols)
+
+        return _fn
+
+    l_tagged = left.map_batches(_tag(0, left_ts, right_cols), batch_format="pyarrow")
+    r_tagged = right.map_batches(_tag(1, right_ts, left_cols), batch_format="pyarrow")
+    both = l_tagged.union(r_tagged)
+
+    out_right_cols = [c for c in right_cols if c not in (key, right_ts)]
+
+    def _per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["_side"] == 0][[c for c in left_cols]].copy()
+        r = df[df["_side"] == 1][[key, right_ts, *out_right_cols]].copy()
+        out = _merge_asof(l, r, key, left_ts, right_ts, direction, suffix, tolerance)
+        return out
+
+    return both.groupby("_bucket").map_groups(_per_bucket, batch_format="pandas")
+
+
+def asof_join_broadcast(
+    left: "ray.data.Dataset",
+    right_table: pd.DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str | None = None,
+    direction: str = "backward",
+    suffix: str = "_r",
+    tolerance=None,
+) -> "ray.data.Dataset":
+    """Small right side: broadcast once via ray.put, merge per batch."""
+    right_ts = right_ts or left_ts
+    right_sorted = right_table.sort_values([key, right_ts], kind="mergesort").reset_index(drop=True)
+    ref = ray.put(right_sorted)
+
+    class _AsofMap:
+        def __init__(self):
+            self.right = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return _merge_asof(batch, self.right, key, left_ts, right_ts, direction, suffix, tolerance)
+
+    return left.map_batches(_AsofMap, batch_format="pandas", concurrency=(1, 8))
