@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship extraction pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator family
+(SURVEY.md §2 + the training-data additions); ``oracle_sql()`` gives
+the DuckDB-equivalent SQL for every SQL-expressible query. Ray is
+initialised by the driver BEFORE importing this module — nothing here
+(or in the library) calls ray.init/ray.shutdown.
 """
 
 from __future__ import annotations
@@ -18,27 +13,205 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+#: shared DuckDB CTE: documents → tokenized sequences, exactly mirroring
+#: video_features_ray.sources.sequences.tokenize_documents
+_SEQ = (
+    "WITH seq AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+    "list_transform(string_split(text, ''), c -> unicode(c)) AS tokens, "
+    "length(text) AS n FROM documents)"
+)
+
+_W1_WINDOWS = (
+    "SELECT s.doc_id, CAST(s.wid AS BIGINT) AS window_id, "
+    "(s.wid * 16 + 31) / 25.0 * 1000.0 AS ts_ms, "
+    "CAST(list_sum(s.tokens[s.wid * 16 + 1 : s.wid * 16 + 32]) AS BIGINT) AS window_sum "
+    "FROM (SELECT seq.*, unnest(generate_series(0, (seq.n - 32) // 16)) AS wid "
+    "FROM seq WHERE seq.n >= 32) s"
+)
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from video_features_ray.pipelines.queries import q_flagship_features
+
+    return q_flagship_features("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from video_features_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # windowing (W1/W2/framewise/flow + S5/S6 resamplers)
+        "w1_windows": q.q_w1_windows,
+        "w2_windows": q.q_w2_windows,
+        "resample_total5": q.q_resample_total5,
+        "resample_fps10": q.q_resample_fps10,
+        "flow_pairs": q.q_flow_pairs,
+        # point-in-time as-of join
+        "asof_features": q.q_asof_features,
+        # event-stream operators
+        "lag_lead_events": q.q_lag_lead_events,
+        "sessionize_events": q.q_sessionize_events,
+        "ffill_events": q.q_ffill_events,
+        "tumbling_hourly": q.q_tumbling_hourly,
+        "top_users": q.q_top_users,
+        # relational (pre-aggregated groupby, broadcast join)
+        "q1_pricing": q.q_q1_pricing,
+        "revenue_per_nation": q.q_revenue_per_nation,
+        "docs_per_source": q.q_docs_per_source,
+        # dedup / text / similarity
+        "exact_dedup": q.q_exact_dedup,
+        "token_stats": q.q_token_stats,
+        "quality_score": q.q_quality_score,
+        "similarity_topk": q.q_similarity_topk,
+        # non-SQL-expressible (rows-only checks)
+        "minhash_neardup": q.q_minhash_neardup,
+        "simhash": q.q_simhash,
+        "langid": q.q_langid,
+        "fingerprint": q.q_fingerprint,
+        "embedding_neardup": q.q_embedding_neardup,
+        "ivf_topk": q.q_ivf_topk,
+        "flagship_features": q.q_flagship_features,
+        "media_decode": q.q_media_decode,
+        "checkpointed_extract": q.q_checkpointed_extract,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "w1_windows": f"{_SEQ} {_W1_WINDOWS}",
+        "w2_windows": (
+            f"{_SEQ} "
+            "SELECT s.doc_id, CAST(s.wid AS BIGINT) AS window_id, "
+            "(s.wid * 8 + 17) / 25.0 * 1000.0 AS ts_ms, "
+            "CAST(list_sum(s.tokens[s.wid * 8 + 1 : s.wid * 8 + 17]) AS BIGINT) AS window_sum "
+            "FROM (SELECT seq.*, unnest(generate_series(0, (seq.n - 17) // 8)) AS wid "
+            "FROM seq WHERE seq.n >= 17) s"
+        ),
+        "resample_total5": (
+            f"{_SEQ} "
+            "SELECT s.doc_id, CAST(s.k AS BIGINT) AS pos, "
+            "s.k / ((5 * 25.0) / s.n) * 1000.0 AS ts_ms, "
+            "CAST(s.tokens[(s.k * s.n) // 5 + 1] AS BIGINT) AS token "
+            "FROM (SELECT seq.*, unnest(generate_series(0, 4)) AS k "
+            "FROM seq WHERE seq.n > 0) s"
+        ),
+        "resample_fps10": (
+            f"{_SEQ} "
+            "SELECT s.doc_id, CAST(s.k AS BIGINT) AS pos, "
+            "s.k / 10.0 * 1000.0 AS ts_ms, "
+            "CAST(s.tokens[LEAST(CAST(floor(s.k * (25.0 / 10.0)) AS BIGINT), s.n - 1) + 1] AS BIGINT) AS token "
+            "FROM (SELECT seq.*, unnest(generate_series(0, "
+            "CAST(ceil(seq.n * (10.0 / 25.0)) AS BIGINT) - 1)) AS k "
+            "FROM seq WHERE seq.n > 0) s"
+        ),
+        "flow_pairs": (
+            f"{_SEQ} "
+            "SELECT s.doc_id, CAST(s.i AS BIGINT) AS window_id, "
+            "(s.i + 1) / 25.0 * 1000.0 AS ts_ms, "
+            "CAST(s.tokens[s.i + 1] AS BIGINT) AS tok_a, "
+            "CAST(s.tokens[s.i + 2] AS BIGINT) AS tok_b "
+            "FROM (SELECT seq.*, unnest(generate_series(0, seq.n - 2)) AS i "
+            "FROM seq WHERE seq.n >= 2) s"
+        ),
+        "asof_features": (
+            f"{_SEQ}, w AS ({_W1_WINDOWS}), "
+            "grid AS (SELECT d.doc_id, g.g * 937.0 AS ts_q "
+            "FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents) d "
+            "CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS g) g) "
+            "SELECT grid.doc_id, grid.ts_q, "
+            "CAST(COALESCE(w.window_id, -1) AS BIGINT) AS window_id_r, "
+            "COALESCE(w.ts_ms, -1.0) AS win_ts_r "
+            "FROM grid ASOF LEFT JOIN w "
+            "ON grid.doc_id = w.doc_id AND grid.ts_q >= w.ts_ms"
+        ),
+        "lag_lead_events": (
+            "SELECT event_id, user_id, epoch_us(ts) AS ts_us, value, "
+            "COALESCE(lag(value) OVER w, -1.0) AS value_lag1, "
+            "COALESCE(lead(value) OVER w, -1.0) AS value_lead1 "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "sessionize_events": (
+            "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events), "
+            "m AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL "
+            "OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS new "
+            "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)) "
+            "SELECT event_id, user_id, "
+            "CAST(SUM(new) OVER (PARTITION BY user_id ORDER BY t, event_id "
+            "ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id FROM m"
+        ),
+        "ffill_events": (
+            "SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
+            "COALESCE(last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), "
+            "-1.0) AS click_value_ffill FROM events"
+        ),
+        "tumbling_hourly": (
+            "SELECT user_id, "
+            "CAST(floor(epoch_us(ts) / 3600000000.0) * 3600000000.0 AS BIGINT) AS window_start_us, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "SUM(CAST(round(value * 10000.0) AS BIGINT)) / 10000.0 AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "top_users": (
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, "
+            "SUM(CAST(round(value * 10000.0) AS BIGINT)) / 10000.0 AS total_value "
+            "FROM events GROUP BY user_id "
+            "ORDER BY SUM(CAST(round(value * 10000.0) AS BIGINT)) DESC, user_id LIMIT 10"
+        ),
+        "q1_pricing": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "SUM(CAST(round(l_extendedprice * 100.0) AS BIGINT)) / 100.0 AS sum_base_price, "
+            "SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) / 10000.0 AS sum_disc_price, "
+            "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) / CAST(COUNT(*) AS BIGINT) AS avg_qty, "
+            "CAST(COUNT(*) AS BIGINT) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "revenue_per_nation": (
+            "SELECT n.n_name AS n_name, "
+            "SUM(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0) AS BIGINT)) / 10000.0 AS revenue, "
+            "CAST(COUNT(*) AS BIGINT) AS n_items "
+            "FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN nation n ON s.s_nationkey = n.n_nationkey GROUP BY n.n_name"
+        ),
+        "docs_per_source": (
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars FROM documents GROUP BY source"
+        ),
+        "exact_dedup": (
+            "SELECT md5(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id, "
+            "CAST(COUNT(*) AS BIGINT) AS n_dupes FROM documents GROUP BY md5(text)"
+        ),
+        "token_stats": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, "
+            "CAST(length(text) AS BIGINT) AS n_chars, "
+            "CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS BIGINT) "
+            "/ GREATEST(CAST(len(string_split(text, ' ')) AS BIGINT), 1) AS mean_word_len "
+            "FROM documents"
+        ),
+        "quality_score": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "CAST(length(text) AS BIGINT) AS n_chars, "
+            "CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS BIGINT) AS n_punct, "
+            "CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper, "
+            "CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space, "
+            "CAST(len(list_filter(string_split(lower(text), ' '), "
+            "w -> w IN ('the','and','of','a','to','in','is','it','that','for'))) AS BIGINT) AS n_stop, "
+            "(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) "
+            "/ GREATEST(length(text), 1) AS punct_ratio, "
+            "(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) "
+            "/ GREATEST(length(text), 1) AS upper_ratio "
+            "FROM documents"
+        ),
+        "similarity_topk": (
+            "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0), "
+            "sims AS (SELECT e.vec_id, list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim "
+            "FROM embeddings e, q) "
+            "SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank "
+            "FROM (SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank FROM sims) "
+            "WHERE rank <= 10"
+        ),
+    }

@@ -1,0 +1,501 @@
+"""Driver-facing query callables — one per operator family (SURVEY §2).
+
+Each function takes ``sf_dir`` and returns a Ray Dataset / pandas frame
+whose columns are EXACTLY reproducible by the DuckDB oracle SQL in
+``__ray_entry__.oracle_sql`` (same names, same types, bit-identical
+values where floats are involved):
+
+- integer results stay int64 end-to-end;
+- float aggregates go through the scaled-integer trick (per-row
+  ``round(x * 10^k)`` → int64 sums → one final division) so summation
+  order cannot perturb low bits;
+- nullable outputs are coalesced to sentinels (-1 / -1.0) on both sides.
+
+Ray is assumed to be initialised by the caller (driver / bench / tests);
+nothing here calls ray.init.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..sources.sequences import sequences_from_documents
+from ..specs import EncoderSpec
+from ..stages.asof import asof_join
+from ..stages.dedup import exact_dedup
+from ..stages.events import forward_fill, lag_lead, sessionize
+from ..stages.joins import broadcast_join, partial_agg, tumbling_aggregate
+from ..stages.similarity import cosine_topk
+from ..stages.text import quality_score, token_stats
+from ..stages.windows import make_window_stage
+
+# window-query specs (small geometry so the ~500-char docs emit windows)
+Q_W1 = EncoderSpec("q_w1_32_16", "w1", 32, 16, 8)
+Q_W2 = EncoderSpec("q_w2_16_8", "w2", 16, 8, 8)
+Q_TOTAL5 = EncoderSpec("q_total5", "framewise", 1, 1, 8, resample_total=5)
+Q_FPS10 = EncoderSpec("q_fps10", "framewise", 1, 1, 8, resample_fps=10.0)
+Q_FLOW = EncoderSpec("q_flow", "flow", 2, 1, 8)
+
+
+def _window_sums(batch: pa.Table) -> pa.Table:
+    """window rows → (doc_id, window_id:int64, ts_ms, window_sum:int64)."""
+    col = batch["window_tokens"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(batch) == 0:
+        return pa.table({"doc_id": pa.array([], pa.string()),
+                         "window_id": pa.array([], pa.int64()),
+                         "ts_ms": pa.array([], pa.float64()),
+                         "window_sum": pa.array([], pa.int64())})
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    start, end = off[0], off[-1]
+    flat = flat[start:end]
+    sums = np.add.reduceat(flat, (off[:-1] - start)) if len(flat) else np.zeros(len(batch), np.int64)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "window_id": batch["window_id"].cast(pa.int64()),
+            "ts_ms": batch["ts_ms"],
+            "window_sum": pa.array(sums, type=pa.int64()),
+        }
+    )
+
+
+def _windows(sf_dir: str, spec: EncoderSpec) -> "ray.data.Dataset":
+    seq = sequences_from_documents(sf_dir)
+    return seq.map_batches(make_window_stage(spec), batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_w1_windows(sf_dir: str):
+    return _windows(sf_dir, Q_W1).map_batches(_window_sums, batch_format="pyarrow")
+
+
+def q_w2_windows(sf_dir: str):
+    return _windows(sf_dir, Q_W2).map_batches(_window_sums, batch_format="pyarrow")
+
+
+def _tokens_at(batch: pa.Table) -> pa.Table:
+    """framewise window rows → token value per position (int64)."""
+    col = batch["window_tokens"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(batch):
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = flat[off[:-1]]
+    else:
+        toks = np.array([], np.int64)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "pos": batch["window_id"].cast(pa.int64()),
+            "ts_ms": batch["ts_ms"],
+            "token": pa.array(toks, type=pa.int64()),
+        }
+    )
+
+
+def q_resample_total5(sf_dir: str):
+    return _windows(sf_dir, Q_TOTAL5).map_batches(_tokens_at, batch_format="pyarrow")
+
+
+def q_resample_fps10(sf_dir: str):
+    return _windows(sf_dir, Q_FPS10).map_batches(_tokens_at, batch_format="pyarrow")
+
+
+def q_flow_pairs(sf_dir: str):
+    def _pairs(batch: pa.Table) -> pa.Table:
+        col = batch["window_tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if len(batch) == 0:
+            return pa.table({"doc_id": pa.array([], pa.string()),
+                             "window_id": pa.array([], pa.int64()),
+                             "ts_ms": pa.array([], pa.float64()),
+                             "tok_a": pa.array([], pa.int64()),
+                             "tok_b": pa.array([], pa.int64())})
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        a = flat[off[:-1]]
+        b = flat[off[:-1] + 1]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "window_id": batch["window_id"].cast(pa.int64()),
+                "ts_ms": batch["ts_ms"],
+                "tok_a": pa.array(a, type=pa.int64()),
+                "tok_b": pa.array(b, type=pa.int64()),
+            }
+        )
+
+    return _windows(sf_dir, Q_FLOW).map_batches(_pairs, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# as-of join: probe grid ⨝ backward w1 feature windows
+# ---------------------------------------------------------------------------
+
+ASOF_GRID_N = 16
+ASOF_GRID_STEP = 937.0
+
+
+def q_asof_features(sf_dir: str):
+    windows = q_w1_windows(sf_dir).map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"], "ts_ms": b["ts_ms"],
+                            "window_id": b["window_id"], "win_ts": b["ts_ms"]}),
+        batch_format="pyarrow",
+    )
+
+    def _grid(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].cast(pa.string()).to_pylist()
+        g = np.arange(ASOF_GRID_N, dtype=np.float64) * ASOF_GRID_STEP
+        out_ids = np.repeat(np.array(ids, dtype=object), ASOF_GRID_N)
+        out_ts = np.tile(g, len(ids))
+        return pa.table({"doc_id": pa.array(out_ids.tolist(), pa.string()),
+                         "ts_q": pa.array(out_ts, pa.float64())})
+
+    probes = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        _grid, batch_format="pyarrow"
+    )
+    joined = asof_join(probes, windows, key="doc_id", left_ts="ts_q", right_ts="ts_ms",
+                       direction="backward", num_buckets=16)
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["window_id_r"] = df["window_id_r"].fillna(-1).astype(np.int64)
+        df["win_ts_r"] = df["win_ts_r"].fillna(-1.0).astype(np.float64)
+        return df[["doc_id", "ts_q", "window_id_r", "win_ts_r"]]
+
+    return joined.map_batches(_finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# event-stream operators (events table; ts in integer microseconds)
+# ---------------------------------------------------------------------------
+
+def _events_us(sf_dir: str, cols) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=list(cols))
+
+    def _us(batch: pa.Table) -> pa.Table:
+        t = batch["ts"].cast(pa.int64())  # timestamp[us] → epoch microseconds
+        cols_out = {c: batch[c] for c in batch.column_names if c != "ts"}
+        cols_out["ts_us"] = t
+        return pa.table(cols_out)
+
+    return ds.map_batches(_us, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_lag_lead_events(sf_dir: str):
+    ds = _events_us(sf_dir, ["event_id", "user_id", "ts", "value"])
+    out = lag_lead(ds, "user_id", "ts_us", "value", lags=[1], leads=[1], num_buckets=16)
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["value_lag1"] = df["value_lag1"].fillna(-1.0)
+        df["value_lead1"] = df["value_lead1"].fillna(-1.0)
+        return df[["event_id", "user_id", "ts_us", "value", "value_lag1", "value_lead1"]]
+
+    return out.map_batches(_finish, batch_format="pandas")
+
+
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+def q_sessionize_events(sf_dir: str):
+    ds = _events_us(sf_dir, ["event_id", "user_id", "ts"])
+    out = sessionize(ds, "user_id", "ts_us", gap=SESSION_GAP_US, num_buckets=16)
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id", "session_id"]], batch_format="pandas"
+    )
+
+
+def q_ffill_events(sf_dir: str):
+    ds = _events_us(sf_dir, ["event_id", "user_id", "ts", "value", "event_type"])
+
+    def _nullify(df: pd.DataFrame) -> pd.DataFrame:
+        df["click_value"] = df["value"].where(df["event_type"] == "click")
+        return df[["event_id", "user_id", "ts_us", "click_value"]]
+
+    out = forward_fill(ds.map_batches(_nullify, batch_format="pandas"),
+                       "user_id", "ts_us", "click_value", num_buckets=16)
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["click_value_ffill"] = df["click_value_ffill"].fillna(-1.0)
+        return df[["event_id", "user_id", "ts_us", "click_value_ffill"]]
+
+    return out.map_batches(_finish, batch_format="pandas")
+
+
+HOUR_US = 3_600_000_000
+
+
+def q_tumbling_hourly(sf_dir: str):
+    ds = _events_us(sf_dir, ["user_id", "ts", "value"])
+
+    def _scale(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        scaled = np.round(v * 10000.0).astype(np.int64)
+        return pa.table({"user_id": batch["user_id"], "ts_us": batch["ts_us"],
+                         "value_s": pa.array(scaled)})
+
+    agg = tumbling_aggregate(
+        ds.map_batches(_scale, batch_format="pyarrow"), "user_id", "ts_us", "value_s",
+        window=float(HOUR_US), bucket_col="window_start",
+    )
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["window_start_us"] = df["window_start"].astype(np.int64)
+        df["sum_value"] = df["sum_value_s"].astype(np.int64) / 10000.0
+        df["n"] = df["n"].astype(np.int64)
+        return df[["user_id", "window_start_us", "n", "sum_value"]]
+
+    return agg.map_batches(_finish, batch_format="pandas")
+
+
+def q_top_users(sf_dir: str):
+    ds = _events_us(sf_dir, ["user_id", "ts", "value"])
+
+    def _scale(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": batch["user_id"],
+                         "value_s": pa.array(np.round(v * 10000.0).astype(np.int64))})
+
+    agg = partial_agg(ds.map_batches(_scale, batch_format="pyarrow"), ["user_id"], sums=["value_s"])
+    top = agg.sort(["sum_value_s", "user_id"], descending=[True, False]).limit(10).to_pandas()
+    top["total_value"] = top["sum_value_s"].astype(np.int64) / 10000.0
+    top["n"] = top["n"].astype(np.int64)
+    return top[["user_id", "n", "total_value"]]
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style relational ops
+# ---------------------------------------------------------------------------
+
+def q_q1_pricing(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+    )
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.less_equal(batch["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02")))
+        t = batch.filter(mask)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        disc_price = price * (1.0 - disc)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": pa.array(qty.astype(np.int64)),
+                "price_c": pa.array(np.round(price * 100.0).astype(np.int64)),
+                "disc_price_s": pa.array(np.round(disc_price * 10000.0).astype(np.int64)),
+            }
+        )
+
+    agg = partial_agg(ds.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True),
+                      ["l_returnflag", "l_linestatus"], sums=["qty", "price_c", "disc_price_s"],
+                      count_col="count_order")
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_qty"] = df["sum_qty"].astype(np.int64)
+        df["sum_base_price"] = df["sum_price_c"].astype(np.int64) / 100.0
+        df["sum_disc_price"] = df["sum_disc_price_s"].astype(np.int64) / 10000.0
+        df["avg_qty"] = df["sum_qty"] / df["count_order"].astype(np.int64)
+        df["count_order"] = df["count_order"].astype(np.int64)
+        return df[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+                   "sum_disc_price", "avg_qty", "count_order"]]
+
+    return agg.map_batches(_finish, batch_format="pandas")
+
+
+def q_revenue_per_nation(sf_dir: str):
+    """lineitem ⨝ supplier ⨝ nation via broadcast of the small sides."""
+    import pyarrow.parquet as pq
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]).to_pandas()
+    small = supp.merge(nat, left_on="s_nationkey", right_on="n_nationkey")[["s_suppkey", "n_name"]]
+    small = small.rename(columns={"s_suppkey": "l_suppkey"})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def _scale(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.round(price * (1.0 - disc) * 10000.0).astype(np.int64)
+        return pa.table({"l_suppkey": batch["l_suppkey"], "rev_s": pa.array(rev)})
+
+    joined = broadcast_join(ds.map_batches(_scale, batch_format="pyarrow", zero_copy_batch=True),
+                            small, on="l_suppkey")
+    agg = partial_agg(joined, ["n_name"], sums=["rev_s"], count_col="n_items")
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = df["sum_rev_s"].astype(np.int64) / 10000.0
+        df["n_items"] = df["n_items"].astype(np.int64)
+        return df[["n_name", "revenue", "n_items"]]
+
+    return agg.map_batches(_finish, batch_format="pandas")
+
+
+def q_docs_per_source(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    agg = partial_agg(ds, ["source"], sums=["n_chars"], count_col="n_docs")
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_docs"] = df["n_docs"].astype(np.int64)
+        df["sum_n_chars"] = df["sum_n_chars"].astype(np.int64)
+        return df[["source", "n_docs", "sum_n_chars"]]
+
+    return agg.map_batches(_finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# dedup / text / similarity
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = exact_dedup(ds, id_col="doc_id", text_col="text")
+    return out.map_batches(
+        lambda df: df.assign(keep_id=df["keep_id"].astype(np.int64),
+                             n_dupes=df["n_dupes"].astype(np.int64))[
+            ["content_hash", "keep_id", "n_dupes"]],
+        batch_format="pandas",
+    )
+
+
+def q_token_stats(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(token_stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_quality_score(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(quality_score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_similarity_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qvec = np.asarray(qtab.filter(pa.compute.equal(qtab["vec_id"], 0))["embedding"][0].as_py(),
+                      dtype=np.float64)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    top = cosine_topk(ds, qvec, k=10)
+    top["vec_id"] = top["vec_id"].astype(np.int64)
+    return top[["vec_id", "rank"]]
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible pipelines (driver records rows-only checks)
+# ---------------------------------------------------------------------------
+
+def q_minhash_neardup(sf_dir: str):
+    from ..stages.dedup import minhash_lsh_candidates
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"].cast(pa.string()), "text": b["text"]}),
+        batch_format="pyarrow",
+    )
+    return minhash_lsh_candidates(ds, num_perm=32, bands=8, concurrency=2)
+
+
+def q_simhash(sf_dir: str):
+    from ..stages.dedup import add_simhash
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: add_simhash(b).select(["doc_id", "simhash"]), batch_format="pyarrow"
+    )
+
+
+def q_langid(sf_dir: str):
+    from ..stages.text import LangId
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+
+
+def q_fingerprint(sf_dir: str):
+    from ..stages.text import fingerprint
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint, batch_format="pyarrow")
+
+
+def q_embedding_neardup(sf_dir: str):
+    from ..stages.dedup import embedding_neardup_candidates
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_neardup_candidates(ds, dim=64, num_planes=8, cosine_threshold=0.9)
+
+
+def q_ivf_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import build_ivf_codebook, ivf_assign, ivf_topk
+
+    tab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in tab["embedding"].to_pylist()[:256]])
+    cb = build_ivf_codebook(mat, n_centroids=8)
+    qvec = np.asarray(tab["embedding"][0].as_py(), dtype=np.float64)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    top = ivf_topk(ivf_assign(ds, cb), cb, qvec, k=10, n_probe=4)
+    top["vec_id"] = top["vec_id"].astype(np.int64)
+    return top[["vec_id", "rank"]]
+
+
+def q_flagship_features(sf_dir: str):
+    """Full extraction (windows + deterministic encoder features)."""
+    from .extract import extract
+
+    spec = EncoderSpec("flagship_w1_32_16_d64", "w1", 32, 16, 64)
+    seq = sequences_from_documents(sf_dir)
+    # encoder_concurrency=None → auto-sized to ~3/4 of cluster CPUs so the
+    # actor pool never starves the read/window stages (4-CPU test clusters
+    # deadlock if the pool reserves every CPU)
+    out = extract(seq, spec)
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "window_id", "ts_ms", "feature"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_media_decode(sf_dir: str):
+    from ..stages.multimodal import decode_pipeline, synthetic_media_table
+
+    ds = ray.data.from_arrow(synthetic_media_table(n=24, seed=42))
+    return decode_pipeline(ds, concurrency=2)
+
+
+def q_checkpointed_extract(sf_dir: str):
+    """Checkpointed flagship run into /tmp (exercises lineage + commit)."""
+    import tempfile
+
+    from ..state.checkpoint import run_checkpointed
+
+    from .extract import extract
+
+    spec = EncoderSpec("ckpt_w1_32_16", "w1", 32, 16, 16)
+
+    from ..sources.sequences import tokenize_documents
+
+    def _pipe(ds):
+        seqs = ds.map_batches(tokenize_documents, batch_format="pyarrow")
+        return extract(seqs, spec, encoder_concurrency=2, with_features=False)
+
+    out_dir = tempfile.mkdtemp(prefix="vfr_ckpt_")
+    run_checkpointed([f"{sf_dir}/documents.parquet"], _pipe, out_dir, target_rows=100_000)
+    return ray.data.read_parquet(out_dir, file_extensions=["parquet"]).map_batches(
+        _window_sums, batch_format="pyarrow"
+    )
