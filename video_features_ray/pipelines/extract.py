@@ -26,10 +26,13 @@ from ..stages.windows import make_window_stage
 
 
 def _window_batch_rows(spec: EncoderSpec) -> int:
-    # windows are win_len int32 + D float32 ≈ 4*(win_len + D) bytes/row;
-    # target ~32 MB encoder batches
+    # windows are win_len int32 + D float32 ≈ 4*(win_len + D) bytes/row.
+    # Target ~4 MB encoder batches: large enough to amortize dispatch,
+    # small enough that a stage emits many work units per actor (a 64 MB
+    # batch target leaves an 8-actor pool with single-digit batches and
+    # straggler-bound wall time).
     bytes_per_row = 4 * (spec.window_len + spec.dim * (2 if spec.kind == "w2" else 1))
-    return max(1024, min(65536, (32 << 20) // max(bytes_per_row, 1)))
+    return max(512, min(16384, (4 << 20) // max(bytes_per_row, 1)))
 
 
 def extract(

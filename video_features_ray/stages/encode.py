@@ -82,10 +82,18 @@ def _fixed_list(mat: np.ndarray) -> pa.Array:
 class Encoder:
     """Callable class for ``map_batches(Encoder, fn_constructor_args=(spec,),
     concurrency=N, batch_size=B)`` — one actor per pool slot, matrix built
-    once per actor."""
+    once per actor.
 
-    def __init__(self, spec: EncoderSpec):
+    ``reduce_stats=True`` turns the actor into a combined encode+reduce
+    sink: it computes the full feature matrix, then emits ONE row of
+    partial aggregates (rows, window tokens, |feature| sum) instead of
+    the 4 KB/row feature payload — for throughput benchmarks and
+    validation counts where the consumer is an aggregate anyway.
+    """
+
+    def __init__(self, spec: EncoderSpec, reduce_stats: bool = False):
         self.spec = spec
+        self.reduce_stats = reduce_stats
         self.r_rgb = projection_matrix(spec, "rgb")
         self.r_flow = projection_matrix(spec, "flow") if spec.kind == "w2" else None
 
@@ -107,6 +115,16 @@ class Encoder:
             flat = flat[start:]
         win_mat = flat[: w * win_len].reshape(w, win_len)
         feats = encode_windows(win_mat, self.spec, self.r_rgb, self.r_flow)
+        if self.reduce_stats:
+            return pa.table(
+                {
+                    "rows": pa.array([w], pa.int64()),
+                    "toks": pa.array([int(w) * int(win_len)], pa.int64()),
+                    "feat_abs_sum": pa.array(
+                        [float(np.abs(feats["feature"]).sum(dtype=np.float64))], pa.float64()
+                    ),
+                }
+            )
         out = batch
         for name, mat in feats.items():
             out = out.append_column(name, _fixed_list(mat))
