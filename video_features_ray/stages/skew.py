@@ -1,0 +1,161 @@
+"""Skew handling: salted repartition + giant-sequence chunking with halo.
+
+The reference serializes per video — a long clip blocks its worker with
+no recourse (SURVEY §4 "Skew / stragglers"). Two engine-side remedies:
+
+- ``salt_repartition``      — spread a hot ``source``/key across
+  ``n_salt`` sub-partitions by appending a deterministic per-row salt
+  before a repartition/groupby, so one hot key no longer lands in one
+  task.
+- ``split_giant_sequences`` — cut any sequence longer than
+  ``max_tokens`` into independent chunks whose boundaries fall on
+  multiples of ``spec.step`` and which carry ``window_len - step`` halo
+  tokens, so EVERY window of the original sequence is produced by
+  exactly one chunk with globally-correct ``window_id`` and ``ts_ms``
+  (the ``pos_offset`` column shifts the window enumeration). This keeps
+  block sizes bounded (no straggler task for a 10M-token doc) without
+  changing a single output row.
+
+Correctness argument for the chunking: with chunk start ``s`` a multiple
+of ``step``, windows of the original doc starting in ``[s, s+body)``
+are exactly the windows the chunk emits locally (local start + s), and
+the halo guarantees the last of them sees its full ``window_len``
+tokens. Global ``window_id = (s + local_start)/step`` and ts are
+reconstructed from ``pos_offset = s``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..specs import EncoderSpec
+from .events import stable_bucket
+
+
+def salt_repartition(ds: "ray.data.Dataset", key: str, n_salt: int = 16,
+                     num_blocks: int | None = None) -> "ray.data.Dataset":
+    """Append `_salt` = hash(key, row) % n_salt and shuffle-repartition."""
+
+    def _salt(batch: pa.Table) -> pa.Table:
+        k = stable_bucket(batch[key].to_numpy(zero_copy_only=False), 1 << 30)
+        r = np.arange(len(batch), dtype=np.uint64)
+        s = ((k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) + r) % np.uint64(n_salt)
+        return batch.append_column("_salt", pa.array(s.astype(np.int32)))
+
+    out = ds.map_batches(_salt, batch_format="pyarrow", zero_copy_batch=True)
+    if num_blocks:
+        out = out.repartition(num_blocks, shuffle=True)
+    return out
+
+
+def split_giant_sequences(
+    ds: "ray.data.Dataset", spec: EncoderSpec, max_tokens: int = 1 << 20
+) -> "ray.data.Dataset":
+    """Chunk rows with n_tok > max_tokens; adds ``pos_offset`` (0 for
+    unsplit rows). Only valid for specs WITHOUT resampling (W7 resample
+    reindexes positions globally — resample first, then split)."""
+    if spec.resample_fps is not None or spec.resample_total is not None:
+        raise ValueError("split_giant_sequences requires resample to be applied first")
+    step = spec.step
+    halo = spec.window_len - step
+    if halo < 0:
+        halo = 0
+    body = max((max_tokens - halo) // step * step, step)
+
+    def _split(batch: pa.Table) -> pa.Table:
+        values, offsets = _flat(batch["tokens"])
+        n = np.diff(offsets)
+        doc_ids = batch["doc_id"].to_pylist()
+        sources = batch["source"].to_pylist() if "source" in batch.column_names else [""] * len(batch)
+
+        out_ids, out_src, out_off = [], [], []
+        tok_chunks = []
+        for i in range(len(batch)):
+            ni = int(n[i])
+            row_vals = values[offsets[i] : offsets[i + 1]]
+            if ni <= max_tokens:
+                out_ids.append(doc_ids[i]); out_src.append(sources[i]); out_off.append(0)
+                tok_chunks.append(row_vals)
+            else:
+                s = 0
+                while s < ni:
+                    end = min(s + body + halo, ni)
+                    out_ids.append(doc_ids[i]); out_src.append(sources[i]); out_off.append(s)
+                    tok_chunks.append(row_vals[s:end])
+                    if end == ni:
+                        break
+                    s += body
+        flat = np.concatenate(tok_chunks) if tok_chunks else np.array([], np.int32)
+        offs = np.concatenate(([0], np.cumsum([len(c) for c in tok_chunks])))
+        tokens = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int64()).cast(pa.int32()), pa.array(flat, type=pa.int32())
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.string()),
+                "tokens": tokens,
+                "n_tok": pa.array(np.diff(offs).astype(np.int32)),
+                "source": pa.array(out_src, pa.string()),
+                "pos_offset": pa.array(np.array(out_off, dtype=np.int64)),
+            }
+        )
+
+    return ds.map_batches(_split, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _flat(col):
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = col.values.to_numpy(zero_copy_only=False)
+    start = offsets[0]
+    if start != 0:
+        offsets = offsets - start
+        values = values[start:]
+    return values, offsets
+
+
+def windows_with_offset(batch: pa.Table, spec: EncoderSpec) -> pa.Table:
+    """slide_windows over chunked rows: window_id/ts shifted by pos_offset,
+    then chunk-local tail windows that would duplicate the next chunk's
+    (none, by construction) or exceed the doc (cut by the chunk end) are
+    naturally absent. Expects ``pos_offset`` column (int64)."""
+    from .windows import slide_windows
+
+    has_off = "pos_offset" in batch.column_names
+    off = (batch["pos_offset"].to_numpy(zero_copy_only=False)
+           if has_off else np.zeros(len(batch), dtype=np.int64))
+    core = batch.drop_columns(["pos_offset"]) if has_off else batch
+    w = slide_windows(core, spec)
+    if len(w) == 0:
+        return w
+    # map each window row back to its input row to apply the offset
+    counts = np.zeros(len(batch), dtype=np.int64)
+    # recompute counts the same way slide_windows did
+    from .windows import resample_indices, window_counts
+
+    n = np.diff(_flat(core["tokens"])[1])
+    m, _, eff = resample_indices(n, spec)
+    counts = window_counts(m, spec)
+    row_of_w = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+    shift = off[row_of_w]
+    wid = w["window_id"].to_numpy(zero_copy_only=False).astype(np.int64) + shift // spec.step
+    # recompute ts from the GLOBAL window start so it is bit-identical to
+    # the unsplit pipeline (adding a shifted ts would differ in the last ulp)
+    from .windows import window_timestamps_ms
+
+    ts = window_timestamps_ms(wid * spec.step, eff[row_of_w], spec)
+    w = w.set_column(w.schema.get_field_index("window_id"),
+                     "window_id", pa.array(wid.astype(np.int32)))
+    w = w.set_column(w.schema.get_field_index("ts_ms"), "ts_ms", pa.array(ts))
+    return w
+
+
+def make_offset_window_stage(spec: EncoderSpec):
+    def _stage(batch: pa.Table) -> pa.Table:
+        return windows_with_offset(batch, spec)
+
+    _stage.__name__ = f"windows_offset_{spec.name}"
+    return _stage
