@@ -1,0 +1,169 @@
+"""Preprocessing / validation / prediction-surface operators.
+
+Rounds out the reference's per-record map family (SURVEY §2.2/§2.6):
+
+- ``pad_truncate``      — M14: SOT + tokens + EOT, zero-pad to context
+  length, truncate-on-overflow (reference
+  ``models/clip/clip_src/clip.py:221-240``: context 77, error or
+  truncate keeping EOT last).
+- ``clean_text``        — M15: html unescape, whitespace collapse,
+  lowercase (reference ``simple_tokenizer.py:50-59, 123``; ftfy is not
+  in this container → unescape+collapse only, documented).
+- ``normalize_tokens``  — M6: the canonical (x-mean)/std scalar map
+  (reference ``models/transforms.py:38-42``) over a numeric column.
+- ``clamp_quantize``    — M8/M9: clip to [lo,hi] then
+  ``round(128 + 255/(hi-lo)·x)`` flow-style uint8 quantizer
+  (reference ``transforms.py:158-176``, flow range [-20,20]).
+- ``topk_predictions``  — G3 + J1/A5: softmax over a score vector,
+  top-k indices mapped through a broadcast label dict (reference
+  ``utils/utils.py:28-46`` ``show_predictions_on_dataset``).
+- ``summarize_features``— G2/S9: global max/mean/min of a feature
+  column (reference prints these per key, ``base_extractor.py:79-82``).
+- ``validate_sequences``— M20/G6: unique-doc_id assertion
+  (reference ``utils/utils.py:91-92``) + schema check; raises on
+  duplicates like the reference's sanity_check.
+"""
+
+from __future__ import annotations
+
+import html
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+SOT = 49406  # start-of-text token id (clip.py:226 '<|startoftext|>')
+EOT = 49407  # end-of-text token id
+
+
+def pad_truncate(batch: pa.Table, context_length: int = 77,
+                 truncate: bool = True) -> pa.Table:
+    """tokens → fixed-length [SOT, *tokens, EOT, 0...] rows.
+
+    Mirrors clip.tokenize: overflow either raises (truncate=False) or
+    keeps the first context-2 tokens with EOT forced last.
+    """
+    col = batch["tokens"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n_rows = len(batch)
+    out = np.zeros((n_rows, context_length), dtype=np.int32)
+    offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = col.values.to_numpy(zero_copy_only=False)
+    for i in range(n_rows):
+        toks = values[offsets[i] : offsets[i + 1]]
+        if len(toks) > context_length - 2:
+            if not truncate:
+                raise ValueError(
+                    f"row {i}: {len(toks)} tokens exceed context {context_length}"
+                )
+            toks = toks[: context_length - 2]
+        out[i, 0] = SOT
+        out[i, 1 : 1 + len(toks)] = toks
+        out[i, 1 + len(toks)] = EOT
+    flat = out.reshape(-1)
+    off = np.arange(0, (n_rows + 1) * context_length, context_length, dtype=np.int32)
+    padded = pa.ListArray.from_arrays(pa.array(off, pa.int32()), pa.array(flat, pa.int32()))
+    return batch.set_column(batch.schema.get_field_index("tokens"), "tokens", padded)
+
+
+_WS = re.compile(r"\s+")
+
+
+def clean_text(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """html unescape → whitespace collapse → strip → lower (M15)."""
+    texts = batch[text_col].to_pylist()
+    cleaned = [_WS.sub(" ", html.unescape(t or "")).strip() for t in texts]
+    arr = pc.utf8_lower(pa.array(cleaned, pa.string()))
+    return batch.set_column(batch.schema.get_field_index(text_col), text_col, arr)
+
+
+def normalize_tokens(batch: pa.Table, col: str, mean: float, std: float,
+                     out_col: str | None = None) -> pa.Table:
+    x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+    return batch.append_column(out_col or f"{col}_norm", pa.array((x - mean) / std))
+
+
+def clamp_quantize(x: np.ndarray, lo: float = -20.0, hi: float = 20.0) -> np.ndarray:
+    """Clamp + flow-style uint8 quantize (transforms.py:158-176)."""
+    c = np.clip(x, lo, hi)
+    return np.round(128.0 + (255.0 / (hi - lo)) * c).clip(0, 255).astype(np.uint8)
+
+
+def topk_predictions(
+    ds: "ray.data.Dataset",
+    labels: dict[int, str],
+    score_col: str = "feature",
+    k: int = 5,
+) -> "ray.data.Dataset":
+    """softmax → per-row top-k (argpartition) → broadcast label lookup."""
+    ref = ray.put(labels)
+
+    class _TopK:
+        def __init__(self):
+            self.labels = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch[score_col]])
+            mat = mat - mat.max(axis=1, keepdims=True)
+            e = np.exp(mat)
+            p = e / e.sum(axis=1, keepdims=True)
+            idx = np.argsort(-p, axis=1)[:, :k]
+            batch = batch.drop(columns=[score_col])
+            batch["topk_ids"] = list(idx.astype(np.int64))
+            batch["topk_probs"] = list(np.take_along_axis(p, idx, axis=1))
+            batch["topk_labels"] = [
+                [self.labels.get(int(i), f"class_{i}") for i in row] for row in idx
+            ]
+            return batch
+
+    return ds.map_batches(_TopK, batch_format="pandas", concurrency=(1, 8))
+
+
+def summarize_features(ds: "ray.data.Dataset", col: str = "feature") -> dict:
+    """Global max/mean/min over a list<float> column (G2), computed as
+    per-batch partials + a tiny final combine — never materializes."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        c = batch[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        flat = c.values.to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return pa.table({"mx": pa.array([], pa.float64()),
+                             "mn": pa.array([], pa.float64()),
+                             "sm": pa.array([], pa.float64()),
+                             "ct": pa.array([], pa.int64())})
+        return pa.table({"mx": [float(flat.max())], "mn": [float(flat.min())],
+                         "sm": [float(flat.sum(dtype=np.float64))], "ct": [int(len(flat))]})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return {"max": None, "min": None, "mean": None, "count": 0}
+    return {
+        "max": float(parts["mx"].max()),
+        "min": float(parts["mn"].min()),
+        "mean": float(parts["sm"].sum() / max(parts["ct"].sum(), 1)),
+        "count": int(parts["ct"].sum()),
+    }
+
+
+def validate_sequences(ds: "ray.data.Dataset") -> None:
+    """Raise on duplicate doc_ids (reference asserts unique stems,
+    utils/utils.py:91-92). One skinny groupby over ids only."""
+    from ray.data.aggregate import Count
+
+    dupes = (
+        ds.select_columns(["doc_id"])
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n"))
+        .filter(lambda r: r["n"] > 1)
+        .take(5)
+    )
+    if dupes:
+        ids = [d["doc_id"] for d in dupes]
+        raise ValueError(f"non-unique doc_id values (first 5): {ids}")
