@@ -70,7 +70,9 @@ def _headline(sf_dir: str, scale_repeat: int):
     windows = seq.map_batches(make_window_stage(spec), batch_format="pyarrow",
                               zero_copy_batch=True)
     total = int(ray.cluster_resources().get("CPU", 4))
-    pool = max(2, (total * 3) // 4)
+    # never reserve every CPU: an actor pool that owns the whole cluster
+    # starves the upstream read/window tasks and the stream deadlocks
+    pool = max(1, min(total - 1, (total * 3) // 4))
     out = windows.map_batches(
         Encoder, fn_constructor_args=(spec,), fn_constructor_kwargs=dict(reduce_stats=True),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=512, concurrency=pool,
@@ -159,7 +161,7 @@ def _headline_only(sf_dir: str, num_cpus: int) -> dict:
     # the timed job must run ≥~30 s so actor-pool startup amortizes —
     # otherwise the 32-CPU run pays 4× the startup for the same work and
     # scaling efficiency is meaningless
-    scale_repeat = max(1, 200_000 // max(n_docs_base, 1))
+    scale_repeat = max(1, 400_000 // max(n_docs_base, 1))
     _scaled_corpus(sf_dir, scale_repeat)  # build outside the timed region
     _headline(sf_dir, 1)  # warm-up (page cache + worker start)
     t0 = time.perf_counter()

@@ -55,7 +55,9 @@ def extract(
         import ray
 
         total = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        encoder_concurrency = max(2, (total * 3) // 4)
+        # cap at total-1: a pool reserving every CPU starves the upstream
+        # read/window tasks and the stream deadlocks
+        encoder_concurrency = max(1, min(total - 1, (total * 3) // 4))
     return windows.map_batches(
         Encoder,
         batch_format="pyarrow",

@@ -407,7 +407,7 @@ def q_minhash_neardup(sf_dir: str):
         lambda b: pa.table({"doc_id": b["doc_id"].cast(pa.string()), "text": b["text"]}),
         batch_format="pyarrow",
     )
-    return minhash_lsh_candidates(ds, num_perm=32, bands=8, concurrency=2)
+    return minhash_lsh_candidates(ds, num_perm=32, bands=8, concurrency=(1, 2))
 
 
 def q_simhash(sf_dir: str):
@@ -423,7 +423,7 @@ def q_langid(sf_dir: str):
     from ..stages.text import LangId
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2))
 
 
 def q_fingerprint(sf_dir: str):
@@ -475,7 +475,7 @@ def q_media_decode(sf_dir: str):
     from ..stages.multimodal import decode_pipeline, synthetic_media_table
 
     ds = ray.data.from_arrow(synthetic_media_table(n=24, seed=42))
-    return decode_pipeline(ds, concurrency=2)
+    return decode_pipeline(ds, concurrency=(1, 2))
 
 
 def q_checkpointed_extract(sf_dir: str):
@@ -492,7 +492,7 @@ def q_checkpointed_extract(sf_dir: str):
 
     def _pipe(ds):
         seqs = ds.map_batches(tokenize_documents, batch_format="pyarrow")
-        return extract(seqs, spec, encoder_concurrency=2, with_features=False)
+        return extract(seqs, spec, encoder_concurrency=(1, 2), with_features=False)
 
     out_dir = tempfile.mkdtemp(prefix="vfr_ckpt_")
     run_checkpointed([f"{sf_dir}/documents.parquet"], _pipe, out_dir, target_rows=100_000)
