@@ -1,0 +1,89 @@
+"""Compatibility sinks mirroring the reference's per-entity file outputs.
+
+The reference writes one ``{stem}_{key}.npy`` / ``.pkl`` per
+entity×feature-key (``base_extractor.py:84-91``, ``make_path``
+``utils/utils.py:56-60``); output dirs are namespaced
+``output/{feature_type}/{model_name}`` (``utils/utils.py:119-132``,
+'/'→'_'). The engine's primary sink is partitioned parquet
+(resumable, columnar); these helpers exist so reference users can keep
+their downstream .npy/.pkl loaders — each Ray task writes the files for
+its own blocks (distributed, no driver materialization).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+
+def namespaced_dir(root: str, feature_type: str, model_name: str | None = None) -> str:
+    parts = [root, feature_type.replace("/", "_")]
+    if model_name:
+        parts.append(model_name.replace("/", "_"))
+    return os.path.join(*parts)
+
+
+def write_entity_files(
+    ds: "ray.data.Dataset",
+    out_dir: str,
+    fmt: str = "npy",
+    key_col: str = "doc_id",
+    feature_col: str = "feature",
+    ts_col: str = "ts_ms",
+) -> int:
+    """Group window rows per entity and write ``{doc}_{key}.npy|.pkl``
+    files (feature matrix + timestamps_ms + fps — the reference's output
+    dict keys, ``base_framewise_extractor.py:75-79``). Returns #entities.
+
+    Writes happen inside the groupby tasks; only counts reach the driver.
+    """
+    assert fmt in ("npy", "pickle")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("window_id", kind="mergesort")
+        doc = str(g[key_col].iloc[0])
+        feats = np.stack([np.asarray(v, dtype=np.float32) for v in g[feature_col]])
+        ts = g[ts_col].to_numpy(dtype=np.float64)
+        fps = float(g["fps"].iloc[0]) if "fps" in g.columns else 0.0
+        if fmt == "npy":
+            np.save(os.path.join(out_dir, f"{doc}_{feature_col}.npy"), feats)
+            np.save(os.path.join(out_dir, f"{doc}_timestamps_ms.npy"), ts)
+            np.save(os.path.join(out_dir, f"{doc}_fps.npy"), np.array(fps))
+        else:
+            with open(os.path.join(out_dir, f"{doc}_{feature_col}.pkl"), "wb") as fh:
+                pickle.dump({feature_col: feats, "timestamps_ms": ts, "fps": np.array(fps)}, fh)
+        return pd.DataFrame({key_col: [doc]})
+
+    written = ds.groupby(key_col).map_groups(_write_group, batch_format="pandas")
+    return written.count()
+
+
+def skip_existing(
+    ds: "ray.data.Dataset",
+    out_dir: str,
+    fmt: str = "npy",
+    key_col: str = "doc_id",
+    feature_col: str = "feature",
+) -> "ray.data.Dataset":
+    """M21/J4 anti-join: drop entities whose output files already exist
+    (reference ``base_extractor.py:95-127``) — here as a broadcast of the
+    existing-stem set instead of per-entity stat calls."""
+    import ray
+
+    ext = ".npy" if fmt == "npy" else ".pkl"
+    suffix = f"_{feature_col}{ext}"
+    existing = frozenset(
+        f[: -len(suffix)] for f in os.listdir(out_dir) if f.endswith(suffix)
+    ) if os.path.isdir(out_dir) else frozenset()
+    ref = ray.put(existing)
+
+    def _filter(batch: pd.DataFrame) -> pd.DataFrame:
+        done = ray.get(ref)
+        return batch[~batch[key_col].astype(str).isin(done)]
+
+    return ds.map_batches(_filter, batch_format="pandas")
