@@ -42,22 +42,36 @@ def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def exact_dedup(
-    ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"
+    ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text",
+    num_buckets: int = 16,
 ) -> "ray.data.Dataset":
     """Hash-partition on content hash, keep min id per group + dupe count.
 
-    Scale: the hash is computed per batch (map), the groupby moves one
-    short row per document (hash + id), not the documents themselves.
+    Scale: the hash is computed per batch (map); each batch pre-combines
+    (one row per hash per batch); the shuffle moves skinny partials
+    bucketed so the outer Ray groupby sees ``num_buckets`` groups, and
+    the per-hash combine is one vectorized pandas groupby per bucket
+    (Ray's per-group aggregate state is O(#groups) Python objects —
+    pathological when most hashes are unique).
     """
-    from ray.data.aggregate import Count, Min
 
-    hashed = ds.map_batches(
-        lambda b: add_content_hash(b, text_col).select([id_col, "content_hash"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    return hashed.groupby("content_hash").aggregate(
-        Min(id_col, alias_name="keep_id"), Count(alias_name="n_dupes")
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[id_col, text_col]].copy()
+        df["content_hash"] = _md5_hex(df[text_col].tolist())
+        g = df.groupby("content_hash", sort=False).agg(
+            keep_id=(id_col, "min"), n_dupes=(id_col, "size")).reset_index()
+        h = pd.util.hash_pandas_object(g["content_hash"], index=False).to_numpy()
+        g["_bucket"] = (h % np.uint64(num_buckets)).astype(np.int32)
+        return g
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("content_hash", sort=False).agg(
+            keep_id=("keep_id", "min"), n_dupes=("n_dupes", "sum")).reset_index()
+
+    return (
+        ds.map_batches(_partial, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(_final, batch_format="pandas")
     )
 
 
@@ -65,16 +79,40 @@ def exact_dedup(
 # shingles + minhash
 # ---------------------------------------------------------------------------
 
+_POLY_B = np.uint64(1099511628211)  # FNV prime
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64-style finalizer — spreads rolling-hash bits."""
+    h = h.copy()
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xC4CEB9FE1A85EC53)
+    h ^= h >> np.uint64(33)
+    return h
+
+
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Distinct k-char-shingle 64-bit hashes (deterministic: blake2b)."""
-    if not text or len(text) < k:
-        data = {text or ""}
-    else:
-        data = {text[i : i + k] for i in range(len(text) - k + 1)}
-    out = np.empty(len(data), dtype=np.uint64)
-    for i, s in enumerate(data):
-        out[i] = int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
-    return out
+    """Distinct k-char-shingle 64-bit hashes — fully vectorized: one
+    utf-32 decode + k shifted multiply-adds + a mix finalizer (a
+    per-shingle cryptographic hash costs ~500 Python hash calls per
+    document and dominated the MinHash stage)."""
+    if not text:
+        return np.array([_mix64(np.array([np.uint64(0)]))[0]], dtype=np.uint64)
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    n = len(cps)
+    if n < k:
+        h = np.uint64(0)
+        for c in cps:
+            h = h * _POLY_B + c
+        return _mix64(np.array([h], dtype=np.uint64))
+    m = n - k + 1
+    with np.errstate(over="ignore"):
+        h = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            h = h * _POLY_B + cps[j : j + m]
+    return np.unique(_mix64(h))
 
 
 class MinHasher:
@@ -143,15 +181,29 @@ def minhash_lsh_candidates(
         return pa.table({id_col: pa.array(out_ids), "band_id": pa.array(out_band, pa.int32()),
                          "band_hash": pa.array(out_hash)})
 
-    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(df[id_col].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
+    num_buckets = 16
+
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            pd.Series(batch["band_hash"].to_pylist()), index=False).to_numpy()
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32)))
+
+    def _pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # most (band, hash) cells are singletons — filter to actual
+        # collisions first, Python-loop only over colliding cells
+        dup = df[df.duplicated(["band_id", "band_hash"], keep=False)]
         a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i]); b.append(ids[j])
-        return pd.DataFrame({"id_a": a, "id_b": b})
+        for _, g in dup.groupby(["band_id", "band_hash"], sort=False):
+            ids = sorted(g[id_col].tolist())
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a.append(ids[i]); b.append(ids[j])
+        out = pd.DataFrame({"id_a": a, "id_b": b})
+        # dedupe within bucket; cross-bucket dupes impossible for the
+        # SAME band, but the same pair can collide in different bands →
+        # final tiny distinct below
+        return out.drop_duplicates()
 
     sigs = ds.map_batches(
         MinHasher, batch_format="pyarrow",
@@ -159,12 +211,16 @@ def minhash_lsh_candidates(
                                    text_col=text_col, id_col=id_col),
         concurrency=concurrency,
     )
-    banded = sigs.map_batches(_bands, batch_format="pyarrow")
-    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(_pairs, batch_format="pandas")
-    # distinct pairs (pair may collide in several bands)
-    from ray.data.aggregate import Count
+    banded = sigs.map_batches(_bands, batch_format="pyarrow").map_batches(
+        _bucketize, batch_format="pyarrow")
+    pairs = banded.groupby("_bucket").map_groups(_pairs_bucket, batch_format="pandas")
 
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_bands"))
+    def _distinct(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["id_a", "id_b"], sort=False).size().rename("n_bands").reset_index()
+        return g
+
+    # candidate pairs are few; one final combine over a single bucket
+    return pairs.repartition(1).map_batches(_distinct, batch_format="pandas")
 
 
 def jaccard_verify_pairs(

@@ -49,27 +49,41 @@ def partial_agg(
     keys: Sequence[str],
     sums: Sequence[str] = (),
     count_col: str = "n",
+    num_buckets: int = 16,
 ) -> "ray.data.Dataset":
     """groupby(keys).agg(sum..., count) with per-batch combining.
 
-    Emits exact results: per-batch partial sums/counts, then a final
-    groupby over the partials. Column names: ``sum_<col>`` and
-    ``count_col``.
+    Exact results in two stages: (1) per-batch partial sums/counts
+    (map, no shuffle), (2) hash-bucket the partials on the key tuple and
+    combine each bucket with ONE vectorized pandas groupby. The outer
+    Ray groupby sees only ``num_buckets`` groups — Ray's per-group
+    aggregate state costs O(groups) in Python, which is pathological
+    when #groups ≈ #rows (measured 30 s for 96k groups vs <2 s bucketed).
+    Column names: ``sum_<col>`` and ``count_col``.
     """
     keys = list(keys)
     sums = list(sums)
+    sum_cols = [f"sum_{c}" for c in sums]
 
     def _partial(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch.groupby(keys, sort=False, dropna=False)
         out = g[sums].sum() if sums else g.size().to_frame("__sz").drop(columns="__sz")
         out = out.rename(columns={c: f"sum_{c}" for c in sums})
         out[count_col] = g.size()
-        return out.reset_index()
+        out = out.reset_index()
+        h = np.zeros(len(out), dtype=np.uint64)
+        for k in keys:  # vectorized per-column hash combine
+            h = h * np.uint64(0x100000001B3) + pd.util.hash_pandas_object(
+                out[k], index=False).to_numpy()
+        out["_bucket"] = (h % np.uint64(num_buckets)).astype(np.int32)
+        return out
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, dropna=False)[sum_cols + [count_col]].sum()
+        return g.reset_index()
 
     partials = ds.map_batches(_partial, batch_format="pandas")
-    aggs = [Sum(f"sum_{c}", alias_name=f"sum_{c}") for c in sums]
-    aggs.append(Sum(count_col, alias_name=count_col))
-    return partials.groupby(keys).aggregate(*aggs)
+    return partials.groupby("_bucket").map_groups(_final, batch_format="pandas")
 
 
 def tumbling_aggregate(
