@@ -10,8 +10,46 @@ initialised by the driver BEFORE importing this module — nothing here
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# Make the engine importable no matter where the driver process started,
+# and ship its code BY VALUE to Ray workers: the driver may have called
+# ray.init() before this module was importable, in which case workers
+# snapshotted a sys.path that cannot resolve `video_features_ray` and
+# every map_batches fn would fail to deserialize. Registering the package
+# for cloudpickle by-value serialization sidesteps worker-side imports
+# entirely (worker only needs numpy/pandas/pyarrow, which are global).
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+
+def _register_by_value() -> None:
+    import importlib
+    import pkgutil
+
+    from ray import cloudpickle  # Ray serializes with its vendored fork
+
+    import video_features_ray
+
+    for m in pkgutil.walk_packages(video_features_ray.__path__,
+                                   prefix="video_features_ray."):
+        try:
+            importlib.import_module(m.name)
+        except Exception:
+            continue
+    for name, mod in list(sys.modules.items()):
+        if name == "video_features_ray" or name.startswith("video_features_ray."):
+            try:
+                cloudpickle.register_pickle_by_value(mod)
+            except Exception:
+                pass
+
+
+_register_by_value()
 
 #: shared DuckDB CTE: documents → tokenized sequences, exactly mirroring
 #: video_features_ray.sources.sequences.tokenize_documents
