@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_total5": q.q_resample_total5,
         "resample_fps10": q.q_resample_fps10,
         "flow_pairs": q.q_flow_pairs,
+        "vggish_windows": q.q_vggish_windows,
+        "w2_resampled": q.q_w2_resampled,
         # point-in-time as-of join
         "asof_features": q.q_asof_features,
         # event-stream operators
@@ -93,6 +95,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ffill_events": q.q_ffill_events,
         "tumbling_hourly": q.q_tumbling_hourly,
         "top_users": q.q_top_users,
+        "asof_purchase_click": q.q_asof_purchase_click,
+        "session_stats": q.q_session_stats,
+        "unique_sources": q.q_unique_sources,
         # relational (pre-aggregated groupby, broadcast join)
         "q1_pricing": q.q_q1_pricing,
         "revenue_per_nation": q.q_revenue_per_nation,
@@ -152,6 +157,36 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT seq.*, unnest(generate_series(0, seq.n - 2)) AS i "
             "FROM seq WHERE seq.n >= 2) s"
         ),
+        "vggish_windows": (
+            f"{_SEQ}, "
+            # level 1: inner frame sums (win 40, hop 16), tail dropped
+            "inn AS (SELECT s.doc_id, s.k, "
+            "CAST(list_sum(s.tokens[s.k * 16 + 1 : s.k * 16 + 40]) AS BIGINT) AS f "
+            "FROM (SELECT seq.*, unnest(generate_series(0, (seq.n - 40) // 16)) AS k "
+            "FROM seq WHERE seq.n >= 40) s), "
+            "fr AS (SELECT doc_id, list(f ORDER BY k) AS fl, COUNT(*) AS ni "
+            "FROM inn GROUP BY doc_id) "
+            # level 2: tumbling 8/8 over inner frames
+            "SELECT t.doc_id, CAST(t.wid AS BIGINT) AS window_id, "
+            "((t.wid * 8 + 8 - 1) * 16 + 40 - 1) / 25.0 * 1000.0 AS ts_ms, "
+            "CAST(list_sum(t.fl[t.wid * 8 + 1 : t.wid * 8 + 8]) AS BIGINT) AS window_sum "
+            "FROM (SELECT fr.*, unnest(generate_series(0, CAST((fr.ni - 8) // 8 AS BIGINT))) AS wid "
+            "FROM fr WHERE fr.ni >= 8) t"
+        ),
+        "w2_resampled": (
+            f"{_SEQ}, "
+            # S5 resample 25→10 fps (nearest-frame model), THEN W2 windows (W7)
+            "res AS (SELECT s.doc_id, "
+            "list_transform(generate_series(0, CAST(ceil(s.n * (10.0 / 25.0)) AS BIGINT) - 1), "
+            "k -> s.tokens[LEAST(CAST(floor(k * (25.0 / 10.0)) AS BIGINT), s.n - 1) + 1]) AS rt "
+            "FROM seq s WHERE s.n > 0), "
+            "rn AS (SELECT doc_id, rt, len(rt) AS m FROM res) "
+            "SELECT t.doc_id, CAST(t.wid AS BIGINT) AS window_id, "
+            "(t.wid * 8 + 17) / 10.0 * 1000.0 AS ts_ms, "
+            "CAST(list_sum(t.rt[t.wid * 8 + 1 : t.wid * 8 + 17]) AS BIGINT) AS window_sum "
+            "FROM (SELECT rn.*, unnest(generate_series(0, (rn.m - 17) // 8)) AS wid "
+            "FROM rn WHERE rn.m >= 17) t"
+        ),
         "asof_features": (
             f"{_SEQ}, w AS ({_W1_WINDOWS}), "
             "grid AS (SELECT d.doc_id, g.g * 937.0 AS ts_q "
@@ -197,6 +232,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY user_id "
             "ORDER BY SUM(CAST(round(value * 10000.0) AS BIGINT)) DESC, user_id LIMIT 10"
         ),
+        "asof_purchase_click": (
+            "WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value "
+            "FROM events WHERE event_type = 'purchase'), "
+            "c AS (SELECT event_id AS c_event, user_id, epoch_us(ts) AS ts_us, "
+            "value AS c_value FROM events WHERE event_type = 'click') "
+            "SELECT p.event_id, p.user_id, p.ts_us, p.value, "
+            "CAST(COALESCE(c.c_event, -1) AS BIGINT) AS c_event_r, "
+            "COALESCE(c.c_value, -1.0) AS c_value_r "
+            "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us"
+        ),
+        "session_stats": (
+            "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events), "
+            "m AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL "
+            "OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS new "
+            "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), "
+            "s AS (SELECT *, CAST(SUM(new) OVER (PARTITION BY user_id ORDER BY t, event_id "
+            "ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id FROM m) "
+            "SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(MIN(t) AS BIGINT) AS t_start, CAST(MAX(t) AS BIGINT) AS t_end "
+            "FROM s GROUP BY user_id, session_id"
+        ),
+        "unique_sources": "SELECT DISTINCT source FROM documents",
         "q1_pricing": (
             "SELECT l_returnflag, l_linestatus, "
             "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "

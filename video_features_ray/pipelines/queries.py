@@ -499,3 +499,82 @@ def q_checkpointed_extract(sf_dir: str):
     return ray.data.read_parquet(out_dir, file_extensions=["parquet"]).map_batches(
         _window_sums, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# additional SQL-checked queries (round 1 extension)
+# ---------------------------------------------------------------------------
+
+def q_asof_purchase_click(sf_dir: str):
+    """events-on-events as-of: each purchase joined backward to the same
+    user's latest click (the classic point-in-time feature lookup)."""
+    ev = _events_us(sf_dir, ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def _purchases(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["event_type"] == "purchase"]
+        return d[["event_id", "user_id", "ts_us", "value"]]
+
+    def _clicks(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["event_type"] == "click"].copy()
+        d = d.rename(columns={"event_id": "c_event", "value": "c_value"})
+        return d[["c_event", "user_id", "ts_us", "c_value"]]
+
+    purchases = ev.map_batches(_purchases, batch_format="pandas")
+    clicks = ev.map_batches(_clicks, batch_format="pandas")
+    joined = asof_join(purchases, clicks, key="user_id", left_ts="ts_us",
+                       right_ts="ts_us", direction="backward", num_buckets=16)
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["c_event_r"] = df["c_event_r"].fillna(-1).astype(np.int64)
+        df["c_value_r"] = df["c_value_r"].fillna(-1.0).astype(np.float64)
+        return df[["event_id", "user_id", "ts_us", "value", "c_event_r", "c_value_r"]]
+
+    return joined.map_batches(_finish, batch_format="pandas")
+
+
+def q_session_stats(sf_dir: str):
+    """per (user, session): event count + start/end ts (sessionize → agg)."""
+    ds = _events_us(sf_dir, ["event_id", "user_id", "ts"])
+    sess = sessionize(ds, "user_id", "ts_us", gap=SESSION_GAP_US, num_buckets=16)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "session_id"], sort=False).agg(
+            n_events=("event_id", "size"), t_start=("ts_us", "min"), t_end=("ts_us", "max"),
+        ).reset_index()
+        h = (pd.util.hash_pandas_object(g["user_id"], index=False).to_numpy()
+             * np.uint64(0x100000001B3)
+             + pd.util.hash_pandas_object(g["session_id"], index=False).to_numpy())
+        g["_bucket"] = (h % np.uint64(16)).astype(np.int32)
+        return g
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "session_id"], sort=False).agg(
+            n_events=("n_events", "sum"), t_start=("t_start", "min"), t_end=("t_end", "max"),
+        ).reset_index()
+        g["n_events"] = g["n_events"].astype(np.int64)
+        return g
+
+    return (sess.map_batches(_partial, batch_format="pandas")
+            .groupby("_bucket").map_groups(_final, batch_format="pandas"))
+
+
+def q_unique_sources(sf_dir: str):
+    """distinct values of one column (Dataset.unique — a shuffle op)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+    vals = sorted(ds.unique("source"))
+    return pd.DataFrame({"source": vals})
+
+
+Q_VGG = EncoderSpec("q_vgg_8_8", "vggish", 8, 8, 8, inner_win=40, inner_hop=16)
+Q_W2R = EncoderSpec("q_w2r_16_8_f10", "w2", 16, 8, 8, resample_fps=10.0)
+
+
+def q_vggish_windows(sf_dir: str):
+    """Two-level framing (W5): inner 40/16 token-sum frames, outer 8/8
+    tumbling windows; window_sum = sum of the 8 inner sums."""
+    return _windows(sf_dir, Q_VGG).map_batches(_window_sums, batch_format="pyarrow")
+
+
+def q_w2_resampled(sf_dir: str):
+    """W7 composition: fps resample (25→10) BEFORE the W2 streaming stack."""
+    return _windows(sf_dir, Q_W2R).map_batches(_window_sums, batch_format="pyarrow")
