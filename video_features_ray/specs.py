@@ -76,6 +76,17 @@ class EncoderSpec:
         return zlib.crc32(self.name.encode("utf-8"))
 
     @property
+    def effective_step(self) -> int:
+        """Window-start advance. For w2 the reference's retention
+        ``stack = stack[step:]`` empties entirely when step > stack+1,
+        so the next window starts at the first unseen frame — the
+        effective advance is ``min(step, stack+1)``
+        (``extract_i3d.py:118-122``; found by property testing)."""
+        if self.kind == "w2":
+            return min(self.step, self.stack + 1)
+        return self.step
+
+    @property
     def window_len(self) -> int:
         """Tokens consumed per emitted window (w2/flow hold one lookahead)."""
         if self.kind == "w2":

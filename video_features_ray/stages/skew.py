@@ -58,7 +58,7 @@ def split_giant_sequences(
     reindexes positions globally — resample first, then split)."""
     if spec.resample_fps is not None or spec.resample_total is not None:
         raise ValueError("split_giant_sequences requires resample to be applied first")
-    step = spec.step
+    step = spec.effective_step
     halo = spec.window_len - step
     if halo < 0:
         halo = 0
@@ -141,12 +141,12 @@ def windows_with_offset(batch: pa.Table, spec: EncoderSpec) -> pa.Table:
     counts = window_counts(m, spec)
     row_of_w = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
     shift = off[row_of_w]
-    wid = w["window_id"].to_numpy(zero_copy_only=False).astype(np.int64) + shift // spec.step
+    wid = w["window_id"].to_numpy(zero_copy_only=False).astype(np.int64) + shift // spec.effective_step
     # recompute ts from the GLOBAL window start so it is bit-identical to
     # the unsplit pipeline (adding a shifted ts would differ in the last ulp)
     from .windows import window_timestamps_ms
 
-    ts = window_timestamps_ms(wid * spec.step, eff[row_of_w], spec)
+    ts = window_timestamps_ms(wid * spec.effective_step, eff[row_of_w], spec)
     w = w.set_column(w.schema.get_field_index("window_id"),
                      "window_id", pa.array(wid.astype(np.int32)))
     w = w.set_column(w.schema.get_field_index("ts_ms"), "ts_ms", pa.array(ts))

@@ -112,7 +112,7 @@ def window_counts(m: np.ndarray, spec: EncoderSpec) -> np.ndarray:
     if spec.kind == "w1":
         c = (m - spec.stack) // spec.step + 1
     elif spec.kind == "w2":
-        c = (m - spec.stack - 1) // spec.step + 1
+        c = (m - spec.stack - 1) // spec.effective_step + 1
     elif spec.kind == "framewise":
         c = m.copy()
     elif spec.kind == "flow":
@@ -187,7 +187,7 @@ def slide_windows(batch: pa.Table, spec: EncoderSpec) -> pa.Table:
     row_of_w = np.repeat(np.arange(len(n), dtype=np.int64), counts)
     w_off = np.concatenate(([0], np.cumsum(counts)))
     wid = (np.arange(total_w, dtype=np.int64) - w_off[row_of_w])  # per-row window index
-    starts = wid * spec.step
+    starts = wid * spec.effective_step
 
     if spec.kind == "vggish":
         # level 1: inner frame sums (the deterministic log-mel stand-in)
