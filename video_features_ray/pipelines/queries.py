@@ -163,7 +163,7 @@ def q_asof_features(sf_dir: str):
         _grid, batch_format="pyarrow"
     )
     joined = asof_join(probes, windows, key="doc_id", left_ts="ts_q", right_ts="ts_ms",
-                       direction="backward", num_buckets=16)
+                       direction="backward", num_buckets=16, coalesce_blocks=16)
 
     def _finish(df: pd.DataFrame) -> pd.DataFrame:
         df["window_id_r"] = df["window_id_r"].fillna(-1).astype(np.int64)
@@ -522,7 +522,7 @@ def q_asof_purchase_click(sf_dir: str):
     purchases = ev.map_batches(_purchases, batch_format="pandas")
     clicks = ev.map_batches(_clicks, batch_format="pandas")
     joined = asof_join(purchases, clicks, key="user_id", left_ts="ts_us",
-                       right_ts="ts_us", direction="backward", num_buckets=16)
+                       right_ts="ts_us", direction="backward", num_buckets=16, coalesce_blocks=16)
 
     def _finish(df: pd.DataFrame) -> pd.DataFrame:
         df["c_event_r"] = df["c_event_r"].fillna(-1).astype(np.int64)

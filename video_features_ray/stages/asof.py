@@ -54,7 +54,13 @@ def asof_join(
     num_buckets: int = 64,
     suffix: str = "_r",
     tolerance=None,
+    coalesce_blocks: int | None = None,
 ) -> "ray.data.Dataset":
+    """``coalesce_blocks``: optionally merge the tagged union into this
+    many blocks before the bucket groupby — at small data the groupby's
+    sort cost is dominated by per-block task overhead (measured ~2×
+    faster with 16 blocks at sf0.1). Leave None at scale, where many
+    blocks are exactly what the sort wants."""
     right_ts = right_ts or left_ts
     left_cols = left.schema().names
     right_cols = right.schema().names
@@ -78,6 +84,8 @@ def asof_join(
     l_tagged = left.map_batches(_tag(0, left_ts, right_cols), batch_format="pyarrow")
     r_tagged = right.map_batches(_tag(1, right_ts, left_cols), batch_format="pyarrow")
     both = l_tagged.union(r_tagged)
+    if coalesce_blocks:
+        both = both.repartition(coalesce_blocks)
 
     out_right_cols = [c for c in right_cols if c not in (key, right_ts)]
 
