@@ -263,7 +263,7 @@ def q_top_users(sf_dir: str):
         return pa.table({"user_id": batch["user_id"],
                          "value_s": pa.array(np.round(v * 10000.0).astype(np.int64))})
 
-    agg = partial_agg(ds.map_batches(_scale, batch_format="pyarrow"), ["user_id"], sums=["value_s"])
+    agg = partial_agg(ds.map_batches(_scale, batch_format="pyarrow"), ["user_id"], sums=["value_s"], combine="driver")
     top = agg.sort(["sum_value_s", "user_id"], descending=[True, False]).limit(10).to_pandas()
     top["total_value"] = top["sum_value_s"].astype(np.int64) / 10000.0
     top["n"] = top["n"].astype(np.int64)
@@ -302,7 +302,7 @@ def q_q1_pricing(sf_dir: str):
 
     agg = partial_agg(ds.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True),
                       ["l_returnflag", "l_linestatus"], sums=["qty", "price_c", "disc_price_s"],
-                      count_col="count_order")
+                      count_col="count_order", combine="driver")
 
     def _finish(df: pd.DataFrame) -> pd.DataFrame:
         df["sum_qty"] = df["sum_qty"].astype(np.int64)
@@ -336,7 +336,7 @@ def q_revenue_per_nation(sf_dir: str):
 
     joined = broadcast_join(ds.map_batches(_scale, batch_format="pyarrow", zero_copy_batch=True),
                             small, on="l_suppkey")
-    agg = partial_agg(joined, ["n_name"], sums=["rev_s"], count_col="n_items")
+    agg = partial_agg(joined, ["n_name"], sums=["rev_s"], count_col="n_items", combine="driver")
 
     def _finish(df: pd.DataFrame) -> pd.DataFrame:
         df["revenue"] = df["sum_rev_s"].astype(np.int64) / 10000.0
@@ -348,7 +348,7 @@ def q_revenue_per_nation(sf_dir: str):
 
 def q_docs_per_source(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
-    agg = partial_agg(ds, ["source"], sums=["n_chars"], count_col="n_docs")
+    agg = partial_agg(ds, ["source"], sums=["n_chars"], count_col="n_docs", combine="driver")
 
     def _finish(df: pd.DataFrame) -> pd.DataFrame:
         df["n_docs"] = df["n_docs"].astype(np.int64)
