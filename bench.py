@@ -115,8 +115,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     n_seq = n_docs_base * scale_repeat
 
     bench_queries = [
-        "w1_windows", "w2_windows", "flow_pairs", "asof_features",
-        "lag_lead_events", "sessionize_events", "ffill_events",
+        "w1_windows", "w2_windows", "flow_pairs", "vggish_windows",
+        "w2_resampled", "asof_features", "asof_purchase_click",
+        "lag_lead_events", "sessionize_events", "session_stats", "ffill_events",
         "tumbling_hourly", "q1_pricing", "revenue_per_nation",
         "exact_dedup", "minhash_neardup", "similarity_topk", "quality_score",
     ]
@@ -173,9 +174,67 @@ def _headline_only(sf_dir: str, num_cpus: int) -> dict:
             "sequences_per_sec": n_seq / sec, "tokens_per_sec": n_tok / sec}
 
 
+def _stress(sf_dir: str, num_cpus: int) -> dict:
+    """Streaming-at-scale evidence: ~2M-sequence flagship extraction and
+    a 10M-row synthetic event stream through the bucketed operators —
+    well past object-store comfort, exercising backpressure + spill."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    out = {}
+    n_docs_base = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    scale_repeat = max(1, 2_000_000 // max(n_docs_base, 1))
+    _scaled_corpus(sf_dir, scale_repeat, n_files=128)
+    t0 = time.perf_counter()
+    n_windows, n_tok = _headline(sf_dir, scale_repeat)
+    sec = time.perf_counter() - t0
+    n_seq = n_docs_base * scale_repeat
+    out["flagship"] = {"sec": round(sec, 2), "n_sequences": n_seq,
+                       "n_windows": n_windows,
+                       "sequences_per_sec": round(n_seq / sec, 1),
+                       "tokens_per_sec": round(n_tok / sec, 1)}
+
+    # 10M-row event stream: lag/lead + sessionize through the bucket shuffle
+    from video_features_ray.stages.events import lag_lead, sessionize
+
+    n_ev = 10_000_000
+    rng = np.random.default_rng(7)
+    ev = pd.DataFrame({
+        "user_id": rng.integers(0, 100_000, n_ev),
+        "ts": rng.integers(0, 1 << 40, n_ev).astype(np.int64),
+        "value": rng.random(n_ev),
+    })
+    eds = ray.data.from_pandas(ev).repartition(64)
+    t0 = time.perf_counter()
+    n1 = lag_lead(eds, "user_id", "ts", "value", num_buckets=64).count()
+    lag_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n2 = sessionize(eds, "user_id", "ts", gap=1e9, num_buckets=64).count()
+    sess_sec = time.perf_counter() - t0
+    out["events_10m"] = {"rows": n_ev, "lag_lead_sec": round(lag_sec, 2),
+                         "lag_rows_per_sec": round(n1 / lag_sec, 1),
+                         "sessionize_sec": round(sess_sec, 2),
+                         "sess_rows_per_sec": round(n2 / sess_sec, 1)}
+    ray.shutdown()
+    return out
+
+
 def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--stress" in sys.argv:
+        print(json.dumps(_stress(sf_dir, num_cpus)))
+        return
 
     if "--headline-only" in sys.argv:
         print(json.dumps(_headline_only(sf_dir, num_cpus)))
