@@ -96,3 +96,13 @@ def test_manifest_metrics(seq_file, tmp_path):
         assert r["row_end"] > r["row_start"]
         assert r["metrics"]["rows_in"] == r["row_end"] - r["row_start"]
         assert r["metrics"]["rows_out"] >= 0
+
+
+def test_plan_mismatch_refused(seq_file, tmp_path):
+    out = str(tmp_path / "out")
+    run_checkpointed([seq_file], _pipeline, out, target_rows=20, fail_after=1)
+    # same plan resumes fine
+    run_checkpointed([seq_file], _pipeline, out, target_rows=20, fail_after=1)
+    # different target_rows would mix partitionings → refused
+    with pytest.raises(ValueError, match="plan mismatch"):
+        run_checkpointed([seq_file], _pipeline, out, target_rows=30)

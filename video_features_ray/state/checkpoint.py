@@ -75,16 +75,50 @@ def plan_partitions(input_files: list[str], target_rows: int = 250_000) -> list[
 
 
 class Manifest:
-    """Append-only jsonl manifest of committed partitions."""
+    """Append-only manifest of committed partitions + a plan header.
+
+    The plan header pins the partitioning parameters and an input
+    fingerprint (per-file size + mtime): resuming with a different
+    ``target_rows`` or mutated inputs would silently mix two
+    partitionings in one output directory — the header makes that an
+    explicit error instead (SURVEY §7.4 "exact resume": lineage must be
+    keyed by input content, never by block layout).
+    """
 
     def __init__(self, out_dir: str):
         self.dir = os.path.join(out_dir, "_manifest")
         os.makedirs(self.dir, exist_ok=True)
+        self.plan_path = os.path.join(self.dir, "_plan.json")
+
+    @staticmethod
+    def plan_fingerprint(input_files: list[str], target_rows: int) -> dict:
+        files = {}
+        for p in sorted(input_files):
+            st = os.stat(p)
+            files[p] = {"size": st.st_size, "mtime_ns": st.st_mtime_ns}
+        return {"target_rows": target_rows, "inputs": files}
+
+    def check_or_write_plan(self, plan: dict) -> None:
+        if os.path.exists(self.plan_path):
+            with open(self.plan_path) as fh:
+                existing = json.load(fh)
+            if existing != plan:
+                raise ValueError(
+                    "checkpoint plan mismatch: this output dir was committed with "
+                    f"{existing}, resume requested {plan}. Changing target_rows or "
+                    "mutating inputs mid-run would mix partitionings — use a fresh "
+                    "output dir."
+                )
+            return
+        tmp = self.plan_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(plan, fh)
+        os.replace(tmp, self.plan_path)
 
     def committed(self) -> dict[str, dict]:
         rows = {}
         for f in sorted(os.listdir(self.dir)):
-            if f.endswith(".json"):
+            if f.endswith(".json") and not f.startswith("_"):
                 with open(os.path.join(self.dir, f)) as fh:
                     r = json.load(fh)
                     rows[r["partition_id"]] = r
@@ -124,6 +158,7 @@ def run_checkpointed(
     """
     os.makedirs(out_dir, exist_ok=True)
     manifest = Manifest(out_dir)
+    manifest.check_or_write_plan(Manifest.plan_fingerprint(input_files, target_rows))
     done = manifest.committed()
     parts = plan_partitions(input_files, target_rows)
     skipped = sum(1 for p in parts if p.partition_id in done)
