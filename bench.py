@@ -248,17 +248,24 @@ def main():
         # of 64 gemm tasks takes LONGER at num_cpus=32 than at 8), an
         # artifact that can't occur across real nodes, each with its own
         # memory. 8→32 is reported alongside for transparency.
-        out = {}
-        for n in (2, 8, 32):
-            best = None
-            for _ in range(2):
-                env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        # interleave levels across rounds and take the MEDIAN per level:
+        # the host's throughput drifts ±50% between minutes, so
+        # consecutive per-level repeats (or best-of) let one lucky run
+        # skew the ratio; interleaving exposes all levels to the same
+        # drift. BLAS threads pinned so a 2-cpu Ray session can't borrow
+        # extra cores through OpenBLAS.
+        runs: dict[int, list[dict]] = {2: [], 8: [], 32: []}
+        for _ in range(3):
+            for n in (2, 8, 32):
+                env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
+                           OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1")
                 r = subprocess.run([sys.executable, __file__, "--headline-only"], env=env,
                                    capture_output=True, text=True, check=True)
-                j = json.loads(r.stdout.strip().splitlines()[-1])
-                if best is None or j["sec"] < best["sec"]:
-                    best = j
-            out[n] = best
+                runs[n].append(json.loads(r.stdout.strip().splitlines()[-1]))
+        out = {}
+        for n, rs in runs.items():
+            rs = sorted(rs, key=lambda j: j["sec"])
+            out[n] = rs[len(rs) // 2]  # median
         eff_2_8 = (out[8]["sequences_per_sec"] / out[2]["sequences_per_sec"]) / (8 / 2)
         eff_8_32 = (out[32]["sequences_per_sec"] / out[8]["sequences_per_sec"]) / (32 / 8)
         print(json.dumps({
