@@ -149,6 +149,17 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 def _headline_only(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
+    # Pin this process (and every Ray daemon/worker it forks) to exactly
+    # `num_cpus` physical cores. Without this, a num_cpus=2 session still
+    # spreads raylet + workers over all 32 quiet host cores, each getting
+    # boost-clock, uncontended-cache service — inflating the small level
+    # by ~2× and corrupting the scaling ratio. With affinity, "an N-cpu
+    # cluster" is physically N cores, like real nodes.
+    try:
+        os.sched_setaffinity(0, set(range(num_cpus)))
+    except (AttributeError, OSError):
+        pass
+
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
