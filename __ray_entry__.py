@@ -107,7 +107,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q.q_token_stats,
         "quality_score": q.q_quality_score,
         "similarity_topk": q.q_similarity_topk,
+        "sample_bottomk": q.q_sample_bottomk,
+        "token_freq_top50": q.q_token_freq_top50,
         # non-SQL-expressible (rows-only checks)
+        "approx_distinct_users": q.q_approx_distinct_users,
         "minhash_neardup": q.q_minhash_neardup,
         "simhash": q.q_simhash,
         "langid": q.q_langid,
@@ -300,6 +303,17 @@ def oracle_sql() -> dict[str, str]:
             "(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) "
             "/ GREATEST(length(text), 1) AS upper_ratio "
             "FROM documents"
+        ),
+        "sample_bottomk": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars "
+            "FROM (SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h "
+            "FROM documents ORDER BY h LIMIT 20)"
+        ),
+        "token_freq_top50": (
+            f"{_SEQ} "
+            "SELECT CAST(t.token AS BIGINT) AS token, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM (SELECT unnest(tokens) AS token FROM seq) t "
+            "GROUP BY t.token ORDER BY n DESC, token LIMIT 50"
         ),
         "similarity_topk": (
             "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0), "

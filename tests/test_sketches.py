@@ -1,0 +1,59 @@
+"""HLL distinct sketch, bottom-k sampling, dense token frequencies."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from video_features_ray.functions.sketches import (
+    HyperLogLog,
+    _hash_values,
+    approx_distinct,
+    bottom_k_sample,
+    token_frequencies,
+)
+
+
+def test_hll_accuracy_and_merge():
+    rng = np.random.default_rng(5)
+    vals_a = [f"u{i}" for i in range(5000)]
+    vals_b = [f"u{i}" for i in range(2500, 7500)]  # overlap 2500
+    a, b = HyperLogLog(12), HyperLogLog(12)
+    a.add_hashes(_hash_values(vals_a))
+    b.add_hashes(_hash_values(vals_b))
+    merged = a.merge(b)
+    est = merged.estimate()
+    assert abs(est - 7500) / 7500 < 0.05  # p=12 → ~1.6% std error
+    # merge == adding everything to one sketch
+    c = HyperLogLog(12)
+    c.add_hashes(_hash_values(vals_a + vals_b))
+    assert np.array_equal(merged.registers, c.registers)
+
+
+def test_approx_distinct_dataset():
+    t = pa.table({"user_id": pa.array(np.arange(3000, dtype=np.int64) % 1000)})
+    est = approx_distinct(ray.data.from_arrow(t).repartition(8), "user_id")
+    assert abs(est - 1000) / 1000 < 0.06
+
+
+def test_bottom_k_deterministic_and_partition_invariant():
+    import hashlib
+
+    t = pa.table({"doc_id": pa.array(np.arange(500, dtype=np.int64)),
+                  "x": pa.array(np.arange(500, dtype=np.int64) * 2)})
+    s1 = bottom_k_sample(ray.data.from_arrow(t).repartition(2), "doc_id", 10)
+    s2 = bottom_k_sample(ray.data.from_arrow(t).repartition(16), "doc_id", 10)
+    pd.testing.assert_frame_equal(s1, s2)  # invariant to block layout
+    want = sorted(range(500), key=lambda i: hashlib.md5(str(i).encode()).hexdigest())[:10]
+    assert sorted(s1["doc_id"]) == sorted(want)
+
+
+def test_token_frequencies():
+    toks = [[1, 2, 2, 3], [3, 3, 7], []]
+    flat = np.array([x for t in toks for x in t], np.int32)
+    off = np.array([0, 4, 7, 7], np.int32)
+    t = pa.table({"tokens": pa.ListArray.from_arrays(pa.array(off, pa.int32()),
+                                                     pa.array(flat, pa.int32()))})
+    out = token_frequencies(ray.data.from_arrow(t).repartition(2), top_k=3, vocab_size=10)
+    assert list(out["token"]) == [3, 2, 1]   # counts 3,2,1; tie 1 vs 7 → lower id
+    assert list(out["n"]) == [3, 2, 1]

@@ -1,0 +1,141 @@
+"""Mergeable sketches + deterministic sampling — scale aggregates.
+
+The reference has no sketches (SURVEY §2.6); a 100 TB pipeline needs
+approximate distinct counts and consistent samples. All follow the
+partial-per-batch → tiny-merge shape (sketches are designed mergeable):
+
+- ``HyperLogLog``        — p-bit register HLL for distinct counts;
+  one serialized register array per batch, max-merged.
+- ``bottom_k_sample``    — deterministic "consistent sample": keep the
+  k rows with the smallest ``md5(key)`` — per-batch partial bottom-k,
+  driver merge. Unlike reservoir sampling it is deterministic,
+  mergeable, and reproducible in SQL (``ORDER BY md5(key) LIMIT k``).
+- ``token_frequencies``  — dense-vector aggregation: each batch emits a
+  ``bincount`` over the fixed vocab (49408 ints ≈ 0.4 MB), partials
+  sum elementwise; top-k on the driver. Moves O(vocab) per block —
+  never O(tokens).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..specs import VOCAB_SIZE
+
+
+class HyperLogLog:
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        """h: uint64 hashes."""
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
+        # rank = leading zeros of remaining bits + 1, vectorized via log2
+        lz = np.zeros(len(h), dtype=np.uint8)
+        v = rest.copy()
+        nonzero = v != 0
+        fl = np.zeros(len(h))
+        fl[nonzero] = np.floor(np.log2(v[nonzero].astype(np.float64)))
+        lz = (63 - fl).astype(np.uint8) + 1
+        np.maximum.at(self.registers, idx, lz)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        out = HyperLogLog(self.p)
+        out.registers = np.maximum(self.registers, other.registers)
+        return out
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        inv = np.power(2.0, -self.registers.astype(np.float64))
+        e = alpha * m * m / inv.sum()
+        zeros = int((self.registers == 0).sum())
+        if e <= 2.5 * m and zeros:
+            e = m * np.log(m / zeros)  # small-range correction
+        return float(e)
+
+
+def _hash_values(values) -> np.ndarray:
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        d = hashlib.blake2b(str(v).encode("utf-8"), digest_size=8).digest()
+        out[i] = int.from_bytes(d, "little")
+    return out
+
+
+def approx_distinct(ds: "ray.data.Dataset", col: str, p: int = 12) -> float:
+    """Distributed HLL distinct count: one register array per batch,
+    max-merge on the driver (registers are 4 KB at p=12)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        hll = HyperLogLog(p)
+        hll.add_hashes(_hash_values(batch[col].to_pylist()))
+        return pa.table({"registers": pa.array([hll.registers.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    merged = HyperLogLog(p)
+    for raw in parts["registers"]:
+        other = HyperLogLog(p)
+        other.registers = np.frombuffer(raw, dtype=np.uint8).copy()
+        merged = merged.merge(other)
+    return merged.estimate()
+
+
+def bottom_k_sample(ds: "ray.data.Dataset", key_col: str, k: int) -> pd.DataFrame:
+    """Deterministic consistent sample: k rows with smallest md5(key).
+
+    Per-batch partial bottom-k (only k rows leave each batch), driver
+    merge. SQL-equivalent: ``ORDER BY md5(CAST(key AS VARCHAR)) LIMIT k``.
+    """
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keys = [str(v) for v in batch[key_col].to_pylist()]
+        hs = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in keys]
+        order = np.argsort(np.array(hs))[:k]
+        out = batch.take(pa.array(order))
+        return out.append_column("_h", pa.array([hs[i] for i in order], pa.string()))
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["_h"], kind="mergesort").head(k)
+    return parts.drop(columns=["_h"]).reset_index(drop=True)
+
+
+def token_frequencies(ds: "ray.data.Dataset", top_k: int = 50,
+                      vocab_size: int = VOCAB_SIZE) -> pd.DataFrame:
+    """Corpus token histogram via dense bincount partials.
+
+    Each batch ships one fixed-size int64 vector (vocab_size ≈ 49408 →
+    0.4 MB) regardless of token volume; the driver sums the vectors and
+    takes top_k (ties broken by token id). The shuffle-free analogue of
+    ``unnest → groupby token``.
+    """
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        col = batch["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False)
+        off = col.offsets.to_numpy(zero_copy_only=False)
+        flat = flat[off[0] : off[-1]] if len(off) else flat[:0]
+        counts = np.bincount(flat, minlength=vocab_size).astype(np.int64)
+        return pa.table({"counts": pa.array([counts.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    total = np.zeros(vocab_size, dtype=np.int64)
+    for raw in parts["counts"]:
+        total += np.frombuffer(raw, dtype=np.int64)
+    order = np.lexsort((np.arange(vocab_size), -total))
+    order = order[total[order] > 0][:top_k]  # never report unseen tokens
+    return pd.DataFrame({
+        "token": order.astype(np.int64),
+        "n": total[order],
+    }).sort_values(["n", "token"], ascending=[False, True]).reset_index(drop=True)

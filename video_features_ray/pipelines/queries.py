@@ -578,3 +578,31 @@ def q_vggish_windows(sf_dir: str):
 def q_w2_resampled(sf_dir: str):
     """W7 composition: fps resample (25→10) BEFORE the W2 streaming stack."""
     return _windows(sf_dir, Q_W2R).map_batches(_window_sums, batch_format="pyarrow")
+
+
+def q_sample_bottomk(sf_dir: str):
+    """Deterministic consistent sample: 20 docs with smallest md5(doc_id)."""
+    from ..functions.sketches import bottom_k_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    out = bottom_k_sample(ds, "doc_id", k=20)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_chars"] = out["n_chars"].astype(np.int64)
+    return out[["doc_id", "n_chars"]]
+
+
+def q_token_freq_top50(sf_dir: str):
+    """Corpus token histogram via dense bincount partials (no shuffle)."""
+    from ..functions.sketches import token_frequencies
+
+    seq = sequences_from_documents(sf_dir)
+    return token_frequencies(seq, top_k=50)
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """HLL distinct user estimate (rows-only; approximate by design)."""
+    from ..functions.sketches import approx_distinct
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    est = approx_distinct(ds, "user_id", p=12)
+    return pd.DataFrame({"metric": ["approx_distinct_user_id"], "estimate": [est]})
