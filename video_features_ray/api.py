@@ -13,6 +13,12 @@ All entry points return lazy Datasets; callers own the Ray session.
 """
 
 from .functions.bpe import BpeTokenizer, bpe_tokenize, train_bpe
+from .functions.sketches import (
+    HyperLogLog,
+    approx_distinct,
+    bottom_k_sample,
+    token_frequencies,
+)
 from .functions.flowviz import flow_to_rgb, make_colorwheel
 from .pipelines.extract import extract
 from .pipelines.queries import Q_FLOW, Q_FPS10, Q_TOTAL5, Q_W1, Q_W2
@@ -64,4 +70,5 @@ __all__ = [
     "isolating", "split_deadletters",
     "pad_truncate", "clean_text", "clamp_quantize",
     "topk_predictions", "summarize_features", "validate_sequences",
+    "HyperLogLog", "approx_distinct", "bottom_k_sample", "token_frequencies",
 ]
