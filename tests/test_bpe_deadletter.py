@@ -47,6 +47,20 @@ def test_bpe_cache_and_vocab():
     assert tok.vocab_size > 26
 
 
+def test_bpe_encode_history_independent():
+    """Token ids must not depend on an actor's encode history (the round-1
+    lazy-_sid bug): two tokenizers fed different texts first still agree."""
+    merges = train_bpe(CORPUS, num_merges=64)
+    t1, t2 = BpeTokenizer(merges), BpeTokenizer(merges)
+    t1.encode("zebra xylophone qqq unseen-symbols ###")  # pollute t1's history
+    probe = "the quick brown fox over jugs"
+    assert t1.encode(probe) == t2.encode(probe)
+    # unknown symbols map to a stable <unk> id, never a fresh one
+    v1 = t1.vocab_size
+    t1.encode("ééé 中文")
+    assert t1.vocab_size == v1
+
+
 def test_bpe_stage_over_dataset():
     merges = train_bpe(CORPUS, num_merges=64)
     docs = pa.table({

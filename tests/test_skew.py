@@ -38,6 +38,8 @@ def _corpus(seed=13):
     EncoderSpec("sk_w2", "w2", 16, 8, 8),
     EncoderSpec("sk_flow", "flow", 2, 1, 8),
     EncoderSpec("sk_frame", "framewise", 1, 1, 8),
+    EncoderSpec("sk_vgg", "vggish", 8, 8, 8, inner_win=40, inner_hop=16),
+    EncoderSpec("sk_vgg_overlap", "vggish", 8, 4, 8, inner_win=40, inner_hop=16),
 ], ids=lambda s: s.name)
 @pytest.mark.parametrize("max_tokens", [256, 1000])
 def test_split_invisible(spec, max_tokens):

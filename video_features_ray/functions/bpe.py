@@ -74,8 +74,12 @@ class BpeTokenizer:
 
     def __init__(self, merges: list[tuple[str, str]]):
         self.ranks = {pair: i for i, pair in enumerate(merges)}
-        # vocabulary: single chars (bytes 0-255 printable set emerges from
-        # data) + merged symbols, ids assigned deterministically
+        # Vocabulary is PINNED here and never mutated by encode(): a fixed
+        # base alphabet (chars 0-255 plus their </w> variants, mirroring the
+        # reference's bytes_to_unicode closure, ``simple_tokenizer.py:13-29``)
+        # then the merge symbols in deterministic merge order, then <unk>.
+        # Lazy id assignment during encode would make ids depend on each
+        # actor's encode history — non-deterministic across an actor pool.
         symbols: dict[str, int] = {}
 
         def sid(s: str) -> int:
@@ -83,9 +87,13 @@ class BpeTokenizer:
                 symbols[s] = len(symbols)
             return symbols[s]
 
+        for i in range(256):
+            sid(chr(i))
+        for i in range(256):
+            sid(chr(i) + EOW)
         for a, b in merges:
             sid(a), sid(b), sid(a + b)
-        self._sid = sid
+        self._unk = sid("<unk>")
         self._symbols = symbols
         self._encode_word = lru_cache(maxsize=65536)(self._encode_word_uncached)
 
@@ -104,9 +112,11 @@ class BpeTokenizer:
 
     def encode(self, text: str) -> list[int]:
         out: list[int] = []
+        get = self._symbols.get
+        unk = self._unk
         for w in _words(text):
             for s in self._encode_word(w):
-                out.append(self._sid(s))
+                out.append(get(s, unk))
         return out
 
     def decode(self, ids: list[int]) -> str:

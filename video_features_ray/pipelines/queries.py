@@ -191,7 +191,8 @@ def _events_us(sf_dir: str, cols) -> "ray.data.Dataset":
 
 def q_lag_lead_events(sf_dir: str):
     ds = _events_us(sf_dir, ["event_id", "user_id", "ts", "value"])
-    out = lag_lead(ds, "user_id", "ts_us", "value", lags=[1], leads=[1], num_buckets=16)
+    out = lag_lead(ds, "user_id", "ts_us", "value", lags=[1], leads=[1], num_buckets=16,
+                   tie_cols=["event_id"])
 
     def _finish(df: pd.DataFrame) -> pd.DataFrame:
         df["value_lag1"] = df["value_lag1"].fillna(-1.0)
@@ -206,7 +207,8 @@ SESSION_GAP_US = 1_800_000_000  # 30 min
 
 def q_sessionize_events(sf_dir: str):
     ds = _events_us(sf_dir, ["event_id", "user_id", "ts"])
-    out = sessionize(ds, "user_id", "ts_us", gap=SESSION_GAP_US, num_buckets=16)
+    out = sessionize(ds, "user_id", "ts_us", gap=SESSION_GAP_US, num_buckets=16,
+                     tie_cols=["event_id"])
     return out.map_batches(
         lambda df: df[["event_id", "user_id", "session_id"]], batch_format="pandas"
     )
@@ -220,7 +222,8 @@ def q_ffill_events(sf_dir: str):
         return df[["event_id", "user_id", "ts_us", "click_value"]]
 
     out = forward_fill(ds.map_batches(_nullify, batch_format="pandas"),
-                       "user_id", "ts_us", "click_value", num_buckets=16)
+                       "user_id", "ts_us", "click_value", num_buckets=16,
+                       tie_cols=["event_id"])
 
     def _finish(df: pd.DataFrame) -> pd.DataFrame:
         df["click_value_ffill"] = df["click_value_ffill"].fillna(-1.0)
@@ -535,7 +538,8 @@ def q_asof_purchase_click(sf_dir: str):
 def q_session_stats(sf_dir: str):
     """per (user, session): event count + start/end ts (sessionize → agg)."""
     ds = _events_us(sf_dir, ["event_id", "user_id", "ts"])
-    sess = sessionize(ds, "user_id", "ts_us", gap=SESSION_GAP_US, num_buckets=16)
+    sess = sessionize(ds, "user_id", "ts_us", gap=SESSION_GAP_US, num_buckets=16,
+                      tie_cols=["event_id"])
 
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["user_id", "session_id"], sort=False).agg(

@@ -69,6 +69,10 @@ class EncoderSpec:
         if self.resample_fps is not None and self.resample_total is not None:
             # mutual exclusion, reference ``utils/io.py:75-77``
             raise ValueError("resample_fps and resample_total are mutually exclusive")
+        if self.kind == "flow" and (self.step != 1 or self.stack != 2):
+            # lag-1 pairs place window w at position w (count n-1 ignores
+            # step); any other geometry would silently read past the end
+            raise ValueError("flow specs require stack=2, step=1 (lag-1 pairs)")
 
     @property
     def seed(self) -> int:
@@ -94,6 +98,25 @@ class EncoderSpec:
         if self.kind == "flow":
             return 2
         return self.stack
+
+    @property
+    def chunk_step_units(self) -> int:
+        """Window-start advance in RAW-TOKEN units — what giant-sequence
+        chunk boundaries must be multiples of. For vggish the outer
+        windows stride ``step`` inner frames = ``step * inner_hop``
+        samples; for every other kind it equals ``effective_step``."""
+        if self.kind == "vggish":
+            return self.step * self.inner_hop
+        return self.effective_step
+
+    @property
+    def chunk_window_units(self) -> int:
+        """Raw tokens a single window spans — the chunk halo is
+        ``chunk_window_units - chunk_step_units``. For vggish one outer
+        window covers ``(stack-1)*inner_hop + inner_win`` samples."""
+        if self.kind == "vggish":
+            return (self.stack - 1) * self.inner_hop + self.inner_win
+        return self.window_len
 
 
 def _mk(name, kind, stack, step, dim, **kw) -> EncoderSpec:

@@ -62,8 +62,19 @@ def asof_join(
     faster with 16 blocks at sf0.1). Leave None at scale, where many
     blocks are exactly what the sort wants."""
     right_ts = right_ts or left_ts
-    left_cols = left.schema().names
+    left_schema = left.schema()
+    left_cols = left_schema.names
     right_cols = right.schema().names
+    # The tagged union pads left columns with nulls on right-side rows, so
+    # the per-bucket pandas conversion promotes e.g. int64 → float64. Record
+    # the left side's true dtypes so _per_bucket can restore them (left rows
+    # themselves are never null in their own columns).
+    left_np_dtypes: dict[str, np.dtype] = {}
+    for name, typ in zip(left_schema.names, left_schema.types):
+        if not isinstance(typ, pa.DataType):
+            continue  # pandas/simple-block schemas report plain Python types
+        if pa.types.is_integer(typ) or pa.types.is_floating(typ) or pa.types.is_boolean(typ):
+            left_np_dtypes[name] = np.dtype(typ.to_pandas_dtype())
 
     # pad both sides to the union schema, tagging the side
     def _tag(side: int, own_ts: str, other_cols: list[str]):
@@ -91,6 +102,9 @@ def asof_join(
 
     def _per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         l = df[df["_side"] == 0][[c for c in left_cols]].copy()
+        for c, dt in left_np_dtypes.items():
+            if l[c].dtype != dt:
+                l[c] = l[c].astype(dt)
         r = df[df["_side"] == 1][[key, right_ts, *out_right_cols]].copy()
         out = _merge_asof(l, r, key, left_ts, right_ts, direction, suffix, tolerance)
         return out

@@ -83,10 +83,13 @@ def lag_lead(
     lags: Sequence[int] = (1,),
     leads: Sequence[int] = (1,),
     num_buckets: int = 64,
+    tie_cols: Sequence[str] = (),
 ) -> "ray.data.Dataset":
     """Per-entity lag/lead columns (the engine's W3 ring buffer made
     columnar: reference carries the last k rows across batch boundaries,
-    ``utils/io.py:120-152``)."""
+    ``utils/io.py:120-152``). ``tie_cols``: deterministic tie-break columns
+    appended to the sort — without one, equal (key, ts) rows order by
+    shuffle arrival, which Ray does not guarantee stable."""
 
     def _fn(df: pd.DataFrame) -> pd.DataFrame:
         k = df[key].to_numpy()
@@ -106,7 +109,7 @@ def lag_lead(
             df[f"{value}_lead{d}"] = np.where(valid, col, np.nan)
         return df
 
-    return transform_buckets(ds, key, [ts], _fn, num_buckets)
+    return transform_buckets(ds, key, [ts, *tie_cols], _fn, num_buckets)
 
 
 def sessionize(
@@ -116,6 +119,7 @@ def sessionize(
     gap: float,
     num_buckets: int = 64,
     session_col: str = "session_id",
+    tie_cols: Sequence[str] = (),
 ) -> "ray.data.Dataset":
     """Gap-based sessionization (generalizes the reference's tumbling
     0.96 s examples, ``vggish_params.py:27-35``): a new session starts at
@@ -133,7 +137,7 @@ def sessionize(
         df[session_col] = (ord_ - key_base).astype(np.int64)
         return df
 
-    return transform_buckets(ds, key, [ts], _fn, num_buckets)
+    return transform_buckets(ds, key, [ts, *tie_cols], _fn, num_buckets)
 
 
 def forward_fill(
@@ -143,6 +147,7 @@ def forward_fill(
     value: str,
     num_buckets: int = 64,
     out_col: str | None = None,
+    tie_cols: Sequence[str] = (),
 ) -> "ray.data.Dataset":
     """Per-entity forward-fill (backfill operator): latest non-null value
     at or before each row — the batch-boundary overlap cache of the
@@ -153,4 +158,4 @@ def forward_fill(
         df[out_col] = df.groupby(key, sort=False)[value].ffill()
         return df
 
-    return transform_buckets(ds, key, [ts], _fn, num_buckets)
+    return transform_buckets(ds, key, [ts, *tie_cols], _fn, num_buckets)

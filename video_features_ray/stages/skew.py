@@ -58,8 +58,11 @@ def split_giant_sequences(
     reindexes positions globally — resample first, then split)."""
     if spec.resample_fps is not None or spec.resample_total is not None:
         raise ValueError("split_giant_sequences requires resample to be applied first")
-    step = spec.effective_step
-    halo = spec.window_len - step
+    # raw-token units: for vggish windows stride step*inner_hop samples and
+    # span (stack-1)*inner_hop+inner_win — the outer-window count over a
+    # chunk equals the w1 count over these units, so the same chunk math holds
+    step = spec.chunk_step_units
+    halo = spec.chunk_window_units - step
     if halo < 0:
         halo = 0
     body = max((max_tokens - halo) // step * step, step)
@@ -141,7 +144,9 @@ def windows_with_offset(batch: pa.Table, spec: EncoderSpec) -> pa.Table:
     counts = window_counts(m, spec)
     row_of_w = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
     shift = off[row_of_w]
-    wid = w["window_id"].to_numpy(zero_copy_only=False).astype(np.int64) + shift // spec.effective_step
+    # pos_offset is in raw-token units; chunk starts are multiples of
+    # chunk_step_units, so the global outer-window shift divides exactly
+    wid = w["window_id"].to_numpy(zero_copy_only=False).astype(np.int64) + shift // spec.chunk_step_units
     # recompute ts from the GLOBAL window start so it is bit-identical to
     # the unsplit pipeline (adding a shifted ts would differ in the last ulp)
     from .windows import window_timestamps_ms
