@@ -48,6 +48,24 @@ def test_bottom_k_deterministic_and_partition_invariant():
     assert sorted(s1["doc_id"]) == sorted(want)
 
 
+def test_approx_distinct_users_vs_exact():
+    """The driver query's HLL estimate must land within 5% of the exact
+    DISTINCT count on the real events table (rows-only in the driver
+    gate, so this is its accuracy oracle)."""
+    import os
+
+    import duckdb
+
+    from video_features_ray.pipelines.queries import q_approx_distinct_users
+
+    sf = os.environ.get("VFR_TEST_SF_DIR", "/root/testdata/sf0.001")
+    est = float(q_approx_distinct_users(sf)["estimate"][0])
+    exact = duckdb.sql(
+        f"SELECT COUNT(DISTINCT user_id) FROM read_parquet('{sf}/events.parquet')"
+    ).fetchone()[0]
+    assert abs(est - exact) / exact < 0.05
+
+
 def test_token_frequencies():
     toks = [[1, 2, 2, 3], [3, 3, 7], []]
     flat = np.array([x for t in toks for x in t], np.int32)

@@ -25,7 +25,9 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from ..sources.sequences import _codepoints_batch
 from ..specs import VOCAB_SIZE
+from ..stages.dedup import _POLY_B, _mix64
 
 
 class HyperLogLog:
@@ -64,12 +66,37 @@ class HyperLogLog:
         return float(e)
 
 
-def _hash_values(values) -> np.ndarray:
-    out = np.empty(len(values), dtype=np.uint64)
-    for i, v in enumerate(values):
-        d = hashlib.blake2b(str(v).encode("utf-8"), digest_size=8).digest()
-        out[i] = int.from_bytes(d, "little")
-    return out
+def _hash_values(col) -> np.ndarray:
+    """uint64 hash per element of an Arrow column, fully vectorized:
+    integers go through a splitmix64 finalizer; strings through a
+    whole-string polynomial prefix-sum hash (O(total chars), no
+    per-row Python — the round-1 per-row blake2b was the HLL hot loop)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not isinstance(col, pa.Array):
+        col = pa.array(col)
+    if pa.types.is_integer(col.type):
+        v = col.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
+        return _mix64(v)
+    flat, off = _codepoints_batch(col)
+    n = len(flat)
+    cp = flat.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        binv = np.uint64(pow(int(_POLY_B), -1, 1 << 64))
+        b_pows = np.empty(n + 1, np.uint64)
+        b_pows[0] = 1
+        if n:
+            np.cumprod(np.full(n, _POLY_B, np.uint64), out=b_pows[1:])
+        binv_pows = np.empty(max(n, 1), np.uint64)
+        binv_pows[0] = 1
+        if n > 1:
+            np.cumprod(np.full(n - 1, binv, np.uint64), out=binv_pows[1:])
+        P = np.zeros(n + 1, np.uint64)
+        if n:
+            np.cumsum(cp * binv_pows[:n], out=P[1:])
+        last = np.maximum(off[1:] - 1, 0)
+        h = b_pows[last] * (P[off[1:]] - P[off[:-1]])
+    return _mix64(h)
 
 
 def approx_distinct(ds: "ray.data.Dataset", col: str, p: int = 12) -> float:
@@ -78,7 +105,7 @@ def approx_distinct(ds: "ray.data.Dataset", col: str, p: int = 12) -> float:
 
     def _partial(batch: pa.Table) -> pa.Table:
         hll = HyperLogLog(p)
-        hll.add_hashes(_hash_values(batch[col].to_pylist()))
+        hll.add_hashes(_hash_values(batch[col]))
         return pa.table({"registers": pa.array([hll.registers.tobytes()], pa.binary())})
 
     parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()

@@ -418,7 +418,8 @@ def q_simhash(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(
-        lambda b: add_simhash(b).select(["doc_id", "simhash"]), batch_format="pyarrow"
+        lambda b: add_simhash(b).select(["doc_id", "simhash"]), batch_format="pyarrow",
+        batch_size=1024,  # bit-matrix is total_shingles × 64 ints
     )
 
 

@@ -5,17 +5,21 @@ The reference only has exact work-key dedup (unique-stem assertion,
 (``base_extractor.py:95-127``); a 100 TB training-data pipeline needs the
 full family. All variants follow the same scale shape:
 
-- content hash / sketch computed VECTORIZED per batch (stateless map),
+- content hash / sketch computed VECTORIZED per batch (stateless map —
+  no per-row or per-char Python in any kernel),
 - ONE ``groupby`` over the (much smaller) hash/bucket space,
 - candidate verification inside the group.
 
 Exact dedup keeps the minimum doc_id per content hash (deterministic
 winner). MinHash-LSH: shingle → k minhashes → b bands of r rows →
 groupby (band, band_hash) → candidate pairs → Jaccard verify. SimHash:
-64-bit hyperplane sign sketch over shingle hashes; near-dup = identical
-band of the simhash. N-gram Jaccard verifies candidate pairs exactly.
-Embedding cosine near-dup buckets by random-hyperplane LSH over a
-``list<float>`` column and verifies cosine within buckets.
+64-bit majority-vote sketch over distinct shingle hashes. N-gram
+Jaccard verifies candidate pairs exactly (distributed stage with a
+broadcast text lookup — valid while candidates ≪ corpus). Embedding
+cosine near-dup buckets by MULTI-TABLE random-hyperplane LSH over a
+``list<float>`` column and verifies cosine within buckets, splitting
+any bucket above a size cap with extra hyperplanes so no single task
+ever does an unbounded O(n²) verify.
 """
 
 from __future__ import annotations
@@ -27,7 +31,10 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from ..sources.sequences import _codepoints_batch
+
 _M61 = (1 << 61) - 1
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _md5_hex(texts) -> list[str]:
@@ -93,32 +100,65 @@ def _mix64(h: np.ndarray) -> np.ndarray:
     return h
 
 
-def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Distinct k-char-shingle 64-bit hashes — fully vectorized: one
-    utf-32 decode + k shifted multiply-adds + a mix finalizer (a
-    per-shingle cryptographic hash costs ~500 Python hash calls per
-    document and dominated the MinHash stage)."""
-    if not text:
-        return np.array([_mix64(np.array([np.uint64(0)]))[0]], dtype=np.uint64)
-    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
-    n = len(cps)
-    if n < k:
-        h = np.uint64(0)
-        for c in cps:
-            h = h * _POLY_B + c
-        return _mix64(np.array([h], dtype=np.uint64))
-    m = n - k + 1
+def _batch_shingle_hashes(
+    texts, k: int = 5, distinct: bool = False
+) -> tuple[np.ndarray, np.ndarray]:
+    """k-char-shingle 64-bit hashes for EVERY row of a string column at
+    once → (flat uint64 hashes, int64 row offsets).
+
+    One utf-32 decode of the concatenated batch, then k masked
+    multiply-adds (Horner) over the flat codepoint array — no per-row
+    Python. Rows shorter than k hash their whole text as one shingle;
+    empty rows contribute the single hash mix64(0) (matching the
+    round-1 per-row kernel bit-for-bit). ``distinct=True`` dedups
+    shingles within each row (lexsort + boundary mask — still no
+    per-row loop); use it where duplicate shingles would double-vote
+    (simhash), skip it where they can't matter (minhash min).
+    """
+    flat, offsets = _codepoints_batch(texts)
+    lens = np.diff(offsets)
+    n_rows = len(lens)
+    if n_rows == 0:
+        return np.zeros(0, np.uint64), np.zeros(1, np.int64)
+    cp = flat.astype(np.uint64)
+    counts = np.maximum(lens - k + 1, 1)
+    sh_off = np.concatenate(([0], np.cumsum(counts)))
+    total = int(sh_off[-1])
+    row_of = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+    local = np.arange(total, dtype=np.int64) - sh_off[:-1][row_of]
+    start = offsets[:-1][row_of] + local
+    span = np.minimum(lens, k)[row_of]
     with np.errstate(over="ignore"):
-        h = np.zeros(m, dtype=np.uint64)
+        h = np.zeros(total, np.uint64)
         for j in range(k):
-            h = h * _POLY_B + cps[j : j + m]
-    return np.unique(_mix64(h))
+            m = span > j
+            h[m] = h[m] * _POLY_B + cp[start[m] + j]
+        h = _mix64(h)
+    if not distinct:
+        return h, sh_off
+    order = np.lexsort((h, row_of))
+    hs, rs = h[order], row_of[order]
+    keep = np.ones(total, bool)
+    keep[1:] = (hs[1:] != hs[:-1]) | (rs[1:] != rs[:-1])
+    h2, r2 = hs[keep], rs[keep]
+    off2 = np.concatenate(([0], np.cumsum(np.bincount(r2, minlength=n_rows))))
+    return h2, off2.astype(np.int64)
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Single-text convenience wrapper: distinct sorted shingle hashes."""
+    h, _ = _batch_shingle_hashes(pa.array([text or ""], pa.string()), k, distinct=True)
+    return h
 
 
 class MinHasher:
     """Stateful per-actor minhash: the (a, b) parameter matrix is built
     once per actor (reference analogue: per-process model load,
-    ``extract_i3d.py:171-209``)."""
+    ``extract_i3d.py:171-209``). The whole batch is hashed in one
+    vectorized pass; permutations are processed in blocks so peak
+    memory stays ~``perm_block × total_shingles × 8`` bytes."""
+
+    _PERM_BLOCK = 16
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 5, seed: int = 42,
                  text_col: str = "text", id_col: str = "doc_id"):
@@ -131,18 +171,59 @@ class MinHasher:
         self.id_col = id_col
 
     def signature(self, text: str) -> np.ndarray:
-        h = _shingle_hashes(text, self.k)
-        # (a*h + b) mod M61 per permutation; vectorized outer product
-        vals = (h[None, :] * self.a[:, None] + self.b[:, None]) % np.uint64(_M61)
-        return vals.min(axis=1)
+        """Single-text signature (num_perm uint64s)."""
+        return self.signatures(pa.array([text or ""], pa.string()))[0]
+
+    def signatures(self, texts) -> np.ndarray:
+        """(n_rows, num_perm) uint64 signature matrix for a string column."""
+        h, sh_off = _batch_shingle_hashes(texts, self.k)
+        n_rows = len(sh_off) - 1
+        sigs = np.empty((self.num_perm, n_rows), np.uint64)
+        if n_rows == 0:
+            return sigs.T
+        with np.errstate(over="ignore"):
+            for p0 in range(0, self.num_perm, self._PERM_BLOCK):
+                p1 = min(p0 + self._PERM_BLOCK, self.num_perm)
+                vals = (h[None, :] * self.a[p0:p1, None] + self.b[p0:p1, None]) % np.uint64(_M61)
+                sigs[p0:p1] = np.minimum.reduceat(vals, sh_off[:-1], axis=1)
+        return sigs.T
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        sigs = np.stack([self.signature(t or "") for t in texts]) if texts else np.empty((0, self.num_perm), dtype=np.uint64)
-        flat = sigs.reshape(-1).astype(np.uint64)
-        offsets = np.arange(0, (len(texts) + 1) * self.num_perm, self.num_perm, dtype=np.int32)
-        sig_col = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), pa.array(flat, type=pa.uint64()))
+        sigs = self.signatures(batch[self.text_col])
+        n = len(batch)
+        flat = np.ascontiguousarray(sigs).reshape(-1)
+        offsets = np.arange(0, (n + 1) * self.num_perm, self.num_perm, dtype=np.int32)
+        sig_col = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                           pa.array(flat, type=pa.uint64()))
         return pa.table({self.id_col: batch[self.id_col], "minhash": sig_col})
+
+
+def _fixed_list_matrix(col, width: int, dtype) -> np.ndarray:
+    """fixed-width list column → (n, width) ndarray, zero-copy values."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = col.values.to_numpy(zero_copy_only=False)
+    start = off[0]
+    return vals[start : start + (len(off) - 1) * width].reshape(-1, width).astype(dtype, copy=False)
+
+
+def band_hashes(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n, num_perm) signature matrix → (n, bands) uint64 band hashes:
+    a vectorized polynomial fold over each band's rows + mix (replaces
+    the round-1 per-row blake2b — identical collision behavior at 64
+    bits, ~1000× fewer Python calls)."""
+    n, num_perm = sigs.shape
+    r = num_perm // bands
+    out = np.empty((n, bands), np.uint64)
+    with np.errstate(over="ignore"):
+        for b in range(bands):
+            h = np.full(n, np.uint64(b) * _GOLD, np.uint64)
+            seg = sigs[:, b * r : (b + 1) * r]
+            for j in range(r):
+                h = h * _POLY_B + seg[:, j]
+            out[:, b] = _mix64(h)
+    return out
 
 
 def minhash_lsh_candidates(
@@ -153,41 +234,37 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     concurrency: int = 4,
+    num_buckets: int = 16,
 ) -> "ray.data.Dataset":
     """documents → candidate near-dup pairs via banded minhash LSH.
 
     Pipeline: MinHasher actor pool → explode (band_id, band_hash, id)
-    rows → groupby band bucket → emit pairs within bucket. Pairs are
-    emitted once per (band, pair) then distinct-ed by a second tiny
-    groupby. At scale the band groupby is the only wide op and its rows
-    are 3 small ints.
+    rows → groupby band bucket → emit pairs within colliding cells →
+    bucketed distinct (pairs hash-partition by (id_a, id_b); no
+    single-task global distinct). At scale the band groupby is the only
+    wide op and its rows are 3 small ints.
     """
     rows_per_band = num_perm // bands
 
-    def _bands(batch: pa.Table) -> pa.Table:
+    def _bands_fn(batch: pa.Table) -> pa.Table:
         n = len(batch)
         if n == 0:
-            return pa.table({id_col: pa.array([], pa.string()), "band_id": pa.array([], pa.int32()),
-                             "band_hash": pa.array([], pa.string())})
-        sigs = np.stack([np.asarray(x, dtype=np.uint64) for x in batch["minhash"].to_pylist()])
-        ids = batch[id_col].to_pylist()
-        out_ids, out_band, out_hash = [], [], []
-        for b in range(bands):
-            seg = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
-            for i in range(n):
-                out_ids.append(ids[i])
-                out_band.append(b)
-                out_hash.append(hashlib.blake2b(seg[i].tobytes(), digest_size=8).hexdigest())
-        return pa.table({id_col: pa.array(out_ids), "band_id": pa.array(out_band, pa.int32()),
-                         "band_hash": pa.array(out_hash)})
-
-    num_buckets = 16
-
-    def _bucketize(batch: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(
-            pd.Series(batch["band_hash"].to_pylist()), index=False).to_numpy()
-        return batch.append_column(
-            "_bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32)))
+            return pa.table({id_col: pa.array([], pa.string()),
+                             "band_id": pa.array([], pa.int32()),
+                             "band_hash": pa.array([], pa.uint64()),
+                             "_bucket": pa.array([], pa.int32())})
+        sigs = _fixed_list_matrix(batch["minhash"], num_perm, np.uint64)
+        bh = band_hashes(sigs, bands)
+        take = np.repeat(np.arange(n, dtype=np.int64), bands)
+        band_id = np.tile(np.arange(bands, dtype=np.int32), n)
+        flat_bh = bh.reshape(-1)
+        bucket = (flat_bh % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table({
+            id_col: batch[id_col].take(pa.array(take)),
+            "band_id": pa.array(band_id),
+            "band_hash": pa.array(flat_bh),
+            "_bucket": pa.array(bucket),
+        })
 
     def _pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
         # most (band, hash) cells are singletons — filter to actual
@@ -199,66 +276,113 @@ def minhash_lsh_candidates(
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     a.append(ids[i]); b.append(ids[j])
-        out = pd.DataFrame({"id_a": a, "id_b": b})
-        # dedupe within bucket; cross-bucket dupes impossible for the
-        # SAME band, but the same pair can collide in different bands →
-        # final tiny distinct below
-        return out.drop_duplicates()
+        out = pd.DataFrame({"id_a": pd.Series(a, dtype=object),
+                            "id_b": pd.Series(b, dtype=object)})
+        out = out.drop_duplicates()
+        if len(out):
+            h = (pd.util.hash_pandas_object(out["id_a"], index=False).to_numpy()
+                 * _GOLD
+                 + pd.util.hash_pandas_object(out["id_b"], index=False).to_numpy())
+            out["_pb"] = (h % np.uint64(num_buckets)).astype(np.int32)
+        else:
+            out["_pb"] = pd.Series([], dtype=np.int32)
+        return out
+
+    def _distinct(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["id_a", "id_b"], sort=False).size()
+             .rename("n_bands").reset_index())
+        return g.drop(columns=[], errors="ignore")
 
     sigs = ds.map_batches(
         MinHasher, batch_format="pyarrow",
         fn_constructor_kwargs=dict(num_perm=num_perm, shingle_k=shingle_k,
                                    text_col=text_col, id_col=id_col),
         concurrency=concurrency,
+        # bound peak memory: a perm-block holds perm_block × total_shingles
+        # uint64s, so keep total_shingles per batch ~500k chars
+        batch_size=1024,
     )
-    banded = sigs.map_batches(_bands, batch_format="pyarrow").map_batches(
-        _bucketize, batch_format="pyarrow")
+    banded = sigs.map_batches(_bands_fn, batch_format="pyarrow")
     pairs = banded.groupby("_bucket").map_groups(_pairs_bucket, batch_format="pandas")
-
-    def _distinct(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["id_a", "id_b"], sort=False).size().rename("n_bands").reset_index()
-        return g
-
-    # candidate pairs are few; one final combine over a single bucket
-    return pairs.repartition(1).map_batches(_distinct, batch_format="pandas")
+    # a pair found in several bands hashes to ONE (_pb) bucket → the
+    # per-bucket groupby is a true global distinct, no repartition(1)
+    return (pairs.groupby("_pb")
+            .map_groups(_distinct, batch_format="pandas"))
 
 
 def jaccard_verify_pairs(
     pairs_df: pd.DataFrame, texts: dict[str, str], shingle_k: int = 5, threshold: float = 0.5
 ) -> pd.DataFrame:
-    """Exact n-gram Jaccard over candidate pairs (driver-side or inside a
-    map over pair partitions with a broadcast text lookup)."""
+    """Exact shingle-set Jaccard over candidate pairs (vectorized
+    per-pair via sorted-array intersection)."""
+    ids = sorted({*pairs_df["id_a"], *pairs_df["id_b"]})
+    tcol = pa.array([texts.get(i, "") for i in ids], pa.string())
+    h, off = _batch_shingle_hashes(tcol, shingle_k, distinct=True)
+    sets = {i: h[off[j]: off[j + 1]] for j, i in enumerate(ids)}
     out = []
     for ia, ib in zip(pairs_df["id_a"], pairs_df["id_b"]):
-        sa = set(_shingle_hashes(texts.get(ia, ""), shingle_k).tolist())
-        sb = set(_shingle_hashes(texts.get(ib, ""), shingle_k).tolist())
-        inter = len(sa & sb)
-        union = len(sa | sb) or 1
+        sa, sb = sets[ia], sets[ib]
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter or 1
         j = inter / union
         if j >= threshold:
             out.append((ia, ib, j))
     return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
 
 
+def jaccard_verify_stage(
+    pairs: "ray.data.Dataset", texts_df: pd.DataFrame,
+    id_col: str = "doc_id", text_col: str = "text",
+    shingle_k: int = 5, threshold: float = 0.5, concurrency=(1, 4),
+) -> "ray.data.Dataset":
+    """Distributed exact-Jaccard verify: the text lookup is ray.put ONCE
+    and each actor reads it zero-copy (valid while the candidate side's
+    referenced texts fit the object store — candidates ≪ corpus; at
+    100 TB pre-join pairs with their texts by id instead)."""
+    import ray
+
+    lookup_ref = ray.put(dict(zip(texts_df[id_col], texts_df[text_col])))
+
+    class _Verify:
+        def __init__(self):
+            self.texts = ray.get(lookup_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+            return jaccard_verify_pairs(df, self.texts, shingle_k, threshold)
+
+    return pairs.map_batches(_Verify, batch_format="pandas", concurrency=concurrency)
+
+
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
 
+def batch_simhash64(texts, shingle_k: int = 5) -> np.ndarray:
+    """64-bit simhash per row (majority vote over DISTINCT shingle
+    hashes), one bit-matrix reduction for the whole batch: unpack all
+    shingle hashes to a (total, 64) sign matrix, sum per row with a
+    cumsum sliced at row offsets, pack the positive bits."""
+    h, off = _batch_shingle_hashes(texts, shingle_k, distinct=True)
+    n_rows = len(off) - 1
+    if n_rows == 0:
+        return np.zeros(0, np.uint64)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
+    signs = 2 * bits - 1
+    votes = np.add.reduceat(signs, off[:-1], axis=0)   # (n_rows, 64); every row ≥1 shingle
+    return ((votes > 0).astype(np.uint64)
+            << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+
+
 def simhash64(text: str, shingle_k: int = 5) -> np.uint64:
-    """64-bit simhash over shingle hashes (majority vote per bit)."""
-    h = _shingle_hashes(text, shingle_k)
-    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-    votes = (2 * bits - 1).sum(axis=0)
-    out = np.uint64(0)
-    for b in range(64):
-        if votes[b] > 0:
-            out |= np.uint64(1) << np.uint64(b)
-    return out
+    """Single-text convenience wrapper around :func:`batch_simhash64`."""
+    return batch_simhash64(pa.array([text], pa.string()), shingle_k)[0]
 
 
 def add_simhash(batch: pa.Table, text_col: str = "text", shingle_k: int = 5) -> pa.Table:
-    sh = np.array([simhash64(t or "", shingle_k) for t in batch[text_col].to_pylist()], dtype=np.uint64)
-    return batch.append_column("simhash", pa.array(sh.astype(np.int64).view(np.uint64), type=pa.uint64()))
+    sh = batch_simhash64(batch[text_col], shingle_k)
+    return batch.append_column("simhash", pa.array(sh, type=pa.uint64()))
 
 
 # ---------------------------------------------------------------------------
@@ -270,47 +394,119 @@ def embedding_neardup_candidates(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_planes: int = 12,
+    num_planes: int = 8,
+    num_tables: int = 4,
     seed: int = 42,
     cosine_threshold: float = 0.95,
+    bucket_cap: int = 2048,
+    num_buckets: int = 16,
 ) -> "ray.data.Dataset":
-    """Random-hyperplane LSH: sign-pattern bucket → verify cosine in bucket.
+    """Multi-table random-hyperplane LSH → per-bucket cosine verify →
+    bucketed distinct on (id_a, id_b).
 
-    The hyperplane matrix is broadcast into a stateless map closure
-    (small, deterministic); the only shuffle is the bucket groupby.
+    Scale hardening vs the round-1 single-table version:
+
+    - ``num_tables`` independent hyperplane tables: a near-pair at
+      cosine c survives one table with prob (1 - acos(c)/π)^p; tables
+      multiply recall (1-(1-p₁)^T) instead of praying on one draw.
+    - bucket-size cap: any LSH cell bigger than ``bucket_cap`` is split
+      by EXTRA hyperplanes (deterministic, seeded) before the O(s²)
+      verify, so a degenerate cell (all-equal vectors at 100 TB) can
+      never produce an unbounded task. Split recall loss only affects
+      pairs inside oversized cells and is documented here.
+    - the verify's pair set is distinct-ed across tables by a bucketed
+      groupby (pairs hash to one bucket) — no driver or single-task
+      collapse.
+
+    The plane tensors are broadcast in the closure (tiny, deterministic).
     """
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, num_planes)).astype(np.float32)
+    planes = rng.standard_normal((num_tables, dim, num_planes)).astype(np.float32)
+    extra_planes = rng.standard_normal((dim, 32)).astype(np.float32)  # cap splitting
 
     def _bucket(batch: pa.Table) -> pa.Table:
         col = batch[vec_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        mat = np.stack([np.asarray(v, dtype=np.float32) for v in col.to_pylist()]) if len(batch) else np.empty((0, dim), np.float32)
-        signs = (mat @ planes) > 0
-        code = (signs.astype(np.uint32) << np.arange(num_planes, dtype=np.uint32)[None, :]).sum(axis=1)
-        return pa.table({id_col: batch[id_col], "lsh_bucket": pa.array(code.astype(np.int64)),
-                         vec_col: col})
+        n = len(batch)
+        if n == 0:
+            return pa.table({id_col: batch[id_col],
+                             "lsh_bucket": pa.array([], pa.int64()),
+                             vec_col: col})
+        mat = _fixed_list_matrix(col, dim, np.float32)
+        take_idx = []
+        codes = []
+        shifts = np.arange(num_planes, dtype=np.uint64)
+        for t in range(num_tables):
+            signs = (mat @ planes[t]) > 0
+            code = (signs.astype(np.uint64) << shifts[None, :]).sum(axis=1)
+            codes.append((np.uint64(t) << np.uint64(num_planes)) | code)
+            take_idx.append(np.arange(n, dtype=np.int64))
+        take = np.concatenate(take_idx)
+        code_all = np.concatenate(codes).astype(np.int64)
+        t_take = pa.array(take)
+        return pa.table({id_col: batch[id_col].take(t_take),
+                         "lsh_bucket": pa.array(code_all),
+                         vec_col: col.take(t_take)})
 
-    def _verify(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
-            return pd.DataFrame({"id_a": pd.Series([], dtype=df[id_col].dtype),
-                                 "id_b": pd.Series([], dtype=df[id_col].dtype),
-                                 "cosine": pd.Series([], dtype="float64")})
-        mat = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
+    def _pairs_for(mat: np.ndarray, ids: np.ndarray) -> tuple:
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
-        mat = mat / norms[:, None]
-        sim = mat @ mat.T
-        ids = df[id_col].to_numpy()
-        ii, jj = np.triu_indices(len(df), k=1)
+        unit = mat / norms[:, None]
+        sim = unit @ unit.T
+        ii, jj = np.triu_indices(len(ids), k=1)
         mask = sim[ii, jj] >= cosine_threshold
-        return pd.DataFrame({"id_a": np.minimum(ids[ii[mask]], ids[jj[mask]]),
-                             "id_b": np.maximum(ids[ii[mask]], ids[jj[mask]]),
-                             "cosine": sim[ii[mask], jj[mask]]})
+        return ids[ii[mask]], ids[jj[mask]], sim[ii[mask], jj[mask]]
+
+    def _verify(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                              "id_b": pd.Series([], dtype=np.int64),
+                              "cosine": pd.Series([], dtype="float64"),
+                              "_pb": pd.Series([], dtype=np.int32)})
+        if len(df) < 2:
+            return empty
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
+        ids = df[id_col].to_numpy()
+        groups = [(mat, ids)]
+        out_a, out_b, out_c = [], [], []
+        plane_i = 0
+        while groups:
+            m, i = groups.pop()
+            if len(i) > bucket_cap:
+                if plane_i < extra_planes.shape[1]:
+                    side = (m @ extra_planes[:, plane_i].astype(np.float64)) > 0
+                    plane_i += 1
+                    groups.append((m[side], i[side]))
+                    groups.append((m[~side], i[~side]))
+                    continue
+                # degenerate cell no hyperplane can split (near-identical
+                # vectors): bounded chunked verify. Cross-chunk pairs are
+                # lost, but identical content is exact-dedup's job — this
+                # trades bounded recall loss for a bounded task.
+                for s in range(0, len(i), bucket_cap):
+                    groups.append((m[s : s + bucket_cap], i[s : s + bucket_cap]))
+                continue
+            if len(i) >= 2:
+                a, b, c = _pairs_for(m, i)
+                out_a.append(a); out_b.append(b); out_c.append(c)
+        if not out_a:
+            return empty
+        ida = np.concatenate(out_a); idb = np.concatenate(out_b)
+        lo, hi = np.minimum(ida, idb), np.maximum(ida, idb)
+        out = pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": np.concatenate(out_c)})
+        h = (lo.astype(np.uint64) * _GOLD + hi.astype(np.uint64))
+        out["_pb"] = (h % np.uint64(num_buckets)).astype(np.int32)
+        return out
+
+    def _distinct(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["id_a", "id_b"], sort=False).agg(
+            cosine=("cosine", "max")).reset_index()
+        return g
 
     return (
         ds.map_batches(_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("lsh_bucket")
         .map_groups(_verify, batch_format="pandas")
+        .groupby("_pb")
+        .map_groups(_distinct, batch_format="pandas")
     )

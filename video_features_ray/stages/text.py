@@ -2,37 +2,120 @@
 
 These generalize the reference's string/cleanup maps (M15,
 ``simple_tokenizer.py:50-59``) into the scoring family a training-data
-pipeline needs. Every function here is carefully written so a DuckDB
-SQL expression produces BIT-IDENTICAL results (the driver's correctness
-gate hashes values): splits use ``text.split(' ')`` semantics
-(= DuckDB ``string_split(text, ' ')``), counts are exact integers, and
-ratios are single IEEE divisions of those integers.
+pipeline needs. Every SQL-checked function here is carefully written so
+a DuckDB SQL expression produces BIT-IDENTICAL results (the driver's
+correctness gate hashes values): splits use ``text.split(' ')``
+semantics (= DuckDB ``string_split(text, ' ')``), counts are exact
+integers, and ratios are single IEEE divisions of those integers.
+
+Everything is vectorized over the batch via ONE utf-32 decode of the
+concatenated strings (``sources.sequences._codepoints_batch``) — no
+per-row or per-char Python loops in any kernel:
+
+- counts (spaces / punctuation / uppercase) are boolean-mask cumsums
+  sliced at row offsets;
+- word matching (stopwords, language markers) packs each word's first
+  few codepoints + its length into one uint64 and runs ``np.isin``
+  against the precomputed pack set;
+- the fingerprint is a polynomial rolling hash over all char windows
+  computed with modular prefix sums (B odd → invertible mod 2^64), min
+  per row (winnowing).
 """
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 
+from ..sources.sequences import _codepoints_batch
+
 # matches the DuckDB literal list in __ray_entry__.oracle_sql
 STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "it", "that", "for")
-PUNCT = set(".!?,;:")
+_PUNCT_CP = np.array([ord(c) for c in ".!?,;:"], dtype=np.int32)
+_WS_CP = np.array([9, 10, 11, 12, 13, 32], dtype=np.int32)  # \t \n \v \f \r ' '
+
+
+def _per_row(mask: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-row popcount of a flat boolean mask (cumsum sliced at offsets —
+    safe for empty rows, unlike reduceat)."""
+    c = np.concatenate(([0], np.cumsum(mask, dtype=np.int64)))
+    return c[offsets[1:]] - c[offsets[:-1]]
+
+
+def _latin1_lower(cp: np.ndarray) -> np.ndarray:
+    """Vectorized simple lowercase for ASCII + Latin-1 (A-Z, À-Þ minus ×)."""
+    up = ((cp >= 65) & (cp <= 90)) | ((cp >= 192) & (cp <= 222) & (cp != 215))
+    return np.where(up, cp + 32, cp)
+
+
+def _word_spans(flat: np.ndarray, offsets: np.ndarray, sep_cps: np.ndarray):
+    """Word spans for every row at once, rows never merging.
+
+    Appends one separator after each row so the concatenated stream
+    splits into exactly the per-row words, then reads spans off the
+    separator positions. Returns ``(ext, starts, wlen, row_of_word)``
+    where ``ext`` is the extended codepoint array and empty words have
+    ``wlen == 0`` (``split(' ')`` keeps them; callers filter if needed).
+    """
+    n_rows = len(offsets) - 1
+    if n_rows == 0:
+        z = np.zeros(0, np.int64)
+        return np.zeros(0, np.int32), z, z, z
+    reps = np.diff(offsets)
+    idx = np.arange(len(flat), dtype=np.int64) + np.repeat(
+        np.arange(n_rows, dtype=np.int64), reps
+    )
+    ext = np.full(len(flat) + n_rows, 32, np.int32)
+    ext[idx] = flat
+    is_sep = np.isin(ext, sep_cps)
+    # the appended separators are spaces; make sure they register even
+    # when sep_cps excludes 32 (it never does, but keep the invariant)
+    sep_slots = offsets[1:] + np.arange(n_rows, dtype=np.int64)
+    is_sep[sep_slots] = True
+    sep_pos = np.flatnonzero(is_sep)
+    starts = np.concatenate(([0], sep_pos[:-1] + 1))
+    wlen = sep_pos - starts
+    seps_in_row = _per_row(is_sep[idx] if len(idx) else np.zeros(0, bool), offsets)
+    row_of_word = np.repeat(np.arange(n_rows, dtype=np.int64), seps_in_row + 1)
+    return ext, starts, wlen, row_of_word
+
+
+def _pack_words(ext_lower: np.ndarray, starts: np.ndarray, wlen: np.ndarray,
+                max_len: int) -> np.ndarray:
+    """uint64 pack = word length << (8*max_len) | first max_len codepoints
+    (clipped to 255; words longer than max_len keep their true length so
+    they can never equal a short dictionary word)."""
+    pk = wlen.astype(np.uint64) << np.uint64(8 * max_len)
+    guard = np.int64(len(ext_lower) - 1)
+    for k in range(max_len):
+        ck = np.where(
+            wlen > k,
+            np.minimum(ext_lower[np.minimum(starts + k, guard)], 255),
+            0,
+        )
+        pk |= ck.astype(np.uint64) << np.uint64(8 * k)
+    return pk
+
+
+def _pack_literal(word: str, max_len: int) -> int:
+    pk = len(word) << (8 * max_len)
+    for k, ch in enumerate(word[:max_len]):
+        pk |= min(ord(ch), 255) << (8 * k)
+    return pk
+
+
+_STOP_MAXLEN = max(len(w) for w in STOPWORDS)
+_STOP_PACKS = np.array(sorted(_pack_literal(w, _STOP_MAXLEN) for w in STOPWORDS),
+                       dtype=np.uint64)
 
 
 def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """n_words (split on single space), n_chars, mean word length."""
-    texts = batch[text_col].to_pylist()
-    n_words = np.empty(len(texts), dtype=np.int64)
-    n_chars = np.empty(len(texts), dtype=np.int64)
-    sum_wlen = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        t = t or ""
-        parts = t.split(" ")
-        n_words[i] = len(parts)
-        n_chars[i] = len(t)
-        sum_wlen[i] = sum(len(p) for p in parts)
+    flat, offsets = _codepoints_batch(batch[text_col])
+    n_chars = np.diff(offsets)
+    n_space = _per_row(flat == 32, offsets)
+    n_words = n_space + 1                     # split(' ') keeps empties
+    sum_wlen = n_chars - n_space              # word chars = total - spaces
     out = {
         "doc_id": batch["doc_id"].cast(pa.string()),
         "n_words": pa.array(n_words),
@@ -43,21 +126,24 @@ def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Integer punctuation / uppercase / space counts + exact ratios."""
-    texts = batch[text_col].to_pylist()
-    n = len(texts)
-    n_chars = np.empty(n, dtype=np.int64)
-    n_punct = np.empty(n, dtype=np.int64)
-    n_upper = np.empty(n, dtype=np.int64)
-    n_space = np.empty(n, dtype=np.int64)
-    n_stop = np.empty(n, dtype=np.int64)
-    for i, t in enumerate(texts):
-        t = t or ""
-        n_chars[i] = len(t)
-        n_punct[i] = sum(c in PUNCT for c in t)
-        n_upper[i] = sum(c.isupper() for c in t)
-        n_space[i] = t.count(" ")
-        n_stop[i] = sum(w in STOPWORDS for w in t.lower().split(" "))
+    """Integer punctuation / uppercase / space counts + exact ratios.
+
+    n_upper counts [A-Z] exactly like the oracle's regexp; stopwords
+    match after ASCII lowercase (non-ASCII words can't equal an ASCII
+    stopword under either case rule)."""
+    flat, offsets = _codepoints_batch(batch[text_col])
+    n_chars = np.diff(offsets)
+    n_punct = _per_row(np.isin(flat, _PUNCT_CP), offsets)
+    n_upper = _per_row((flat >= 65) & (flat <= 90), offsets)
+    n_space = _per_row(flat == 32, offsets)
+
+    ext, starts, wlen, row_of_word = _word_spans(
+        flat, offsets, np.array([32], dtype=np.int32)
+    )
+    pk = _pack_words(_latin1_lower(ext), starts, wlen, _STOP_MAXLEN)
+    hit = np.isin(pk, _STOP_PACKS)
+    n_stop = np.bincount(row_of_word[hit], minlength=len(n_chars)).astype(np.int64)
+
     denom = np.maximum(n_chars, 1)
     return pa.table(
         {
@@ -74,8 +160,10 @@ def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 class LangId:
-    """Tiny n-gram/stopword language heuristic (stateful: tables compiled
-    once per actor). Not SQL-expressible → rows-only oracle check."""
+    """Tiny marker-word language heuristic (stateful: packed marker
+    tables built once per actor — A3 pattern). Words are maximal runs
+    between ASCII whitespace; matching is case-insensitive over
+    ASCII + Latin-1. Checked against a golden fixture (not SQL)."""
 
     MARKERS = {
         "en": {"the", "and", "is", "of", "to", "in", "that", "it", "with", "for"},
@@ -83,46 +171,93 @@ class LangId:
         "fr": {"le", "la", "et", "les", "des", "est", "une", "dans", "pour", "que"},
         "es": {"el", "la", "de", "que", "los", "una", "por", "con", "para", "es"},
     }
+    _MAXLEN = 5
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.tables = {k: frozenset(v) for k, v in self.MARKERS.items()}
+        self.langs = sorted(self.MARKERS)     # de, en, es, fr
+        self.packs = [
+            np.array(sorted(_pack_literal(w, self._MAXLEN) for w in self.MARKERS[k]),
+                     dtype=np.uint64)
+            for k in self.langs
+        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        langs, scores = [], []
-        for t in texts:
-            words = (t or "").lower().split()
-            counts = {k: sum(w in tb for w in words) for k, tb in self.tables.items()}
-            best = max(counts, key=lambda k: (counts[k], k))
-            total = max(len(words), 1)
-            langs.append(best if counts[best] > 0 else "unknown")
-            scores.append(counts[best] / total)
+        flat, offsets = _codepoints_batch(batch[self.text_col])
+        n_rows = len(offsets) - 1
+        ext, starts, wlen, row_of_word = _word_spans(flat, offsets, _WS_CP)
+        pk = _pack_words(_latin1_lower(ext), starts, wlen, self._MAXLEN)
+        counts = np.stack([
+            np.bincount(row_of_word[np.isin(pk, p)], minlength=n_rows)
+            for p in self.packs
+        ])                                     # (n_langs, n_rows)
+        # highest count; ties broken by LARGEST language key (max over
+        # (count, key) tuples — the round-1 semantics, kept stable)
+        best_idx = len(self.langs) - 1 - np.argmax(counts[::-1], axis=0)
+        best_cnt = counts[best_idx, np.arange(n_rows)]
+        total = np.maximum(
+            np.bincount(row_of_word[wlen > 0], minlength=n_rows), 1
+        )
+        langs_arr = np.array(self.langs + ["unknown"], dtype=object)
+        lang_pred = langs_arr[np.where(best_cnt > 0, best_idx, len(self.langs))]
         return pa.table(
             {
                 "doc_id": batch["doc_id"].cast(pa.string()),
-                "lang_pred": pa.array(langs),
-                "lang_score": pa.array(scores, type=pa.float64()),
+                "lang_pred": pa.array(lang_pred.tolist(), type=pa.string()),
+                "lang_score": pa.array(best_cnt / total, type=pa.float64()),
             }
         )
 
 
+#: fingerprint rolling-hash base (FNV-1a prime; odd → invertible mod 2^64)
+FP_BASE = 1099511628211
+_FP_BINV = pow(FP_BASE, -1, 1 << 64)
+
+
 def fingerprint(batch: pa.Table, text_col: str = "text", window: int = 16) -> pa.Table:
-    """Rolling-hash document fingerprint: min blake2b over char windows
-    (winnowing-style; deterministic). Rows-only oracle check."""
-    texts = batch[text_col].to_pylist()
-    fps = []
-    for t in texts:
-        t = t or ""
-        if len(t) <= window:
-            spans = [t]
-        else:
-            spans = [t[i : i + window] for i in range(0, len(t) - window + 1, max(window // 2, 1))]
-        hs = [int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little") for s in spans]
-        fps.append(min(hs) if hs else 0)
+    """Winnowing-style document fingerprint: min over ALL length-``window``
+    char windows of the polynomial hash ``sum(cp[i+j] * B^(window-1-j))``
+    mod 2^64 (rows shorter than ``window`` hash their full text; empty
+    rows fingerprint 0). Computed for the whole batch with modular
+    prefix sums: ``H(i) = B^(i+w-1) * (P[i+w] - P[i])`` where
+    ``P[k] = Σ_{j<k} cp[j] * B^{-j}`` — O(n), no per-window hashing.
+    Golden-fixture checked against a naive per-window implementation.
+    """
+    flat, offsets = _codepoints_batch(batch[text_col])
+    n = len(flat)
+    n_rows = len(offsets) - 1
+    lens = np.diff(offsets)
+    if n == 0:
+        return pa.table({"doc_id": batch["doc_id"].cast(pa.string()),
+                         "fingerprint": pa.array(np.zeros(n_rows, np.uint64))})
+
+    cp = flat.astype(np.uint64)
+    B = np.uint64(FP_BASE)
+    binv = np.uint64(_FP_BINV)
+    with np.errstate(over="ignore"):
+        b_pows = np.empty(n + 1, np.uint64)
+        b_pows[0] = 1
+        np.cumprod(np.full(n, B, np.uint64), out=b_pows[1:])
+        binv_pows = np.empty(n, np.uint64)
+        binv_pows[0] = 1
+        if n > 1:
+            np.cumprod(np.full(n - 1, binv, np.uint64), out=binv_pows[1:])
+        P = np.zeros(n + 1, np.uint64)
+        np.cumsum(cp * binv_pows, out=P[1:])
+
+        counts = np.where(lens > 0, np.maximum(lens - window + 1, 1), 1)
+        span_off = np.concatenate(([0], np.cumsum(counts)))
+        row_of_s = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+        local = np.arange(int(counts.sum()), dtype=np.int64) - span_off[:-1][row_of_s]
+        start = offsets[:-1][row_of_s] + local
+        span_len = np.minimum(lens, window)[row_of_s]
+        last = np.maximum(start + span_len - 1, 0)
+        H = b_pows[last] * (P[start + span_len] - P[start])
+        H[span_len == 0] = 0
+        fp = np.minimum.reduceat(H, span_off[:-1])
     return pa.table(
         {
             "doc_id": batch["doc_id"].cast(pa.string()),
-            "fingerprint": pa.array(np.array(fps, dtype=np.uint64)),
+            "fingerprint": pa.array(fp.astype(np.uint64)),
         }
     )
