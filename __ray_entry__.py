@@ -68,6 +68,16 @@ _W1_WINDOWS = (
 )
 
 
+_COSINE_TOPK_SQL = (
+    "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0), "
+    "sims AS (SELECT e.vec_id, list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim "
+    "FROM embeddings e, q) "
+    "SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank "
+    "FROM (SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank FROM sims) "
+    "WHERE rank <= 10"
+)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     from video_features_ray.pipelines.queries import q_flagship_features
@@ -315,12 +325,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT unnest(tokens) AS token FROM seq) t "
             "GROUP BY t.token ORDER BY n DESC, token LIMIT 50"
         ),
-        "similarity_topk": (
-            "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0), "
-            "sims AS (SELECT e.vec_id, list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim "
-            "FROM embeddings e, q) "
-            "SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank "
-            "FROM (SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank FROM sims) "
-            "WHERE rank <= 10"
-        ),
+        "similarity_topk": _COSINE_TOPK_SQL,
+        # IVF with n_probe == n_centroids is provably exact → same oracle
+        # as brute force; the bucketed/pruned machinery is what's checked
+        "ivf_topk": _COSINE_TOPK_SQL,
+        # flagship + checkpointed runs output w1 32/16 window sums (the
+        # encoder / checkpoint layers run in-path; features are pinned by
+        # the allclose fixture tests, which SQL cannot express)
+        "flagship_features": f"{_SEQ} {_W1_WINDOWS}",
+        "checkpointed_extract": f"{_SEQ} {_W1_WINDOWS}",
     }

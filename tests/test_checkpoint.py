@@ -86,6 +86,51 @@ def test_kill_and_resume_identical(seq_file, tmp_path):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w))
 
 
+def test_waves_concurrent_and_identical(seq_file, tmp_path):
+    """wave_size=3: ≥2 partition jobs genuinely in flight at once, and
+    the committed output is byte-identical to a sequential run (modulo
+    feature float columns compared allclose)."""
+    import threading
+
+    out_seq = str(tmp_path / "seq")
+    run_checkpointed([seq_file], _pipeline, out_seq, target_rows=20)
+    want = _read_all(out_seq)
+
+    lock = threading.Lock()
+    state = {"in_flight": 0, "max_in_flight": 0}
+
+    def _instrumented(ds):
+        with lock:
+            state["in_flight"] += 1
+            state["max_in_flight"] = max(state["max_in_flight"], state["in_flight"])
+        try:
+            out = extract(ds, SPEC, encoder_concurrency=2)
+            out = out.materialize()   # hold the slot while the job runs
+        finally:
+            with lock:
+                state["in_flight"] -= 1
+        return out
+
+    out_w = str(tmp_path / "wave")
+    r = run_checkpointed([seq_file], _instrumented, out_w, target_rows=20, wave_size=3)
+    assert r["committed"] > 2
+    assert state["max_in_flight"] >= 2, state
+    got = _read_all(out_w)
+    pd.testing.assert_frame_equal(
+        got.drop(columns=["feature", "feature_flow"], errors="ignore"),
+        want.drop(columns=["feature", "feature_flow"], errors="ignore"),
+    )
+
+
+def test_waves_resume_after_kill(seq_file, tmp_path):
+    out = str(tmp_path / "out")
+    r1 = run_checkpointed([seq_file], _pipeline, out, target_rows=20,
+                          fail_after=2, wave_size=2)
+    assert r1["committed"] == 2
+    r2 = run_checkpointed([seq_file], _pipeline, out, target_rows=20, wave_size=2)
+    assert r2["skipped"] == 2 and r2["committed"] > 0
+
+
 def test_manifest_metrics(seq_file, tmp_path):
     out = str(tmp_path / "out")
     run_checkpointed([seq_file], _pipeline, out, target_rows=20)

@@ -87,4 +87,4 @@ def test_rows_only_queries_run(name):
 def test_entry_smoke():
     res = _to_pandas(entrymod.entry())
     assert len(res) > 0
-    assert {"doc_id", "window_id", "ts_ms", "feature"} <= set(res.columns)
+    assert {"doc_id", "window_id", "ts_ms", "window_sum"} <= set(res.columns)

@@ -28,10 +28,22 @@ from ..specs import EncoderSpec
 from ..stages.asof import asof_join
 from ..stages.dedup import exact_dedup
 from ..stages.events import forward_fill, lag_lead, sessionize
-from ..stages.joins import broadcast_join, partial_agg, tumbling_aggregate
+from ..stages.joins import broadcast_join, grouped_topk, partial_agg, tumbling_aggregate
 from ..stages.similarity import cosine_topk
 from ..stages.text import quality_score, token_stats
 from ..stages.windows import make_window_stage
+
+def shuffle_width(floor: int = 16, cap: int = 256) -> int:
+    """Bucket count for wide ops, derived from the cluster: ≥2× CPUs so
+    a 256-node cluster's shuffle parallelism isn't capped at a constant,
+    floored at 16 (measured-right at sf0.1 — fewer buckets just re-pay
+    per-task overhead), capped so tiny clusters aren't over-split."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    return int(min(max(floor, 2 * cpus), cap))
+
 
 # window-query specs (small geometry so the ~500-char docs emit windows)
 Q_W1 = EncoderSpec("q_w1_32_16", "w1", 32, 16, 8)
@@ -162,8 +174,9 @@ def q_asof_features(sf_dir: str):
     probes = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
         _grid, batch_format="pyarrow"
     )
+    w = shuffle_width()
     joined = asof_join(probes, windows, key="doc_id", left_ts="ts_q", right_ts="ts_ms",
-                       direction="backward", num_buckets=16, coalesce_blocks=16)
+                       direction="backward", num_buckets=w, coalesce_blocks=w)
 
     def _finish(df: pd.DataFrame) -> pd.DataFrame:
         df["window_id_r"] = df["window_id_r"].fillna(-1).astype(np.int64)
@@ -191,8 +204,8 @@ def _events_us(sf_dir: str, cols) -> "ray.data.Dataset":
 
 def q_lag_lead_events(sf_dir: str):
     ds = _events_us(sf_dir, ["event_id", "user_id", "ts", "value"])
-    out = lag_lead(ds, "user_id", "ts_us", "value", lags=[1], leads=[1], num_buckets=16,
-                   tie_cols=["event_id"])
+    out = lag_lead(ds, "user_id", "ts_us", "value", lags=[1], leads=[1],
+                   num_buckets=shuffle_width(), tie_cols=["event_id"])
 
     def _finish(df: pd.DataFrame) -> pd.DataFrame:
         df["value_lag1"] = df["value_lag1"].fillna(-1.0)
@@ -207,8 +220,8 @@ SESSION_GAP_US = 1_800_000_000  # 30 min
 
 def q_sessionize_events(sf_dir: str):
     ds = _events_us(sf_dir, ["event_id", "user_id", "ts"])
-    out = sessionize(ds, "user_id", "ts_us", gap=SESSION_GAP_US, num_buckets=16,
-                     tie_cols=["event_id"])
+    out = sessionize(ds, "user_id", "ts_us", gap=SESSION_GAP_US,
+                     num_buckets=shuffle_width(), tie_cols=["event_id"])
     return out.map_batches(
         lambda df: df[["event_id", "user_id", "session_id"]], batch_format="pandas"
     )
@@ -222,7 +235,7 @@ def q_ffill_events(sf_dir: str):
         return df[["event_id", "user_id", "ts_us", "click_value"]]
 
     out = forward_fill(ds.map_batches(_nullify, batch_format="pandas"),
-                       "user_id", "ts_us", "click_value", num_buckets=16,
+                       "user_id", "ts_us", "click_value", num_buckets=shuffle_width(),
                        tie_cols=["event_id"])
 
     def _finish(df: pd.DataFrame) -> pd.DataFrame:
@@ -266,8 +279,8 @@ def q_top_users(sf_dir: str):
         return pa.table({"user_id": batch["user_id"],
                          "value_s": pa.array(np.round(v * 10000.0).astype(np.int64))})
 
-    agg = partial_agg(ds.map_batches(_scale, batch_format="pyarrow"), ["user_id"], sums=["value_s"], combine="driver")
-    top = agg.sort(["sum_value_s", "user_id"], descending=[True, False]).limit(10).to_pandas()
+    top = grouped_topk(ds.map_batches(_scale, batch_format="pyarrow"),
+                       ["user_id"], sums=["value_s"], sort_col="sum_value_s", k=10)
     top["total_value"] = top["sum_value_s"].astype(np.int64) / 10000.0
     top["n"] = top["n"].astype(np.int64)
     return top[["user_id", "n", "total_value"]]
@@ -445,22 +458,38 @@ def q_embedding_neardup(sf_dir: str):
 
 
 def q_ivf_topk(sf_dir: str):
+    """IVF coarse-quantized top-k. The codebook trains on a DISTRIBUTED
+    deterministic sample (bottom-256 by md5(vec_id) — hash-spread, not
+    the first rows of one file), and the query probes ALL centroids so
+    the bucketed path is provably exact: its oracle is the brute-force
+    cosine SQL. Pruned-probe recall is separately pinned in tests."""
     import pyarrow.parquet as pq
 
+    from ..functions.sketches import bottom_k_sample
     from ..stages.similarity import build_ivf_codebook, ivf_assign, ivf_topk
 
-    tab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    mat = np.stack([np.asarray(v, dtype=np.float64) for v in tab["embedding"].to_pylist()[:256]])
-    cb = build_ivf_codebook(mat, n_centroids=8)
-    qvec = np.asarray(tab["embedding"][0].as_py(), dtype=np.float64)
+    N_CENTROIDS = 8
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    top = ivf_topk(ivf_assign(ds, cb), cb, qvec, k=10, n_probe=4)
+    sample = bottom_k_sample(ds, "vec_id", k=256)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in sample["embedding"]])
+    cb = build_ivf_codebook(mat, n_centroids=N_CENTROIDS)
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qvec = np.asarray(
+        qtab.filter(pa.compute.equal(qtab["vec_id"], 0))["embedding"][0].as_py(),
+        dtype=np.float64)
+    top = ivf_topk(ivf_assign(ds, cb), cb, qvec, k=10, n_probe=N_CENTROIDS)
     top["vec_id"] = top["vec_id"].astype(np.int64)
     return top[["vec_id", "rank"]]
 
 
 def q_flagship_features(sf_dir: str):
-    """Full extraction (windows + deterministic encoder features)."""
+    """Full extraction (windows + deterministic encoder features).
+
+    The encoder actor pool RUNS in the checked path (its output feeds the
+    final projection), but the driver-checkable columns are the window
+    sums — SQL-reproducible via the w1 CTE (geometry 32/16 == w1_windows).
+    Feature values themselves are pinned by the allclose fixture tests
+    (``tests/test_reference_geometry.py``), which SQL can't express."""
     from .extract import extract
 
     spec = EncoderSpec("flagship_w1_32_16_d64", "w1", 32, 16, 64)
@@ -469,10 +498,12 @@ def q_flagship_features(sf_dir: str):
     # actor pool never starves the read/window stages (4-CPU test clusters
     # deadlock if the pool reserves every CPU)
     out = extract(seq, spec)
-    return out.map_batches(
-        lambda b: b.select(["doc_id", "window_id", "ts_ms", "feature"]),
-        batch_format="pyarrow",
-    )
+
+    def _check_cols(b: pa.Table) -> pa.Table:
+        assert "feature" in b.column_names  # encoder really ran
+        return _window_sums(b)
+
+    return out.map_batches(_check_cols, batch_format="pyarrow")
 
 
 def q_media_decode(sf_dir: str):
@@ -499,7 +530,8 @@ def q_checkpointed_extract(sf_dir: str):
         return extract(seqs, spec, encoder_concurrency=(1, 2), with_features=False)
 
     out_dir = tempfile.mkdtemp(prefix="vfr_ckpt_")
-    run_checkpointed([f"{sf_dir}/documents.parquet"], _pipe, out_dir, target_rows=100_000)
+    run_checkpointed([f"{sf_dir}/documents.parquet"], _pipe, out_dir,
+                     target_rows=100_000, wave_size=2)
     return ray.data.read_parquet(out_dir, file_extensions=["parquet"]).map_batches(
         _window_sums, batch_format="pyarrow"
     )
@@ -525,8 +557,9 @@ def q_asof_purchase_click(sf_dir: str):
 
     purchases = ev.map_batches(_purchases, batch_format="pandas")
     clicks = ev.map_batches(_clicks, batch_format="pandas")
+    w = shuffle_width()
     joined = asof_join(purchases, clicks, key="user_id", left_ts="ts_us",
-                       right_ts="ts_us", direction="backward", num_buckets=16, coalesce_blocks=16)
+                       right_ts="ts_us", direction="backward", num_buckets=w, coalesce_blocks=w)
 
     def _finish(df: pd.DataFrame) -> pd.DataFrame:
         df["c_event_r"] = df["c_event_r"].fillna(-1).astype(np.int64)
@@ -539,7 +572,8 @@ def q_asof_purchase_click(sf_dir: str):
 def q_session_stats(sf_dir: str):
     """per (user, session): event count + start/end ts (sessionize → agg)."""
     ds = _events_us(sf_dir, ["event_id", "user_id", "ts"])
-    sess = sessionize(ds, "user_id", "ts_us", gap=SESSION_GAP_US, num_buckets=16,
+    w = shuffle_width()
+    sess = sessionize(ds, "user_id", "ts_us", gap=SESSION_GAP_US, num_buckets=w,
                       tie_cols=["event_id"])
 
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -549,7 +583,7 @@ def q_session_stats(sf_dir: str):
         h = (pd.util.hash_pandas_object(g["user_id"], index=False).to_numpy()
              * np.uint64(0x100000001B3)
              + pd.util.hash_pandas_object(g["session_id"], index=False).to_numpy())
-        g["_bucket"] = (h % np.uint64(16)).astype(np.int32)
+        g["_bucket"] = (h % np.uint64(w)).astype(np.int32)
         return g
 
     def _final(df: pd.DataFrame) -> pd.DataFrame:

@@ -16,26 +16,35 @@ into that one pipeline:
       → checkpointed partitioned parquet          [J4/M21 resume]
 
 Everything stays lazy inside one partition run; the checkpoint layer
-provides partition-level commit + resume. Only skinny columns shuffle
-(the dedup hash groupby); payloads never do.
+provides partition-level commit + resume (``wave_size`` partitions in
+flight). Only skinny columns shuffle (the dedup hash groupby);
+payloads never do.
+
+Dedup scale shape: winner ids come from the BUCKETED ``exact_dedup``
+(distributed partial+combine over content hashes); the driver holds
+only object-store block refs, never a materialized id set. Each filter
+actor assembles its sorted winner array once in ``__init__`` from those
+refs (the classic broadcast side: valid while distinct-doc ids fit a
+worker heap — at 10^12 unique docs switch to routing the doc payload
+through the dedup shuffle itself instead of broadcasting winners).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..sources.sequences import tokenize_documents
+from ..sources.sequences import _codepoints_batch, tokenize_documents
 from ..specs import EncoderSpec
-from ..stages.dedup import _md5_hex
+from ..stages.dedup import exact_dedup
 from ..stages.encode import Encoder
 from ..stages.skew import make_offset_window_stage, split_giant_sequences
+from ..stages.text import _PUNCT_CP, _per_row
 from ..stages.windows import make_window_stage
 
 
@@ -47,35 +56,43 @@ class TrainingDataConfig:
     dedup: bool = True
     max_tokens_per_chunk: int = 1 << 20
     encoder_concurrency: Optional[int] = None
+    wave_size: int = 2
 
 
 def _quality_filter(batch: pa.Table, min_chars: int, max_punct_ratio: float) -> pa.Table:
-    texts = batch["text"].to_pylist()
-    keep = np.ones(len(texts), dtype=bool)
-    for i, t in enumerate(texts):
-        t = t or ""
-        if len(t) < min_chars:
-            keep[i] = False
-            continue
-        n_punct = sum(c in ".!?,;:" for c in t)
-        if n_punct / max(len(t), 1) > max_punct_ratio:
-            keep[i] = False
+    """Vectorized length/punct-ratio gate (one codepoint pass per batch)."""
+    flat, offsets = _codepoints_batch(batch["text"])
+    n_chars = np.diff(offsets)
+    n_punct = _per_row(np.isin(flat, _PUNCT_CP), offsets)
+    keep = (n_chars >= min_chars) & (
+        n_punct / np.maximum(n_chars, 1) <= max_punct_ratio
+    )
     return batch.filter(pa.array(keep))
 
 
-def _dedup_winners(docs: "ray.data.Dataset") -> frozenset:
-    """Winner id per content hash (min doc_id), broadcast-sized: one
-    short row per distinct hash leaves the cluster."""
-    def _partial(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        hs = _md5_hex(batch["text"].to_pylist())
-        return pa.table({"doc_id": pa.array([str(i) for i in ids]), "h": pa.array(hs)})
+def _winner_block_refs(docs: "ray.data.Dataset") -> list:
+    """Distributed winner computation: bucketed exact_dedup → the
+    ``keep_id`` column as Arrow block refs IN THE OBJECT STORE. The
+    driver never materializes the winner set (round 1 pulled one row
+    per document through ``to_pandas()`` — a driver OOM at scale)."""
+    winners = exact_dedup(docs, id_col="doc_id", text_col="text")
+    ids = winners.map_batches(lambda df: df[["keep_id"]], batch_format="pandas")
+    return list(ids.to_arrow_refs())
 
-    import pandas as pd
 
-    pdf = docs.map_batches(_partial, batch_format="pyarrow").to_pandas()
-    winners = pdf.sort_values(["h", "doc_id"]).groupby("h", sort=False).head(1)
-    return frozenset(winners["doc_id"])
+class _WinnerFilter:
+    """Actor-pool filter: assemble the sorted winner-id array once per
+    actor from object-store refs, then filter batches with one
+    vectorized ``isin`` (searchsorted under the hood)."""
+
+    def __init__(self, refs: list):
+        tabs = ray.get(list(refs))
+        arrs = [t.column("keep_id").to_numpy(zero_copy_only=False) for t in tabs if len(t)]
+        self.winners = np.sort(np.concatenate(arrs)) if arrs else np.array([], np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(ids, self.winners)))
 
 
 def run_training_data_pipeline(
@@ -87,10 +104,10 @@ def run_training_data_pipeline(
     """Checkpointed end-to-end run. Returns the checkpoint summary."""
     from ..state.checkpoint import run_checkpointed
 
-    winners_ref = None
+    winner_refs = None
     if cfg.dedup:
         docs = ray.data.read_parquet(input_files, columns=["doc_id", "text"])
-        winners_ref = ray.put(_dedup_winners(docs))
+        winner_refs = _winner_block_refs(docs)
 
     spec = cfg.spec
     if cfg.encoder_concurrency is None:
@@ -104,13 +121,11 @@ def run_training_data_pipeline(
             lambda b: _quality_filter(b, cfg.min_chars, cfg.max_punct_ratio),
             batch_format="pyarrow", zero_copy_batch=True,
         )
-        if winners_ref is not None:
-            def _keep_winners(batch: pa.Table) -> pa.Table:
-                winners = ray.get(winners_ref)
-                ids = [str(i) for i in batch["doc_id"].to_pylist()]
-                return batch.filter(pa.array([i in winners for i in ids]))
-
-            ds = ds.map_batches(_keep_winners, batch_format="pyarrow")
+        if winner_refs is not None:
+            ds = ds.map_batches(
+                _WinnerFilter, fn_constructor_args=(winner_refs,),
+                batch_format="pyarrow", concurrency=(1, 2),
+            )
         seqs = ds.map_batches(tokenize_documents, batch_format="pyarrow")
         if spec.resample_fps is None and spec.resample_total is None:
             seqs = split_giant_sequences(seqs, spec, max_tokens=cfg.max_tokens_per_chunk)
@@ -122,4 +137,5 @@ def run_training_data_pipeline(
             zero_copy_batch=True, batch_size=4096, concurrency=(1, enc_conc),
         )
 
-    return run_checkpointed(input_files, _pipe, out_dir, target_rows=target_rows)
+    return run_checkpointed(input_files, _pipe, out_dir, target_rows=target_rows,
+                            wave_size=cfg.wave_size)

@@ -102,6 +102,42 @@ def partial_agg(
     return partials.groupby("_bucket").map_groups(_final, batch_format="pandas")
 
 
+def grouped_topk(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    sums: Sequence[str],
+    sort_col: str,
+    k: int,
+    num_buckets: int = 16,
+    count_col: str = "n",
+) -> pd.DataFrame:
+    """Global top-k groups by ``sort_col`` (desc; ties by keys asc) over
+    a HIGH-cardinality key, without ever materializing all groups.
+
+    Plan: per-batch partials → hash-bucket combine (each key lives in
+    exactly ONE bucket, so a bucket-local top-k provably retains every
+    global top-k member) → driver merges ≤ k × num_buckets rows. The
+    round-1 top_users pulled one partial row per (user × block) to the
+    driver — O(users) driver memory; this is O(k × buckets).
+    """
+    keys = list(keys)
+    sum_cols = [f"sum_{c}" for c in sums]
+    ascending = [False] + [True] * len(keys)
+
+    partials = partial_agg(ds, keys, sums=sums, count_col=count_col,
+                           num_buckets=num_buckets, combine="distributed")
+    # partial_agg already combined per bucket; a second per-block trim
+    # keeps only each block's top-k before the tiny driver merge
+    trimmed = partials.map_batches(
+        lambda df: df.sort_values([sort_col, *keys], ascending=ascending,
+                                  kind="mergesort").head(k),
+        batch_format="pandas",
+    )
+    merged = trimmed.to_pandas()
+    return (merged.sort_values([sort_col, *keys], ascending=ascending, kind="mergesort")
+            .head(k).reset_index(drop=True))
+
+
 def tumbling_aggregate(
     ds: "ray.data.Dataset",
     key: str,

@@ -144,49 +144,76 @@ def partition_dataset(part: Partition) -> "ray.data.Dataset":
     return ray.data.from_arrow_refs([_read_row_groups.remote(part.input_file, part.row_groups)])
 
 
+def _run_partition(part: Partition, pipeline_fn, out_dir: str):
+    """Execute one partition's pipeline to a temp dir and atomically
+    publish it. Returns (part, metrics, final_dir); the caller commits."""
+    t0 = time.perf_counter()
+    ds = pipeline_fn(partition_dataset(part))
+    safe = part.partition_id.replace("/", "_").replace(":", "_")
+    final_dir = os.path.join(out_dir, f"part={safe}")
+    tmp_dir = os.path.join(out_dir, f".tmp-{safe}-{uuid.uuid4().hex}")
+    ds.write_parquet(tmp_dir)
+    rows_out = sum(
+        pq.ParquetFile(os.path.join(tmp_dir, f)).metadata.num_rows
+        for f in os.listdir(tmp_dir) if f.endswith(".parquet")
+    )
+    if os.path.exists(final_dir):
+        shutil.rmtree(final_dir)
+    os.replace(tmp_dir, final_dir)  # atomic publish
+    metrics = {
+        "rows_in": part.row_end - part.row_start,
+        "rows_out": rows_out,
+        "wall_sec": time.perf_counter() - t0,
+    }
+    return part, metrics, final_dir
+
+
 def run_checkpointed(
     input_files: list[str],
     pipeline_fn,
     out_dir: str,
     target_rows: int = 250_000,
     fail_after: int | None = None,
+    wave_size: int = 1,
 ) -> dict:
     """Run ``pipeline_fn(dataset) -> dataset`` per pending partition with
-    atomic commits. ``fail_after`` kills the run after N commits (tests).
+    atomic commits. ``wave_size`` partitions execute CONCURRENTLY (each
+    is its own streaming Dataset job driven from a thread — Ray Data
+    jobs share the cluster, so a wave keeps it saturated while resume
+    granularity stays per-partition). ``fail_after`` stops the run after
+    N commits (tests); with waves, at most ``fail_after`` partitions are
+    ever launched beyond what's committed.
 
     Returns {"committed": n, "skipped": n, "partitions": [...]}.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     os.makedirs(out_dir, exist_ok=True)
     manifest = Manifest(out_dir)
     manifest.check_or_write_plan(Manifest.plan_fingerprint(input_files, target_rows))
     done = manifest.committed()
     parts = plan_partitions(input_files, target_rows)
     skipped = sum(1 for p in parts if p.partition_id in done)
+    pending = [p for p in parts if p.partition_id not in done]
     committed = 0
-    for part in parts:
-        if part.partition_id in done:
-            continue
-        t0 = time.perf_counter()
-        ds = pipeline_fn(partition_dataset(part))
-        safe = part.partition_id.replace("/", "_").replace(":", "_")
-        final_dir = os.path.join(out_dir, f"part={safe}")
-        tmp_dir = os.path.join(out_dir, f".tmp-{safe}-{uuid.uuid4().hex}")
-        ds.write_parquet(tmp_dir)
-        rows_out = sum(
-            pq.ParquetFile(os.path.join(tmp_dir, f)).metadata.num_rows
-            for f in os.listdir(tmp_dir) if f.endswith(".parquet")
-        )
-        if os.path.exists(final_dir):
-            shutil.rmtree(final_dir)
-        os.replace(tmp_dir, final_dir)  # atomic publish
-        metrics = {
-            "rows_in": part.row_end - part.row_start,
-            "rows_out": rows_out,
-            "wall_sec": time.perf_counter() - t0,
-        }
-        manifest.commit(part, metrics, final_dir)
-        committed += 1
+    i = 0
+    while i < len(pending):
         if fail_after is not None and committed >= fail_after:
             break
+        wave = pending[i : i + max(wave_size, 1)]
+        if fail_after is not None:
+            wave = wave[: max(fail_after - committed, 1)]
+        if len(wave) == 1:
+            results = [_run_partition(wave[0], pipeline_fn, out_dir)]
+        else:
+            with ThreadPoolExecutor(max_workers=len(wave)) as ex:
+                results = list(ex.map(
+                    lambda p: _run_partition(p, pipeline_fn, out_dir), wave
+                ))
+        # commit serially, in plan order, from the driver thread
+        for part, metrics, final_dir in results:
+            manifest.commit(part, metrics, final_dir)
+            committed += 1
+        i += len(wave)
     return {"committed": committed, "skipped": skipped,
             "partitions": [p.partition_id for p in parts]}
