@@ -180,7 +180,7 @@ def test_multimodal_plumbing():
     b = out2.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
     for x, y in zip(a["frame_feature"], b["frame_feature"]):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
-    # real decode is explicitly stubbed
+    # compressed/opaque media without a codec is explicitly stubbed
     dec = MediaDecoder(fake_decode=False)
     with pytest.raises(NotImplementedError):
-        dec._decode(b"\x00", 1)
+        dec._decode_rows(b"\x00opaque-no-codec", 1)

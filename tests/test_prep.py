@@ -49,6 +49,20 @@ def test_clean_text():
     assert out[1] == ""
 
 
+def test_fix_mojibake():
+    from video_features_ray.stages.prep import fix_mojibake
+
+    assert fix_mojibake("Ã©tÃ©") == "été"                  # utf-8 read as cp1252
+    assert fix_mojibake("naÃ¯ve â€” ok") == "naïve — ok"   # cp1252 punct range
+    assert fix_mojibake("ÃƒÂ©") == "é"                     # doubly mangled
+    assert fix_mojibake("plain ascii") == "plain ascii"    # untouched
+    assert fix_mojibake("déjà vu") == "déjà vu"            # real accents survive
+    assert fix_mojibake("中文 unchanged") == "中文 unchanged"  # non-latin1 untouched
+    # through the batch stage (repair before unescape/lower)
+    t = pa.table({"text": pa.array(["CafÃ© &amp; Bar"])})
+    assert clean_text(t)["text"].to_pylist() == ["café & bar"]
+
+
 def test_clamp_quantize():
     x = np.array([-100.0, -20.0, 0.0, 20.0, 100.0])
     q = clamp_quantize(x)

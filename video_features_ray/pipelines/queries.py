@@ -174,9 +174,11 @@ def q_asof_features(sf_dir: str):
     probes = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
         _grid, batch_format="pyarrow"
     )
-    w = shuffle_width()
+    # num_buckets scales with the cluster (merge parallelism); the
+    # coalesce stays 16 — it exists to merge skinny input blocks before
+    # the sort, and more blocks just re-pay the ~45 ms/block sort tax
     joined = asof_join(probes, windows, key="doc_id", left_ts="ts_q", right_ts="ts_ms",
-                       direction="backward", num_buckets=w, coalesce_blocks=w)
+                       direction="backward", num_buckets=shuffle_width(), coalesce_blocks=16)
 
     def _finish(df: pd.DataFrame) -> pd.DataFrame:
         df["window_id_r"] = df["window_id_r"].fillna(-1).astype(np.int64)
@@ -557,9 +559,9 @@ def q_asof_purchase_click(sf_dir: str):
 
     purchases = ev.map_batches(_purchases, batch_format="pandas")
     clicks = ev.map_batches(_clicks, batch_format="pandas")
-    w = shuffle_width()
     joined = asof_join(purchases, clicks, key="user_id", left_ts="ts_us",
-                       right_ts="ts_us", direction="backward", num_buckets=w, coalesce_blocks=w)
+                       right_ts="ts_us", direction="backward",
+                       num_buckets=shuffle_width(), coalesce_blocks=16)
 
     def _finish(df: pd.DataFrame) -> pd.DataFrame:
         df["c_event_r"] = df["c_event_r"].fillna(-1).astype(np.int64)

@@ -36,7 +36,12 @@ def _merge_asof(left: pd.DataFrame, right: pd.DataFrame, key: str, left_ts: str,
         columns={c: f"{c}{suffix}" for c in right.columns if c not in (key, left_ts) }
     )
     left_s = left.sort_values(left_ts, kind="mergesort")
-    right_s = right.sort_values(left_ts, kind="mergesort")
+    # merge_asof picks the LAST right row among equal timestamps, so the
+    # right sort needs a full deterministic tie-break — otherwise the
+    # winner of a (key, ts) tie depends on shuffle arrival order. The
+    # chosen rule: lexicographically-largest remaining columns win.
+    right_tie = [c for c in right.columns if c != left_ts]
+    right_s = right.sort_values([left_ts, *right_tie], kind="mergesort")
     out = pd.merge_asof(
         left_s, right_s, on=left_ts, by=key, direction=direction,
         tolerance=tolerance, suffixes=("", suffix),
@@ -70,11 +75,16 @@ def asof_join(
     # the left side's true dtypes so _per_bucket can restore them (left rows
     # themselves are never null in their own columns).
     left_np_dtypes: dict[str, np.dtype] = {}
+    arrow_types: dict[str, pa.DataType] = {}
     for name, typ in zip(left_schema.names, left_schema.types):
         if not isinstance(typ, pa.DataType):
             continue  # pandas/simple-block schemas report plain Python types
+        arrow_types[name] = typ
         if pa.types.is_integer(typ) or pa.types.is_floating(typ) or pa.types.is_boolean(typ):
             left_np_dtypes[name] = np.dtype(typ.to_pandas_dtype())
+    for name, typ in zip(right.schema().names, right.schema().types):
+        if isinstance(typ, pa.DataType):
+            arrow_types.setdefault(name, typ)
 
     # pad both sides to the union schema, tagging the side
     def _tag(side: int, own_ts: str, other_cols: list[str]):
@@ -85,7 +95,9 @@ def asof_join(
             cols["_ts"] = batch[own_ts]
             for c in other_cols:
                 if c not in cols:
-                    cols[c] = pa.nulls(n)
+                    # typed nulls keep every block's schema identical (an
+                    # untyped null column forces per-block schema unification)
+                    cols[c] = pa.nulls(n, type=arrow_types.get(c))
             b = stable_bucket(batch[key].to_numpy(zero_copy_only=False), num_buckets)
             cols["_bucket"] = pa.array(b, type=pa.int32())
             return pa.table(cols)

@@ -163,8 +163,12 @@ class MinHasher:
     def __init__(self, num_perm: int = 64, shingle_k: int = 5, seed: int = 42,
                  text_col: str = "text", id_col: str = "doc_id"):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _M61, size=num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, _M61, size=num_perm, dtype=np.uint64)
+        # odd multipliers: (a*h + b) mod 2^64 is then a BIJECTION on
+        # uint64 (multiply-shift family) — a valid minhash permutation
+        # with free wraparound, no per-element modulo in the hot loop
+        # (the round-1 % M61 was ~half the stage's CPU)
+        self.a = rng.integers(1, 1 << 63, size=num_perm, dtype=np.uint64) | np.uint64(1)
+        self.b = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.k = shingle_k
         self.text_col = text_col
@@ -184,7 +188,7 @@ class MinHasher:
         with np.errstate(over="ignore"):
             for p0 in range(0, self.num_perm, self._PERM_BLOCK):
                 p1 = min(p0 + self._PERM_BLOCK, self.num_perm)
-                vals = (h[None, :] * self.a[p0:p1, None] + self.b[p0:p1, None]) % np.uint64(_M61)
+                vals = h[None, :] * self.a[p0:p1, None] + self.b[p0:p1, None]
                 sigs[p0:p1] = np.minimum.reduceat(vals, sh_off[:-1], axis=1)
         return sigs.T
 

@@ -2,12 +2,23 @@
 
 The reference decodes real media (OpenCV frame reads ``utils/io.py:109-154``,
 ffmpeg demux ``utils/utils.py:194-223``, soundfile PCM ``vggish_input.py:86-89``).
-This container has no media libraries, so the DECODE step is stubbed —
-either a clearly-marked ``NotImplementedError`` (real codecs) or a
-deterministic fake (``fake_decode=True``) — while all the Ray-side
-plumbing is real and tested: schema (``payload: binary`` + typed
-metadata columns), actor-pool signature, batch sizing for large binary
-rows, and output layout.
+This engine's decode stage resolves, per payload, the best available
+decoder:
+
+1. REAL pure-numpy decoders for uncompressed containers — WAV/PCM16
+   audio (stdlib ``wave`` header + one ``frombuffer``) and binary PPM
+   (P6) images. These run in any environment, including this one, and
+   are pinned by roundtrip tests.
+2. cv2 / soundfile, IMPORT-TRIED once per actor, for compressed
+   formats when the host has them (this container does not).
+3. A deterministic fake (``fake_decode=True``) so compressed-video
+   plumbing stays testable; with ``fake_decode=False`` an unsupported
+   payload raises ``NotImplementedError`` instead of silently faking.
+
+All the Ray-side structure is real either way: schema
+(``payload: binary`` + typed metadata columns), actor-pool signature
+(decoder resolution once per actor in ``__init__``), byte-budget batch
+sizing for large binary rows, and the exploded per-frame output layout.
 
 Scale notes: binary payloads are large → small ``batch_size`` (the
 pipeline sizes batches by byte budget, not row count), blocks stay
@@ -18,6 +29,9 @@ is the knob that paces object-store pressure.
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 
 import numpy as np
 import pyarrow as pa
@@ -36,27 +50,108 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
+# ---------------------------------------------------------------------------
+# real decoders (no external deps)
+# ---------------------------------------------------------------------------
+
+def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAV PCM16 → (mono float32 samples in [-1, 1], sample_rate).
+    Multi-channel input is mean-downmixed (M16 semantics, reference
+    ``vggish_input.py:91-93``)."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sr = w.getframerate()
+        n_ch = w.getnchannels()
+        if w.getsampwidth() != 2:
+            raise NotImplementedError("only PCM16 WAV is supported")
+        raw = w.readframes(w.getnframes())
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    if n_ch > 1:
+        x = x[: len(x) // n_ch * n_ch].reshape(-1, n_ch).mean(axis=1)
+    return x, sr
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Inverse of :func:`decode_wav_pcm16` (test fixtures)."""
+    pcm = np.clip(samples, -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval 255) → (H, W, 3) uint8."""
+    if not payload.startswith(b"P6"):
+        raise NotImplementedError("only binary P6 PPM is supported")
+    # header: "P6" <ws> width <ws> height <ws> maxval <single ws> data
+    parts, i, tok = [], 2, b""
+    while len(parts) < 3:
+        c = payload[i : i + 1]
+        i += 1
+        if c in b" \t\r\n":
+            if tok:
+                parts.append(int(tok))
+                tok = b""
+        elif c == b"#":  # comment to end of line
+            while payload[i : i + 1] not in b"\r\n":
+                i += 1
+        else:
+            tok += c
+    w, h, maxval = parts
+    if maxval != 255:
+        raise NotImplementedError("only maxval=255 PPM is supported")
+    return np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i).reshape(h, w, 3)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    return b"P6 %d %d 255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Vectorized nearest-neighbor resize (the fps-resampler index rule
+    applied to pixels: out (i,j) ← src (floor(i*H/out_h), floor(j*W/out_w)))."""
+    h, w = img.shape[:2]
+    ri = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    rj = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return img[ri[:, None], rj[None, :]]
+
+
 def synthetic_media_table(n: int = 32, seed: int = 42, payload_bytes: int = 4096) -> pa.Table:
+    """Deterministic media corpus with REAL payloads: P6 images and
+    PCM16 WAV audio (decoded for real by MediaDecoder); video rows get
+    opaque bytes (the compressed-codec case this container can't decode)."""
     rng = np.random.default_rng(seed)
-    ids, payloads, types, w, h, sr, nf = [], [], [], [], [], [], []
+    ids, payloads, types, w_, h_, sr_, nf_ = [], [], [], [], [], [], []
     for i in range(n):
         ids.append(f"media{i:06d}")
-        payloads.append(rng.bytes(payload_bytes))
         t = ["image", "audio", "video"][i % 3]
         types.append(t)
-        w.append(64 if t != "audio" else 0)
-        h.append(64 if t != "audio" else 0)
-        sr.append(16000 if t == "audio" else 0)
-        nf.append(1 if t == "image" else 50)
+        if t == "image":
+            img = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+            payloads.append(encode_ppm(img))
+            w_.append(64); h_.append(48); sr_.append(0); nf_.append(1)
+        elif t == "audio":
+            sr = 16000
+            samples = (rng.random(sr // 2, dtype=np.float64) * 2 - 1).astype(np.float32)
+            payloads.append(encode_wav_pcm16(samples, sr))
+            w_.append(0); h_.append(0); sr_.append(sr); nf_.append(0)
+        else:
+            payloads.append(rng.bytes(payload_bytes))
+            w_.append(64); h_.append(64); sr_.append(0); nf_.append(50)
     return pa.table(
         {
             "media_id": pa.array(ids),
             "payload": pa.array(payloads, type=pa.binary()),
             "media_type": pa.array(types),
-            "width": pa.array(w, pa.int32()),
-            "height": pa.array(h, pa.int32()),
-            "sample_rate": pa.array(sr, pa.int32()),
-            "n_frames": pa.array(nf, pa.int32()),
+            "width": pa.array(w_, pa.int32()),
+            "height": pa.array(h_, pa.int32()),
+            "sample_rate": pa.array(sr_, pa.int32()),
+            "n_frames": pa.array(nf_, pa.int32()),
         }
     )
 
@@ -64,39 +159,91 @@ def synthetic_media_table(n: int = 32, seed: int = 42, payload_bytes: int = 4096
 class MediaDecoder:
     """Actor-pool decode stage: payload → frame-sampled float features.
 
-    ``fake_decode=True`` derives a deterministic pseudo-decode from the
-    payload bytes (blake2b-seeded) so the downstream plumbing (resize /
-    frame-sample geometry, output schema) is fully testable. With
-    ``fake_decode=False`` it raises ``NotImplementedError`` — the real
-    codec (cv2/ffmpeg/soundfile) is not available in this environment.
+    Decoder resolution happens ONCE per actor in ``__init__`` (the A-series
+    pattern): cv2/soundfile are import-tried; the numpy WAV/PPM decoders
+    are always available; the fake is last resort and only if enabled.
+    Output: one row per sampled frame — ``(media_id, frame_idx,
+    frame_feature: list<float32>[target_hw])``:
+
+    - image: grayscale mean → nearest resize to (hw, hw) → row means;
+    - audio: 100 ms windows, each nearest-resampled to hw points;
+    - video: frames every ``frame_step``, pooled like images (real only
+      when cv2 exists; else fake).
     """
 
     def __init__(self, fake_decode: bool = True, target_hw: int = 16, frame_step: int = 10):
         self.fake = fake_decode
         self.hw = target_hw
         self.step = frame_step
+        try:
+            import cv2  # noqa: F401
+            self.cv2 = cv2
+        except ImportError:
+            self.cv2 = None
+        try:
+            import soundfile  # noqa: F401
+            self.soundfile = soundfile
+        except ImportError:
+            self.soundfile = None
 
-    def _decode(self, payload: bytes, n_frames: int) -> np.ndarray:
-        if not self.fake:
-            raise NotImplementedError(
-                "real media decode needs cv2/ffmpeg/soundfile — not in this container; "
-                "run with fake_decode=True for plumbing tests"
-            )
+    def _fake_frames(self, payload: bytes, n_frames: int) -> np.ndarray:
         seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "little")
         rng = np.random.default_rng(seed)
         return rng.random((max(n_frames, 1), self.hw, self.hw), dtype=np.float64).astype(np.float32)
+
+    def _image_feature(self, img: np.ndarray) -> np.ndarray:
+        gray = img.astype(np.float32).mean(axis=2) / 255.0
+        return resize_nearest(gray, self.hw, self.hw).mean(axis=0)
+
+    def _decode_rows(self, payload: bytes, n_frames: int):
+        """→ list of (frame_idx, feature[hw]) rows."""
+        if payload.startswith(b"P6"):
+            return [(0, self._image_feature(decode_ppm(payload)))]
+        if payload.startswith(b"RIFF"):
+            x, sr = decode_wav_pcm16(payload)
+            win = max(sr // 10, 1)
+            n_full = len(x) // win
+            rows = []
+            for j in range(max(n_full, 1)):
+                seg = x[j * win : (j + 1) * win] if n_full else x
+                if len(seg) == 0:
+                    seg = np.zeros(1, np.float32)
+                idx = np.minimum((np.arange(self.hw) * len(seg)) // self.hw, len(seg) - 1)
+                rows.append((j, seg[idx].astype(np.float32)))
+            return rows
+        if self.cv2 is not None:
+            buf = np.frombuffer(payload, np.uint8)
+            img = self.cv2.imdecode(buf, self.cv2.IMREAD_COLOR)
+            if img is not None:
+                return [(0, self._image_feature(img[:, :, ::-1]))]
+        if self.soundfile is not None:
+            try:
+                x, sr = self.soundfile.read(io.BytesIO(payload), dtype="float32")
+                if x.ndim > 1:
+                    x = x.mean(axis=1)
+                win = max(int(sr) // 10, 1)
+                return [(j, np.resize(x[j * win : (j + 1) * win], self.hw).astype(np.float32))
+                        for j in range(max(len(x) // win, 1))]
+            except Exception:
+                pass
+        if self.fake:
+            frames = self._fake_frames(payload, n_frames)
+            sampled = frames[:: self.step] if len(frames) > 1 else frames
+            return [(j * self.step, fr.mean(axis=0)) for j, fr in enumerate(sampled)]
+        raise NotImplementedError(
+            "compressed media needs cv2/ffmpeg/soundfile — not in this container; "
+            "WAV-PCM16 and P6 PPM decode natively, or run with fake_decode=True"
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, fidx, feats = [], [], []
         for mid, payload, nf in zip(
             batch["media_id"].to_pylist(), batch["payload"].to_pylist(), batch["n_frames"].to_pylist()
         ):
-            frames = self._decode(payload, nf or 1)
-            sampled = frames[:: self.step] if len(frames) > 1 else frames
-            for j, fr in enumerate(sampled):
+            for j, feat in self._decode_rows(payload, nf or 1):
                 ids.append(mid)
-                fidx.append(j * self.step)
-                feats.append(fr.mean(axis=0))  # "resize+pool" stand-in: (hw,) vector
+                fidx.append(j)
+                feats.append(feat)
         mat = np.stack(feats) if feats else np.empty((0, self.hw), np.float32)
         flat = mat.astype(np.float32).reshape(-1)
         off = np.arange(0, (len(ids) + 1) * self.hw, self.hw, dtype=np.int32)

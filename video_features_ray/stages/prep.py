@@ -74,10 +74,41 @@ def pad_truncate(batch: pa.Table, context_length: int = 77,
 _WS = re.compile(r"\s+")
 
 
+def fix_mojibake(t: str, max_depth: int = 2) -> str:
+    """ftfy's core heuristic (public: ftfy docs §'fixing mojibake'):
+    text whose cp1252/latin-1 re-encoding is VALID UTF-8 was almost
+    certainly UTF-8 read through the wrong codec — decode it back.
+    Applied up to ``max_depth`` times for doubly-mangled text; a string
+    that fails either codec round-trip is returned unchanged."""
+    for _ in range(max_depth):
+        try:
+            b = t.encode("cp1252")
+        except UnicodeEncodeError:
+            try:
+                b = t.encode("latin-1")
+            except UnicodeEncodeError:
+                return t
+        try:
+            u = b.decode("utf-8")
+        except UnicodeDecodeError:
+            return t
+        if u == t:
+            return t
+        t = u
+    return t
+
+
 def clean_text(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """html unescape → whitespace collapse → strip → lower (M15)."""
+    """mojibake repair → html unescape → whitespace collapse → strip →
+    lower (M15, reference ``simple_tokenizer.py:50-59`` whose ftfy call
+    is replaced by the self-contained :func:`fix_mojibake`). ASCII rows
+    skip the repair entirely (``str.isascii`` is a C check)."""
     texts = batch[text_col].to_pylist()
-    cleaned = [_WS.sub(" ", html.unescape(t or "")).strip() for t in texts]
+    cleaned = [
+        _WS.sub(" ", html.unescape(
+            t if t.isascii() else fix_mojibake(t))).strip()
+        for t in (t or "" for t in texts)
+    ]
     arr = pc.utf8_lower(pa.array(cleaned, pa.string()))
     return batch.set_column(batch.schema.get_field_index(text_col), text_col, arr)
 
