@@ -119,6 +119,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk": q.q_similarity_topk,
         "sample_bottomk": q.q_sample_bottomk,
         "token_freq_top50": q.q_token_freq_top50,
+        "sliding_hourly": q.q_sliding_hourly,
+        "distinct_users_per_type": q.q_distinct_users_per_type,
+        "stratified_docs": q.q_stratified_docs,
         # non-SQL-expressible (rows-only checks)
         "approx_distinct_users": q.q_approx_distinct_users,
         "minhash_neardup": q.q_minhash_neardup,
@@ -324,6 +327,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(t.token AS BIGINT) AS token, CAST(COUNT(*) AS BIGINT) AS n "
             "FROM (SELECT unnest(tokens) AS token FROM seq) t "
             "GROUP BY t.token ORDER BY n DESC, token LIMIT 50"
+        ),
+        "sliding_hourly": (
+            "WITH e AS (SELECT epoch_us(ts) AS t, "
+            "CAST(round(value * 10000.0) AS BIGINT) AS v FROM events), "
+            "x AS (SELECT t, v, unnest(generate_series(0, 1)) AS k FROM e), "
+            "w AS (SELECT (CAST(floor(t / 1800000000.0) AS BIGINT) - k) * 1800000000 "
+            "AS ws, t, v FROM x) "
+            "SELECT CAST(ws AS BIGINT) AS window_start_us, "
+            "CAST(COUNT(*) AS BIGINT) AS n, SUM(v) / 10000.0 AS sum_value "
+            "FROM w WHERE ws > t - 3600000000 GROUP BY ws"
+        ),
+        "distinct_users_per_type": (
+            "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct "
+            "FROM events GROUP BY event_type"
+        ),
+        "stratified_docs": (
+            "SELECT source, CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(n_chars AS BIGINT) AS n_chars FROM ("
+            "SELECT source, doc_id, n_chars, row_number() OVER ("
+            "PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
+            "FROM documents) WHERE rn <= 3"
         ),
         "similarity_topk": _COSINE_TOPK_SQL,
         # IVF with n_probe == n_centroids is provably exact → same oracle

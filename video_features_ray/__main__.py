@@ -1,0 +1,100 @@
+"""CLI entry — the engine's analogue of the reference's
+``python main.py feature_type=... video_paths=...`` launcher
+(``main.py:14-48``) and its ``ray job submit`` deployment story.
+
+    python -m video_features_ray extract \
+        --input /data/sequences/*.parquet --out /data/features \
+        --spec r21d_like_16_16 [--checkpoint] [--target-rows 250000]
+    python -m video_features_ray specs
+
+Equivalence contract (mirrors reference ``tests/utils.py:107-135``'s
+CLI-vs-API check): the CLI writes exactly what the library call
+``extract(read_sequences(input), spec)`` produces — pinned by
+``tests/test_cli_entry.py``. Owns its Ray session (guarded init) —
+the library itself never calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+
+
+def _parse(argv):
+    p = argparse.ArgumentParser(prog="video_features_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    ex = sub.add_parser("extract", help="sequences parquet -> windowed features parquet")
+    ex.add_argument("--input", required=True, nargs="+",
+                    help="input parquet file(s)/glob(s) with (doc_id, tokens, n_tok, source)")
+    ex.add_argument("--out", required=True, help="output directory")
+    ex.add_argument("--spec", required=True, help="spec name (see `specs`)")
+    ex.add_argument("--checkpoint", action="store_true",
+                    help="per-partition lineage checkpointing + resume")
+    ex.add_argument("--target-rows", type=int, default=250_000)
+    ex.add_argument("--wave-size", type=int, default=2)
+    ex.add_argument("--num-cpus", type=int, default=None)
+    sub.add_parser("specs", help="list registered encoder specs")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = _parse(argv if argv is not None else sys.argv[1:])
+
+    from .specs import SPECS, get_spec
+
+    if args.cmd == "specs":
+        for name, s in SPECS.items():
+            print(f"{name}\tkind={s.kind}\tstack={s.stack}\tstep={s.step}\tdim={s.dim}")
+        return 0
+
+    import ray
+
+    if not ray.is_initialized():
+        kw = dict(address="local", include_dashboard=False, logging_level="ERROR")
+        if args.num_cpus:
+            kw["num_cpus"] = args.num_cpus
+        ray.init(**kw)
+    try:
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        spec = get_spec(args.spec)
+        files = sorted(f for pat in args.input for f in glob.glob(pat))
+        if not files:
+            print(f"no input files match {args.input}", file=sys.stderr)
+            return 2
+        if args.checkpoint:
+            from .pipelines.extract import extract
+            from .state.checkpoint import run_checkpointed
+
+            summary = run_checkpointed(
+                files, lambda ds: extract(ds, spec), args.out,
+                target_rows=args.target_rows, wave_size=args.wave_size,
+            )
+            print(json.dumps(summary))
+        else:
+            from .pipelines.extract import extract
+            from .sources.sequences import read_sequences
+
+            import ray.data
+
+            out = extract(ray.data.read_parquet(files), spec)
+            out.write_parquet(args.out)
+            # count from the written footers — calling .count() on the lazy
+            # dataset would re-execute the whole pipeline
+            import os
+
+            import pyarrow.parquet as pq
+
+            rows = sum(pq.ParquetFile(os.path.join(args.out, f)).metadata.num_rows
+                       for f in os.listdir(args.out) if f.endswith(".parquet"))
+            print(json.dumps({"out": args.out, "rows": rows}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -136,6 +136,36 @@ def bottom_k_sample(ds: "ray.data.Dataset", key_col: str, k: int) -> pd.DataFram
     return parts.drop(columns=["_h"]).reset_index(drop=True)
 
 
+def stratified_bottom_k(
+    ds: "ray.data.Dataset", group_col: str, key_col: str, k: int,
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """Deterministic stratified sample: per GROUP, the k rows with the
+    smallest ``(md5(key), key)``. Per-batch local per-group bottom-k →
+    hash-bucket by group (a group lives in one bucket, so bucket-local
+    bottom-k is exact) → driver concat of ≤ groups × k rows.
+    SQL: ``row_number() OVER (PARTITION BY g ORDER BY md5(key), key) <= k``.
+    """
+
+    def _local(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df[key_col].astype(str)
+        df = df.assign(_h=[hashlib.md5(s.encode()).hexdigest() for s in keys])
+        df = df.sort_values(["_h", key_col], kind="mergesort")
+        out = df.groupby(group_col, sort=False).head(k)
+        hg = pd.util.hash_pandas_object(out[group_col], index=False).to_numpy()
+        return out.assign(_bucket=(hg % np.uint64(num_buckets)).astype(np.int32))
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["_h", key_col], kind="mergesort")
+        return df.groupby(group_col, sort=False).head(k).drop(columns=["_bucket"])
+
+    parts = (ds.map_batches(_local, batch_format="pandas")
+             .groupby("_bucket")
+             .map_groups(_bucket, batch_format="pandas"))
+    out = parts.to_pandas().sort_values([group_col, "_h", key_col], kind="mergesort")
+    return out.drop(columns=["_h"]).reset_index(drop=True)
+
+
 def token_frequencies(ds: "ray.data.Dataset", top_k: int = 50,
                       vocab_size: int = VOCAB_SIZE) -> pd.DataFrame:
     """Corpus token histogram via dense bincount partials.

@@ -640,6 +640,55 @@ def q_token_freq_top50(sf_dir: str):
     return token_frequencies(seq, top_k=50)
 
 
+def q_sliding_hourly(sf_dir: str):
+    """Hopping windows (1 h span, 30 min hop): global count + sum per
+    window start — each event lands in 2 windows via a vectorized
+    explode of skinny pre-aggregation rows."""
+    from ..stages.joins import sliding_aggregate
+
+    ds = _events_us(sf_dir, ["ts", "value"])
+
+    def _scale(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"ts_us": batch["ts_us"],
+                         "value_s": pa.array(np.round(v * 10000.0).astype(np.int64))})
+
+    agg = sliding_aggregate(ds.map_batches(_scale, batch_format="pyarrow"),
+                            "ts_us", "value_s", window=float(HOUR_US),
+                            step=float(HOUR_US // 2))
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["window_start_us"] = df["window_start"].astype(np.int64)
+        df["sum_value"] = df["sum_value_s"].astype(np.int64) / 10000.0
+        df["n"] = df["n"].astype(np.int64)
+        return df[["window_start_us", "n", "sum_value"]]
+
+    return agg.map_batches(_finish, batch_format="pandas")
+
+
+def q_distinct_users_per_type(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type — value-bucketed
+    distinct so the shuffle moves deduped skinny pairs only."""
+    from ..stages.dedup import distinct_count_per_group
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    return distinct_count_per_group(ds, "event_type", "user_id")
+
+
+def q_stratified_docs(sf_dir: str):
+    """Per-source deterministic sample: 3 docs with smallest md5(doc_id)
+    per source (group-bucketed bottom-k)."""
+    from ..functions.sketches import stratified_bottom_k
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "n_chars"])
+    out = stratified_bottom_k(ds, "source", "doc_id", k=3)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_chars"] = out["n_chars"].astype(np.int64)
+    return out[["source", "doc_id", "n_chars"]]
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HLL distinct user estimate (rows-only; approximate by design)."""
     from ..functions.sketches import approx_distinct

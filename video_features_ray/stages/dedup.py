@@ -82,6 +82,39 @@ def exact_dedup(
     )
 
 
+def distinct_count_per_group(
+    ds: "ray.data.Dataset", group_col: str, value_col: str,
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """EXACT COUNT(DISTINCT value) per group, shuffle-light: per-batch
+    distinct (group, value) pairs → hash-bucket BY VALUE (a value's
+    duplicates across batches all land in one bucket, so the per-bucket
+    distinct is globally exact) → per-bucket distinct + count per group
+    → tiny per-group sum of bucket counts."""
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[[group_col, value_col]].drop_duplicates()
+        h = pd.util.hash_pandas_object(g[value_col], index=False).to_numpy()
+        g = g.assign(_bucket=(h % np.uint64(num_buckets)).astype(np.int32))
+        return g
+
+    def _bucket_count(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[group_col, value_col]].drop_duplicates()
+        return (d.groupby(group_col, sort=False).size()
+                .rename("n_distinct").reset_index())
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(group_col, sort=False)["n_distinct"].sum()
+               .astype(np.int64).reset_index())
+        return out
+
+    counts = (ds.map_batches(_partial, batch_format="pandas")
+              .groupby("_bucket")
+              .map_groups(_bucket_count, batch_format="pandas"))
+    # bucket counts are ≤ groups × buckets rows — one tiny driver combine
+    return ray.data.from_pandas(_final(counts.to_pandas()))
+
+
 # ---------------------------------------------------------------------------
 # shingles + minhash
 # ---------------------------------------------------------------------------

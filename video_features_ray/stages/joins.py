@@ -155,3 +155,39 @@ def tumbling_aggregate(
 
     bucketed = ds.map_batches(_bucket, batch_format="pyarrow", zero_copy_batch=True)
     return partial_agg(bucketed, [key, bucket_col], sums=[value])
+
+
+def sliding_aggregate(
+    ds: "ray.data.Dataset",
+    ts: str,
+    value: str,
+    window: float,
+    step: float,
+    keys: Sequence[str] = (),
+    bucket_col: str = "window_start",
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Hopping-window count + sum: window starts every ``step``, each
+    spanning ``window`` — a row at time t belongs to the
+    ``ceil(window/step)`` windows with start in ``(t-window, t]``.
+
+    Per-batch explode (each row duplicated once per covering window,
+    vectorized) then the same partial+combine as tumbling — the
+    explosion multiplies only the SKINNY pre-aggregation rows, never
+    payload, and partials stay O(windows × keys) per batch.
+    """
+    n_per = int(np.ceil(window / step))
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        t = batch[ts].to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.repeat(np.arange(n, dtype=np.int64), n_per)
+        k = np.tile(np.arange(n_per, dtype=np.float64), n)
+        starts = (np.floor(t[idx] / step) - k) * step
+        keep = starts > t[idx] - window          # t ∈ [start, start+window)
+        out = batch.take(pa.array(idx[keep]))
+        return out.append_column(bucket_col, pa.array(starts[keep]))
+
+    exploded = ds.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True)
+    return partial_agg(exploded, [*keys, bucket_col], sums=[value],
+                       num_buckets=num_buckets)

@@ -144,6 +144,33 @@ def partition_dataset(part: Partition) -> "ray.data.Dataset":
     return ray.data.from_arrow_refs([_read_row_groups.remote(part.input_file, part.row_groups)])
 
 
+def _harden_concurrent_writes() -> None:
+    """Ray's path resolver re-attempts ``from fsspec.implementations.http
+    import HTTPFileSystem`` on EVERY write (a failed import is never
+    cached). Without aiohttp that import raises, and two wave threads
+    doing their first ``write_parquet`` together can race the module
+    cleanup and observe a poisoned ``sys.modules`` entry — surfacing as
+    ``ImportError: cannot import name 'HTTPFileSystem'`` which Ray does
+    not catch. When the import can never succeed, the predicate can only
+    ever be False, so pin it once and remove the racy import from the
+    write path entirely. No-op when fsspec+aiohttp are healthy."""
+    import sys as _sys
+
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+        return  # import works → Ray's own code path is race-free enough
+    except Exception:
+        _sys.modules.pop("fsspec.implementations.http", None)
+    try:
+        from ray.data.datasource import path_util
+
+        if not getattr(path_util, "_vfr_http_pinned", False):
+            path_util._is_http_filesystem = lambda fs: False
+            path_util._vfr_http_pinned = True
+    except Exception:
+        pass
+
+
 def _run_partition(part: Partition, pipeline_fn, out_dir: str):
     """Execute one partition's pipeline to a temp dir and atomically
     publish it. Returns (part, metrics, final_dir); the caller commits."""
@@ -188,6 +215,7 @@ def run_checkpointed(
     """
     from concurrent.futures import ThreadPoolExecutor
 
+    _harden_concurrent_writes()
     os.makedirs(out_dir, exist_ok=True)
     manifest = Manifest(out_dir)
     manifest.check_or_write_plan(Manifest.plan_fingerprint(input_files, target_rows))
