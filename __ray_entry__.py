@@ -120,6 +120,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_bottomk": q.q_sample_bottomk,
         "token_freq_top50": q.q_token_freq_top50,
         "sliding_hourly": q.q_sliding_hourly,
+        "revenue_per_segment": q.q_revenue_per_segment,
+        "rolling_sum": q.q_rolling_sum,
+        "median_value_per_type": q.q_median_value_per_type,
         "distinct_users_per_type": q.q_distinct_users_per_type,
         "stratified_docs": q.q_stratified_docs,
         # non-SQL-expressible (rows-only checks)
@@ -327,6 +330,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(t.token AS BIGINT) AS token, CAST(COUNT(*) AS BIGINT) AS n "
             "FROM (SELECT unnest(tokens) AS token FROM seq) t "
             "GROUP BY t.token ORDER BY n DESC, token LIMIT 50"
+        ),
+        "revenue_per_segment": (
+            "SELECT c_mktsegment, "
+            "SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0 AS revenue, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment"
+        ),
+        "rolling_sum": (
+            "SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
+            "SUM(CAST(round(value * 10000.0) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) / 10000.0 AS roll5 "
+            "FROM events"
+        ),
+        "median_value_per_type": (
+            "SELECT event_type, "
+            "quantile_disc(CAST(round(value * 100.0) AS BIGINT), 0.5) / 100.0 "
+            "AS median_value FROM events GROUP BY event_type"
         ),
         "sliding_hourly": (
             "WITH e AS (SELECT epoch_us(ts) AS t, "

@@ -40,6 +40,72 @@ def test_distinct_count_partition_invariant():
             assert out[g] == want[g], (nblocks, g)
 
 
+def test_hash_join_matches_pandas_and_preserves_dtypes():
+    from video_features_ray.stages.joins import hash_join
+
+    rng = np.random.default_rng(9)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 2000).astype(np.int64),
+                         "lx": np.arange(2000, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.arange(40, dtype=np.int64),
+                          "rx": (np.arange(40) * 10).astype(np.int64),
+                          "lx": np.arange(40, dtype=np.int64) + 777})  # name clash
+    for nb in (8, 32):
+        out = hash_join(ray.data.from_pandas(left).repartition(5),
+                        ray.data.from_pandas(right).repartition(3),
+                        on="k", num_buckets=nb).to_pandas()
+        want = left.merge(right.rename(columns={"rx": "rx", "lx": "lx_r"}), on="k")
+        key = ["k", "lx", "rx"]
+        got_s = out.sort_values(key).reset_index(drop=True)
+        want_s = want.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got_s[sorted(got_s.columns)],
+                                      want_s[sorted(want_s.columns)])
+        assert got_s["lx"].dtype == np.int64 and got_s["rx"].dtype == np.int64
+
+
+def test_hash_join_left_how():
+    from video_features_ray.stages.joins import hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 3], "lx": [10, 20, 30]})
+    right = pd.DataFrame({"k": [2], "rx": [99]})
+    out = hash_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                    on="k", how="left").to_pandas().sort_values("k")
+    assert out["rx"].fillna(-1).tolist() == [-1, 99, -1]
+
+
+def test_rolling_agg_matches_pandas_reference():
+    from video_features_ray.stages.events import rolling_agg
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({"eid": np.arange(3000, dtype=np.int64),
+                       "u": rng.integers(0, 25, 3000).astype(np.int64),
+                       "t": rng.integers(0, 400, 3000).astype(np.int64),
+                       "v": rng.integers(0, 1000, 3000).astype(np.int64)})
+    out = rolling_agg(ray.data.from_pandas(df).repartition(6), "u", "t", "v",
+                      window_rows=4, tie_cols=["eid"]).to_pandas()
+    ref = df.sort_values(["u", "t", "eid"], kind="mergesort").copy()
+    ref["want"] = (ref.groupby("u", sort=False)["v"]
+                   .rolling(4, min_periods=1).sum().reset_index(level=0, drop=True))
+    merged = out.merge(ref[["eid", "want"]], on="eid")
+    assert (merged["v_rollsum4"] == merged["want"]).all()
+
+
+def test_grouped_quantile_matches_duckdb_rule():
+    import duckdb
+
+    from video_features_ray.stages.joins import grouped_quantile_disc
+
+    rng = np.random.default_rng(8)
+    df = pd.DataFrame({"g": rng.choice(["a", "b", "c"], 4001),
+                       "v": rng.integers(0, 500, 4001).astype(np.int64)})
+    for q in (0.5, 0.25, 0.9):
+        got = grouped_quantile_disc(
+            ray.data.from_pandas(df).repartition(7), "g", "v", q=q)
+        want = duckdb.sql(
+            f"SELECT g, quantile_disc(v, {q}) AS w FROM df GROUP BY g ORDER BY g"
+        ).df()
+        assert got[f"q{q}"].tolist() == want["w"].tolist(), q
+
+
 def test_stratified_bottom_k_partition_invariant_and_exact():
     import hashlib
 

@@ -640,6 +640,79 @@ def q_token_freq_top50(sf_dir: str):
     return token_frequencies(seq, top_k=50)
 
 
+def q_revenue_per_segment(sf_dir: str):
+    """orders ⨝ customer — BOTH sides large at scale, so this is the
+    shuffled hash_join (one tagged-union shuffle), not a broadcast."""
+    from ..stages.joins import hash_join
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda b: pa.table({"custkey": b["c_custkey"], "c_mktsegment": b["c_mktsegment"]}),
+        batch_format="pyarrow")
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+
+    def _scale(batch: pa.Table) -> pa.Table:
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"custkey": batch["o_custkey"],
+                         "price_c": pa.array(np.round(p * 100.0).astype(np.int64))})
+
+    joined = hash_join(orders.map_batches(_scale, batch_format="pyarrow"), cust,
+                       on="custkey", num_buckets=shuffle_width(), coalesce_blocks=16)
+    agg = partial_agg(joined, ["c_mktsegment"], sums=["price_c"],
+                      count_col="n_orders", combine="driver")
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = df["sum_price_c"].astype(np.int64) / 100.0
+        df["n_orders"] = df["n_orders"].astype(np.int64)
+        return df[["c_mktsegment", "revenue", "n_orders"]]
+
+    return agg.map_batches(_finish, batch_format="pandas")
+
+
+def q_rolling_sum(sf_dir: str):
+    """Per-user rolling 5-row sum (moving-window feature), scaled-int."""
+    from ..stages.events import rolling_agg
+
+    ds = _events_us(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def _scale(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_id": batch["event_id"], "user_id": batch["user_id"],
+                         "ts_us": batch["ts_us"],
+                         "value_s": pa.array(np.round(v * 10000.0).astype(np.int64))})
+
+    out = rolling_agg(ds.map_batches(_scale, batch_format="pyarrow"),
+                      "user_id", "ts_us", "value_s", window_rows=5,
+                      num_buckets=shuffle_width(), tie_cols=["event_id"])
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["roll5"] = df["value_s_rollsum5"].astype(np.int64) / 10000.0
+        return df[["event_id", "user_id", "ts_us", "roll5"]]
+
+    return out.map_batches(_finish, batch_format="pandas")
+
+
+def q_median_value_per_type(sf_dir: str):
+    """Exact per-group median (quantile_disc 0.5) over the cent-scaled
+    value — frequency partials, no full sort."""
+    from ..stages.joins import grouped_quantile_disc
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def _scale(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": batch["event_type"],
+                         "value_c": pa.array(np.round(v * 100.0).astype(np.int64))})
+
+    out = grouped_quantile_disc(ds.map_batches(_scale, batch_format="pyarrow"),
+                                "event_type", "value_c", q=0.5)
+    out["median_value"] = out["q0.5"].astype(np.int64) / 100.0
+    return out[["event_type", "median_value"]]
+
+
 def q_sliding_hourly(sf_dir: str):
     """Hopping windows (1 h span, 30 min hop): global count + sum per
     window start — each event lands in 2 windows via a vectorized

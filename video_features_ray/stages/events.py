@@ -140,6 +140,34 @@ def sessionize(
     return transform_buckets(ds, key, [ts, *tie_cols], _fn, num_buckets)
 
 
+def rolling_agg(
+    ds: "ray.data.Dataset",
+    key: str,
+    ts: str,
+    value: str,
+    window_rows: int,
+    num_buckets: int = 64,
+    tie_cols: Sequence[str] = (),
+    out_col: str | None = None,
+) -> "ray.data.Dataset":
+    """Per-entity rolling sum over the last ``window_rows`` rows
+    (inclusive, ``min_periods=1``) — the moving-average feature family.
+    SQL equivalent: ``SUM(v) OVER (PARTITION BY key ORDER BY ts, tie
+    ROWS BETWEEN window_rows-1 PRECEDING AND CURRENT ROW)``. One hash
+    shuffle; the rolling kernel is pandas' vectorized window over the
+    whole bucket."""
+    out_col = out_col or f"{value}_rollsum{window_rows}"
+
+    def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        s = (df.groupby(key, sort=False)[value]
+             .rolling(window_rows, min_periods=1).sum()
+             .reset_index(level=0, drop=True))
+        df[out_col] = s
+        return df
+
+    return transform_buckets(ds, key, [ts, *tie_cols], _fn, num_buckets)
+
+
 def forward_fill(
     ds: "ray.data.Dataset",
     key: str,

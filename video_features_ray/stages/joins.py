@@ -44,6 +44,84 @@ def broadcast_join(
     return big.map_batches(_Join, batch_format="pandas", concurrency=(1, 8))
 
 
+def hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    num_buckets: int = 64,
+    how: str = "inner",
+    suffix: str = "_r",
+    coalesce_blocks: int | None = None,
+) -> "ray.data.Dataset":
+    """Large ⨝ large equi-join in ONE hash shuffle (the case
+    ``broadcast_join`` can't serve: neither side fits a worker heap).
+
+    Same physical plan as ``asof_join``: tag the sides, pad to the
+    union schema with typed nulls, bucket by ``hash(on)``, union, and
+    inside each bucket run one vectorized ``pd.merge``. A key never
+    splits across buckets, so the per-bucket merge is globally exact.
+    Overlapping non-key right columns get ``suffix``.
+    """
+    from .events import stable_bucket
+
+    l_schema, r_schema = left.schema(), right.schema()
+    left_cols = l_schema.names
+    right_cols = r_schema.names
+    arrow_types: dict[str, pa.DataType] = {}
+    for sch in (l_schema, r_schema):
+        for name, typ in zip(sch.names, sch.types):
+            if isinstance(typ, pa.DataType):
+                arrow_types.setdefault(name, typ)
+    def _np_dtypes(cols):
+        return {
+            name: np.dtype(arrow_types[name].to_pandas_dtype())
+            for name in cols
+            if name in arrow_types
+            and (pa.types.is_integer(arrow_types[name])
+                 or pa.types.is_floating(arrow_types[name])
+                 or pa.types.is_boolean(arrow_types[name]))
+        }
+
+    left_np_dtypes = _np_dtypes(left_cols)
+    right_np_dtypes = _np_dtypes(right_cols)
+
+    def _tag(side: int, other_cols):
+        def _fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            cols = {c: batch[c] for c in batch.column_names}
+            cols["_side"] = pa.array(np.full(n, side, dtype=np.int8))
+            for c in other_cols:
+                if c not in cols:
+                    cols[c] = pa.nulls(n, type=arrow_types.get(c))
+            b = stable_bucket(batch[on].to_numpy(zero_copy_only=False), num_buckets)
+            cols["_bucket"] = pa.array(b, type=pa.int32())
+            return pa.table(cols)
+
+        return _fn
+
+    both = left.map_batches(_tag(0, right_cols), batch_format="pyarrow").union(
+        right.map_batches(_tag(1, left_cols), batch_format="pyarrow"))
+    if coalesce_blocks:
+        both = both.repartition(coalesce_blocks)
+
+    out_right = [c for c in right_cols if c != on]
+
+    def _per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["_side"] == 0][list(left_cols)].copy()
+        for c, dt in left_np_dtypes.items():
+            if l[c].dtype != dt:
+                l[c] = l[c].astype(dt)
+        r = df[df["_side"] == 1][[on, *out_right]].copy()
+        for c, dt in right_np_dtypes.items():
+            if c in r.columns and r[c].dtype != dt:
+                r[c] = r[c].astype(dt)
+        r = r.rename(columns={c: (f"{c}{suffix}" if c in left_cols else c)
+                              for c in out_right})
+        return l.merge(r, on=on, how=how)
+
+    return both.groupby("_bucket").map_groups(_per_bucket, batch_format="pandas")
+
+
 def partial_agg(
     ds: "ray.data.Dataset",
     keys: Sequence[str],
@@ -100,6 +178,39 @@ def partial_agg(
         pdf = partials.to_pandas().drop(columns=["_bucket"])
         return rd.from_pandas(_final(pdf))
     return partials.groupby("_bucket").map_groups(_final, batch_format="pandas")
+
+
+def grouped_quantile_disc(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    q: float = 0.5,
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """EXACT discrete quantile per group over an integer-valued column
+    (DuckDB ``quantile_disc`` semantics: the element at 1-based rank
+    ``ceil(n*q)``, verified empirically).
+
+    Scale shape: per-batch (group, value) frequency partials →
+    distributed bucketed combine (partials are O(groups × distinct
+    values), bounded for quantized/money columns) → the driver walks
+    each group's tiny CDF. No full-column sort, no per-group row
+    shuffle."""
+    import math
+
+    counts = partial_agg(ds, [group_col, value_col], sums=(),
+                         count_col="n", num_buckets=num_buckets)
+    pdf = counts.to_pandas()
+    rows = []
+    for g, gdf in pdf.groupby(group_col, sort=False):
+        gdf = gdf.sort_values(value_col, kind="mergesort")
+        n = int(gdf["n"].sum())
+        rank = max(math.ceil(n * q), 1)
+        cum = gdf["n"].cumsum()
+        val = gdf.loc[cum >= rank, value_col].iloc[0]
+        rows.append((g, val))
+    return (pd.DataFrame(rows, columns=[group_col, f"q{q}"])
+            .sort_values(group_col, kind="mergesort").reset_index(drop=True))
 
 
 def grouped_topk(
