@@ -207,6 +207,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "lag_lead_events", "sessionize_events", "session_stats", "ffill_events",
         "tumbling_hourly", "q1_pricing", "revenue_per_nation",
         "exact_dedup", "minhash_neardup", "similarity_topk", "quality_score",
+        "revenue_per_segment", "rolling_sum", "sliding_hourly",
+        "median_value_per_type",
     ]
     qs = em.queries()
     for name in bench_queries:
