@@ -83,6 +83,26 @@ def test_decoder_routes_real_payloads():
     np.testing.assert_allclose(got, want.astype(np.float32), rtol=1e-6)
 
 
+def test_riff_non_wave_falls_through_to_fake():
+    """AVI/WebP are RIFF but not WAVE — must reach the fake/codec chain,
+    not crash in the strict WAV parser (round-2 review bug)."""
+    avi = b"RIFF$\x00\x00\x00AVI LIST" + b"\x00" * 64
+    rows = MediaDecoder(fake_decode=True)._decode_rows(avi, 5)
+    assert len(rows) >= 1
+    with pytest.raises(NotImplementedError):
+        MediaDecoder(fake_decode=False)._decode_rows(avi, 5)
+
+
+def test_truncated_ppm_never_hangs():
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6 12 ")                 # header cut mid-int
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6 12 bogus 255\n")      # non-digit token
+    # through the decoder: falls to fake, no hang, no crash
+    rows = MediaDecoder(fake_decode=True)._decode_rows(b"P6 12 ", 1)
+    assert len(rows) == 1
+
+
 def test_unsupported_without_fake_raises():
     dec = MediaDecoder(fake_decode=False)
     with pytest.raises(NotImplementedError):

@@ -63,6 +63,29 @@ def test_sessionize_and_ffill_invariant():
         pd.testing.assert_frame_equal(base, wide)
 
 
+def test_asof_right_side_with_array_column():
+    """The tie-break sort must skip list/ndarray-valued right columns
+    (pandas can't key a multi-sort on them) — joining against feature
+    windows is the stage's headline use (round-2 review bug)."""
+    left = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "ts_us": pa.array([100, 200, 150], pa.int64()),
+    }))
+    feat = pa.ListArray.from_arrays(
+        pa.array([0, 2, 4, 6], pa.int32()),
+        pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0], pa.float32()))
+    right = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "ts_us": pa.array([50, 150, 100], pa.int64()),
+        "feature": feat,
+    }))
+    out = asof_join(left, right, key="user_id", left_ts="ts_us",
+                    num_buckets=4).to_pandas().sort_values(["user_id", "ts_us"])
+    got = [np.asarray(f).tolist() if f is not None else None
+           for f in out["feature_r"]]
+    assert got == [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]
+
+
 def test_asof_join_width_invariant():
     t = _events()
     left = ray.data.from_arrow(t.select(["event_id", "user_id", "ts_us"]))

@@ -75,17 +75,27 @@ def main(argv=None) -> int:
             )
             print(json.dumps(summary))
         else:
-            from .pipelines.extract import extract
-            from .sources.sequences import read_sequences
+            import os
 
             import ray.data
 
-            out = extract(ray.data.read_parquet(files), spec)
+            from .pipelines.extract import extract
+
+            # write_parquet appends UUID-named files; a reused dir would mix
+            # two extractions and inflate the row count — refuse it
+            if os.path.isdir(args.out) and any(
+                f.endswith(".parquet") for f in os.listdir(args.out)
+            ):
+                print(f"output dir {args.out} already contains parquet files; "
+                      "use a fresh dir (or --checkpoint for resumable runs)",
+                      file=sys.stderr)
+                return 2
+            from .sources.sequences import read_sequences
+
+            out = extract(read_sequences(files), spec)
             out.write_parquet(args.out)
             # count from the written footers — calling .count() on the lazy
             # dataset would re-execute the whole pipeline
-            import os
-
             import pyarrow.parquet as pq
 
             rows = sum(pq.ParquetFile(os.path.join(args.out, f)).metadata.num_rows

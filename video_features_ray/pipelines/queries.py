@@ -475,10 +475,12 @@ def q_ivf_topk(sf_dir: str):
     sample = bottom_k_sample(ds, "vec_id", k=256)
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in sample["embedding"]])
     cb = build_ivf_codebook(mat, n_centroids=N_CENTROIDS)
-    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qvec = np.asarray(
-        qtab.filter(pa.compute.equal(qtab["vec_id"], 0))["embedding"][0].as_py(),
-        dtype=np.float64)
+    # predicate-pushdown read of the single query row (row-group pruned)
+    # — never the full vector corpus onto the driver
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "=", 0)])
+    qvec = np.asarray(qtab["embedding"][0].as_py(), dtype=np.float64)
     top = ivf_topk(ivf_assign(ds, cb), cb, qvec, k=10, n_probe=N_CENTROIDS)
     top["vec_id"] = top["vec_id"].astype(np.int64)
     return top[["vec_id", "rank"]]

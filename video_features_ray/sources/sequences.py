@@ -41,7 +41,7 @@ SEQUENCE_SCHEMA = pa.schema(
 )
 
 
-def read_sequences(path: str) -> "ray.data.Dataset":
+def read_sequences(path: str | list[str]) -> "ray.data.Dataset":
     return ray.data.read_parquet(path, columns=["doc_id", "tokens", "n_tok", "source"])
 
 

@@ -29,6 +29,17 @@ import ray.data
 from .events import stable_bucket
 
 
+def _sortable_series(s: pd.Series) -> bool:
+    """True when the column can serve as a pandas sort key (scalar
+    values; object columns qualify only for str/bytes/number cells)."""
+    if s.dtype.kind in "biufcM":
+        return True
+    if s.dtype == object:
+        v = s.dropna()
+        return len(v) == 0 or isinstance(v.iloc[0], (str, bytes, int, float))
+    return False
+
+
 def _merge_asof(left: pd.DataFrame, right: pd.DataFrame, key: str, left_ts: str,
                 right_ts: str, direction: str, suffix: str, tolerance=None) -> pd.DataFrame:
     right = right.rename(columns={right_ts: left_ts}) if right_ts != left_ts else right
@@ -37,10 +48,14 @@ def _merge_asof(left: pd.DataFrame, right: pd.DataFrame, key: str, left_ts: str,
     )
     left_s = left.sort_values(left_ts, kind="mergesort")
     # merge_asof picks the LAST right row among equal timestamps, so the
-    # right sort needs a full deterministic tie-break — otherwise the
-    # winner of a (key, ts) tie depends on shuffle arrival order. The
-    # chosen rule: lexicographically-largest remaining columns win.
-    right_tie = [c for c in right.columns if c != left_ts]
+    # right sort needs a deterministic tie-break — otherwise the winner
+    # of a (key, ts) tie depends on shuffle arrival order. The rule:
+    # lexicographically-largest SORTABLE remaining columns win. Columns
+    # holding list/ndarray cells (e.g. window_tokens, feature) can't key
+    # a pandas multi-sort and are skipped — determinism then rests on
+    # the scalar columns, which is where real ids live.
+    right_tie = [c for c in right.columns
+                 if c != left_ts and _sortable_series(right[c])]
     right_s = right.sort_values([left_ts, *right_tie], kind="mergesort")
     out = pd.merge_asof(
         left_s, right_s, on=left_ts, by=key, direction=direction,
@@ -115,7 +130,9 @@ def asof_join(
     def _per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         l = df[df["_side"] == 0][[c for c in left_cols]].copy()
         for c, dt in left_np_dtypes.items():
-            if l[c].dtype != dt:
+            # skip columns with genuine nulls — astype(int) on NaN raises;
+            # such a column was nullable upstream and stays float
+            if l[c].dtype != dt and not l[c].isna().any():
                 l[c] = l[c].astype(dt)
         r = df[df["_side"] == 1][[key, right_ts, *out_right_cols]].copy()
         out = _merge_asof(l, r, key, left_ts, right_ts, direction, suffix, tolerance)

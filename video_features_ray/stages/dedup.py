@@ -272,8 +272,14 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     concurrency: int = 4,
     num_buckets: int = 16,
+    cell_cap: int = 256,
 ) -> "ray.data.Dataset":
     """documents → candidate near-dup pairs via banded minhash LSH.
+
+    ``cell_cap``: collision cells bigger than this emit a connectivity
+    CHAIN (s-1 pairs) instead of all pairs (s(s-1)/2) — bounding the
+    worst-case task like the embedding LSH's bucket cap; the cell's
+    connected component is preserved for downstream clustering.
 
     Pipeline: MinHasher actor pool → explode (band_id, band_hash, id)
     rows → groupby band bucket → emit pairs within colliding cells →
@@ -309,7 +315,15 @@ def minhash_lsh_candidates(
         dup = df[df.duplicated(["band_id", "band_hash"], keep=False)]
         a, b = [], []
         for _, g in dup.groupby(["band_id", "band_hash"], sort=False):
-            ids = sorted(g[id_col].tolist())
+            ids = sorted(set(g[id_col].tolist()))
+            if len(ids) > cell_cap:
+                # a degenerate cell (boilerplate corpus) would emit
+                # O(s²) pairs in one task; a CHAIN over the sorted ids
+                # keeps every member connected (downstream verify +
+                # clustering recovers the component) at s-1 pairs
+                for i in range(len(ids) - 1):
+                    a.append(ids[i]); b.append(ids[i + 1])
+                continue
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     a.append(ids[i]); b.append(ids[j])
@@ -385,9 +399,15 @@ def jaccard_verify_stage(
             self.texts = ray.get(lookup_ref)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                                  "id_b": pd.Series([], dtype=object),
+                                  "jaccard": pd.Series([], dtype="float64")})
             if len(df) == 0:
-                return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-            return jaccard_verify_pairs(df, self.texts, shingle_k, threshold)
+                return empty
+            out = jaccard_verify_pairs(df, self.texts, shingle_k, threshold)
+            # typed empty keeps block schemas identical (an all-float64
+            # empty frame would clash with string id columns elsewhere)
+            return out if len(out) else empty
 
     return pairs.map_batches(_Verify, batch_format="pandas", concurrency=concurrency)
 

@@ -109,11 +109,12 @@ def hash_join(
     def _per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         l = df[df["_side"] == 0][list(left_cols)].copy()
         for c, dt in left_np_dtypes.items():
-            if l[c].dtype != dt:
+            # genuine-null columns stay float (astype(int) on NaN raises)
+            if l[c].dtype != dt and not l[c].isna().any():
                 l[c] = l[c].astype(dt)
         r = df[df["_side"] == 1][[on, *out_right]].copy()
         for c, dt in right_np_dtypes.items():
-            if c in r.columns and r[c].dtype != dt:
+            if c in r.columns and r[c].dtype != dt and not r[c].isna().any():
                 r[c] = r[c].astype(dt)
         r = r.rename(columns={c: (f"{c}{suffix}" if c in left_cols else c)
                               for c in out_right})

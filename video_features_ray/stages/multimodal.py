@@ -89,7 +89,10 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         raise NotImplementedError("only binary P6 PPM is supported")
     # header: "P6" <ws> width <ws> height <ws> maxval <single ws> data
     parts, i, tok = [], 2, b""
+    end = len(payload)
     while len(parts) < 3:
+        if i >= end:  # truncated/malformed header — never spin
+            raise ValueError("truncated P6 header")
         c = payload[i : i + 1]
         i += 1
         if c in b" \t\r\n":
@@ -97,8 +100,10 @@ def decode_ppm(payload: bytes) -> np.ndarray:
                 parts.append(int(tok))
                 tok = b""
         elif c == b"#":  # comment to end of line
-            while payload[i : i + 1] not in b"\r\n":
+            while i < end and payload[i : i + 1] not in b"\r\n":
                 i += 1
+        elif not c.isdigit():
+            raise ValueError("malformed P6 header")
         else:
             tok += c
     w, h, maxval = parts
@@ -197,20 +202,30 @@ class MediaDecoder:
 
     def _decode_rows(self, payload: bytes, n_frames: int):
         """→ list of (frame_idx, feature[hw]) rows."""
+        # native decoders are ATTEMPTS, never verdicts: a truncated PPM, an
+        # AVI/WebP (RIFF but not WAVE), or a non-PCM16 WAV falls through to
+        # the codec libs / fake instead of killing the actor task
         if payload.startswith(b"P6"):
-            return [(0, self._image_feature(decode_ppm(payload)))]
-        if payload.startswith(b"RIFF"):
-            x, sr = decode_wav_pcm16(payload)
-            win = max(sr // 10, 1)
-            n_full = len(x) // win
-            rows = []
-            for j in range(max(n_full, 1)):
-                seg = x[j * win : (j + 1) * win] if n_full else x
-                if len(seg) == 0:
-                    seg = np.zeros(1, np.float32)
-                idx = np.minimum((np.arange(self.hw) * len(seg)) // self.hw, len(seg) - 1)
-                rows.append((j, seg[idx].astype(np.float32)))
-            return rows
+            try:
+                return [(0, self._image_feature(decode_ppm(payload)))]
+            except (ValueError, NotImplementedError):
+                pass
+        if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
+            try:
+                x, sr = decode_wav_pcm16(payload)
+            except Exception:
+                x = None
+            if x is not None:
+                win = max(sr // 10, 1)
+                n_full = len(x) // win
+                rows = []
+                for j in range(max(n_full, 1)):
+                    seg = x[j * win : (j + 1) * win] if n_full else x
+                    if len(seg) == 0:
+                        seg = np.zeros(1, np.float32)
+                    idx = np.minimum((np.arange(self.hw) * len(seg)) // self.hw, len(seg) - 1)
+                    rows.append((j, seg[idx].astype(np.float32)))
+                return rows
         if self.cv2 is not None:
             buf = np.frombuffer(payload, np.uint8)
             img = self.cv2.imdecode(buf, self.cv2.IMREAD_COLOR)
