@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_hourly": q.q_sliding_hourly,
         "revenue_per_segment": q.q_revenue_per_segment,
         "rolling_sum": q.q_rolling_sum,
+        "rank_events": q.q_rank_events,
+        "cumsum_events": q.q_cumsum_events,
         "median_value_per_type": q.q_median_value_per_type,
         "distinct_users_per_type": q.q_distinct_users_per_type,
         "stratified_docs": q.q_stratified_docs,
@@ -343,6 +345,18 @@ def oracle_sql() -> dict[str, str]:
             "SUM(CAST(round(value * 10000.0) AS BIGINT)) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) / 10000.0 AS roll5 "
+            "FROM events"
+        ),
+        "rank_events": (
+            "SELECT event_id, user_id, CAST(row_number() OVER ("
+            "PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS rnk "
+            "FROM events"
+        ),
+        "cumsum_events": (
+            "SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
+            "SUM(CAST(round(value * 10000.0) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) / 10000.0 AS cum_value "
             "FROM events"
         ),
         "median_value_per_type": (

@@ -715,6 +715,40 @@ def q_median_value_per_type(sf_dir: str):
     return out[["event_type", "median_value"]]
 
 
+def q_rank_events(sf_dir: str):
+    """Per-user value rank (row_number desc, event_id tie-break)."""
+    from ..stages.events import window_rank
+
+    ds = _events_us(sf_dir, ["event_id", "user_id", "ts", "value"])
+    out = window_rank(ds, "user_id", ["value", "event_id"],
+                      ascending=[False, True], num_buckets=shuffle_width())
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id", "rnk"]], batch_format="pandas")
+
+
+def q_cumsum_events(sf_dir: str):
+    """Per-user running total (unbounded-preceding sum), scaled-int."""
+    from ..stages.events import cumulative_sum
+
+    ds = _events_us(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def _scale(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_id": batch["event_id"], "user_id": batch["user_id"],
+                         "ts_us": batch["ts_us"],
+                         "value_s": pa.array(np.round(v * 10000.0).astype(np.int64))})
+
+    out = cumulative_sum(ds.map_batches(_scale, batch_format="pyarrow"),
+                         "user_id", "ts_us", "value_s",
+                         num_buckets=shuffle_width(), tie_cols=["event_id"])
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["cum_value"] = df["value_s_cumsum"].astype(np.int64) / 10000.0
+        return df[["event_id", "user_id", "ts_us", "cum_value"]]
+
+    return out.map_batches(_finish, batch_format="pandas")
+
+
 def q_sliding_hourly(sf_dir: str):
     """Hopping windows (1 h span, 30 min hop): global count + sum per
     window start — each event lands in 2 windows via a vectorized

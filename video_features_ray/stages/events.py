@@ -50,13 +50,18 @@ def transform_buckets(
     sort_keys: Sequence[str],
     fn: Callable[[pd.DataFrame], pd.DataFrame],
     num_buckets: int = 64,
+    ascending: Sequence[bool] | None = None,
 ) -> "ray.data.Dataset":
     """ONE hash shuffle: bucket by ``key``, then ``fn`` over each bucket
     sorted by ``[key, *sort_keys]`` (fn sees many entities at once and is
-    expected to be vectorized with key-boundary masks)."""
+    expected to be vectorized with key-boundary masks). ``ascending``
+    optionally flips individual ``sort_keys`` (the key itself always
+    sorts ascending)."""
+    asc = [True, *(ascending if ascending is not None else [True] * len(sort_keys))]
 
     def _per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([key, *sort_keys], kind="mergesort").reset_index(drop=True)
+        df = (df.sort_values([key, *sort_keys], ascending=asc, kind="mergesort")
+              .reset_index(drop=True))
         out = fn(df)
         return out.drop(columns=["_bucket"], errors="ignore")
 
@@ -163,6 +168,47 @@ def rolling_agg(
              .rolling(window_rows, min_periods=1).sum()
              .reset_index(level=0, drop=True))
         df[out_col] = s
+        return df
+
+    return transform_buckets(ds, key, [ts, *tie_cols], _fn, num_buckets)
+
+
+def window_rank(
+    ds: "ray.data.Dataset",
+    key: str,
+    order_cols: Sequence[str],
+    num_buckets: int = 64,
+    ascending: Sequence[bool] | None = None,
+    out_col: str = "rnk",
+) -> "ray.data.Dataset":
+    """Per-entity row_number: rank 1..n within ``key`` by ``order_cols``
+    (``ascending`` flips individual columns — include a unique id as the
+    last order col for deterministic ties). SQL:
+    ``row_number() OVER (PARTITION BY key ORDER BY ...)``."""
+
+    def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        df[out_col] = (df.groupby(key, sort=False).cumcount() + 1).astype(np.int64)
+        return df
+
+    return transform_buckets(ds, key, list(order_cols), _fn, num_buckets,
+                             ascending=ascending)
+
+
+def cumulative_sum(
+    ds: "ray.data.Dataset",
+    key: str,
+    ts: str,
+    value: str,
+    num_buckets: int = 64,
+    tie_cols: Sequence[str] = (),
+    out_col: str | None = None,
+) -> "ray.data.Dataset":
+    """Per-entity running total ordered by ``(ts, *tie_cols)`` — the
+    unbounded-preceding window sum."""
+    out_col = out_col or f"{value}_cumsum"
+
+    def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        df[out_col] = df.groupby(key, sort=False)[value].cumsum()
         return df
 
     return transform_buckets(ds, key, [ts, *tie_cols], _fn, num_buckets)
