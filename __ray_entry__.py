@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_per_segment": q.q_revenue_per_segment,
         "rolling_sum": q.q_rolling_sum,
         "rank_events": q.q_rank_events,
+        "customers_without_orders": q.q_customers_without_orders,
         "cumsum_events": q.q_cumsum_events,
         "median_value_per_type": q.q_median_value_per_type,
         "distinct_users_per_type": q.q_distinct_users_per_type,
@@ -346,6 +347,12 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) / 10000.0 AS roll5 "
             "FROM events"
+        ),
+        "customers_without_orders": (
+            "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment "
+            "FROM customer c WHERE NOT EXISTS ("
+            "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderdate >= TIMESTAMP '1998-06-01')"
         ),
         "rank_events": (
             "SELECT event_id, user_id, CAST(row_number() OVER ("

@@ -715,6 +715,36 @@ def q_median_value_per_type(sf_dir: str):
     return out[["event_type", "median_value"]]
 
 
+def q_customers_without_orders(sf_dir: str):
+    """Bucketed ANTI join: customers with no 1998 orders (NOT EXISTS) —
+    the distributed counterpart of the broadcast skip-existing anti-join
+    (the date filter keeps the result non-degenerate at every SF)."""
+    import pyarrow.compute as pc
+
+    from ..stages.joins import hash_join
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda b: pa.table({"custkey": b["c_custkey"],
+                            "c_mktsegment": b["c_mktsegment"]}),
+        batch_format="pyarrow")
+
+    def _recent(b: pa.Table) -> pa.Table:
+        m = pc.greater_equal(b["o_orderdate"], pa.scalar(pd.Timestamp("1998-06-01")))
+        return pa.table({"custkey": b.filter(m)["o_custkey"]})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(_recent, batch_format="pyarrow")
+    out = hash_join(cust, orders, on="custkey", how="anti",
+                    num_buckets=shuffle_width())
+    return out.map_batches(
+        lambda df: df.assign(c_custkey=df["custkey"].astype(np.int64))[
+            ["c_custkey", "c_mktsegment"]],
+        batch_format="pandas")
+
+
 def q_rank_events(sf_dir: str):
     """Per-user value rank (row_number desc, event_id tie-break)."""
     from ..stages.events import window_rank

@@ -61,8 +61,17 @@ def hash_join(
     inside each bucket run one vectorized ``pd.merge``. A key never
     splits across buckets, so the per-bucket merge is globally exact.
     Overlapping non-key right columns get ``suffix``.
+
+    ``how``: ``inner`` / ``left`` (pd.merge semantics), or ``semi`` /
+    ``anti`` — left rows whose key does (not) appear on the right;
+    these return only left columns via a per-bucket vectorized ``isin``
+    (no row multiplication, the scale-safe EXISTS / NOT EXISTS).
     """
     from .events import stable_bucket
+
+    if how in ("semi", "anti"):
+        # existence checks need only the right KEYS — keep the shuffle skinny
+        right = right.select_columns([on])
 
     l_schema, r_schema = left.schema(), right.schema()
     left_cols = l_schema.names
@@ -112,6 +121,10 @@ def hash_join(
             # genuine-null columns stay float (astype(int) on NaN raises)
             if l[c].dtype != dt and not l[c].isna().any():
                 l[c] = l[c].astype(dt)
+        if how in ("semi", "anti"):
+            keys = df.loc[df["_side"] == 1, on]
+            hit = l[on].isin(keys.unique())
+            return l[hit] if how == "semi" else l[~hit]
         r = df[df["_side"] == 1][[on, *out_right]].copy()
         for c, dt in right_np_dtypes.items():
             if c in r.columns and r[c].dtype != dt and not r[c].isna().any():
