@@ -26,7 +26,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .events import stable_bucket
+from .shuffle import TaggedUnion
 
 
 def _sortable_series(s: pd.Series) -> bool:
@@ -82,63 +82,19 @@ def asof_join(
     faster with 16 blocks at sf0.1). Leave None at scale, where many
     blocks are exactly what the sort wants."""
     right_ts = right_ts or left_ts
-    left_schema = left.schema()
-    left_cols = left_schema.names
-    right_cols = right.schema().names
-    # The tagged union pads left columns with nulls on right-side rows, so
-    # the per-bucket pandas conversion promotes e.g. int64 → float64. Record
-    # the left side's true dtypes so _per_bucket can restore them (left rows
-    # themselves are never null in their own columns).
-    left_np_dtypes: dict[str, np.dtype] = {}
-    arrow_types: dict[str, pa.DataType] = {}
-    for name, typ in zip(left_schema.names, left_schema.types):
-        if not isinstance(typ, pa.DataType):
-            continue  # pandas/simple-block schemas report plain Python types
-        arrow_types[name] = typ
-        if pa.types.is_integer(typ) or pa.types.is_floating(typ) or pa.types.is_boolean(typ):
-            left_np_dtypes[name] = np.dtype(typ.to_pandas_dtype())
-    for name, typ in zip(right.schema().names, right.schema().types):
-        if isinstance(typ, pa.DataType):
-            arrow_types.setdefault(name, typ)
-
-    # pad both sides to the union schema, tagging the side
-    def _tag(side: int, own_ts: str, other_cols: list[str]):
-        def _fn(batch: pa.Table) -> pa.Table:
-            n = len(batch)
-            cols = {c: batch[c] for c in batch.column_names}
-            cols["_side"] = pa.array(np.full(n, side, dtype=np.int8))
-            cols["_ts"] = batch[own_ts]
-            for c in other_cols:
-                if c not in cols:
-                    # typed nulls keep every block's schema identical (an
-                    # untyped null column forces per-block schema unification)
-                    cols[c] = pa.nulls(n, type=arrow_types.get(c))
-            b = stable_bucket(batch[key].to_numpy(zero_copy_only=False), num_buckets)
-            cols["_bucket"] = pa.array(b, type=pa.int32())
-            return pa.table(cols)
-
-        return _fn
-
-    l_tagged = left.map_batches(_tag(0, left_ts, right_cols), batch_format="pyarrow")
-    r_tagged = right.map_batches(_tag(1, right_ts, left_cols), batch_format="pyarrow")
-    both = l_tagged.union(r_tagged)
-    if coalesce_blocks:
-        both = both.repartition(coalesce_blocks)
-
-    out_right_cols = [c for c in right_cols if c not in (key, right_ts)]
+    tu = TaggedUnion(left, right, key, num_buckets,
+                     ts_cols=(left_ts, right_ts), coalesce_blocks=coalesce_blocks)
+    left_cols = tu.left_cols
+    left_np_dtypes = tu.np_dtypes(left_cols)
+    out_right_cols = [c for c in tu.right_cols if c not in (key, right_ts)]
 
     def _per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        l = df[df["_side"] == 0][[c for c in left_cols]].copy()
-        for c, dt in left_np_dtypes.items():
-            # skip columns with genuine nulls — astype(int) on NaN raises;
-            # such a column was nullable upstream and stays float
-            if l[c].dtype != dt and not l[c].isna().any():
-                l[c] = l[c].astype(dt)
+        l = TaggedUnion.restore_dtypes(
+            df[df["_side"] == 0][list(left_cols)].copy(), left_np_dtypes)
         r = df[df["_side"] == 1][[key, right_ts, *out_right_cols]].copy()
-        out = _merge_asof(l, r, key, left_ts, right_ts, direction, suffix, tolerance)
-        return out
+        return _merge_asof(l, r, key, left_ts, right_ts, direction, suffix, tolerance)
 
-    return both.groupby("_bucket").map_groups(_per_bucket, batch_format="pandas")
+    return tu.map_buckets(_per_bucket)
 
 
 def asof_join_broadcast(

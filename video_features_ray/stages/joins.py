@@ -67,73 +67,32 @@ def hash_join(
     these return only left columns via a per-bucket vectorized ``isin``
     (no row multiplication, the scale-safe EXISTS / NOT EXISTS).
     """
-    from .events import stable_bucket
+    from .shuffle import TaggedUnion
 
     if how in ("semi", "anti"):
         # existence checks need only the right KEYS — keep the shuffle skinny
         right = right.select_columns([on])
 
-    l_schema, r_schema = left.schema(), right.schema()
-    left_cols = l_schema.names
-    right_cols = r_schema.names
-    arrow_types: dict[str, pa.DataType] = {}
-    for sch in (l_schema, r_schema):
-        for name, typ in zip(sch.names, sch.types):
-            if isinstance(typ, pa.DataType):
-                arrow_types.setdefault(name, typ)
-    def _np_dtypes(cols):
-        return {
-            name: np.dtype(arrow_types[name].to_pandas_dtype())
-            for name in cols
-            if name in arrow_types
-            and (pa.types.is_integer(arrow_types[name])
-                 or pa.types.is_floating(arrow_types[name])
-                 or pa.types.is_boolean(arrow_types[name]))
-        }
-
-    left_np_dtypes = _np_dtypes(left_cols)
-    right_np_dtypes = _np_dtypes(right_cols)
-
-    def _tag(side: int, other_cols):
-        def _fn(batch: pa.Table) -> pa.Table:
-            n = len(batch)
-            cols = {c: batch[c] for c in batch.column_names}
-            cols["_side"] = pa.array(np.full(n, side, dtype=np.int8))
-            for c in other_cols:
-                if c not in cols:
-                    cols[c] = pa.nulls(n, type=arrow_types.get(c))
-            b = stable_bucket(batch[on].to_numpy(zero_copy_only=False), num_buckets)
-            cols["_bucket"] = pa.array(b, type=pa.int32())
-            return pa.table(cols)
-
-        return _fn
-
-    both = left.map_batches(_tag(0, right_cols), batch_format="pyarrow").union(
-        right.map_batches(_tag(1, left_cols), batch_format="pyarrow"))
-    if coalesce_blocks:
-        both = both.repartition(coalesce_blocks)
-
-    out_right = [c for c in right_cols if c != on]
+    tu = TaggedUnion(left, right, on, num_buckets, coalesce_blocks=coalesce_blocks)
+    left_cols = tu.left_cols
+    left_np_dtypes = tu.np_dtypes(left_cols)
+    right_np_dtypes = tu.np_dtypes(tu.right_cols)
+    out_right = [c for c in tu.right_cols if c != on]
 
     def _per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        l = df[df["_side"] == 0][list(left_cols)].copy()
-        for c, dt in left_np_dtypes.items():
-            # genuine-null columns stay float (astype(int) on NaN raises)
-            if l[c].dtype != dt and not l[c].isna().any():
-                l[c] = l[c].astype(dt)
+        l = TaggedUnion.restore_dtypes(
+            df[df["_side"] == 0][list(left_cols)].copy(), left_np_dtypes)
         if how in ("semi", "anti"):
             keys = df.loc[df["_side"] == 1, on]
             hit = l[on].isin(keys.unique())
             return l[hit] if how == "semi" else l[~hit]
-        r = df[df["_side"] == 1][[on, *out_right]].copy()
-        for c, dt in right_np_dtypes.items():
-            if c in r.columns and r[c].dtype != dt and not r[c].isna().any():
-                r[c] = r[c].astype(dt)
+        r = TaggedUnion.restore_dtypes(
+            df[df["_side"] == 1][[on, *out_right]].copy(), right_np_dtypes)
         r = r.rename(columns={c: (f"{c}{suffix}" if c in left_cols else c)
                               for c in out_right})
         return l.merge(r, on=on, how=how)
 
-    return both.groupby("_bucket").map_groups(_per_bucket, batch_format="pandas")
+    return tu.map_buckets(_per_bucket)
 
 
 def partial_agg(

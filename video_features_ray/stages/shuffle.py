@@ -1,0 +1,88 @@
+"""Shared tagged-union hash-shuffle — the ONE physical plan behind every
+two-sided keyed operator (equi/semi/anti join, as-of join).
+
+Plan: tag each side (``_side`` 0/1), pad both to the union schema with
+TYPED nulls (identical block schemas, no per-block unification), bucket
+by a deterministic hash of the key, union, optionally coalesce, then
+``groupby(_bucket).map_groups`` a caller-supplied pandas combiner. A
+key never splits across buckets, so per-bucket logic is globally exact.
+
+The subtle part both callers need and must agree on: the union's null
+padding promotes the other side's int columns to float64 in pandas, so
+each combiner restores its side's true dtypes — skipping columns with
+GENUINE nulls (``astype(int)`` on NaN raises; such a column was
+nullable upstream and stays float).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from .events import stable_bucket
+
+
+class TaggedUnion:
+    """Holds the two sides' schema facts + the shuffled dataset."""
+
+    def __init__(self, left: "ray.data.Dataset", right: "ray.data.Dataset",
+                 key: str, num_buckets: int,
+                 ts_cols: tuple[str, str] | None = None,
+                 coalesce_blocks: int | None = None):
+        l_schema, r_schema = left.schema(), right.schema()
+        self.left_cols = l_schema.names
+        self.right_cols = r_schema.names
+        self.arrow_types: dict[str, pa.DataType] = {}
+        for sch in (l_schema, r_schema):
+            for name, typ in zip(sch.names, sch.types):
+                if isinstance(typ, pa.DataType):
+                    self.arrow_types.setdefault(name, typ)
+        arrow_types = self.arrow_types
+
+        def _tag(side: int, own_ts: str | None, other_cols):
+            def _fn(batch: pa.Table) -> pa.Table:
+                n = len(batch)
+                cols = {c: batch[c] for c in batch.column_names}
+                cols["_side"] = pa.array(np.full(n, side, dtype=np.int8))
+                if own_ts is not None:
+                    cols["_ts"] = batch[own_ts]
+                for c in other_cols:
+                    if c not in cols:
+                        cols[c] = pa.nulls(n, type=arrow_types.get(c))
+                b = stable_bucket(batch[key].to_numpy(zero_copy_only=False), num_buckets)
+                cols["_bucket"] = pa.array(b, type=pa.int32())
+                return pa.table(cols)
+
+            return _fn
+
+        l_ts, r_ts = ts_cols if ts_cols else (None, None)
+        both = left.map_batches(_tag(0, l_ts, self.right_cols),
+                                batch_format="pyarrow").union(
+            right.map_batches(_tag(1, r_ts, self.left_cols),
+                              batch_format="pyarrow"))
+        if coalesce_blocks:
+            both = both.repartition(coalesce_blocks)
+        self.both = both
+
+    def np_dtypes(self, cols) -> dict[str, np.dtype]:
+        out = {}
+        for name in cols:
+            t = self.arrow_types.get(name)
+            if t is not None and (pa.types.is_integer(t) or pa.types.is_floating(t)
+                                  or pa.types.is_boolean(t)):
+                out[name] = np.dtype(t.to_pandas_dtype())
+        return out
+
+    @staticmethod
+    def restore_dtypes(df: pd.DataFrame, dtypes: dict[str, np.dtype]) -> pd.DataFrame:
+        for c, dt in dtypes.items():
+            if c in df.columns and df[c].dtype != dt and not df[c].isna().any():
+                df[c] = df[c].astype(dt)
+        return df
+
+    def map_buckets(self, fn: Callable[[pd.DataFrame], pd.DataFrame]) -> "ray.data.Dataset":
+        return self.both.groupby("_bucket").map_groups(fn, batch_format="pandas")
