@@ -303,6 +303,49 @@ def _headline_only(sf_dir: str, num_cpus: int) -> dict:
             "sequences_per_sec": n_seq / sec, "tokens_per_sec": n_tok / sec}
 
 
+def _reference_baseline(sf_dir: str, n_docs: int = 2000) -> dict:
+    """Single-process, reference-SHAPED extraction throughput: a per-doc
+    Python loop (the reference's per-clip iteration, ``main.py:47-48``)
+    running the literal window loops of ``oracle.py`` plus ONE batched
+    encode per doc (the reference batches a clip's windows per forward,
+    ``extract_i3d.py:153-156``). No Ray. This is the baseline the
+    north-star metric compares against — sequences/sec for the same
+    I3D-geometry work (stack 64, step 32, D=1024) on the same corpus;
+    per-doc cost is constant, so a sample measures the rate fairly."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from video_features_ray.oracle import windows_for_doc
+    from video_features_ray.specs import EncoderSpec
+    from video_features_ray.stages.encode import encode_windows, projection_matrix
+
+    spec = EncoderSpec("bench_w1_64_32_d1024", "w1", 64, 32, 1024)
+    tab = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = tab["text"].to_pylist()[:n_docs]
+    r_rgb = projection_matrix(spec, "rgb")
+    # warm BLAS
+    _ = np.zeros((4, 64), np.float32) @ r_rgb
+
+    t0 = time.perf_counter()
+    n_windows = 0
+    n_tok = 0
+    for t in texts:
+        toks = np.array([ord(c) for c in (t or "")], dtype=np.int32)  # reference decode loop
+        rows = windows_for_doc(toks, spec)
+        if rows:
+            mat = np.stack([r["window_tokens"] for r in rows])
+            feats = encode_windows(mat, spec, r_rgb)
+            n_windows += len(rows)
+            n_tok += mat.size
+            _ = float(feats["feature"][0, 0])  # consume
+    sec = time.perf_counter() - t0
+    return {"mode": "reference_single_process", "n_docs": len(texts),
+            "sec": round(sec, 3), "n_windows": n_windows,
+            "sequences_per_sec": round(len(texts) / sec, 1),
+            "tokens_per_sec": round(n_tok / sec, 1)}
+
+
 def _stress(sf_dir: str, num_cpus: int) -> dict:
     """Streaming-at-scale evidence: ~2M-sequence flagship extraction and
     a 10M-row synthetic event stream through the bucketed operators —
@@ -363,6 +406,10 @@ def main():
 
     if "--stress" in sys.argv:
         print(json.dumps(_stress(sf_dir, num_cpus)))
+        return
+
+    if "--reference-baseline" in sys.argv:
+        print(json.dumps(_reference_baseline(sf_dir)))
         return
 
     if "--headline-only" in sys.argv:
