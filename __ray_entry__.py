@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # non-SQL-expressible (rows-only checks)
         "approx_distinct_users": q.q_approx_distinct_users,
         "minhash_neardup": q.q_minhash_neardup,
+        "neardup_winners": q.q_neardup_winners,
         "simhash": q.q_simhash,
         "langid": q.q_langid,
         "fingerprint": q.q_fingerprint,

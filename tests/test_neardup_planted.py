@@ -101,6 +101,35 @@ def test_jaccard_verify_precision_and_distributed_stage():
     assert got == got_local
 
 
+def test_neardup_dedup_end_to_end():
+    """Candidates → verify → connected components → loser list: every
+    planted dup maps to its pair's min id; untouched docs never appear."""
+    from video_features_ray.stages.dedup import cluster_pairs, neardup_dedup
+
+    df, plants = planted_corpus()
+    ds = ray.data.from_pandas(df).repartition(4)
+    losers = neardup_dedup(ds, threshold=0.8, concurrency=(1, 2))
+    got = dict(zip(losers["doc_id"], losers["keep_id"]))
+
+    def root(x):
+        return got.get(x, x)
+
+    for a, b in plants:
+        assert root(a) == root(b), (a, b)        # same cluster
+        assert root(a) <= min(a, b)              # winner is the min id
+        assert root(a) not in got                # the winner survives
+    # base docs never appear as losers — except b0000, whose text the
+    # exact-dup plant copies (it IS that cluster's winner, not a loser)
+    base_ids = {i for i in df["doc_id"] if i.startswith("b")}
+    assert not (set(got) & base_ids)
+
+    # transitive clusters collapse to one root
+    chain = pd.DataFrame({"id_a": ["a", "b", "x"], "id_b": ["b", "c", "y"]})
+    comp = cluster_pairs(chain)
+    m = dict(zip(comp["doc_id"], comp["root"]))
+    assert m["b"] == "a" and m["c"] == "a" and m["y"] == "x"
+
+
 def test_simhash_separates_plants_from_random():
     df, plants = planted_corpus()
     out = add_simhash(pa.table({"doc_id": pa.array(df["doc_id"]),

@@ -428,6 +428,19 @@ def q_minhash_neardup(sf_dir: str):
     return minhash_lsh_candidates(ds, num_perm=32, bands=8, concurrency=(1, 2))
 
 
+def q_neardup_winners(sf_dir: str):
+    """Composed near-dup dedup: LSH candidates → distributed Jaccard
+    verify → connected components → (loser doc_id, keep_id)."""
+    from ..stages.dedup import neardup_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"].cast(pa.string()), "text": b["text"]}),
+        batch_format="pyarrow",
+    )
+    return neardup_dedup(ds, threshold=0.7, concurrency=(1, 2))
+
+
 def q_simhash(sf_dir: str):
     from ..stages.dedup import add_simhash
 

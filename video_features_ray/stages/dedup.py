@@ -412,6 +412,83 @@ def jaccard_verify_stage(
     return pairs.map_batches(_Verify, batch_format="pandas", concurrency=concurrency)
 
 
+def cluster_pairs(pairs_df: pd.DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> pd.DataFrame:
+    """Connected components over verified near-dup pairs → (doc_id, root)
+    with root = MIN id of the component (the deterministic winner).
+
+    Union-find with path compression on the DRIVER: the input is the
+    VERIFIED pair set, which is O(near-dups) ≪ corpus by construction
+    (candidates were banded, capped, and Jaccard-verified upstream) —
+    the same bounded-small-side assumption as a broadcast join. For a
+    pathological corpus where pairs rival the corpus, switch to
+    iterative min-label propagation (log-round joins) instead.
+    """
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs_df[id_a], pairs_df[id_b]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = sorted((x, find(x)) for x in parent)
+    return pd.DataFrame(rows, columns=["doc_id", "root"])
+
+
+def neardup_dedup(
+    ds: "ray.data.Dataset",
+    texts_df: pd.DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    concurrency=(1, 4),
+) -> pd.DataFrame:
+    """End-to-end near-duplicate dedup: banded-LSH candidates →
+    distributed exact-Jaccard verify → connected components → one row
+    per NON-WINNER doc ``(doc_id, keep_id)`` (keep_id = min id of its
+    cluster). Filtering a corpus = anti-join against the returned
+    doc_ids (losers), which is broadcast-sized by the near-dup rate.
+
+    ``texts_df``: optional pre-materialized (id, text) lookup for the
+    verify stage; defaults to collecting the candidate-referenced texts
+    from ``ds`` (small — only colliding docs are referenced).
+    """
+    cand = minhash_lsh_candidates(ds, num_perm=num_perm, bands=bands,
+                                  text_col=text_col, id_col=id_col,
+                                  concurrency=concurrency)
+    cand_df = cand.to_pandas()
+    if len(cand_df) == 0:
+        return pd.DataFrame({"doc_id": [], "keep_id": []})
+    if texts_df is None:
+        ids = sorted({*cand_df["id_a"], *cand_df["id_b"]})
+
+        def _pick(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            m = pc.is_in(batch[id_col].cast(pa.string()),
+                         value_set=pa.array(ids, pa.string()))
+            t = batch.filter(m)
+            return pa.table({id_col: t[id_col].cast(pa.string()),
+                             text_col: t[text_col]})
+
+        texts_df = ds.map_batches(_pick, batch_format="pyarrow").to_pandas()
+    verified = jaccard_verify_stage(cand, texts_df, id_col=id_col,
+                                    text_col=text_col, threshold=threshold,
+                                    concurrency=concurrency).to_pandas()
+    comp = cluster_pairs(verified)
+    losers = comp[comp["doc_id"] != comp["root"]].rename(columns={"root": "keep_id"})
+    return losers.reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
