@@ -72,3 +72,28 @@ def test_end_to_end(docs_file, tmp_path):
     assert summary2["committed"] == 0
     pd.testing.assert_frame_equal(
         _read_out(out).drop(columns=["feature"]), df.drop(columns=["feature"]))
+
+
+def test_end_to_end_with_near_dedup(tmp_path):
+    """near_dedup=True also drops NEAR-duplicates (one-word edit), which
+    exact dedup alone keeps."""
+    base = "the quick brown fox jumps over the lazy dog and keeps going for a while longer"
+    texts = [base,
+             base.replace("longer", "today"),   # near-dup of doc 0
+             "a completely different document with plenty of words to window over nicely"]
+    t = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts),
+        "source": pa.array(["web"] * len(texts)),
+    })
+    p = str(tmp_path / "documents.parquet")
+    pq.write_table(t, p, row_group_size=2)
+
+    out = str(tmp_path / "out")
+    cfg = TrainingDataConfig(
+        spec=EncoderSpec("td_w1n", "w1", 16, 8, 8),
+        near_dedup=True, near_dedup_threshold=0.6,
+    )
+    run_training_data_pipeline([p], out, cfg, target_rows=4)
+    docs = set(_read_out(out)["doc_id"].unique())
+    assert docs == {"0", "2"}            # near-dup doc 1 dropped, winner kept

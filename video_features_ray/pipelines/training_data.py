@@ -54,6 +54,8 @@ class TrainingDataConfig:
     min_chars: int = 10
     max_punct_ratio: float = 0.5
     dedup: bool = True
+    near_dedup: bool = False           # MinHash→verify→cluster loser filter
+    near_dedup_threshold: float = 0.8
     max_tokens_per_chunk: int = 1 << 20
     encoder_concurrency: Optional[int] = None
     wave_size: int = 2
@@ -105,9 +107,21 @@ def run_training_data_pipeline(
     from ..state.checkpoint import run_checkpointed
 
     winner_refs = None
+    neardup_losers_ref = None
     if cfg.dedup:
         docs = ray.data.read_parquet(input_files, columns=["doc_id", "text"])
         winner_refs = _winner_block_refs(docs)
+    if cfg.near_dedup:
+        from ..stages.dedup import neardup_dedup
+
+        docs = ray.data.read_parquet(input_files, columns=["doc_id", "text"])
+        docs = docs.map_batches(
+            lambda b: pa.table({"doc_id": b["doc_id"].cast(pa.string()),
+                                "text": b["text"]}),
+            batch_format="pyarrow")
+        losers = neardup_dedup(docs, threshold=cfg.near_dedup_threshold)
+        # loser set is bounded by the near-dup rate → broadcast once
+        neardup_losers_ref = ray.put(frozenset(losers["doc_id"]))
 
     spec = cfg.spec
     if cfg.encoder_concurrency is None:
@@ -126,6 +140,13 @@ def run_training_data_pipeline(
                 _WinnerFilter, fn_constructor_args=(winner_refs,),
                 batch_format="pyarrow", concurrency=(1, 2),
             )
+        if neardup_losers_ref is not None:
+            def _drop_neardups(batch: pa.Table) -> pa.Table:
+                losers = ray.get(neardup_losers_ref)
+                ids = batch["doc_id"].cast(pa.string()).to_pylist()
+                return batch.filter(pa.array([i not in losers for i in ids]))
+
+            ds = ds.map_batches(_drop_neardups, batch_format="pyarrow")
         seqs = ds.map_batches(tokenize_documents, batch_format="pyarrow")
         if spec.resample_fps is None and spec.resample_total is None:
             seqs = split_giant_sequences(seqs, spec, max_tokens=cfg.max_tokens_per_chunk)
