@@ -466,10 +466,45 @@ def q_fingerprint(sf_dir: str):
 
 
 def q_embedding_neardup(sf_dir: str):
+    """Multi-table hyperplane LSH near-dup at cosine ≥ 0.95. The driver
+    table is pure gaussian noise (measured max pairwise cosine ≈ 0.51),
+    so the query PLANTS 20 deterministic near-copies (vec_id + 10^6,
+    seeded 2% perturbation) — the rows-only driver check then reflects
+    actual recall (~17-20 found) instead of a vacuous 0."""
     from ..stages.dedup import embedding_neardup_candidates
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return embedding_neardup_candidates(ds, dim=64, num_planes=8, cosine_threshold=0.9)
+    DIM, N_PLANT = 64, 20
+
+    def _plant(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = batch.filter(pc.less(batch["vec_id"], N_PLANT))
+        if len(keep) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "embedding": pa.array([], batch["embedding"].type)})
+        ids = keep["vec_id"].to_numpy(zero_copy_only=False)
+        col = keep["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = col.values.to_numpy(zero_copy_only=False).reshape(len(keep), DIM).astype(np.float64)
+        out = np.empty_like(mat, dtype=np.float32)
+        for i, vid in enumerate(ids):  # tiny: ≤ N_PLANT rows total
+            rng = np.random.default_rng(1_000_000 + int(vid))
+            v = mat[i] + rng.standard_normal(DIM) * 0.02 * np.linalg.norm(mat[i]) / np.sqrt(DIM)
+            out[i] = v.astype(np.float32)
+        flat = out.reshape(-1)
+        off = np.arange(0, (len(keep) + 1) * DIM, DIM, dtype=np.int32)
+        emb = pa.ListArray.from_arrays(pa.array(off, pa.int32()),
+                                       pa.array(flat, pa.float32()))
+        return pa.table({"vec_id": pa.array(ids + 1_000_000),
+                         "embedding": emb})
+
+    base = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"])
+    planted = base.map_batches(_plant, batch_format="pyarrow")
+    return embedding_neardup_candidates(base.union(planted), dim=DIM,
+                                        num_planes=8, num_tables=4,
+                                        cosine_threshold=0.95)
 
 
 def q_ivf_topk(sf_dir: str):
