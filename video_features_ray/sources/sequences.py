@@ -48,11 +48,30 @@ def read_sequences(path: str | list[str]) -> "ray.data.Dataset":
 def _codepoints_batch(texts: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """All codepoints of a string column → (flat int32, int64 offsets).
 
-    One ``str.encode('utf-32-le')`` over the concatenated batch; offsets
-    from the per-string codepoint lengths.
+    Fast path: when the batch is pure ASCII with no nulls (byte length
+    == codepoint length for every row — two vectorized Arrow kernels),
+    the utf-8 data buffer IS the codepoint array: one uint8 view + one
+    int32 widen, no Python string materialization at all. Otherwise one
+    ``str.encode('utf-32-le')`` over the concatenated batch.
     """
+    import pyarrow.compute as pc
+
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
+    if len(texts) and texts.null_count == 0:
+        if texts.type == pa.large_string():
+            texts = texts.cast(pa.string())
+        blen = pc.binary_length(texts)
+        ulen = pc.utf8_length(texts)
+        if pc.all(pc.equal(blen, ulen)).as_py():
+            arr = texts.slice(0)
+            offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+                                    count=len(arr) + 1 + arr.offset)[arr.offset:]
+            offsets = offsets.astype(np.int64)
+            data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+            start = offsets[0]
+            flat = data[start : offsets[-1]].astype(np.int32)
+            return flat, offsets - start
     pylist = texts.to_pylist()
     joined = "".join(t or "" for t in pylist)
     flat = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(np.int32)
