@@ -62,6 +62,57 @@ def test_hash_join_matches_pandas_and_preserves_dtypes():
         assert got_s["lx"].dtype == np.int64 and got_s["rx"].dtype == np.int64
 
 
+def test_bloom_filter_no_false_negatives_and_merge():
+    import pyarrow as pa_
+
+    from video_features_ray.functions.sketches import (
+        BloomFilter, _hash_values, bloom_prefilter, build_bloom)
+
+    rng = np.random.default_rng(6)
+    present = rng.choice(1 << 40, 5000, replace=False).astype(np.int64)
+    absent = (rng.choice(1 << 40, 5000, replace=False).astype(np.int64)
+              + (1 << 41))
+    h_p = _hash_values(pa_.array(present))
+    h_a = _hash_values(pa_.array(absent))
+    a, b = BloomFilter(1 << 16, 4), BloomFilter(1 << 16, 4)
+    a.add_hashes(h_p[:2500]); b.add_hashes(h_p[2500:])
+    m = a.merge(b)
+    assert m.contains_hashes(h_p).all()            # NEVER a false negative
+    fpr = m.contains_hashes(h_a).mean()
+    assert fpr < 0.1, fpr                          # 64k bits / 5k keys
+
+    # distributed build + prefilter: lossless for the matched set
+    right = pd.DataFrame({"k": present[:500]})
+    left = pd.DataFrame({"k": np.concatenate([present[:500], absent]),
+                         "x": np.arange(5500)})
+    bf = build_bloom(ray.data.from_pandas(right).repartition(4), "k")
+    kept = bloom_prefilter(ray.data.from_pandas(left).repartition(4), "k", bf).to_pandas()
+    assert set(present[:500]) <= set(kept["k"])    # every true match survives
+    assert len(kept) < len(left)                   # and it actually filters
+
+
+def test_hash_join_bloom_prefilter_equals_plain():
+    from video_features_ray.stages.joins import hash_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame({"k": rng.integers(0, 10_000, 4000).astype(np.int64),
+                         "lx": np.arange(4000, dtype=np.int64)})
+    right = pd.DataFrame({"k": rng.integers(0, 300, 50).astype(np.int64),
+                          "rx": np.arange(50, dtype=np.int64)})
+    plain = hash_join(ray.data.from_pandas(left).repartition(4),
+                      ray.data.from_pandas(right), on="k").to_pandas()
+    pre = hash_join(ray.data.from_pandas(left).repartition(4),
+                    ray.data.from_pandas(right), on="k",
+                    bloom_prefilter_left=True, bloom_bits=1 << 12).to_pandas()
+    key = ["k", "lx", "rx"]
+    pd.testing.assert_frame_equal(plain.sort_values(key).reset_index(drop=True),
+                                  pre.sort_values(key).reset_index(drop=True))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="lossless"):
+        hash_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                  on="k", how="left", bloom_prefilter_left=True)
+
+
 def test_hash_join_left_how():
     from video_features_ray.stages.joins import hash_join
 

@@ -136,6 +136,89 @@ def bottom_k_sample(ds: "ray.data.Dataset", key_col: str, k: int) -> pd.DataFram
     return parts.drop(columns=["_h"]).reset_index(drop=True)
 
 
+class BloomFilter:
+    """Mergeable Bloom filter over uint64 hashes: double hashing
+    (pos_i = h1 + i·h2 mod n_bits), bits in a uint64 word array, OR to
+    merge. All add/contains paths are vectorized."""
+
+    def __init__(self, n_bits: int = 1 << 23, k: int = 4):
+        assert n_bits % 64 == 0
+        self.n_bits = n_bits
+        self.k = k
+        self.words = np.zeros(n_bits // 64, dtype=np.uint64)
+
+    def _positions(self, h: np.ndarray) -> np.ndarray:
+        from ..stages.dedup import _mix64
+
+        h1 = h
+        h2 = _mix64(h) | np.uint64(1)
+        with np.errstate(over="ignore"):
+            return np.stack([
+                ((h1 + np.uint64(i) * h2) % np.uint64(self.n_bits)).astype(np.int64)
+                for i in range(self.k)
+            ])                                      # (k, n)
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        pos = self._positions(h).reshape(-1)
+        np.bitwise_or.at(self.words, pos >> 6,
+                         np.uint64(1) << (pos & np.int64(63)).astype(np.uint64))
+
+    def contains_hashes(self, h: np.ndarray) -> np.ndarray:
+        pos = self._positions(h)
+        hit = np.ones(pos.shape[1], dtype=bool)
+        for i in range(self.k):
+            p = pos[i]
+            bit = (self.words[p >> 6] >> (p & np.int64(63)).astype(np.uint64)) & np.uint64(1)
+            hit &= bit.astype(bool)
+        return hit
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.n_bits == other.n_bits and self.k == other.k
+        out = BloomFilter(self.n_bits, self.k)
+        out.words = self.words | other.words
+        return out
+
+
+def build_bloom(ds: "ray.data.Dataset", col: str,
+                n_bits: int = 1 << 23, k: int = 4) -> BloomFilter:
+    """Distributed build: one bitmap partial per batch (n_bits/8 bytes —
+    1 MB at the default), OR-merged on the driver. No false negatives
+    ever; false-positive rate ≈ (1 - e^{-k·n/m})^k."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(n_bits, k)
+        bf.add_hashes(_hash_values(batch[col]))
+        return pa.table({"bits": pa.array([bf.words.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    out = BloomFilter(n_bits, k)
+    for raw in parts["bits"]:
+        out.words |= np.frombuffer(raw, dtype=np.uint64)
+    return out
+
+
+def bloom_prefilter(ds: "ray.data.Dataset", col: str, bloom: BloomFilter):
+    """Drop rows whose key is definitely absent from the filter —
+    broadcast the bitmap once (``ray.put``), test per batch. Lossless
+    for inner/semi joins (no false negatives; false positives are
+    dropped by the join itself); NEVER use before left/anti joins."""
+    import ray as _ray
+
+    ref = _ray.put((bloom.words, bloom.n_bits, bloom.k))
+
+    class _Filter:
+        def __init__(self):
+            words, n_bits, k = _ray.get(ref)
+            self.bf = BloomFilter(n_bits, k)
+            self.bf.words = words
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keep = self.bf.contains_hashes(_hash_values(batch[col]))
+            return batch.filter(pa.array(keep))
+
+    return ds.map_batches(_Filter, batch_format="pyarrow", concurrency=(1, 8))
+
+
 def stratified_bottom_k(
     ds: "ray.data.Dataset", group_col: str, key_col: str, k: int,
     num_buckets: int = 16,

@@ -52,6 +52,8 @@ def hash_join(
     how: str = "inner",
     suffix: str = "_r",
     coalesce_blocks: int | None = None,
+    bloom_prefilter_left: bool = False,
+    bloom_bits: int = 1 << 23,
 ) -> "ray.data.Dataset":
     """Large ⨝ large equi-join in ONE hash shuffle (the case
     ``broadcast_join`` can't serve: neither side fits a worker heap).
@@ -68,6 +70,17 @@ def hash_join(
     (no row multiplication, the scale-safe EXISTS / NOT EXISTS).
     """
     from .shuffle import TaggedUnion
+
+    if bloom_prefilter_left:
+        # lossless ONLY when a dropped-left row cannot appear in the
+        # output: inner/semi (no false negatives; false positives are
+        # removed by the join itself). Cuts shuffled left bytes when
+        # the join is selective — the classic 100 TB bloom-join.
+        if how not in ("inner", "semi"):
+            raise ValueError("bloom prefilter is only lossless for inner/semi joins")
+        from ..functions.sketches import bloom_prefilter, build_bloom
+
+        left = bloom_prefilter(left, on, build_bloom(right, on, n_bits=bloom_bits))
 
     if how in ("semi", "anti"):
         # existence checks need only the right KEYS — keep the shuffle skinny
