@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_docs": q.q_stratified_docs,
         # non-SQL-expressible (rows-only checks)
         "approx_distinct_users": q.q_approx_distinct_users,
+        "approx_quantiles_price": q.q_approx_quantiles_price,
         "minhash_neardup": q.q_minhash_neardup,
         "neardup_winners": q.q_neardup_winners,
         "simhash": q.q_simhash,

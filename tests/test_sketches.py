@@ -48,6 +48,53 @@ def test_bottom_k_deterministic_and_partition_invariant():
     assert sorted(s1["doc_id"]) == sorted(want)
 
 
+def test_ddsketch_relative_error_and_merge():
+    from video_features_ray.functions.sketches import DDSketch, approx_quantile
+
+    rng = np.random.default_rng(7)
+    x = np.concatenate([rng.lognormal(3, 2, 20000),
+                        -rng.lognormal(1, 1, 5000),
+                        np.zeros(100)])
+    sk = DDSketch(alpha=0.01)
+    sk.add(x)
+    for q in (0.01, 0.25, 0.5, 0.9, 0.99):
+        true = np.quantile(x, q, method="inverted_cdf")
+        got = sk.quantile(q)
+        if true != 0:
+            assert abs(got - true) / abs(true) <= 0.011, (q, got, true)
+    # merge of shards == one sketch
+    a, b = DDSketch(0.01), DDSketch(0.01)
+    a.add(x[:10000]); b.add(x[10000:])
+    m = a.merge(b)
+    assert m.n == sk.n and m.zero == sk.zero
+    for q in (0.1, 0.5, 0.95):
+        assert m.quantile(q) == sk.quantile(q)
+    # distributed path over a dataset
+    t = pa.table({"v": pa.array(x)})
+    got = approx_quantile(ray.data.from_arrow(t).repartition(8), "v",
+                          qs=[0.5, 0.99], alpha=0.01)
+    for q, g in got.items():
+        true = np.quantile(x, q, method="inverted_cdf")
+        assert abs(g - true) / abs(true) <= 0.011
+
+
+def test_approx_quantiles_price_vs_exact():
+    """Driver query's DDSketch quantiles within 1% of exact DuckDB."""
+    import os
+
+    import duckdb
+
+    from video_features_ray.pipelines.queries import q_approx_quantiles_price
+
+    sf = os.environ.get("VFR_TEST_SF_DIR", "/root/testdata/sf0.001")
+    got = q_approx_quantiles_price(sf).set_index("q")["value"]
+    for q in (0.5, 0.9, 0.99):
+        exact = duckdb.sql(
+            f"SELECT quantile_disc(o_totalprice, {q}) FROM "
+            f"read_parquet('{sf}/orders.parquet')").fetchone()[0]
+        assert abs(got[q] - exact) / exact <= 0.011, (q, got[q], exact)
+
+
 def test_approx_distinct_users_vs_exact():
     """The driver query's HLL estimate must land within 5% of the exact
     DISTINCT count on the real events table (rows-only in the driver

@@ -876,6 +876,16 @@ def q_stratified_docs(sf_dir: str):
     return out[["source", "doc_id", "n_chars"]]
 
 
+def q_approx_quantiles_price(sf_dir: str):
+    """DDSketch order-price quantiles (rows-only; relative error ≤ 1%
+    asserted against exact DuckDB quantiles in tests)."""
+    from ..functions.sketches import approx_quantile
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    got = approx_quantile(ds, "o_totalprice", qs=[0.5, 0.9, 0.99], alpha=0.01)
+    return pd.DataFrame({"q": list(got), "value": [got[k] for k in got]})
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HLL distinct user estimate (rows-only; approximate by design)."""
     from ..functions.sketches import approx_distinct
