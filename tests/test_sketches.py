@@ -48,6 +48,35 @@ def test_bottom_k_deterministic_and_partition_invariant():
     assert sorted(s1["doc_id"]) == sorted(want)
 
 
+def test_count_min_never_underestimates():
+    from video_features_ray.functions.sketches import (
+        CountMinSketch, _hash_values, cms_counts)
+
+    rng = np.random.default_rng(3)
+    # zipf-ish: few heavy keys, long tail
+    keys = rng.zipf(1.5, 50_000).astype(np.int64)
+    true = pd.Series(keys).value_counts()
+    h_all = _hash_values(pa.array(keys))
+    cms = CountMinSketch(width=1 << 14, depth=4)
+    cms.add_hashes(h_all)
+    uniq = true.index.to_numpy()
+    est = cms.estimate_hashes(_hash_values(pa.array(uniq)))
+    tv = true.loc[uniq].to_numpy()
+    assert (est >= tv).all()                          # never underestimates
+    eps = np.e / (1 << 14)
+    assert (est - tv <= 3 * eps * cms.n).all()        # CM bound (slack 3x)
+    # merge of shards == one sketch
+    a, b = CountMinSketch(1 << 14, 4), CountMinSketch(1 << 14, 4)
+    a.add_hashes(h_all[:25_000]); b.add_hashes(h_all[25_000:])
+    m = a.merge(b)
+    assert np.array_equal(m.counts, cms.counts) and m.n == cms.n
+    # distributed build
+    t = pa.table({"k": pa.array(keys)})
+    dist = cms_counts(ray.data.from_arrow(t).repartition(8), "k",
+                      width=1 << 14, depth=4)
+    assert np.array_equal(dist.counts, cms.counts)
+
+
 def test_ddsketch_relative_error_and_merge():
     from video_features_ray.functions.sketches import DDSketch, approx_quantile
 

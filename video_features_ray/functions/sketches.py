@@ -231,6 +231,70 @@ def approx_quantile(ds: "ray.data.Dataset", col: str, qs,
     return {float(q): merged.quantile(q) for q in qs}
 
 
+class CountMinSketch:
+    """Count-min sketch (Cormode & Muthukrishnan, public algorithm):
+    (depth × width) counters, each row indexed by an independent hash;
+    estimate = min over rows. NEVER underestimates; overestimates by
+    ≤ ε·N (ε = e/width) with probability 1-δ (δ = e^-depth). Mergeable
+    by elementwise add — the unbounded-key counterpart of the dense
+    ``token_frequencies`` bincount (which needs a bounded vocab)."""
+
+    def __init__(self, width: int = 1 << 16, depth: int = 4):
+        self.width = width
+        self.depth = depth
+        self.counts = np.zeros((depth, width), dtype=np.int64)
+        self.n = 0
+
+    def _rows(self, h: np.ndarray) -> np.ndarray:
+        from ..stages.dedup import _GOLD, _mix64
+
+        with np.errstate(over="ignore"):
+            return np.stack([
+                (_mix64(h + np.uint64(d) * _GOLD) % np.uint64(self.width)).astype(np.int64)
+                for d in range(self.depth)
+            ])
+
+    def add_hashes(self, h: np.ndarray, weights: np.ndarray | None = None) -> None:
+        w = np.ones(len(h), np.int64) if weights is None else np.asarray(weights, np.int64)
+        self.n += int(w.sum())
+        pos = self._rows(h)
+        for d in range(self.depth):
+            np.add.at(self.counts[d], pos[d], w)
+
+    def estimate_hashes(self, h: np.ndarray) -> np.ndarray:
+        pos = self._rows(h)
+        est = self.counts[0][pos[0]]
+        for d in range(1, self.depth):
+            est = np.minimum(est, self.counts[d][pos[d]])
+        return est
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert self.width == other.width and self.depth == other.depth
+        out = CountMinSketch(self.width, self.depth)
+        out.counts = self.counts + other.counts
+        out.n = self.n + other.n
+        return out
+
+
+def cms_counts(ds: "ray.data.Dataset", col: str,
+               width: int = 1 << 16, depth: int = 4) -> CountMinSketch:
+    """Distributed count-min build: one (depth×width) int64 partial per
+    batch, elementwise driver merge."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cms = CountMinSketch(width, depth)
+        cms.add_hashes(_hash_values(batch[col]))
+        return pa.table({"counts": pa.array([cms.counts.tobytes()], pa.binary()),
+                         "n": pa.array([len(batch)], pa.int64())})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    out = CountMinSketch(width, depth)
+    for raw, n in zip(parts["counts"], parts["n"]):
+        out.counts += np.frombuffer(raw, dtype=np.int64).reshape(depth, width)
+        out.n += int(n)
+    return out
+
+
 class BloomFilter:
     """Mergeable Bloom filter over uint64 hashes: double hashing
     (pos_i = h1 + i·h2 mod n_bits), bits in a uint64 word array, OR to
