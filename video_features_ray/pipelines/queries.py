@@ -425,7 +425,7 @@ def q_minhash_neardup(sf_dir: str):
         lambda b: pa.table({"doc_id": b["doc_id"].cast(pa.string()), "text": b["text"]}),
         batch_format="pyarrow",
     )
-    return minhash_lsh_candidates(ds, num_perm=32, bands=8, concurrency=(1, 2))
+    return minhash_lsh_candidates(ds, num_perm=32, bands=8, concurrency=(1, 8))
 
 
 def q_neardup_winners(sf_dir: str):
