@@ -315,7 +315,6 @@ def _reference_baseline(sf_dir: str, n_docs: int = 2000) -> dict:
     import numpy as np
     import pyarrow.parquet as pq
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from video_features_ray.oracle import windows_for_doc
     from video_features_ray.specs import EncoderSpec
     from video_features_ray.stages.encode import encode_windows, projection_matrix

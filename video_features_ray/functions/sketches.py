@@ -19,6 +19,7 @@ partial-per-batch → tiny-merge shape (sketches are designed mergeable):
 from __future__ import annotations
 
 import hashlib
+import pickle
 
 import numpy as np
 import pandas as pd
@@ -198,14 +199,10 @@ class DDSketch:
         return 0.0  # pragma: no cover
 
     def to_bytes(self) -> bytes:
-        import pickle
-
         return pickle.dumps((self.alpha, self.pos, self.neg, self.zero, self.n))
 
     @staticmethod
     def from_bytes(raw: bytes) -> "DDSketch":
-        import pickle
-
         alpha, pos, neg, zero, n = pickle.loads(raw)
         out = DDSketch(alpha)
         out.pos, out.neg, out.zero, out.n = pos, neg, zero, n
@@ -226,8 +223,13 @@ def approx_quantile(ds: "ray.data.Dataset", col: str, qs,
 
     parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
     merged = DDSketch(alpha)
-    for raw in parts["sketch"]:
-        merged = merged.merge(DDSketch.from_bytes(raw))
+    for raw in parts["sketch"]:  # accumulate in place — no per-partial copies
+        other = DDSketch.from_bytes(raw)
+        for mine, theirs in ((merged.pos, other.pos), (merged.neg, other.neg)):
+            for k, c in theirs.items():
+                mine[k] = mine.get(k, 0) + c
+        merged.zero += other.zero
+        merged.n += other.n
     return {float(q): merged.quantile(q) for q in qs}
 
 

@@ -417,15 +417,21 @@ def q_similarity_topk(sf_dir: str):
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
-def q_minhash_neardup(sf_dir: str):
-    from ..stages.dedup import minhash_lsh_candidates
-
+def _string_docs(sf_dir: str) -> "ray.data.Dataset":
+    """documents with doc_id cast to string (the near-dup family keys on
+    string ids)."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    ds = ds.map_batches(
+    return ds.map_batches(
         lambda b: pa.table({"doc_id": b["doc_id"].cast(pa.string()), "text": b["text"]}),
         batch_format="pyarrow",
     )
-    return minhash_lsh_candidates(ds, num_perm=32, bands=8, concurrency=(1, 8))
+
+
+def q_minhash_neardup(sf_dir: str):
+    from ..stages.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_string_docs(sf_dir), num_perm=32, bands=8,
+                                  concurrency=(1, 8))
 
 
 def q_neardup_winners(sf_dir: str):
@@ -433,12 +439,7 @@ def q_neardup_winners(sf_dir: str):
     verify → connected components → (loser doc_id, keep_id)."""
     from ..stages.dedup import neardup_dedup
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    ds = ds.map_batches(
-        lambda b: pa.table({"doc_id": b["doc_id"].cast(pa.string()), "text": b["text"]}),
-        batch_format="pyarrow",
-    )
-    return neardup_dedup(ds, threshold=0.7, concurrency=(1, 2))
+    return neardup_dedup(_string_docs(sf_dir), threshold=0.7, concurrency=(1, 2))
 
 
 def q_simhash(sf_dir: str):
