@@ -123,6 +123,31 @@ def test_hash_join_left_how():
     assert out["rx"].fillna(-1).tolist() == [-1, 99, -1]
 
 
+def test_semi_anti_null_keys_follow_exists_semantics():
+    from video_features_ray.stages.joins import hash_join
+
+    left = pd.DataFrame({"k": [1.0, 2.0, np.nan], "lx": [10, 20, 30]})
+    right = pd.DataFrame({"k": [2.0, np.nan]})
+    anti = hash_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                     on="k", how="anti").to_pandas()
+    # NOT EXISTS never matches NULL: both k=1 and the NULL-key row survive
+    assert sorted(anti["lx"]) == [10, 30]
+    semi = hash_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                     on="k", how="semi").to_pandas()
+    assert sorted(semi["lx"]) == [20]
+
+
+def test_codepoints_dictionary_encoded_strings():
+    import pyarrow as pa_
+
+    from video_features_ray.sources.sequences import _codepoints_batch
+
+    arr = pa_.array(["abc", "abc", "de"]).dictionary_encode()
+    flat, off = _codepoints_batch(arr)
+    assert flat.tolist() == [97, 98, 99, 97, 98, 99, 100, 101]
+    assert off.tolist() == [0, 3, 6, 8]
+
+
 def test_rolling_agg_matches_pandas_reference():
     from video_features_ray.stages.events import rolling_agg
 

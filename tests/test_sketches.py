@@ -48,6 +48,17 @@ def test_bottom_k_deterministic_and_partition_invariant():
     assert sorted(s1["doc_id"]) == sorted(want)
 
 
+def test_ddsketch_ignores_nan_like_sql():
+    from video_features_ray.functions.sketches import DDSketch
+
+    sk = DDSketch(0.01)
+    sk.add(np.concatenate([np.arange(1.0, 101.0), np.full(100, np.nan)]))
+    assert sk.n == 100
+    true = np.quantile(np.arange(1.0, 101.0), 0.5, method="inverted_cdf")
+    assert abs(sk.quantile(0.5) - true) / true <= 0.011
+    assert sk.quantile(0.99) <= 100 * 1.011   # no fall-off-the-end 0.0
+
+
 def test_count_min_never_underestimates():
     from video_features_ray.functions.sketches import (
         CountMinSketch, _hash_values, cms_counts)

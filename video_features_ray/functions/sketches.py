@@ -157,6 +157,7 @@ class DDSketch:
 
     def add(self, x: np.ndarray) -> None:
         x = np.asarray(x, dtype=np.float64)
+        x = x[np.isfinite(x)]   # nulls/NaN/inf: excluded like SQL aggregates
         self.n += len(x)
         self.zero += int((x == 0).sum())
         for store, vals in ((self.pos, x[x > 0]), (self.neg, -x[x < 0])):

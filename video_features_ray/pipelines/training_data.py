@@ -142,9 +142,12 @@ def run_training_data_pipeline(
             )
         if neardup_losers_ref is not None:
             def _drop_neardups(batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
                 losers = ray.get(neardup_losers_ref)
-                ids = batch["doc_id"].cast(pa.string()).to_pylist()
-                return batch.filter(pa.array([i not in losers for i in ids]))
+                hit = pc.is_in(batch["doc_id"].cast(pa.string()),
+                               value_set=pa.array(sorted(losers), pa.string()))
+                return batch.filter(pc.invert(hit))
 
             ds = ds.map_batches(_drop_neardups, batch_format="pyarrow")
         seqs = ds.map_batches(tokenize_documents, batch_format="pyarrow")

@@ -58,7 +58,8 @@ def _codepoints_batch(texts: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np
 
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    if len(texts) and texts.null_count == 0:
+    if (len(texts) and texts.null_count == 0
+            and (pa.types.is_string(texts.type) or pa.types.is_large_string(texts.type))):
         if texts.type == pa.large_string():
             texts = texts.cast(pa.string())
         blen = pc.binary_length(texts)

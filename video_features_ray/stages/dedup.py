@@ -468,6 +468,9 @@ def neardup_dedup(
     cand_df = cand.to_pandas()
     if len(cand_df) == 0:
         return pd.DataFrame({"doc_id": [], "keep_id": []})
+    # the lazy candidate DAG would otherwise RE-RUN for the verify pass
+    # (and a re-run could emit a pair the text lookup doesn't cover)
+    cand = ray.data.from_pandas(cand_df)
     if texts_df is None:
         ids = sorted({*cand_df["id_a"], *cand_df["id_b"]})
 

@@ -96,8 +96,10 @@ def hash_join(
         l = TaggedUnion.restore_dtypes(
             df[df["_side"] == 0][list(left_cols)].copy(), left_np_dtypes)
         if how in ("semi", "anti"):
-            keys = df.loc[df["_side"] == 1, on]
-            hit = l[on].isin(keys.unique())
+            # SQL EXISTS semantics: NULL keys never match on either side
+            # (pandas isin would treat NaN == NaN as a hit)
+            keys = df.loc[df["_side"] == 1, on].dropna()
+            hit = l[on].isin(keys.unique()) & l[on].notna()
             return l[hit] if how == "semi" else l[~hit]
         r = TaggedUnion.restore_dtypes(
             df[df["_side"] == 1][[on, *out_right]].copy(), right_np_dtypes)
