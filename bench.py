@@ -24,16 +24,34 @@ import time
 def _scaled_corpus(sf_dir: str, scale_repeat: int, n_files: int = 64) -> str:
     """Materialize a scale_repeat× copy of documents ONCE into /tmp as
     multi-file parquet (deterministic doc_id suffixes), so the benchmark
-    reads one properly-sharded input instead of a union of tiny reads."""
+    reads one properly-sharded input instead of a union of tiny reads.
+
+    The cache dir is keyed by BOTH repeat and n_files, and the build is
+    atomic (temp dir + rename) with a row-count verification. The
+    round-2 bug this fixes: a dir built at one n_files, re-requested at
+    another, was PARTIALLY overwritten in place — leaving a mix of new
+    and stale shards whose total row count silently differed from
+    ``base × scale_repeat``, corrupting every throughput denominator.
+    """
+    import shutil
+    import uuid
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = f"/tmp/vfr_bench_corpus_{tag}_x{scale_repeat}"
-    if os.path.isdir(out_dir) and len(os.listdir(out_dir)) == n_files:
-        return out_dir
-    os.makedirs(out_dir, exist_ok=True)
+    out_dir = f"/tmp/vfr_bench_corpus_{tag}_x{scale_repeat}_f{n_files}"
     base = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+    want_rows = len(base) * scale_repeat
+    if os.path.isdir(out_dir):
+        files = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
+        have = sum(pq.ParquetFile(os.path.join(out_dir, f)).metadata.num_rows
+                   for f in files)
+        if len(files) == n_files and have == want_rows:
+            return out_dir
+        shutil.rmtree(out_dir)  # stale/partial — never trust it
+    tmp_dir = f"{out_dir}.tmp-{uuid.uuid4().hex}"
+    os.makedirs(tmp_dir)
     reps = []
     for r in range(scale_repeat):
         t = base.set_column(0, "doc_id",
@@ -43,12 +61,13 @@ def _scaled_corpus(sf_dir: str, scale_repeat: int, n_files: int = 64) -> str:
     full = pa.concat_tables(reps)
     per = (len(full) + n_files - 1) // n_files
     for i in range(n_files):
-        pq.write_table(full.slice(i * per, per), f"{out_dir}/part-{i:04d}.parquet",
+        pq.write_table(full.slice(i * per, per), f"{tmp_dir}/part-{i:04d}.parquet",
                        row_group_size=4096)
+    os.replace(tmp_dir, out_dir)
     return out_dir
 
 
-def _headline(sf_dir: str, scale_repeat: int):
+def _headline(sf_dir: str, scale_repeat: int, n_files: int = 64):
     """Flagship extraction at the reference's I3D geometry (stack 64,
     D=1024, ``configs/i3d.yml``): sequences → W1 windows → encoder actor
     pool → in-actor partial reduce → tiny global sum. The feature matrix
@@ -64,7 +83,7 @@ def _headline(sf_dir: str, scale_repeat: int):
     from video_features_ray.stages.windows import make_window_stage
 
     spec = EncoderSpec("bench_w1_64_32_d1024", "w1", 64, 32, 1024)
-    corpus = _scaled_corpus(sf_dir, scale_repeat)
+    corpus = _scaled_corpus(sf_dir, scale_repeat, n_files)
     ds = ray.data.read_parquet(corpus, columns=["doc_id", "text", "source"])
     seq = ds.map_batches(tokenize_documents, batch_format="pyarrow", zero_copy_batch=True)
     windows = seq.map_batches(make_window_stage(spec), batch_format="pyarrow",
@@ -366,7 +385,7 @@ def _stress(sf_dir: str, num_cpus: int) -> dict:
     scale_repeat = max(1, 2_000_000 // max(n_docs_base, 1))
     _scaled_corpus(sf_dir, scale_repeat, n_files=128)
     t0 = time.perf_counter()
-    n_windows, n_tok = _headline(sf_dir, scale_repeat)
+    n_windows, n_tok = _headline(sf_dir, scale_repeat, n_files=128)
     sec = time.perf_counter() - t0
     n_seq = n_docs_base * scale_repeat
     out["flagship"] = {"sec": round(sec, 2), "n_sequences": n_seq,
