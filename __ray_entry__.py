@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q.q_fingerprint,
         "embedding_neardup": q.q_embedding_neardup,
         "ivf_topk": q.q_ivf_topk,
+        "kmeans_centroids": q.q_kmeans_centroids,
         "flagship_features": q.q_flagship_features,
         "media_decode": q.q_media_decode,
         "checkpointed_extract": q.q_checkpointed_extract,

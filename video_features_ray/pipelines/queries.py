@@ -508,6 +508,23 @@ def q_embedding_neardup(sf_dir: str):
                                         cosine_threshold=0.95)
 
 
+def q_kmeans_centroids(sf_dir: str):
+    """Distributed Lloyd k-means over the embeddings (iterative
+    algorithm: broadcast centroids, per-batch partial sums, driver
+    update). Rows-only; equivalence to single-process Lloyd from the
+    same deterministic init is pinned in tests."""
+    from ..stages.similarity import distributed_kmeans
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    cent = distributed_kmeans(ds, dim=64, n_centroids=8, iters=5)
+    return pd.DataFrame({
+        "centroid_id": np.arange(len(cent), dtype=np.int64),
+        "norm": np.linalg.norm(cent, axis=1),
+        "dim0": cent[:, 0],
+    })
+
+
 def q_ivf_topk(sf_dir: str):
     """IVF coarse-quantized top-k. The codebook trains on a DISTRIBUTED
     deterministic sample (bottom-256 by md5(vec_id) — hash-spread, not

@@ -88,6 +88,61 @@ def build_ivf_codebook(sample: np.ndarray, n_centroids: int = 16, iters: int = 1
     return cent
 
 
+def distributed_kmeans(
+    ds: "ray.data.Dataset",
+    dim: int,
+    n_centroids: int = 16,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Distributed Lloyd's k-means — the iterative-algorithm pattern on
+    Ray Data: per iteration, broadcast the centroids once (``ray.put``),
+    every batch emits ONE (k×dim sums, k counts) partial, the driver
+    reduces k×dim floats and updates. Data never moves; only O(k·dim)
+    partials per block per iteration do.
+
+    Deterministic: init = the ``n_centroids`` vectors with smallest
+    md5(id) (the engine's consistent-sample rule), and the update is a
+    sum of per-batch float64 partials. Matches single-process Lloyd
+    from the same init to float tolerance (test-pinned).
+    """
+    from ..functions.sketches import bottom_k_sample
+
+    sample = bottom_k_sample(ds, id_col, k=n_centroids)
+    cent = np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def _partial(batch: pa.Table) -> pa.Table:
+            cb = ray.get(ref)
+            mat = _to_matrix(batch[vec_col], dim)
+            d = ((mat[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            k = len(cb)
+            sums = np.zeros((k, dim), np.float64)
+            np.add.at(sums, assign, mat)
+            counts = np.bincount(assign, minlength=k).astype(np.int64)
+            return pa.table({
+                "sums": pa.array([sums.tobytes()], pa.binary()),
+                "counts": pa.array([counts.tobytes()], pa.binary()),
+            })
+
+        parts = ds.map_batches(_partial, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+        k = len(cent)
+        tot = np.zeros((k, dim), np.float64)
+        cnt = np.zeros(k, np.int64)
+        for sraw, craw in zip(parts["sums"], parts["counts"]):
+            tot += np.frombuffer(sraw, np.float64).reshape(k, dim)
+            cnt += np.frombuffer(craw, np.int64)
+        nonzero = cnt > 0
+        cent = cent.copy()
+        cent[nonzero] = tot[nonzero] / cnt[nonzero, None]
+    return cent
+
+
 def ivf_assign(ds: "ray.data.Dataset", codebook: np.ndarray,
                vec_col: str = "embedding") -> "ray.data.Dataset":
     """Stateless map adding ``ivf_bucket`` — the write-time coarse index."""
