@@ -6,10 +6,15 @@ the headline pipelines at the given scale factor, prints ONE JSON line:
    "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
    "sequences_per_sec": ..., "tokens_per_sec": ...}
 
---scaling: runs the headline pipeline twice in FRESH subprocesses at
-num_cpus=8 and num_cpus=32 on the same input and reports both
-throughputs + scaling efficiency (the sandbox evidence for the
-north-rule's N→4N cluster criterion; see BASELINE.md).
+--scaling: interleaved median-of-3 protocol in FRESH subprocesses at
+num_cpus 2/8/32 (memory-bound headline) plus 8/32 (compute-bound,
+L2-resident encoder), every level run with spinner processes occupying
+the unused cores so per-core clocks match across levels. Reports
+per-level throughputs + N→4N scaling efficiencies — the sandbox
+evidence for the north-rule's cluster criterion; see BASELINE.md.
+
+--reference-baseline: single-process reference-shaped extraction rate.
+--stress: 2M-sequence flagship + 10M-row event operators.
 """
 
 from __future__ import annotations
