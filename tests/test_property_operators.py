@@ -74,6 +74,15 @@ def test_hash_join_property(left, right, how):
     got = hash_join(ray.data.from_pandas(l).repartition(2),
                     ray.data.from_pandas(r).repartition(2),
                     on="k", how=how, num_buckets=4).to_pandas()
+    if len(got) == 0:
+        # Ray drops the schema of an all-empty map_groups result (0
+        # blocks -> no columns); assert the reference is empty too
+        if how == "inner":
+            assert len(l.merge(r, on="k")) == 0
+        else:
+            present = set(r["k"])
+            assert not any((k in present) == (how == "semi") for k in l["k"])
+        return
     if how == "inner":
         want = l.merge(r, on="k")
         key = ["k", "lid", "rid"]
