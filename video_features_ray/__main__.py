@@ -49,13 +49,28 @@ def main(argv=None) -> int:
             print(f"{name}\tkind={s.kind}\tstack={s.stack}\tstep={s.step}\tdim={s.dim}")
         return 0
 
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        kw = dict(address="local", include_dashboard=False, logging_level="ERROR")
-        if args.num_cpus:
-            kw["num_cpus"] = args.num_cpus
-        ray.init(**kw)
+        # Under `ray job submit` the runtime provides RAY_ADDRESS — connect
+        # to THAT cluster (a hardcoded "local" would silently start a
+        # private single-node instance on the driver box). Local options
+        # (num_cpus, dashboard) only apply when starting a local instance;
+        # Ray rejects them when connecting to an existing cluster.
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        if addr == "local":
+            kw = dict(address="local", include_dashboard=False,
+                      logging_level="ERROR")
+            if args.num_cpus:
+                kw["num_cpus"] = args.num_cpus
+            ray.init(**kw)
+        else:
+            if args.num_cpus:
+                print("--num-cpus ignored: connecting to existing cluster "
+                      f"at RAY_ADDRESS={addr}", file=sys.stderr)
+            ray.init(address=addr)
     try:
         from ray.data import DataContext
 

@@ -67,18 +67,30 @@ class HyperLogLog:
         return float(e)
 
 
-def _hash_values(col) -> np.ndarray:
+def _hash_values(col, with_valid: bool = False):
     """uint64 hash per element of an Arrow column, fully vectorized:
     integers go through a splitmix64 finalizer; strings through a
     whole-string polynomial prefix-sum hash (O(total chars), no
-    per-row Python — the round-1 per-row blake2b was the HLL hot loop)."""
+    per-row Python — the round-1 per-row blake2b was the HLL hot loop).
+
+    ``with_valid=True`` additionally returns the per-row validity mask:
+    NULL rows still get a (placeholder) hash so the output stays
+    row-aligned, but callers with SQL semantics must drop or mask them —
+    ``COUNT(DISTINCT)`` ignores NULLs and a NULL key never matches in a
+    join. (Round-2 bug: a nullable int column promoted to float64+NaN
+    and the NaN bit pattern was hashed as a real key.)
+    """
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if not isinstance(col, pa.Array):
         col = pa.array(col)
+    valid = (np.ones(len(col), dtype=bool) if col.null_count == 0
+             else col.is_valid().to_numpy(zero_copy_only=False))
     if pa.types.is_integer(col.type):
-        v = col.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
-        return _mix64(v)
+        filled = col.fill_null(0) if col.null_count else col
+        v = filled.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
+        h = _mix64(v)
+        return (h, valid) if with_valid else h
     flat, off = _codepoints_batch(col)
     n = len(flat)
     cp = flat.astype(np.uint64)
@@ -97,7 +109,8 @@ def _hash_values(col) -> np.ndarray:
             np.cumsum(cp * binv_pows[:n], out=P[1:])
         last = np.maximum(off[1:] - 1, 0)
         h = b_pows[last] * (P[off[1:]] - P[off[:-1]])
-    return _mix64(h)
+    h = _mix64(h)
+    return (h, valid) if with_valid else h
 
 
 def approx_distinct(ds: "ray.data.Dataset", col: str, p: int = 12) -> float:
@@ -106,7 +119,8 @@ def approx_distinct(ds: "ray.data.Dataset", col: str, p: int = 12) -> float:
 
     def _partial(batch: pa.Table) -> pa.Table:
         hll = HyperLogLog(p)
-        hll.add_hashes(_hash_values(batch[col]))
+        h, valid = _hash_values(batch[col], with_valid=True)
+        hll.add_hashes(h[valid])  # COUNT(DISTINCT) ignores NULLs
         return pa.table({"registers": pa.array([hll.registers.tobytes()], pa.binary())})
 
     parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
@@ -286,9 +300,10 @@ def cms_counts(ds: "ray.data.Dataset", col: str,
 
     def _partial(batch: pa.Table) -> pa.Table:
         cms = CountMinSketch(width, depth)
-        cms.add_hashes(_hash_values(batch[col]))
+        h, valid = _hash_values(batch[col], with_valid=True)
+        cms.add_hashes(h[valid])  # NULL is not a key
         return pa.table({"counts": pa.array([cms.counts.tobytes()], pa.binary()),
-                         "n": pa.array([len(batch)], pa.int64())})
+                         "n": pa.array([int(valid.sum())], pa.int64())})
 
     parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
     out = CountMinSketch(width, depth)
@@ -349,7 +364,8 @@ def build_bloom(ds: "ray.data.Dataset", col: str,
 
     def _partial(batch: pa.Table) -> pa.Table:
         bf = BloomFilter(n_bits, k)
-        bf.add_hashes(_hash_values(batch[col]))
+        h, valid = _hash_values(batch[col], with_valid=True)
+        bf.add_hashes(h[valid])  # NULL keys never match a join
         return pa.table({"bits": pa.array([bf.words.tobytes()], pa.binary())})
 
     parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
@@ -375,7 +391,11 @@ def bloom_prefilter(ds: "ray.data.Dataset", col: str, bloom: BloomFilter):
             self.bf.words = words
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keep = self.bf.contains_hashes(_hash_values(batch[col]))
+            h, valid = _hash_values(batch[col], with_valid=True)
+            # NULL keys can never match an inner/semi join — dropping them
+            # here is lossless (and required: a placeholder hash could
+            # otherwise collide into a spurious keep)
+            keep = self.bf.contains_hashes(h) & valid
             return batch.filter(pa.array(keep))
 
     return ds.map_batches(_Filter, batch_format="pyarrow", concurrency=(1, 8))

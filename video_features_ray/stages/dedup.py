@@ -90,10 +90,17 @@ def distinct_count_per_group(
     distinct (group, value) pairs → hash-bucket BY VALUE (a value's
     duplicates across batches all land in one bucket, so the per-bucket
     distinct is globally exact) → per-bucket distinct + count per group
-    → tiny per-group sum of bucket counts."""
+    → tiny per-group sum of bucket counts.
+
+    NULL values are excluded (SQL ``COUNT(DISTINCT)`` semantics). Known
+    caveat: a group whose values are ALL NULL emits no row at all,
+    where SQL would emit ``(group, 0)`` — callers needing that row must
+    left-join the group list."""
 
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df[[group_col, value_col]].drop_duplicates()
+        # SQL COUNT(DISTINCT v) excludes NULLs; pandas drop_duplicates
+        # would keep one NaN row per group and over-count by 1
+        g = df[[group_col, value_col]].dropna(subset=[value_col]).drop_duplicates()
         h = pd.util.hash_pandas_object(g[value_col], index=False).to_numpy()
         g = g.assign(_bucket=(h % np.uint64(num_buckets)).astype(np.int32))
         return g
@@ -280,6 +287,14 @@ def minhash_lsh_candidates(
     CHAIN (s-1 pairs) instead of all pairs (s(s-1)/2) — bounding the
     worst-case task like the embedding LSH's bucket cap; the cell's
     connected component is preserved for downstream clustering.
+    Chain/verify recall interaction (documented limitation): when the
+    chain pairs are later Jaccard-VERIFIED (``neardup_dedup``), one
+    middle link below the threshold disconnects chain members whose
+    direct pairs would have passed — so the capped path can split a
+    cluster the uncapped path keeps. The cap only engages on cells
+    > ``cell_cap`` (boilerplate-degenerate corpora); if that recall
+    matters, re-run candidates on the capped cells' members with more
+    bands, or re-chain the verified survivors of each oversized cell.
 
     Pipeline: MinHasher actor pool → explode (band_id, band_hash, id)
     rows → groupby band bucket → emit pairs within colliding cells →
