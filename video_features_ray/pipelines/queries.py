@@ -33,16 +33,56 @@ from ..stages.similarity import cosine_topk
 from ..stages.text import quality_score, token_stats
 from ..stages.windows import make_window_stage
 
-def shuffle_width(floor: int = 16, cap: int = 256) -> int:
-    """Bucket count for wide ops, derived from the cluster: ≥2× CPUs so
-    a 256-node cluster's shuffle parallelism isn't capped at a constant,
-    floored at 16 (measured-right at sf0.1 — fewer buckets just re-pay
-    per-task overhead), capped so tiny clusters aren't over-split."""
+#: per-bucket byte budget for ``groupby(_bucket).map_groups`` stages —
+#: each bucket materializes as ONE pandas frame in one task, so the
+#: bucket count must grow with the DATA, not just the cluster
+TARGET_BUCKET_BYTES = 256 << 20
+
+
+def shuffle_width(input_bytes: int | None = None, floor: int = 16,
+                  cluster_cap: int = 256,
+                  target_bucket_bytes: int = TARGET_BUCKET_BYTES) -> int:
+    """Bucket count for wide ops = max(cluster term, data term).
+
+    - cluster term: ≥2× CPUs (shuffle parallelism scales with a 256-node
+      cluster), floored at 16 (measured-right at sf0.1), capped at
+      ``cluster_cap`` so tiny clusters aren't over-split.
+    - data term: ``ceil(input_bytes / target_bucket_bytes)`` and
+      UNCAPPED — every ``transform_buckets`` / ``TaggedUnion`` /
+      bucketed-dedup task holds one whole bucket as a pandas frame, so
+      at 100 TB the count must be ~bytes/256 MB regardless of CPUs
+      (the round-2 design flaw: a fixed 256 ceiling meant per-task
+      memory grew linearly with input).
+
+    ``input_bytes`` should be the UNCOMPRESSED estimate of what is
+    actually shuffled (see :func:`table_bytes` for parquet inputs).
+    """
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     except Exception:
         cpus = 8
-    return int(min(max(floor, 2 * cpus), cap))
+    w = int(min(max(floor, 2 * cpus), cluster_cap))
+    if input_bytes:
+        w = max(w, -(-int(input_bytes) // int(target_bucket_bytes)))
+    return w
+
+
+def table_bytes(sf_dir: str, *tables: str) -> int:
+    """Uncompressed byte estimate of parquet tables from row-group
+    metadata — footer reads only, never data."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for t in tables:
+        md = pq.ParquetFile(f"{sf_dir}/{t}.parquet").metadata
+        total += sum(md.row_group(i).total_byte_size
+                     for i in range(md.num_row_groups))
+    return total
+
+
+def _w(sf_dir: str, *tables: str) -> int:
+    """shuffle width sized to the named input tables."""
+    return shuffle_width(table_bytes(sf_dir, *tables))
 
 
 # window-query specs (small geometry so the ~500-char docs emit windows)
@@ -178,7 +218,7 @@ def q_asof_features(sf_dir: str):
     # coalesce stays 16 — it exists to merge skinny input blocks before
     # the sort, and more blocks just re-pay the ~45 ms/block sort tax
     joined = asof_join(probes, windows, key="doc_id", left_ts="ts_q", right_ts="ts_ms",
-                       direction="backward", num_buckets=shuffle_width(), coalesce_blocks=16)
+                       direction="backward", num_buckets=_w(sf_dir, "documents"), coalesce_blocks=16)
 
     def _finish(df: pd.DataFrame) -> pd.DataFrame:
         df["window_id_r"] = df["window_id_r"].fillna(-1).astype(np.int64)
@@ -207,7 +247,7 @@ def _events_us(sf_dir: str, cols) -> "ray.data.Dataset":
 def q_lag_lead_events(sf_dir: str):
     ds = _events_us(sf_dir, ["event_id", "user_id", "ts", "value"])
     out = lag_lead(ds, "user_id", "ts_us", "value", lags=[1], leads=[1],
-                   num_buckets=shuffle_width(), tie_cols=["event_id"])
+                   num_buckets=_w(sf_dir, "events"), tie_cols=["event_id"])
 
     def _finish(df: pd.DataFrame) -> pd.DataFrame:
         df["value_lag1"] = df["value_lag1"].fillna(-1.0)
@@ -223,7 +263,7 @@ SESSION_GAP_US = 1_800_000_000  # 30 min
 def q_sessionize_events(sf_dir: str):
     ds = _events_us(sf_dir, ["event_id", "user_id", "ts"])
     out = sessionize(ds, "user_id", "ts_us", gap=SESSION_GAP_US,
-                     num_buckets=shuffle_width(), tie_cols=["event_id"])
+                     num_buckets=_w(sf_dir, "events"), tie_cols=["event_id"])
     return out.map_batches(
         lambda df: df[["event_id", "user_id", "session_id"]], batch_format="pandas"
     )
@@ -237,7 +277,7 @@ def q_ffill_events(sf_dir: str):
         return df[["event_id", "user_id", "ts_us", "click_value"]]
 
     out = forward_fill(ds.map_batches(_nullify, batch_format="pandas"),
-                       "user_id", "ts_us", "click_value", num_buckets=shuffle_width(),
+                       "user_id", "ts_us", "click_value", num_buckets=_w(sf_dir, "events"),
                        tie_cols=["event_id"])
 
     def _finish(df: pd.DataFrame) -> pd.DataFrame:
@@ -382,7 +422,8 @@ def q_docs_per_source(sf_dir: str):
 
 def q_exact_dedup(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = exact_dedup(ds, id_col="doc_id", text_col="text")
+    out = exact_dedup(ds, id_col="doc_id", text_col="text",
+                      num_buckets=_w(sf_dir, "documents"))
     return out.map_batches(
         lambda df: df.assign(keep_id=df["keep_id"].astype(np.int64),
                              n_dupes=df["n_dupes"].astype(np.int64))[
@@ -431,7 +472,8 @@ def q_minhash_neardup(sf_dir: str):
     from ..stages.dedup import minhash_lsh_candidates
 
     return minhash_lsh_candidates(_string_docs(sf_dir), num_perm=32, bands=8,
-                                  concurrency=(1, 8))
+                                  concurrency=(1, 8),
+                                  num_buckets=_w(sf_dir, "documents"))
 
 
 def q_neardup_winners(sf_dir: str):
@@ -505,7 +547,8 @@ def q_embedding_neardup(sf_dir: str):
     planted = base.map_batches(_plant, batch_format="pyarrow")
     return embedding_neardup_candidates(base.union(planted), dim=DIM,
                                         num_planes=8, num_tables=4,
-                                        cosine_threshold=0.95)
+                                        cosine_threshold=0.95,
+                                        num_buckets=_w(sf_dir, "embeddings"))
 
 
 def q_kmeans_centroids(sf_dir: str):
@@ -629,7 +672,7 @@ def q_asof_purchase_click(sf_dir: str):
     clicks = ev.map_batches(_clicks, batch_format="pandas")
     joined = asof_join(purchases, clicks, key="user_id", left_ts="ts_us",
                        right_ts="ts_us", direction="backward",
-                       num_buckets=shuffle_width(), coalesce_blocks=16)
+                       num_buckets=_w(sf_dir, "events"), coalesce_blocks=16)
 
     def _finish(df: pd.DataFrame) -> pd.DataFrame:
         df["c_event_r"] = df["c_event_r"].fillna(-1).astype(np.int64)
@@ -642,7 +685,7 @@ def q_asof_purchase_click(sf_dir: str):
 def q_session_stats(sf_dir: str):
     """per (user, session): event count + start/end ts (sessionize → agg)."""
     ds = _events_us(sf_dir, ["event_id", "user_id", "ts"])
-    w = shuffle_width()
+    w = _w(sf_dir, "events")
     sess = sessionize(ds, "user_id", "ts_us", gap=SESSION_GAP_US, num_buckets=w,
                       tie_cols=["event_id"])
 
@@ -727,7 +770,8 @@ def q_revenue_per_segment(sf_dir: str):
                          "price_c": pa.array(np.round(p * 100.0).astype(np.int64))})
 
     joined = hash_join(orders.map_batches(_scale, batch_format="pyarrow"), cust,
-                       on="custkey", num_buckets=shuffle_width(), coalesce_blocks=16)
+                       on="custkey", num_buckets=_w(sf_dir, "orders", "customer"),
+                       coalesce_blocks=16)
     agg = partial_agg(joined, ["c_mktsegment"], sums=["price_c"],
                       count_col="n_orders", combine="driver")
 
@@ -753,7 +797,7 @@ def q_rolling_sum(sf_dir: str):
 
     out = rolling_agg(ds.map_batches(_scale, batch_format="pyarrow"),
                       "user_id", "ts_us", "value_s", window_rows=5,
-                      num_buckets=shuffle_width(), tie_cols=["event_id"])
+                      num_buckets=_w(sf_dir, "events"), tie_cols=["event_id"])
 
     def _finish(df: pd.DataFrame) -> pd.DataFrame:
         df["roll5"] = df["value_s_rollsum5"].astype(np.int64) / 10000.0
@@ -804,7 +848,7 @@ def q_customers_without_orders(sf_dir: str):
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
     ).map_batches(_recent, batch_format="pyarrow")
     out = hash_join(cust, orders, on="custkey", how="anti",
-                    num_buckets=shuffle_width())
+                    num_buckets=_w(sf_dir, "orders", "customer"))
     return out.map_batches(
         lambda df: df.assign(c_custkey=df["custkey"].astype(np.int64))[
             ["c_custkey", "c_mktsegment"]],
@@ -817,7 +861,7 @@ def q_rank_events(sf_dir: str):
 
     ds = _events_us(sf_dir, ["event_id", "user_id", "ts", "value"])
     out = window_rank(ds, "user_id", ["value", "event_id"],
-                      ascending=[False, True], num_buckets=shuffle_width())
+                      ascending=[False, True], num_buckets=_w(sf_dir, "events"))
     return out.map_batches(
         lambda df: df[["event_id", "user_id", "rnk"]], batch_format="pandas")
 
@@ -836,7 +880,7 @@ def q_cumsum_events(sf_dir: str):
 
     out = cumulative_sum(ds.map_batches(_scale, batch_format="pyarrow"),
                          "user_id", "ts_us", "value_s",
-                         num_buckets=shuffle_width(), tie_cols=["event_id"])
+                         num_buckets=_w(sf_dir, "events"), tie_cols=["event_id"])
 
     def _finish(df: pd.DataFrame) -> pd.DataFrame:
         df["cum_value"] = df["value_s_cumsum"].astype(np.int64) / 10000.0
@@ -878,7 +922,8 @@ def q_distinct_users_per_type(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_type", "user_id"])
-    return distinct_count_per_group(ds, "event_type", "user_id")
+    return distinct_count_per_group(ds, "event_type", "user_id",
+                                    num_buckets=_w(sf_dir, "events"))
 
 
 def q_stratified_docs(sf_dir: str):
@@ -888,7 +933,8 @@ def q_stratified_docs(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "source", "n_chars"])
-    out = stratified_bottom_k(ds, "source", "doc_id", k=3)
+    out = stratified_bottom_k(ds, "source", "doc_id", k=3,
+                              num_buckets=_w(sf_dir, "documents"))
     out["doc_id"] = out["doc_id"].astype(np.int64)
     out["n_chars"] = out["n_chars"].astype(np.int64)
     return out[["source", "doc_id", "n_chars"]]
