@@ -192,6 +192,20 @@ def _headline_compute(sf_dir: str, scale_repeat: int):
     return int(agg["sum(rows)"]), int(agg["sum(toks)"])
 
 
+def _quiet_data_logs():
+    """Silence ray.data INFO/WARNING chatter in bench output. The one
+    recurring WARNING class ("Operator produced a RefBundle with a
+    different schema ... new schema: .") is Ray-core noticing EMPTY sort
+    partitions (schema=None bundles) in bucketed groupbys — our own
+    blocks are all typed (round 3 fixed the real mismatch: the tagged
+    union's two sides now emit one canonical column order), and an empty
+    range-partition is data-dependent executor behavior, not a schema
+    bug."""
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
@@ -203,6 +217,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    _quiet_data_logs()
 
     import __ray_entry__ as em
 
@@ -296,6 +311,7 @@ def _headline_only(sf_dir: str, num_cpus: int) -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    _quiet_data_logs()
 
     import pyarrow.parquet as pq
 
@@ -384,6 +400,7 @@ def _stress(sf_dir: str, num_cpus: int) -> dict:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    _quiet_data_logs()
 
     out = {}
     n_docs_base = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows

@@ -131,6 +131,23 @@ def test_waves_resume_after_kill(seq_file, tmp_path):
     assert r2["skipped"] == 2 and r2["committed"] > 0
 
 
+def test_partition_starts_wide(seq_file):
+    """A partition spanning k row groups must start as k blocks (round-3
+    verdict item 4: the first stage runs at row-group parallelism, not
+    as one single-ref task)."""
+    from video_features_ray.state.checkpoint import partition_dataset
+
+    parts = plan_partitions([seq_file], target_rows=40)  # row groups of 10
+    part = max(parts, key=lambda p: len(p.row_groups))
+    assert len(part.row_groups) >= 4
+    ds = partition_dataset(part)
+    assert ds.num_blocks() == len(part.row_groups)
+    assert ds.count() == part.row_end - part.row_start
+    # and the window stage actually executes over >1 input block
+    out = ds.map_batches(lambda b: b, batch_format="pyarrow")
+    assert out.materialize().num_blocks() > 1
+
+
 def test_manifest_metrics(seq_file, tmp_path):
     out = str(tmp_path / "out")
     run_checkpointed([seq_file], _pipeline, out, target_rows=20)

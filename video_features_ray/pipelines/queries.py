@@ -217,8 +217,15 @@ def q_asof_features(sf_dir: str):
     # num_buckets scales with the cluster (merge parallelism); the
     # coalesce stays 16 — it exists to merge skinny input blocks before
     # the sort, and more blocks just re-pay the ~45 ms/block sort tax
-    joined = asof_join(probes, windows, key="doc_id", left_ts="ts_q", right_ts="ts_ms",
-                       direction="backward", num_buckets=_w(sf_dir, "documents"), coalesce_blocks=16)
+    joined = asof_join(
+        probes, windows, key="doc_id", left_ts="ts_q", right_ts="ts_ms",
+        direction="backward", num_buckets=_w(sf_dir, "documents"),
+        coalesce_blocks=16,
+        # explicit schemas: both sides are transformed datasets, so
+        # .schema() would execute their first blocks twice (item r3-9)
+        schemas=(pa.schema([("doc_id", pa.string()), ("ts_q", pa.float64())]),
+                 pa.schema([("doc_id", pa.string()), ("ts_ms", pa.float64()),
+                            ("window_id", pa.int64()), ("win_ts", pa.float64())])))
 
     def _finish(df: pd.DataFrame) -> pd.DataFrame:
         df["window_id_r"] = df["window_id_r"].fillna(-1).astype(np.int64)
@@ -670,9 +677,14 @@ def q_asof_purchase_click(sf_dir: str):
 
     purchases = ev.map_batches(_purchases, batch_format="pandas")
     clicks = ev.map_batches(_clicks, batch_format="pandas")
-    joined = asof_join(purchases, clicks, key="user_id", left_ts="ts_us",
-                       right_ts="ts_us", direction="backward",
-                       num_buckets=_w(sf_dir, "events"), coalesce_blocks=16)
+    joined = asof_join(
+        purchases, clicks, key="user_id", left_ts="ts_us",
+        right_ts="ts_us", direction="backward",
+        num_buckets=_w(sf_dir, "events"), coalesce_blocks=16,
+        schemas=(pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                            ("ts_us", pa.int64()), ("value", pa.float64())]),
+                 pa.schema([("c_event", pa.int64()), ("user_id", pa.int64()),
+                            ("ts_us", pa.int64()), ("c_value", pa.float64())])))
 
     def _finish(df: pd.DataFrame) -> pd.DataFrame:
         df["c_event_r"] = df["c_event_r"].fillna(-1).astype(np.int64)
@@ -769,9 +781,12 @@ def q_revenue_per_segment(sf_dir: str):
         return pa.table({"custkey": batch["o_custkey"],
                          "price_c": pa.array(np.round(p * 100.0).astype(np.int64))})
 
-    joined = hash_join(orders.map_batches(_scale, batch_format="pyarrow"), cust,
-                       on="custkey", num_buckets=_w(sf_dir, "orders", "customer"),
-                       coalesce_blocks=16)
+    joined = hash_join(
+        orders.map_batches(_scale, batch_format="pyarrow"), cust,
+        on="custkey", num_buckets=_w(sf_dir, "orders", "customer"),
+        coalesce_blocks=16,
+        schemas=(pa.schema([("custkey", pa.int64()), ("price_c", pa.int64())]),
+                 pa.schema([("custkey", pa.int64()), ("c_mktsegment", pa.string())])))
     agg = partial_agg(joined, ["c_mktsegment"], sums=["price_c"],
                       count_col="n_orders", combine="driver")
 
@@ -847,8 +862,11 @@ def q_customers_without_orders(sf_dir: str):
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
     ).map_batches(_recent, batch_format="pyarrow")
-    out = hash_join(cust, orders, on="custkey", how="anti",
-                    num_buckets=_w(sf_dir, "orders", "customer"))
+    out = hash_join(
+        cust, orders, on="custkey", how="anti",
+        num_buckets=_w(sf_dir, "orders", "customer"),
+        schemas=(pa.schema([("custkey", pa.int64()), ("c_mktsegment", pa.string())]),
+                 pa.schema([("custkey", pa.int64())])))
     return out.map_batches(
         lambda df: df.assign(c_custkey=df["custkey"].astype(np.int64))[
             ["c_custkey", "c_mktsegment"]],

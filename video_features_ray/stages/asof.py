@@ -75,15 +75,20 @@ def asof_join(
     suffix: str = "_r",
     tolerance=None,
     coalesce_blocks: int | None = None,
+    schemas=None,
 ) -> "ray.data.Dataset":
     """``coalesce_blocks``: optionally merge the tagged union into this
     many blocks before the bucket groupby — at small data the groupby's
     sort cost is dominated by per-block task overhead (measured ~2×
     faster with 16 blocks at sf0.1). Leave None at scale, where many
-    blocks are exactly what the sort wants."""
+    blocks are exactly what the sort wants.
+
+    ``schemas``: optional (left, right) Arrow schemas — pass when known
+    so the tagged union never executes an upstream block for inference."""
     right_ts = right_ts or left_ts
     tu = TaggedUnion(left, right, key, num_buckets,
-                     ts_cols=(left_ts, right_ts), coalesce_blocks=coalesce_blocks)
+                     ts_cols=(left_ts, right_ts), coalesce_blocks=coalesce_blocks,
+                     schemas=schemas)
     left_cols = tu.left_cols
     left_np_dtypes = tu.np_dtypes(left_cols)
     out_right_cols = [c for c in tu.right_cols if c not in (key, right_ts)]

@@ -54,6 +54,7 @@ def hash_join(
     coalesce_blocks: int | None = None,
     bloom_prefilter_left: bool = False,
     bloom_bits: int = 1 << 23,
+    schemas=None,
 ) -> "ray.data.Dataset":
     """Large ⨝ large equi-join in ONE hash shuffle (the case
     ``broadcast_join`` can't serve: neither side fits a worker heap).
@@ -85,8 +86,12 @@ def hash_join(
     if how in ("semi", "anti"):
         # existence checks need only the right KEYS — keep the shuffle skinny
         right = right.select_columns([on])
+        if schemas is not None:
+            l_s, r_s = schemas
+            schemas = (l_s, pa.schema([r_s.field(on)]))
 
-    tu = TaggedUnion(left, right, on, num_buckets, coalesce_blocks=coalesce_blocks)
+    tu = TaggedUnion(left, right, on, num_buckets, coalesce_blocks=coalesce_blocks,
+                     schemas=schemas)
     left_cols = tu.left_cols
     left_np_dtypes = tu.np_dtypes(left_cols)
     right_np_dtypes = tu.np_dtypes(tu.right_cols)

@@ -32,8 +32,17 @@ class TaggedUnion:
     def __init__(self, left: "ray.data.Dataset", right: "ray.data.Dataset",
                  key: str, num_buckets: int,
                  ts_cols: tuple[str, str] | None = None,
-                 coalesce_blocks: int | None = None):
-        l_schema, r_schema = left.schema(), right.schema()
+                 coalesce_blocks: int | None = None,
+                 schemas: tuple[pa.Schema, pa.Schema] | None = None):
+        # ``schemas``: caller-supplied (left, right) Arrow schemas. When
+        # given, ``Dataset.schema()`` is never called — that call can
+        # EXECUTE the upstream pipeline's first block just to infer
+        # column types, a double-execution tax on every shuffled join
+        # whose input is a transformed (schema-unknown) dataset.
+        if schemas is not None:
+            l_schema, r_schema = schemas
+        else:
+            l_schema, r_schema = left.schema(), right.schema()
         self.left_cols = l_schema.names
         self.right_cols = r_schema.names
         self.arrow_types: dict[str, pa.DataType] = {}
@@ -43,16 +52,22 @@ class TaggedUnion:
                     self.arrow_types.setdefault(name, typ)
         arrow_types = self.arrow_types
 
-        def _tag(side: int, own_ts: str | None, other_cols):
+        # canonical output column order shared by BOTH sides (left cols,
+        # right-only cols, then the meta columns) — per-side orders made
+        # Ray's executor log a schema-mismatch warning on every block
+        union_cols = list(self.left_cols)
+        union_cols += [c for c in self.right_cols if c not in self.left_cols]
+
+        def _tag(side: int, own_ts: str | None):
             def _fn(batch: pa.Table) -> pa.Table:
                 n = len(batch)
-                cols = {c: batch[c] for c in batch.column_names}
+                have = set(batch.column_names)
+                cols = {c: (batch[c] if c in have
+                            else pa.nulls(n, type=arrow_types.get(c)))
+                        for c in union_cols}
                 cols["_side"] = pa.array(np.full(n, side, dtype=np.int8))
                 if own_ts is not None:
                     cols["_ts"] = batch[own_ts]
-                for c in other_cols:
-                    if c not in cols:
-                        cols[c] = pa.nulls(n, type=arrow_types.get(c))
                 b = stable_bucket(batch[key].to_numpy(zero_copy_only=False), num_buckets)
                 cols["_bucket"] = pa.array(b, type=pa.int32())
                 return pa.table(cols)
@@ -60,9 +75,9 @@ class TaggedUnion:
             return _fn
 
         l_ts, r_ts = ts_cols if ts_cols else (None, None)
-        both = left.map_batches(_tag(0, l_ts, self.right_cols),
+        both = left.map_batches(_tag(0, l_ts),
                                 batch_format="pyarrow").union(
-            right.map_batches(_tag(1, r_ts, self.left_cols),
+            right.map_batches(_tag(1, r_ts),
                               batch_format="pyarrow"))
         if coalesce_blocks:
             both = both.repartition(coalesce_blocks)

@@ -135,13 +135,19 @@ class Manifest:
 
 
 @ray.remote
-def _read_row_groups(path: str, row_groups: tuple):
-    return pq.ParquetFile(path).read_row_groups(list(row_groups))
+def _read_row_group(path: str, row_group: int):
+    return pq.ParquetFile(path).read_row_groups([row_group])
 
 
 def partition_dataset(part: Partition) -> "ray.data.Dataset":
-    """The partition's rows as a Dataset (read happens in a Ray task)."""
-    return ray.data.from_arrow_refs([_read_row_groups.remote(part.input_file, part.row_groups)])
+    """The partition's rows as a Dataset — ONE Arrow ref per row group,
+    so the partition's pipeline starts at row-group parallelism (the
+    round-2 single-ref version ran each partition's first stage as one
+    task; intra-partition parallelism then came only from dynamic block
+    splitting). Reads happen in parallel Ray tasks; lineage stays the
+    committed row-group range."""
+    return ray.data.from_arrow_refs(
+        [_read_row_group.remote(part.input_file, g) for g in part.row_groups])
 
 
 def _harden_concurrent_writes() -> None:
