@@ -328,8 +328,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sample_bottomk": (
             "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars "
-            "FROM (SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h "
-            "FROM documents ORDER BY h LIMIT 20)"
+            "FROM (SELECT doc_id, n_chars, hash(CAST(doc_id AS BIGINT)) AS h "
+            "FROM documents ORDER BY h, doc_id LIMIT 20)"
         ),
         "token_freq_top50": (
             f"{_SEQ} "
@@ -392,7 +392,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, CAST(doc_id AS BIGINT) AS doc_id, "
             "CAST(n_chars AS BIGINT) AS n_chars FROM ("
             "SELECT source, doc_id, n_chars, row_number() OVER ("
-            "PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
+            "PARTITION BY source ORDER BY hash(CAST(doc_id AS BIGINT)), doc_id) AS rn "
             "FROM documents) WHERE rn <= 3"
         ),
         "similarity_topk": _COSINE_TOPK_SQL,

@@ -37,15 +37,16 @@ def test_approx_distinct_dataset():
 
 
 def test_bottom_k_deterministic_and_partition_invariant():
-    import hashlib
+    from video_features_ray.functions.sketches import duckdb_hash_int64
 
     t = pa.table({"doc_id": pa.array(np.arange(500, dtype=np.int64)),
                   "x": pa.array(np.arange(500, dtype=np.int64) * 2)})
     s1 = bottom_k_sample(ray.data.from_arrow(t).repartition(2), "doc_id", 10)
     s2 = bottom_k_sample(ray.data.from_arrow(t).repartition(16), "doc_id", 10)
     pd.testing.assert_frame_equal(s1, s2)  # invariant to block layout
-    want = sorted(range(500), key=lambda i: hashlib.md5(str(i).encode()).hexdigest())[:10]
-    assert sorted(s1["doc_id"]) == sorted(want)
+    h = duckdb_hash_int64(np.arange(500, dtype=np.int64))
+    want = np.arange(500)[np.lexsort((np.arange(500), h))][:10]
+    assert sorted(s1["doc_id"]) == sorted(want.tolist())
 
 
 def test_ddsketch_ignores_nan_like_sql():

@@ -18,7 +18,6 @@ partial-per-batch → tiny-merge shape (sketches are designed mergeable):
 
 from __future__ import annotations
 
-import hashlib
 import pickle
 
 import numpy as np
@@ -132,22 +131,45 @@ def approx_distinct(ds: "ray.data.Dataset", col: str, p: int = 12) -> float:
     return merged.estimate()
 
 
-def bottom_k_sample(ds: "ray.data.Dataset", key_col: str, k: int) -> pd.DataFrame:
-    """Deterministic consistent sample: k rows with smallest md5(key).
+def duckdb_hash_int64(v) -> np.ndarray:
+    """Bit-exact numpy replica of DuckDB's ``hash(BIGINT)`` (the public
+    murmur64 finalizer: xor-shift / multiply alternation) — pinned
+    against duckdb over negatives, ±2^63 and the 2^32 boundary in
+    ``tests/test_vectorized_kernels.py``. Lets deterministic sampling
+    sort by a VECTORIZED key whose SQL oracle is native
+    (``ORDER BY hash(col)``), replacing the round-2 per-row
+    ``hashlib.md5`` hot loop."""
+    x = np.ascontiguousarray(np.asarray(v, dtype=np.int64)).view(np.uint64).copy()
+    c = np.uint64(0xD6E8FEB86659FD93)
+    s = np.uint64(32)
+    with np.errstate(over="ignore"):
+        x ^= x >> s
+        x *= c
+        x ^= x >> s
+        x *= c
+        x ^= x >> s
+    return x
 
-    Per-batch partial bottom-k (only k rows leave each batch), driver
-    merge. SQL-equivalent: ``ORDER BY md5(CAST(key AS VARCHAR)) LIMIT k``.
+
+def bottom_k_sample(ds: "ray.data.Dataset", key_col: str, k: int) -> pd.DataFrame:
+    """Deterministic consistent sample: k rows with smallest
+    ``(hash(key), key)`` over an INTEGER key column.
+
+    Per-batch partial bottom-k (only k rows leave each batch; the hash
+    is one vectorized murmur pass), driver merge. SQL-equivalent:
+    ``ORDER BY hash(key), key LIMIT k`` (DuckDB-native — bit-identical
+    via :func:`duckdb_hash_int64`).
     """
 
     def _partial(batch: pa.Table) -> pa.Table:
-        keys = [str(v) for v in batch[key_col].to_pylist()]
-        hs = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in keys]
-        order = np.argsort(np.array(hs))[:k]
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        h = duckdb_hash_int64(keys)
+        order = np.lexsort((keys, h))[:k]
         out = batch.take(pa.array(order))
-        return out.append_column("_h", pa.array([hs[i] for i in order], pa.string()))
+        return out.append_column("_h", pa.array(h[order], pa.uint64()))
 
     parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
-    parts = parts.sort_values(["_h"], kind="mergesort").head(k)
+    parts = parts.sort_values(["_h", key_col], kind="mergesort").head(k)
     return parts.drop(columns=["_h"]).reset_index(drop=True)
 
 
@@ -406,15 +428,16 @@ def stratified_bottom_k(
     num_buckets: int = 16,
 ) -> pd.DataFrame:
     """Deterministic stratified sample: per GROUP, the k rows with the
-    smallest ``(md5(key), key)``. Per-batch local per-group bottom-k →
-    hash-bucket by group (a group lives in one bucket, so bucket-local
-    bottom-k is exact) → driver concat of ≤ groups × k rows.
-    SQL: ``row_number() OVER (PARTITION BY g ORDER BY md5(key), key) <= k``.
+    smallest ``(hash(key), key)`` over an INTEGER key. Per-batch local
+    per-group bottom-k → hash-bucket by group (a group lives in one
+    bucket, so bucket-local bottom-k is exact) → driver concat of ≤
+    groups × k rows.
+    SQL: ``row_number() OVER (PARTITION BY g ORDER BY hash(key), key) <= k``
+    (DuckDB-native; bit-identical via :func:`duckdb_hash_int64`).
     """
 
     def _local(df: pd.DataFrame) -> pd.DataFrame:
-        keys = df[key_col].astype(str)
-        df = df.assign(_h=[hashlib.md5(s.encode()).hexdigest() for s in keys])
+        df = df.assign(_h=duckdb_hash_int64(df[key_col].to_numpy()))
         df = df.sort_values(["_h", key_col], kind="mergesort")
         out = df.groupby(group_col, sort=False).head(k)
         hg = pd.util.hash_pandas_object(out[group_col], index=False).to_numpy()

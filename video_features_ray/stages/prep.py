@@ -54,17 +54,22 @@ def pad_truncate(batch: pa.Table, context_length: int = 77,
     out = np.zeros((n_rows, context_length), dtype=np.int32)
     offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     values = col.values.to_numpy(zero_copy_only=False)
-    for i in range(n_rows):
-        toks = values[offsets[i] : offsets[i + 1]]
-        if len(toks) > context_length - 2:
-            if not truncate:
-                raise ValueError(
-                    f"row {i}: {len(toks)} tokens exceed context {context_length}"
-                )
-            toks = toks[: context_length - 2]
-        out[i, 0] = SOT
-        out[i, 1 : 1 + len(toks)] = toks
-        out[i, 1 + len(toks)] = EOT
+    lens = np.diff(offsets)
+    over = lens > context_length - 2
+    if over.any() and not truncate:
+        i = int(np.argmax(over))
+        raise ValueError(
+            f"row {i}: {int(lens[i])} tokens exceed context {context_length}"
+        )
+    # offset-scatter (no per-row Python): gather each row's first
+    # min(len, context-2) tokens into columns 1..cap
+    cap = np.minimum(lens, context_length - 2)
+    row_of = np.repeat(np.arange(n_rows, dtype=np.int64), cap)
+    local = np.arange(int(cap.sum()), dtype=np.int64) - np.repeat(
+        np.cumsum(cap) - cap, cap)
+    out[row_of, 1 + local] = values[offsets[:-1][row_of] + local]
+    out[:, 0] = SOT
+    out[np.arange(n_rows), 1 + cap] = EOT
     flat = out.reshape(-1)
     off = np.arange(0, (n_rows + 1) * context_length, context_length, dtype=np.int32)
     padded = pa.ListArray.from_arrays(pa.array(off, pa.int32()), pa.array(flat, pa.int32()))

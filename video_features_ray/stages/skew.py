@@ -70,38 +70,47 @@ def split_giant_sequences(
     def _split(batch: pa.Table) -> pa.Table:
         values, offsets = _flat(batch["tokens"])
         n = np.diff(offsets)
-        doc_ids = batch["doc_id"].to_pylist()
-        sources = batch["source"].to_pylist() if "source" in batch.column_names else [""] * len(batch)
-
-        out_ids, out_src, out_off = [], [], []
-        tok_chunks = []
-        for i in range(len(batch)):
-            ni = int(n[i])
-            row_vals = values[offsets[i] : offsets[i + 1]]
-            if ni <= max_tokens:
-                out_ids.append(doc_ids[i]); out_src.append(sources[i]); out_off.append(0)
-                tok_chunks.append(row_vals)
-            else:
-                s = 0
-                while s < ni:
-                    end = min(s + body + halo, ni)
-                    out_ids.append(doc_ids[i]); out_src.append(sources[i]); out_off.append(s)
-                    tok_chunks.append(row_vals[s:end])
-                    if end == ni:
-                        break
-                    s += body
-        flat = np.concatenate(tok_chunks) if tok_chunks else np.array([], np.int32)
-        offs = np.concatenate(([0], np.cumsum([len(c) for c in tok_chunks])))
+        n_rows = len(batch)
+        src = (batch["source"] if "source" in batch.column_names
+               else pa.array([""] * n_rows, pa.string()))
+        giant = n > max_tokens
+        if not giant.any():
+            # fast path (the overwhelmingly common batch): rows pass
+            # through UNTOUCHED — zero token copies, no per-row Python
+            return pa.table({
+                "doc_id": batch["doc_id"].cast(pa.string()),
+                "tokens": batch["tokens"],
+                "n_tok": pa.array(n.astype(np.int32)),
+                "source": src,
+                "pos_offset": pa.array(np.zeros(n_rows, np.int64)),
+            })
+        # vectorized, order-preserving chunking: k chunks per row
+        # (k=1 for non-giant), starts at multiples of `body`, each chunk
+        # carrying `halo` extra tokens — one flat gather for the batch
+        k = np.where(giant, np.maximum(-(-(n - halo) // body), 1), 1).astype(np.int64)
+        total = int(k.sum())
+        row_of = np.repeat(np.arange(n_rows, dtype=np.int64), k)
+        local = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(k) - k, k)
+        starts = local * body
+        ends = np.minimum(starts + body + halo, n[row_of])
+        out_lens = ends - starts
+        tok_total = int(out_lens.sum())
+        t_row = np.repeat(np.arange(total, dtype=np.int64), out_lens)
+        t_local = np.arange(tok_total, dtype=np.int64) - np.repeat(
+            np.cumsum(out_lens) - out_lens, out_lens)
+        flat = values[offsets[:-1][row_of][t_row] + starts[t_row] + t_local]
+        offs = np.concatenate(([0], np.cumsum(out_lens)))
         tokens = pa.ListArray.from_arrays(
-            pa.array(offs, type=pa.int64()).cast(pa.int32()), pa.array(flat, type=pa.int32())
-        )
+            pa.array(offs, type=pa.int64()).cast(pa.int32()),
+            pa.array(flat.astype(np.int32, copy=False), type=pa.int32()))
+        take = pa.array(row_of)
         return pa.table(
             {
-                "doc_id": pa.array(out_ids, pa.string()),
+                "doc_id": batch["doc_id"].take(take).cast(pa.string()),
                 "tokens": tokens,
-                "n_tok": pa.array(np.diff(offs).astype(np.int32)),
-                "source": pa.array(out_src, pa.string()),
-                "pos_offset": pa.array(np.array(out_off, dtype=np.int64)),
+                "n_tok": pa.array(out_lens.astype(np.int32)),
+                "source": src.take(take),
+                "pos_offset": pa.array(starts.astype(np.int64)),
             }
         )
 
