@@ -108,7 +108,7 @@ def test_neardup_dedup_end_to_end():
 
     df, plants = planted_corpus()
     ds = ray.data.from_pandas(df).repartition(4)
-    losers = neardup_dedup(ds, threshold=0.8, concurrency=(1, 2))
+    losers = neardup_dedup(ds, threshold=0.8, concurrency=(1, 2)).to_pandas()
     got = dict(zip(losers["doc_id"], losers["keep_id"]))
 
     def root(x):

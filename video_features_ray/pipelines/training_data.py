@@ -97,6 +97,24 @@ class _WinnerFilter:
         return batch.filter(pa.array(np.isin(ids, self.winners)))
 
 
+class _LoserFilter:
+    """Actor-pool ANTI-filter: assemble the sorted loser-id array once
+    per actor from object-store block refs (the ``_WinnerFilter``
+    pattern), then drop losers per batch with one vectorized ``isin``.
+    doc_id is string-typed here (the near-dup family keys on strings)."""
+
+    def __init__(self, refs: list):
+        tabs = ray.get(list(refs))
+        ids = [t.column("doc_id").to_numpy(zero_copy_only=False)
+               for t in tabs if len(t)]
+        self.losers = (np.sort(np.concatenate(ids).astype(str))
+                       if ids else np.array([], dtype=str))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].cast(pa.string()).to_pylist(), dtype=str)
+        return batch.filter(pa.array(~np.isin(ids, self.losers)))
+
+
 def run_training_data_pipeline(
     input_files: list[str],
     out_dir: str,
@@ -120,8 +138,12 @@ def run_training_data_pipeline(
                                 "text": b["text"]}),
             batch_format="pyarrow")
         losers = neardup_dedup(docs, threshold=cfg.near_dedup_threshold)
-        # loser set is bounded by the near-dup rate → broadcast once
-        neardup_losers_ref = ray.put(frozenset(losers["doc_id"]))
+        # loser ids stay as object-store block refs (like the winner
+        # side) — the driver never materializes the set (round-2's
+        # frozenset broadcast was O(near-dups) driver memory)
+        neardup_losers_ref = list(
+            losers.map_batches(lambda df: df[["doc_id"]], batch_format="pandas")
+            .to_arrow_refs())
 
     spec = cfg.spec
     if cfg.encoder_concurrency is None:
@@ -141,15 +163,10 @@ def run_training_data_pipeline(
                 batch_format="pyarrow", concurrency=(1, 2),
             )
         if neardup_losers_ref is not None:
-            def _drop_neardups(batch: pa.Table) -> pa.Table:
-                import pyarrow.compute as pc
-
-                losers = ray.get(neardup_losers_ref)
-                hit = pc.is_in(batch["doc_id"].cast(pa.string()),
-                               value_set=pa.array(sorted(losers), pa.string()))
-                return batch.filter(pc.invert(hit))
-
-            ds = ds.map_batches(_drop_neardups, batch_format="pyarrow")
+            ds = ds.map_batches(
+                _LoserFilter, fn_constructor_args=(neardup_losers_ref,),
+                batch_format="pyarrow", concurrency=(1, 2),
+            )
         seqs = ds.map_batches(tokenize_documents, batch_format="pyarrow")
         if spec.resample_fps is None and spec.resample_total is None:
             seqs = split_giant_sequences(seqs, spec, max_tokens=cfg.max_tokens_per_chunk)

@@ -427,6 +427,160 @@ def jaccard_verify_stage(
     return pairs.map_batches(_Verify, batch_format="pandas", concurrency=concurrency)
 
 
+def jaccard_verify_joined(
+    pairs: "ray.data.Dataset", docs: "ray.data.Dataset",
+    id_col: str = "doc_id", text_col: str = "text",
+    shingle_k: int = 5, threshold: float = 0.5,
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Fully-distributed exact-Jaccard verify: candidate pairs are
+    hash-JOINED with their texts (one shuffle per side), then verified
+    per batch — neither the pair set nor any text lookup ever touches
+    the driver. This is the 100 TB shape the broadcast-lookup
+    :func:`jaccard_verify_stage` documents as its scale-up path (use
+    the broadcast variant when candidates ≪ corpus; this one always)."""
+    from .joins import hash_join
+
+    def _side(col_id: str, col_text: str):
+        def _fn(batch: pa.Table) -> pa.Table:
+            return pa.table({col_id: batch[id_col].cast(pa.string()),
+                             col_text: batch[text_col]})
+        return _fn
+
+    docs_a = docs.map_batches(_side("id_a", "text_a"), batch_format="pyarrow")
+    docs_b = docs.map_batches(_side("id_b", "text_b"), batch_format="pyarrow")
+    j1 = hash_join(pairs, docs_a, on="id_a", num_buckets=num_buckets)
+    j2 = hash_join(j1, docs_b, on="id_b", num_buckets=num_buckets)
+
+    def _verify(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                              "id_b": pd.Series([], dtype=object),
+                              "jaccard": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        ha, offa = _batch_shingle_hashes(
+            pa.array(df["text_a"].fillna("").tolist(), pa.string()),
+            shingle_k, distinct=True)
+        hb, offb = _batch_shingle_hashes(
+            pa.array(df["text_b"].fillna("").tolist(), pa.string()),
+            shingle_k, distinct=True)
+        out = []
+        ids_a = df["id_a"].tolist()
+        ids_b = df["id_b"].tolist()
+        for i in range(len(df)):
+            sa = ha[offa[i]: offa[i + 1]]
+            sb = hb[offb[i]: offb[i + 1]]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter or 1
+            j = inter / union
+            if j >= threshold:
+                out.append((ids_a[i], ids_b[i], j))
+        return (pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
+                if out else empty)
+
+    return j2.map_batches(_verify, batch_format="pandas")
+
+
+def cluster_pairs_distributed(
+    pairs: "ray.data.Dataset",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    num_buckets: int = 16,
+    max_rounds: int = 64,
+) -> "ray.data.Dataset":
+    """Distributed connected components over near-dup pairs via
+    HASH-TO-MIN (Rastogi, Machanavajjhala, Chitnis & Das Sarma,
+    ICDE'13 — public algorithm, O(log n) rounds): each node keeps a
+    cluster set C(v) (init {v} ∪ neighbors); per round every node sends
+    min(C(v)) to all of C(v) and C(v) to min(C(v)); at convergence the
+    component's min holds the whole component and every other member
+    holds exactly {min}.
+
+    Physical plan per round: ONE bucketed groupby computes per-node mins
+    and emits messages (a node never splits across buckets, so the min
+    is global), a second bucketed groupby dedups the new state, and a
+    tiny partial-sum signature decides convergence — the driver only
+    ever holds (row-count, hash-sum) scalars, never a pair. This
+    replaces the round-2 driver union-find whose memory was O(verified
+    pairs) (the 100 TB failure mode on boilerplate-heavy corpora).
+
+    Returns a Dataset ``(doc_id, root)`` with one row per NON-ROOT
+    member (root = min id of its component). Task memory is bounded by
+    the largest single component (its min node's C set), which any
+    representation of "component → winner" must materialize somewhere.
+    """
+
+    def _bucket_of(s: pd.Series) -> np.ndarray:
+        h = pd.util.hash_pandas_object(s, index=False).to_numpy()
+        return (h % np.uint64(num_buckets)).astype(np.int32)
+
+    def _init(df: pd.DataFrame) -> pd.DataFrame:
+        a, b = df[id_a], df[id_b]
+        out = pd.DataFrame({
+            "node": pd.concat([a, b, a, b], ignore_index=True),
+            "member": pd.concat([b, a, a, b], ignore_index=True),
+        }).drop_duplicates()
+        out["_bucket"] = _bucket_of(out["node"])
+        return out
+
+    def _gen(df: pd.DataFrame) -> pd.DataFrame:
+        # entry dedup (messages from several source buckets), then emit
+        df = df[["node", "member"]].drop_duplicates()
+        mins = df.groupby("node", sort=False)["member"].transform("min")
+        out = pd.DataFrame({
+            "node": pd.concat([df["member"], mins], ignore_index=True),
+            "member": pd.concat([mins, df["member"]], ignore_index=True),
+        }).drop_duplicates()
+        out["_bucket"] = _bucket_of(out["node"])
+        return out
+
+    def _dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["node", "member"])
+
+    def _sig_partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = (pd.util.hash_pandas_object(df["node"], index=False).to_numpy()
+             * _GOLD
+             + pd.util.hash_pandas_object(df["member"], index=False).to_numpy())
+        with np.errstate(over="ignore"):
+            s = np.uint64(h.sum(dtype=np.uint64)) if len(h) else np.uint64(0)
+        return pd.DataFrame({"n": [len(df)], "s": [s]})
+
+    def _signature(state: "ray.data.Dataset") -> tuple:
+        parts = state.map_batches(_sig_partial, batch_format="pandas").to_pandas()
+        with np.errstate(over="ignore"):
+            s = np.uint64(parts["s"].to_numpy(dtype=np.uint64).sum(dtype=np.uint64))
+        return int(parts["n"].sum()), int(s)
+
+    state = (pairs.map_batches(_init, batch_format="pandas")
+             .groupby("_bucket").map_groups(_dedup, batch_format="pandas")
+             .materialize())
+    sig = _signature(state)
+    for _ in range(max_rounds):
+        state = (state.groupby("_bucket").map_groups(_gen, batch_format="pandas")
+                 .groupby("_bucket").map_groups(_dedup, batch_format="pandas")
+                 .materialize())
+        new_sig = _signature(state)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:  # pragma: no cover — hash-to-min converges in O(log n) rounds
+        raise RuntimeError(f"hash-to-min did not converge in {max_rounds} rounds")
+
+    def _emit(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["node"] != df["member"]]
+        a, b = d["node"].to_numpy(), d["member"].to_numpy()
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        out = pd.DataFrame({"doc_id": hi, "root": lo}).drop_duplicates()
+        out["_db"] = _bucket_of(out["doc_id"])
+        return out
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["doc_id", "root"])[["doc_id", "root"]]
+
+    return (state.map_batches(_emit, batch_format="pandas")
+            .groupby("_db").map_groups(_final, batch_format="pandas"))
+
+
 def cluster_pairs(pairs_df: pd.DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> pd.DataFrame:
     """Connected components over verified near-dup pairs → (doc_id, root)
     with root = MIN id of the component (the deterministic winner).
@@ -466,45 +620,52 @@ def neardup_dedup(
     bands: int = 16,
     threshold: float = 0.8,
     concurrency=(1, 4),
-) -> pd.DataFrame:
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
     """End-to-end near-duplicate dedup: banded-LSH candidates →
-    distributed exact-Jaccard verify → connected components → one row
-    per NON-WINNER doc ``(doc_id, keep_id)`` (keep_id = min id of its
-    cluster). Filtering a corpus = anti-join against the returned
-    doc_ids (losers), which is broadcast-sized by the near-dup rate.
+    distributed exact-Jaccard verify → DISTRIBUTED connected components
+    (hash-to-min) → a Dataset with one row per NON-WINNER doc
+    ``(doc_id, keep_id)`` (keep_id = min id of its cluster). Filtering a
+    corpus = anti-join against the returned doc_ids.
 
-    ``texts_df``: optional pre-materialized (id, text) lookup for the
-    verify stage; defaults to collecting the candidate-referenced texts
-    from ``ds`` (small — only colliding docs are referenced).
+    Scale shape (round 3): no step materializes pairs, texts, or
+    components on the driver — the verify joins pairs with their texts
+    (``jaccard_verify_joined``) and clustering is log-round hash-to-min
+    (``cluster_pairs_distributed``), so a boilerplate-heavy corpus where
+    near-dups ≈ corpus still runs with bounded driver memory.
+
+    ``texts_df``: optional pre-materialized (id, text) lookup — when
+    given, the broadcast verify (``jaccard_verify_stage``) is used
+    instead of the join (cheaper while candidates ≪ corpus).
     """
     cand = minhash_lsh_candidates(ds, num_perm=num_perm, bands=bands,
                                   text_col=text_col, id_col=id_col,
-                                  concurrency=concurrency)
-    cand_df = cand.to_pandas()
-    if len(cand_df) == 0:
-        return pd.DataFrame({"doc_id": [], "keep_id": []})
-    # the lazy candidate DAG would otherwise RE-RUN for the verify pass
-    # (and a re-run could emit a pair the text lookup doesn't cover)
-    cand = ray.data.from_pandas(cand_df)
-    if texts_df is None:
-        ids = sorted({*cand_df["id_a"], *cand_df["id_b"]})
-
-        def _pick(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            m = pc.is_in(batch[id_col].cast(pa.string()),
-                         value_set=pa.array(ids, pa.string()))
-            t = batch.filter(m)
-            return pa.table({id_col: t[id_col].cast(pa.string()),
-                             text_col: t[text_col]})
-
-        texts_df = ds.map_batches(_pick, batch_format="pyarrow").to_pandas()
-    verified = jaccard_verify_stage(cand, texts_df, id_col=id_col,
-                                    text_col=text_col, threshold=threshold,
-                                    concurrency=concurrency).to_pandas()
-    comp = cluster_pairs(verified)
-    losers = comp[comp["doc_id"] != comp["root"]].rename(columns={"root": "keep_id"})
-    return losers.reset_index(drop=True)
+                                  concurrency=concurrency,
+                                  num_buckets=num_buckets)
+    # materialize: the lazy candidate DAG would otherwise RE-RUN for the
+    # verify pass (blocks stay in the object store — never the driver)
+    cand = cand.materialize()
+    if cand.count() == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame({"doc_id": pd.Series([], dtype=object),
+                          "keep_id": pd.Series([], dtype=object)}))
+    if texts_df is not None:
+        verified = jaccard_verify_stage(cand, texts_df, id_col=id_col,
+                                        text_col=text_col, threshold=threshold,
+                                        concurrency=concurrency)
+    else:
+        verified = jaccard_verify_joined(cand, ds, id_col=id_col,
+                                         text_col=text_col, threshold=threshold,
+                                         num_buckets=num_buckets)
+    verified = verified.materialize()
+    if verified.count() == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame({"doc_id": pd.Series([], dtype=object),
+                          "keep_id": pd.Series([], dtype=object)}))
+    comp = cluster_pairs_distributed(verified, num_buckets=num_buckets)
+    return comp.map_batches(
+        lambda df: df.rename(columns={"root": "keep_id"}),
+        batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
