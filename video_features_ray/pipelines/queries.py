@@ -475,12 +475,56 @@ def _string_docs(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+N_PLANT_TEXT = 20
+
+
+def _planted_docs(sf_dir: str, n_plant: int = N_PLANT_TEXT) -> "ray.data.Dataset":
+    """documents (string ids) + ``n_plant`` deterministic near-copies:
+    doc i < n_plant re-appears as id ``<i>_dup`` with its LAST character
+    replaced — one changed char perturbs ≤ shingle_k shingles of a
+    ~150-500 char doc, so shingle-Jaccard ≈ 0.97+ and simhash Hamming
+    measured ≤ 4 on sf0.01. Gives the rows-only driver checks a KNOWN
+    planted-pair ground truth (the embedding_neardup pattern)."""
+    import pyarrow.compute as pc
+
+    def _plant(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.less(b["doc_id"], n_plant))
+        ids = pc.binary_join_element_wise(t["doc_id"].cast(pa.string()), "dup", "_")
+        texts = [(x[:-1] + "~") if x else "~" for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": ids, "text": pa.array(texts, pa.string())})
+
+    raw = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "text"])
+    return _string_docs(sf_dir).union(raw.map_batches(_plant, batch_format="pyarrow"))
+
+
+def _planted_pairs_only(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Keep only the exact (source, source_dup) planted pairs, so the
+    driver's row count IS planted-pair recall out of N_PLANT_TEXT — not
+    candidate volume (the corpus is template-generated and full of
+    natural near-dups that would otherwise drown the signal)."""
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["id_a"].astype(str)
+        b = df["id_b"].astype(str)
+        m = (a + "_dup" == b) | (b + "_dup" == a)
+        return df[m]
+
+    return ds.map_batches(_f, batch_format="pandas")
+
+
 def q_minhash_neardup(sf_dir: str):
+    """Banded-minhash LSH with 20 PLANTED near-copies; returns exactly
+    the recovered (source, source_dup) pairs, so rows == recall out of
+    20 (detection prob ≥ 0.999 per plant at J ≈ 0.97 with b=8, r=4;
+    deterministic pipeline — measures exactly 20 at sf0.001 and
+    sf0.01)."""
     from ..stages.dedup import minhash_lsh_candidates
 
-    return minhash_lsh_candidates(_string_docs(sf_dir), num_perm=32, bands=8,
+    cand = minhash_lsh_candidates(_planted_docs(sf_dir), num_perm=32, bands=8,
                                   concurrency=(1, 8),
                                   num_buckets=_w(sf_dir, "documents"))
+    return _planted_pairs_only(cand)
 
 
 def q_neardup_winners(sf_dir: str):
@@ -492,13 +536,17 @@ def q_neardup_winners(sf_dir: str):
 
 
 def q_simhash(sf_dir: str):
-    from ..stages.dedup import add_simhash
+    """SimHash near-dup candidates over the corpus + 20 planted
+    near-copies, banded at 8×8 bits with Hamming verify ≤ 7 — the
+    pigeonhole bound makes recall EXACTLY 1.0 for pairs within Hamming 7
+    (all 20 plants measure ≤ 4 on sf0.01), so the driver's row count is
+    a recall check, not arbitrary volume."""
+    from ..stages.dedup import simhash_neardup_candidates
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(
-        lambda b: add_simhash(b).select(["doc_id", "simhash"]), batch_format="pyarrow",
-        batch_size=1024,  # bit-matrix is total_shingles × 64 ints
-    )
+    pairs = simhash_neardup_candidates(_planted_docs(sf_dir), bands=8,
+                                       hamming_max=7,
+                                       num_buckets=_w(sf_dir, "documents"))
+    return _planted_pairs_only(pairs)
 
 
 def q_langid(sf_dir: str):

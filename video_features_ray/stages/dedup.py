@@ -698,6 +698,109 @@ def add_simhash(batch: pa.Table, text_col: str = "text", shingle_k: int = 5) -> 
     return batch.append_column("simhash", pa.array(sh, type=pa.uint64()))
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount for uint64 (numpy<2 has no bitwise_count)."""
+    if len(x) == 0:
+        return np.zeros(0, np.int64)
+    return np.unpackbits(
+        np.ascontiguousarray(x)[:, None].view(np.uint8), axis=1
+    ).sum(axis=1).astype(np.int64)
+
+
+def simhash_neardup_candidates(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    hamming_max: int = 3,
+    bands: int = 4,
+    num_buckets: int = 16,
+    cell_cap: int = 256,
+) -> "ray.data.Dataset":
+    """SimHash near-dup candidate pairs: 64-bit simhash per doc → split
+    into ``bands`` equal bit-bands → docs agreeing EXACTLY on any band
+    collide → per-cell pairs (chain-capped like minhash) → vectorized
+    Hamming verify ≤ ``hamming_max`` → bucketed distinct.
+
+    Pigeonhole completeness: a pair within Hamming distance ≤ bands-1
+    must agree on at least one band, so recall is EXACTLY 1.0 for
+    ``hamming_max ≤ bands - 1`` (default 3 @ 4 bands) — the banded
+    shuffle only moves (id, band, value, simhash) skinny rows.
+    """
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+
+    def _sketch(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table({id_col: pa.array([], pa.string()),
+                             "band_id": pa.array([], pa.int32()),
+                             "band_val": pa.array([], pa.uint64()),
+                             "simhash": pa.array([], pa.uint64()),
+                             "_bucket": pa.array([], pa.int32())})
+        sh = batch_simhash64(batch[text_col], shingle_k)
+        shifts = (np.arange(bands, dtype=np.uint64) * np.uint64(width))
+        vals = ((sh[:, None] >> shifts[None, :]) & mask).reshape(-1)
+        band_id = np.tile(np.arange(bands, dtype=np.int32), n)
+        take = np.repeat(np.arange(n, dtype=np.int64), bands)
+        with np.errstate(over="ignore"):
+            cell_h = _mix64(vals * _POLY_B + band_id.astype(np.uint64) * _GOLD)
+        return pa.table({
+            id_col: batch[id_col].cast(pa.string()).take(pa.array(take)),
+            "band_id": pa.array(band_id),
+            "band_val": pa.array(vals, pa.uint64()),
+            "simhash": pa.array(np.repeat(sh, bands), pa.uint64()),
+            "_bucket": pa.array((cell_h % np.uint64(num_buckets)).astype(np.int32)),
+        })
+
+    def _pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                              "id_b": pd.Series([], dtype=object),
+                              "hamming": pd.Series([], dtype=np.int64),
+                              "_pb": pd.Series([], dtype=np.int32)})
+        dup = df[df.duplicated(["band_id", "band_val"], keep=False)]
+        if len(dup) == 0:
+            return empty
+        a_id, b_id, a_h, b_h = [], [], [], []
+        for _, g in dup.groupby(["band_id", "band_val"], sort=False):
+            g = g.drop_duplicates(id_col).sort_values(id_col, kind="mergesort")
+            ids = g[id_col].tolist()
+            hs = g["simhash"].tolist()
+            if len(ids) > cell_cap:
+                # degenerate cell: connectivity chain (s-1 pairs) bounds
+                # the task like the minhash cap; see that docstring for
+                # the chain/verify recall interaction
+                for i in range(len(ids) - 1):
+                    a_id.append(ids[i]); b_id.append(ids[i + 1])
+                    a_h.append(hs[i]); b_h.append(hs[i + 1])
+                continue
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a_id.append(ids[i]); b_id.append(ids[j])
+                    a_h.append(hs[i]); b_h.append(hs[j])
+        ham = _popcount64(np.asarray(a_h, np.uint64) ^ np.asarray(b_h, np.uint64))
+        keep = ham <= hamming_max
+        out = pd.DataFrame({"id_a": np.asarray(a_id, dtype=object)[keep],
+                            "id_b": np.asarray(b_id, dtype=object)[keep],
+                            "hamming": ham[keep]}).drop_duplicates(["id_a", "id_b"])
+        if not len(out):
+            return empty
+        h = (pd.util.hash_pandas_object(out["id_a"], index=False).to_numpy()
+             * _GOLD
+             + pd.util.hash_pandas_object(out["id_b"], index=False).to_numpy())
+        out["_pb"] = (h % np.uint64(num_buckets)).astype(np.int32)
+        return out
+
+    def _distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["id_a", "id_b"], sort=False)
+                .agg(hamming=("hamming", "min")).reset_index())
+
+    sketched = ds.map_batches(_sketch, batch_format="pyarrow", batch_size=1024)
+    pairs = sketched.groupby("_bucket").map_groups(_pairs_bucket,
+                                                   batch_format="pandas")
+    return pairs.groupby("_pb").map_groups(_distinct, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
