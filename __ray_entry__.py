@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_centroids": q.q_kmeans_centroids,
         "flagship_features": q.q_flagship_features,
         "media_decode": q.q_media_decode,
+        "media_deadletter": q.q_media_deadletter,
         "checkpointed_extract": q.q_checkpointed_extract,
     }
 

@@ -65,7 +65,8 @@ def test_decoder_routes_real_payloads():
     features come from the REAL decoders, not the fake (a fake-decoded
     image would produce a different deterministic vector)."""
     t = synthetic_media_table(n=12, seed=42)
-    out = decode_pipeline(ray.data.from_arrow(t), concurrency=2).to_pandas()
+    out = decode_pipeline(ray.data.from_arrow(t), concurrency=2,
+                          fake_decode=True).to_pandas()
     counts = out.groupby("media_id").size()
     types = dict(zip(t["media_id"].to_pylist(), t["media_type"].to_pylist()))
     for mid, c in counts.items():
@@ -81,6 +82,26 @@ def test_decoder_routes_real_payloads():
     got = np.asarray(
         out[(out.media_id == t["media_id"][0].as_py())]["frame_feature"].iloc[0])
     np.testing.assert_allclose(got, want.astype(np.float32), rtol=1e-6)
+
+
+def test_production_mode_deadletters_undecodable():
+    """Round-3 verdict item 6: mixed WAV/PPM/opaque corpus in PRODUCTION
+    mode (fake off, the default) yields real decoded rows + dead-letter
+    rows, zero fabricated features."""
+    t = synthetic_media_table(n=24, seed=42)  # 8 image, 8 audio, 8 video
+    good, dead = decode_pipeline(ray.data.from_arrow(t), concurrency=2,
+                                 return_deadletters=True)
+    g, d = good.to_pandas(), dead.to_pandas()
+    types = dict(zip(t["media_id"].to_pylist(), t["media_type"].to_pylist()))
+    # every good row decodes from a REAL payload — never a video
+    assert all(types[m] in ("image", "audio") for m in g["media_id"])
+    assert len(g) == 8 * 1 + 8 * 5      # images + 5×100ms audio frames
+    assert "_error" not in g.columns
+    # every opaque video payload dead-letters exactly once, with error
+    assert sorted(d["media_id"]) == sorted(
+        m for m, ty in types.items() if ty == "video")
+    assert d["_error"].str.contains("NotImplementedError").all()
+    assert d["frame_feature"].isna().all()  # no fabricated features
 
 
 def test_riff_non_wave_falls_through_to_fake():

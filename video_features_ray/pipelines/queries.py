@@ -675,10 +675,28 @@ def q_flagship_features(sf_dir: str):
 
 
 def q_media_decode(sf_dir: str):
+    """PRODUCTION decode (no fake): 24 mixed media rows → 8 real PPM
+    images (1 frame each) + 8 real WAVs (5 × 100 ms frames each) = 48
+    good rows; the 8 opaque video payloads dead-letter (see
+    ``media_deadletter``) instead of fabricating features."""
     from ..stages.multimodal import decode_pipeline, synthetic_media_table
 
     ds = ray.data.from_arrow(synthetic_media_table(n=24, seed=42))
     return decode_pipeline(ds, concurrency=(1, 2))
+
+
+def q_media_deadletter(sf_dir: str):
+    """The dead-letter side of q_media_decode: exactly the 8 opaque
+    compressed-video payloads this host cannot decode, one row each
+    with the captured error."""
+    from ..stages.multimodal import decode_pipeline, synthetic_media_table
+
+    ds = ray.data.from_arrow(synthetic_media_table(n=24, seed=42))
+    _good, dead = decode_pipeline(ds, concurrency=(1, 2), return_deadletters=True)
+    return dead.map_batches(
+        lambda b: pa.table({"media_id": b["media_id"],
+                            "error": b["_error"]}),
+        batch_format="pyarrow")
 
 
 def q_checkpointed_extract(sf_dir: str):

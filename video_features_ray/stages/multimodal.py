@@ -11,9 +11,11 @@ decoder:
    are pinned by roundtrip tests.
 2. cv2 / soundfile, IMPORT-TRIED once per actor, for compressed
    formats when the host has them (this container does not).
-3. A deterministic fake (``fake_decode=True``) so compressed-video
-   plumbing stays testable; with ``fake_decode=False`` an unsupported
-   payload raises ``NotImplementedError`` instead of silently faking.
+3. A deterministic fake (``fake_decode=True``, OPT-IN) so
+   compressed-video plumbing stays testable. In the default PRODUCTION
+   mode an unsupported payload becomes a dead-letter row
+   (``_error`` column, split via ``stages/deadletter.py``) — features
+   are never silently fabricated.
 
 All the Ray-side structure is real either way: schema
 (``payload: binary`` + typed metadata columns), actor-pool signature
@@ -176,7 +178,7 @@ class MediaDecoder:
       when cv2 exists; else fake).
     """
 
-    def __init__(self, fake_decode: bool = True, target_hw: int = 16, frame_step: int = 10):
+    def __init__(self, fake_decode: bool = False, target_hw: int = 16, frame_step: int = 10):
         self.fake = fake_decode
         self.hw = target_hw
         self.step = frame_step
@@ -251,36 +253,74 @@ class MediaDecoder:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import traceback
+
         ids, fidx, feats = [], [], []
+        dead_ids, dead_errs = [], []
         for mid, payload, nf in zip(
             batch["media_id"].to_pylist(), batch["payload"].to_pylist(), batch["n_frames"].to_pylist()
         ):
-            for j, feat in self._decode_rows(payload, nf or 1):
+            # per-payload error isolation (the reference's per-video
+            # try/except, base_extractor.py:40-53): an undecodable
+            # payload becomes a DEAD-LETTER row, never a fabricated
+            # feature and never a failed task
+            try:
+                rows = self._decode_rows(payload, nf or 1)
+            except Exception:
+                dead_ids.append(mid)
+                dead_errs.append(traceback.format_exc(limit=2))
+                continue
+            for j, feat in rows:
                 ids.append(mid)
                 fidx.append(j)
                 feats.append(feat)
         mat = np.stack(feats) if feats else np.empty((0, self.hw), np.float32)
         flat = mat.astype(np.float32).reshape(-1)
         off = np.arange(0, (len(ids) + 1) * self.hw, self.hw, dtype=np.int32)
-        return pa.table(
+        good = pa.table(
             {
                 "media_id": pa.array(ids, pa.string()),
-                "frame_idx": pa.array(np.array(fidx, dtype=np.int32)),
+                "frame_idx": pa.array(np.array(fidx, dtype=np.int32), pa.int32()),
                 "frame_feature": pa.ListArray.from_arrays(pa.array(off, pa.int32()),
                                                           pa.array(flat, pa.float32())),
+                "_error": pa.nulls(len(ids), pa.string()),
             }
         )
+        if not dead_ids:
+            return good
+        dead = pa.table(
+            {
+                "media_id": pa.array(dead_ids, pa.string()),
+                "frame_idx": pa.nulls(len(dead_ids), pa.int32()),
+                "frame_feature": pa.nulls(len(dead_ids), good["frame_feature"].type),
+                "_error": pa.array(dead_errs, pa.string()),
+            }
+        )
+        return pa.concat_tables([good, dead])
 
 
 def decode_pipeline(ds: "ray.data.Dataset", concurrency: int = 4,
-                    batch_bytes: int = 32 << 20, est_row_bytes: int = 4096) -> "ray.data.Dataset":
+                    batch_bytes: int = 32 << 20, est_row_bytes: int = 4096,
+                    fake_decode: bool = False,
+                    return_deadletters: bool = False):
     """Media dataset → per-frame feature rows via the decode actor pool.
+
+    PRODUCTION semantics by default (round 3): ``fake_decode`` is
+    OPT-IN — undecodable payloads (compressed codecs absent from the
+    host) are routed to the dead-letter side via the ``_error`` column
+    convention of ``stages/deadletter.py``, never silently fabricated.
+    ``return_deadletters=True`` returns ``(good, dead)`` datasets;
+    otherwise only the good rows (``_error`` stripped).
 
     batch_size derives from a byte budget (payloads are wide rows).
     """
+    from .deadletter import split_deadletters
+
     rows = max(1, batch_bytes // max(est_row_bytes, 1))
-    return ds.map_batches(
+    out = ds.map_batches(
         MediaDecoder, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=rows, concurrency=concurrency,
-        fn_constructor_kwargs=dict(fake_decode=True),
+        fn_constructor_kwargs=dict(fake_decode=fake_decode),
     )
+    good, dead = split_deadletters(out)
+    return (good, dead) if return_deadletters else good
