@@ -26,8 +26,11 @@ def _fixture(n=600, dim=8, seed=13):
 
 
 def _single_process_lloyd(mat, ids, k, iters):
-    order = sorted(range(len(ids)), key=lambda i: hashlib.md5(str(ids[i]).encode()).hexdigest())[:k]
-    # mirror bottom_k_sample's md5-order init
+    from video_features_ray.functions.sketches import duckdb_hash_int64
+
+    ids = np.asarray(ids, np.int64)
+    # mirror bottom_k_sample's (hash(id), id)-order init
+    order = np.lexsort((ids, duckdb_hash_int64(ids)))[:k]
     cent = mat[order].copy()
     for _ in range(iters):
         d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)

@@ -192,7 +192,9 @@ def test_stratified_bottom_k_partition_invariant_and_exact():
     b = stratified_bottom_k(ray.data.from_pandas(df).repartition(19), "src", "id", k=4)
     pd.testing.assert_frame_equal(a, b)
     # matches the naive definition exactly
-    df2 = df.assign(h=[hashlib.md5(str(i).encode()).hexdigest() for i in df["id"]])
+    from video_features_ray.functions.sketches import duckdb_hash_int64
+
+    df2 = df.assign(h=duckdb_hash_int64(df["id"].to_numpy()))
     want = (df2.sort_values(["h", "id"]).groupby("src", sort=False).head(4))
     for src in ("w", "x", "y"):
         assert sorted(a[a.src == src]["id"]) == sorted(want[want.src == src]["id"])
