@@ -128,6 +128,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_value_per_type": q.q_median_value_per_type,
         "distinct_users_per_type": q.q_distinct_users_per_type,
         "stratified_docs": q.q_stratified_docs,
+        "top3_per_user": q.q_top3_per_user,
+        "session_range_join": q.q_session_range_join,
+        "term_df_topk": q.q_term_df_topk,
         # non-SQL-expressible (rows-only checks)
         "approx_distinct_users": q.q_approx_distinct_users,
         "approx_quantiles_price": q.q_approx_quantiles_price,
@@ -137,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q.q_langid,
         "fingerprint": q.q_fingerprint,
         "embedding_neardup": q.q_embedding_neardup,
+        "embedding_neardup_winners": q.q_embedding_neardup_winners,
         "ivf_topk": q.q_ivf_topk,
         "kmeans_centroids": q.q_kmeans_centroids,
         "flagship_features": q.q_flagship_features,
@@ -388,6 +392,37 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_per_type": (
             "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct "
             "FROM events GROUP BY event_type"
+        ),
+        "top3_per_user": (
+            "SELECT event_id, user_id, value, CAST(rnk AS BIGINT) AS rnk FROM ("
+            "SELECT event_id, user_id, value, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk "
+            "FROM events) WHERE rnk <= 3"
+        ),
+        "session_range_join": (
+            "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events), "
+            "m AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL "
+            "OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS new "
+            "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), "
+            "s AS (SELECT *, CAST(SUM(new) OVER (PARTITION BY user_id ORDER BY t, event_id "
+            "ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id FROM m), "
+            "iv AS (SELECT user_id, session_id, MIN(t) AS t_start, MAX(t) AS t_end "
+            "FROM s GROUP BY user_id, session_id) "
+            "SELECT e.event_id, e.user_id, e.t AS ts_us, "
+            "CAST(iv.session_id AS BIGINT) AS session_id "
+            "FROM e JOIN iv ON e.user_id = iv.user_id "
+            "AND e.t BETWEEN iv.t_start AND iv.t_end"
+        ),
+        "term_df_topk": (
+            "WITH w AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "unnest(string_split(text, ' ')) AS term FROM documents), "
+            "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY doc_id, term), "
+            "dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY term), "
+            "top AS (SELECT doc_id, term, tf, row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY tf DESC, term) AS rn FROM tf) "
+            "SELECT t.doc_id, t.term, CAST(t.tf AS BIGINT) AS tf, "
+            "CAST(d.df AS BIGINT) AS df "
+            "FROM top t JOIN dfq d ON t.term = d.term WHERE t.rn <= 3"
         ),
         "stratified_docs": (
             "SELECT source, CAST(doc_id AS BIGINT) AS doc_id, "

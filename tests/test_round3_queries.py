@@ -1,0 +1,92 @@
+"""Round-3 coverage additions: grouped top-N, interval (range) join,
+tf/df term stats — each pinned against DuckDB at sf0.001 — plus the
+range_join operator's inclusivity semantics and the cross-modality
+embedding-winners composition."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(name):
+    import __ray_entry__ as em
+
+    con = duckdb.connect()
+    for t in ("events", "documents", "embeddings"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF}/{t}.parquet')")
+    return con.sql(em.oracle_sql()[name]).df()
+
+
+def _norm(d):
+    d = d[sorted(d.columns)].copy()
+    return d.sort_values(list(d.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _check(name):
+    import __ray_entry__ as em
+
+    got = em.queries()[name](SF)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    want = _oracle(name).astype({c: got[c].dtype for c in got.columns})
+    pd.testing.assert_frame_equal(_norm(got), _norm(want))
+
+
+def test_top3_per_user_matches_sql():
+    _check("top3_per_user")
+
+
+def test_session_range_join_matches_sql():
+    _check("session_range_join")
+
+
+def test_term_df_topk_matches_sql():
+    _check("term_df_topk")
+
+
+def test_embedding_neardup_winners_planted_recall():
+    import __ray_entry__ as em
+
+    df = em.queries()["embedding_neardup_winners"](SF).to_pandas()
+    # every loser is a planted copy (vec_id + 10^6) losing to its source
+    assert (df["doc_id"] >= 1_000_000).all()
+    assert (df["keep_id"] == df["doc_id"] - 1_000_000).all()
+    assert len(df) >= 16  # multi-table LSH recall ≥ 0.8 of 20 plants
+
+
+def test_range_join_inclusive_variants():
+    from video_features_ray.stages.joins import range_join
+
+    left = ray.data.from_pandas(pd.DataFrame({
+        "k": [1, 1, 1, 2], "ts": [5, 10, 15, 10], "lid": [0, 1, 2, 3]}))
+    right = ray.data.from_pandas(pd.DataFrame({
+        "k": [1, 1, 2], "lo": [5, 12, 0], "hi": [10, 20, 9], "rid": [7, 8, 9]}))
+
+    def go(inclusive):
+        out = range_join(left, right, key="k", left_ts="ts",
+                         right_start="lo", right_end="hi",
+                         num_buckets=4, inclusive=inclusive).to_pandas()
+        return sorted(zip(out["lid"], out["rid"]))
+
+    assert go("both") == [(0, 7), (1, 7), (2, 8)]
+    # neither → lo < ts < hi: only ts=15 ∈ (12, 20) survives
+    assert go("neither") == [(2, 8)]
+    # left-inclusive: lo <= ts < hi → ts=5 ∈ [5,10) only (10 hits hi)
+    assert go("left") == [(0, 7), (2, 8)]
+    # right-inclusive: lo < ts <= hi → ts=10 ∈ (5,10] only (5 hits lo)
+    assert go("right") == [(1, 7), (2, 8)]
+
+
+def test_range_join_rejects_column_overlap():
+    import pytest
+
+    from video_features_ray.stages.joins import range_join
+
+    l = ray.data.from_pandas(pd.DataFrame({"k": [1], "ts": [1], "x": [1]}))
+    r = ray.data.from_pandas(pd.DataFrame({"k": [1], "lo": [0], "hi": [2], "x": [9]}))
+    with pytest.raises(ValueError, match="disjoint"):
+        range_join(l, r, key="k", left_ts="ts", right_start="lo", right_end="hi")

@@ -1031,6 +1031,66 @@ def q_stratified_docs(sf_dir: str):
     return out[["source", "doc_id", "n_chars"]]
 
 
+def q_top3_per_user(sf_dir: str):
+    """Top-3 events per user by value (grouped top-N via window_rank +
+    filter — the per-group counterpart of the global grouped_topk)."""
+    from ..stages.events import window_rank
+
+    ds = _events_us(sf_dir, ["event_id", "user_id", "ts", "value"])
+    ranked = window_rank(ds, "user_id", ["value", "event_id"],
+                         ascending=[False, True],
+                         num_buckets=_w(sf_dir, "events"))
+    return ranked.map_batches(
+        lambda df: df[df["rnk"] <= 3][["event_id", "user_id", "value", "rnk"]],
+        batch_format="pandas")
+
+
+def q_session_range_join(sf_dir: str):
+    """Interval (range) join: every event joined to its user's session
+    interval [t_start, t_end] — the general range-join operator
+    cross-checked against sessionize (each event lands in exactly one
+    session, so rows == events and the mapping must agree with the
+    window-based sessionizer bit-for-bit)."""
+    from ..stages.joins import range_join
+
+    ds = _events_us(sf_dir, ["event_id", "user_id", "ts"])
+    sess = q_session_stats(sf_dir).map_batches(
+        lambda df: df[["user_id", "session_id", "t_start", "t_end"]],
+        batch_format="pandas")
+    out = range_join(ds, sess, key="user_id", left_ts="ts_us",
+                     right_start="t_start", right_end="t_end",
+                     num_buckets=_w(sf_dir, "events"))
+    return out.map_batches(
+        lambda df: df.assign(session_id=df["session_id"].astype(np.int64))[
+            ["event_id", "user_id", "ts_us", "session_id"]],
+        batch_format="pandas")
+
+
+def q_embedding_neardup_winners(sf_dir: str):
+    """Cross-modality composition: embedding LSH candidate pairs →
+    DISTRIBUTED hash-to-min components → (doc_id, keep_id) winners.
+    With the 20 planted near-copies the expected loser count equals the
+    planted recall (~17-20; each planted vec_id+10^6 loses to its
+    source, the component min)."""
+    from ..stages.dedup import cluster_pairs_distributed
+
+    pairs = q_embedding_neardup(sf_dir)
+    comp = cluster_pairs_distributed(pairs, num_buckets=_w(sf_dir, "embeddings"))
+    return comp.map_batches(
+        lambda df: df.rename(columns={"root": "keep_id"}), batch_format="pandas")
+
+
+def q_term_df_topk(sf_dir: str):
+    """Per-doc top-3 terms by tf joined with each term's global document
+    frequency — the tf-idf building blocks as pure ints (bit-exact vs
+    SQL; the float idf is one driver-side log away)."""
+    from ..stages.text import term_df_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return term_df_topk(ds, k=3, num_buckets=_w(sf_dir, "documents"))
+
+
 def q_approx_quantiles_price(sf_dir: str):
     """DDSketch order-price quantiles (rows-only; relative error ≤ 1%
     asserted against exact DuckDB quantiles in tests)."""

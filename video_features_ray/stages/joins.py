@@ -115,6 +115,62 @@ def hash_join(
     return tu.map_buckets(_per_bucket)
 
 
+def range_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    num_buckets: int = 64,
+    inclusive: str = "both",
+    schemas=None,
+) -> "ray.data.Dataset":
+    """Interval (range) join: each left row ``(key, ts)`` paired with
+    every right row of the same key whose ``[start, end]`` contains
+    ``ts`` (``inclusive``: 'both' | 'left' | 'right' | 'neither').
+
+    Physical plan: the shared tagged-union hash shuffle on ``key``, then
+    per bucket one vectorized ``pd.merge`` on the key followed by the
+    interval mask — the as-of join's sibling for WINDOWED (not
+    point-in-time) containment, e.g. events→session intervals,
+    readings→maintenance windows.
+
+    Scale note: the per-bucket merge materializes |left_k| × |right_k|
+    rows per key before masking — fine while per-key interval counts
+    are modest (sessions, shifts, campaigns). For keys carrying
+    thousands of intervals, pre-split by coarse time bucket (compose
+    with ``tumbling_aggregate``'s bucketing) or salt the key.
+    Non-key column names must be disjoint across sides.
+    """
+    from .shuffle import TaggedUnion
+
+    tu = TaggedUnion(left, right, key, num_buckets, schemas=schemas)
+    overlap = (set(tu.left_cols) & set(tu.right_cols)) - {key}
+    if overlap:
+        raise ValueError(f"range_join requires disjoint non-key columns; got {overlap}")
+    left_cols = tu.left_cols
+    right_cols = tu.right_cols
+    l_dtypes = tu.np_dtypes(left_cols)
+    r_dtypes = tu.np_dtypes(right_cols)
+    lo_op = {"both": "__le__", "left": "__le__", "right": "__lt__",
+             "neither": "__lt__"}[inclusive]
+    hi_op = {"both": "__le__", "left": "__lt__", "right": "__le__",
+             "neither": "__lt__"}[inclusive]
+
+    def _per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = TaggedUnion.restore_dtypes(
+            df[df["_side"] == 0][list(left_cols)].copy(), l_dtypes)
+        r = TaggedUnion.restore_dtypes(
+            df[df["_side"] == 1][list(right_cols)].copy(), r_dtypes)
+        m = l.merge(r, on=key, how="inner")
+        keep = (getattr(m[right_start], lo_op)(m[left_ts])
+                & getattr(m[left_ts], hi_op)(m[right_end]))
+        return m[keep]
+
+    return tu.map_buckets(_per_bucket)
+
+
 def partial_agg(
     ds: "ray.data.Dataset",
     keys: Sequence[str],

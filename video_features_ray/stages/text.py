@@ -261,3 +261,67 @@ def fingerprint(batch: pa.Table, text_col: str = "text", window: int = 16) -> pa
             "fingerprint": pa.array(fp.astype(np.uint64)),
         }
     )
+
+
+def term_df_topk(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Per-doc top-``k`` terms by term frequency, joined with each
+    term's global DOCUMENT FREQUENCY — the integer building blocks of
+    tf-idf, bit-exact against SQL (the float idf is one log away and
+    would break hash parity).
+
+    Scale shape: tf + local top-k is a stateless map (a doc is one
+    row, so its tf table never leaves the batch); df partials exploit
+    doc_id uniqueness (each doc lives in exactly one batch, so
+    per-batch distinct (doc, term) counts SUM exactly) and combine in
+    one bucketed groupby over terms; the final pairing is the shuffled
+    ``hash_join`` on the skinny (term) key. Splitting is pandas
+    ``str.split(' ')`` == DuckDB ``string_split`` (empties kept).
+    """
+    import pandas as pd
+
+    from .joins import hash_join
+
+    def _tf_topk(df: pd.DataFrame) -> pd.DataFrame:
+        s = pd.DataFrame({
+            "doc_id": df[id_col].astype(str),
+            "term": df[text_col].fillna("").str.split(" "),
+        })
+        e = s.explode("term")
+        tf = (e.groupby(["doc_id", "term"], sort=False).size()
+              .rename("tf").reset_index())
+        tf = tf.sort_values(["tf", "term"], ascending=[False, True],
+                            kind="mergesort")
+        top = tf.groupby("doc_id", sort=False).head(k)
+        top["tf"] = top["tf"].astype(np.int64)
+        return top.reset_index(drop=True)
+
+    def _df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = pd.DataFrame({
+            "doc_id": df[id_col].astype(str),
+            "term": df[text_col].fillna("").str.split(" "),
+        })
+        d = s.explode("term").drop_duplicates()
+        g = d.groupby("term", sort=False).size().rename("df").reset_index()
+        h = pd.util.hash_pandas_object(g["term"], index=False).to_numpy()
+        g["_bucket"] = (h % np.uint64(num_buckets)).astype(np.int32)
+        return g
+
+    def _df_final(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("term", sort=False)["df"].sum()
+                .astype(np.int64).reset_index())
+
+    top = ds.map_batches(_tf_topk, batch_format="pandas")
+    dfreq = (ds.map_batches(_df_partial, batch_format="pandas")
+             .groupby("_bucket").map_groups(_df_final, batch_format="pandas"))
+    joined = hash_join(top, dfreq, on="term", num_buckets=num_buckets)
+    return joined.map_batches(
+        lambda d: d.assign(tf=d["tf"].astype(np.int64),
+                           df=d["df"].astype(np.int64))[
+            ["doc_id", "term", "tf", "df"]],
+        batch_format="pandas")
