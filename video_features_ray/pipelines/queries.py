@@ -768,31 +768,15 @@ def q_asof_purchase_click(sf_dir: str):
 
 
 def q_session_stats(sf_dir: str):
-    """per (user, session): event count + start/end ts (sessionize → agg)."""
+    """per (user, session): event count + start/end ts — computed INSIDE
+    the sessionize bucket task (one shuffle; a bucket holds every row of
+    each user, so the aggregate is exact with no second groupby)."""
+    from ..stages.events import sessionize_stats
+
     ds = _events_us(sf_dir, ["event_id", "user_id", "ts"])
-    w = _w(sf_dir, "events")
-    sess = sessionize(ds, "user_id", "ts_us", gap=SESSION_GAP_US, num_buckets=w,
-                      tie_cols=["event_id"])
-
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["user_id", "session_id"], sort=False).agg(
-            n_events=("event_id", "size"), t_start=("ts_us", "min"), t_end=("ts_us", "max"),
-        ).reset_index()
-        h = (pd.util.hash_pandas_object(g["user_id"], index=False).to_numpy()
-             * np.uint64(0x100000001B3)
-             + pd.util.hash_pandas_object(g["session_id"], index=False).to_numpy())
-        g["_bucket"] = (h % np.uint64(w)).astype(np.int32)
-        return g
-
-    def _final(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["user_id", "session_id"], sort=False).agg(
-            n_events=("n_events", "sum"), t_start=("t_start", "min"), t_end=("t_end", "max"),
-        ).reset_index()
-        g["n_events"] = g["n_events"].astype(np.int64)
-        return g
-
-    return (sess.map_batches(_partial, batch_format="pandas")
-            .groupby("_bucket").map_groups(_final, batch_format="pandas"))
+    return sessionize_stats(ds, "user_id", "ts_us", gap=SESSION_GAP_US,
+                            num_buckets=_w(sf_dir, "events"),
+                            tie_cols=["event_id"])
 
 
 def q_unique_sources(sf_dir: str):
