@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_value_per_type": q.q_median_value_per_type,
         "distinct_users_per_type": q.q_distinct_users_per_type,
         "stratified_docs": q.q_stratified_docs,
+        "asof_features_forward": q.q_asof_features_forward,
+        "session_enriched": q.q_session_enriched,
         "top3_per_user": q.q_top3_per_user,
         "session_range_join": q.q_session_range_join,
         "term_df_topk": q.q_term_df_topk,
@@ -392,6 +394,29 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_per_type": (
             "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct "
             "FROM events GROUP BY event_type"
+        ),
+        "asof_features_forward": (
+            f"{_SEQ}, w AS ({_W1_WINDOWS}), "
+            "grid AS (SELECT d.doc_id, g.g * 937.0 AS ts_q "
+            "FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents) d "
+            "CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS g) g) "
+            "SELECT grid.doc_id, grid.ts_q, "
+            "CAST(COALESCE(w.window_id, -1) AS BIGINT) AS window_id_r, "
+            "COALESCE(w.ts_ms, -1.0) AS win_ts_r "
+            "FROM grid ASOF LEFT JOIN w "
+            "ON grid.doc_id = w.doc_id AND grid.ts_q <= w.ts_ms"
+        ),
+        "session_enriched": (
+            "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events), "
+            "m AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL "
+            "OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS new "
+            "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), "
+            "s AS (SELECT *, CAST(SUM(new) OVER (PARTITION BY user_id ORDER BY t, event_id "
+            "ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id FROM m), "
+            "c AS (SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events "
+            "FROM s GROUP BY user_id, session_id) "
+            "SELECT s.event_id, s.user_id, s.session_id, c.n_events "
+            "FROM s JOIN c ON s.user_id = c.user_id AND s.session_id = c.session_id"
         ),
         "top3_per_user": (
             "SELECT event_id, user_id, value, CAST(rnk AS BIGINT) AS rnk FROM ("

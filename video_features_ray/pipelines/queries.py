@@ -1015,6 +1015,68 @@ def q_stratified_docs(sf_dir: str):
     return out[["source", "doc_id", "n_chars"]]
 
 
+def q_asof_features_forward(sf_dir: str):
+    """FORWARD as-of: each probe joined to the EARLIEST window at or
+    after it (the leakage-free backward join's mirror — schedule "next
+    feature refresh" lookups). Right timestamps are unique per doc, so
+    the DuckDB ASOF tie behavior (order-dependent on ties) cannot bite."""
+    windows = q_w1_windows(sf_dir).map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"], "ts_ms": b["ts_ms"],
+                            "window_id": b["window_id"], "win_ts": b["ts_ms"]}),
+        batch_format="pyarrow",
+    )
+
+    def _grid(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].cast(pa.string()).to_pylist()
+        g = np.arange(ASOF_GRID_N, dtype=np.float64) * ASOF_GRID_STEP
+        out_ids = np.repeat(np.array(ids, dtype=object), ASOF_GRID_N)
+        out_ts = np.tile(g, len(ids))
+        return pa.table({"doc_id": pa.array(out_ids.tolist(), pa.string()),
+                         "ts_q": pa.array(out_ts, pa.float64())})
+
+    probes = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id"]).map_batches(
+        _grid, batch_format="pyarrow")
+    joined = asof_join(
+        probes, windows, key="doc_id", left_ts="ts_q", right_ts="ts_ms",
+        direction="forward", num_buckets=_w(sf_dir, "documents"),
+        coalesce_blocks=16,
+        schemas=(pa.schema([("doc_id", pa.string()), ("ts_q", pa.float64())]),
+                 pa.schema([("doc_id", pa.string()), ("ts_ms", pa.float64()),
+                            ("window_id", pa.int64()), ("win_ts", pa.float64())])))
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["window_id_r"] = df["window_id_r"].fillna(-1).astype(np.int64)
+        df["win_ts_r"] = df["win_ts_r"].fillna(-1.0).astype(np.float64)
+        return df[["doc_id", "ts_q", "window_id_r", "win_ts_r"]]
+
+    return joined.map_batches(_finish, batch_format="pandas")
+
+
+def q_session_enriched(sf_dir: str):
+    """COMPOSITE-KEY join: every sessionized event annotated with its
+    session's event count — hash_join on (user_id, session_id), the
+    multi-column key path of the shared shuffle plan."""
+    from ..stages.events import sessionize_stats
+    from ..stages.joins import hash_join
+
+    ds = _events_us(sf_dir, ["event_id", "user_id", "ts"])
+    w = _w(sf_dir, "events")
+    sess = sessionize(ds, "user_id", "ts_us", gap=SESSION_GAP_US, num_buckets=w,
+                      tie_cols=["event_id"]).map_batches(
+        lambda df: df[["event_id", "user_id", "ts_us", "session_id"]],
+        batch_format="pandas")
+    stats = sessionize_stats(ds, "user_id", "ts_us", gap=SESSION_GAP_US,
+                             num_buckets=w, tie_cols=["event_id"]).map_batches(
+        lambda df: df[["user_id", "session_id", "n_events"]],
+        batch_format="pandas")
+    out = hash_join(sess, stats, on=["user_id", "session_id"], num_buckets=w)
+    return out.map_batches(
+        lambda df: df.assign(n_events=df["n_events"].astype(np.int64))[
+            ["event_id", "user_id", "session_id", "n_events"]],
+        batch_format="pandas")
+
+
 def q_top3_per_user(sf_dir: str):
     """Top-3 events per user by value (grouped top-N via window_rank +
     filter — the per-group counterpart of the global grouped_topk)."""

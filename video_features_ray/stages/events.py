@@ -36,6 +36,17 @@ def stable_bucket(values: np.ndarray, num_buckets: int) -> np.ndarray:
     return (h % np.uint64(num_buckets)).astype(np.int32)
 
 
+def stable_bucket_multi(arrays, num_buckets: int) -> np.ndarray:
+    """Composite-key bucket: combine the per-column stable hashes with a
+    multiply-fold (order-sensitive, cross-process deterministic)."""
+    h = np.zeros(len(arrays[0]), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for a in arrays:
+            h = h * np.uint64(0x100000001B3) + stable_bucket(
+                np.asarray(a), 1 << 62).astype(np.uint64)
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
 def with_bucket(ds: "ray.data.Dataset", key: str, num_buckets: int) -> "ray.data.Dataset":
     def _add(batch: pa.Table) -> pa.Table:
         b = stable_bucket(batch[key].to_numpy(zero_copy_only=False), num_buckets)

@@ -47,7 +47,7 @@ def broadcast_join(
 def hash_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
-    on: str,
+    on,
     num_buckets: int = 64,
     how: str = "inner",
     suffix: str = "_r",
@@ -67,10 +67,14 @@ def hash_join(
 
     ``how``: ``inner`` / ``left`` (pd.merge semantics), or ``semi`` /
     ``anti`` — left rows whose key does (not) appear on the right;
-    these return only left columns via a per-bucket vectorized ``isin``
-    (no row multiplication, the scale-safe EXISTS / NOT EXISTS).
+    these return only left columns via a per-bucket vectorized
+    existence check (no row multiplication, the scale-safe EXISTS /
+    NOT EXISTS). ``on`` may be a single column or a LIST (composite
+    key — bucketed by a combined hash, so a key tuple never splits).
     """
     from .shuffle import TaggedUnion
+
+    keys = [on] if isinstance(on, str) else list(on)
 
     if bloom_prefilter_left:
         # lossless ONLY when a dropped-left row cannot appear in the
@@ -79,38 +83,43 @@ def hash_join(
         # the join is selective — the classic 100 TB bloom-join.
         if how not in ("inner", "semi"):
             raise ValueError("bloom prefilter is only lossless for inner/semi joins")
+        if len(keys) != 1:
+            raise ValueError("bloom prefilter supports single-column keys")
         from ..functions.sketches import bloom_prefilter, build_bloom
 
-        left = bloom_prefilter(left, on, build_bloom(right, on, n_bits=bloom_bits))
+        left = bloom_prefilter(left, keys[0], build_bloom(right, keys[0],
+                                                          n_bits=bloom_bits))
 
     if how in ("semi", "anti"):
         # existence checks need only the right KEYS — keep the shuffle skinny
-        right = right.select_columns([on])
+        right = right.select_columns(keys)
         if schemas is not None:
             l_s, r_s = schemas
-            schemas = (l_s, pa.schema([r_s.field(on)]))
+            schemas = (l_s, pa.schema([r_s.field(k) for k in keys]))
 
     tu = TaggedUnion(left, right, on, num_buckets, coalesce_blocks=coalesce_blocks,
                      schemas=schemas)
     left_cols = tu.left_cols
     left_np_dtypes = tu.np_dtypes(left_cols)
     right_np_dtypes = tu.np_dtypes(tu.right_cols)
-    out_right = [c for c in tu.right_cols if c != on]
+    out_right = [c for c in tu.right_cols if c not in keys]
 
     def _per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         l = TaggedUnion.restore_dtypes(
             df[df["_side"] == 0][list(left_cols)].copy(), left_np_dtypes)
         if how in ("semi", "anti"):
             # SQL EXISTS semantics: NULL keys never match on either side
-            # (pandas isin would treat NaN == NaN as a hit)
-            keys = df.loc[df["_side"] == 1, on].dropna()
-            hit = l[on].isin(keys.unique()) & l[on].notna()
+            # (pandas merge/isin would treat NaN == NaN as a hit)
+            rk = df.loc[df["_side"] == 1, keys].dropna().drop_duplicates()
+            m = l.merge(rk.assign(_hit=True), on=keys, how="left")
+            hit = m["_hit"].fillna(False).to_numpy(dtype=bool)
+            hit &= l[keys].notna().all(axis=1).to_numpy(dtype=bool)
             return l[hit] if how == "semi" else l[~hit]
         r = TaggedUnion.restore_dtypes(
-            df[df["_side"] == 1][[on, *out_right]].copy(), right_np_dtypes)
+            df[df["_side"] == 1][[*keys, *out_right]].copy(), right_np_dtypes)
         r = r.rename(columns={c: (f"{c}{suffix}" if c in left_cols else c)
                               for c in out_right})
-        return l.merge(r, on=on, how=how)
+        return l.merge(r, on=keys, how=how)
 
     return tu.map_buckets(_per_bucket)
 

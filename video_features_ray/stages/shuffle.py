@@ -23,14 +23,16 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from .events import stable_bucket
+from .events import stable_bucket, stable_bucket_multi
 
 
 class TaggedUnion:
-    """Holds the two sides' schema facts + the shuffled dataset."""
+    """Holds the two sides' schema facts + the shuffled dataset.
+    ``key`` may be a single column or a list (composite keys bucket by a
+    combined hash — a key tuple never splits across buckets)."""
 
     def __init__(self, left: "ray.data.Dataset", right: "ray.data.Dataset",
-                 key: str, num_buckets: int,
+                 key, num_buckets: int,
                  ts_cols: tuple[str, str] | None = None,
                  coalesce_blocks: int | None = None,
                  schemas: tuple[pa.Schema, pa.Schema] | None = None):
@@ -68,7 +70,14 @@ class TaggedUnion:
                 cols["_side"] = pa.array(np.full(n, side, dtype=np.int8))
                 if own_ts is not None:
                     cols["_ts"] = batch[own_ts]
-                b = stable_bucket(batch[key].to_numpy(zero_copy_only=False), num_buckets)
+                keys = [key] if isinstance(key, str) else list(key)
+                if len(keys) == 1:
+                    b = stable_bucket(
+                        batch[keys[0]].to_numpy(zero_copy_only=False), num_buckets)
+                else:
+                    b = stable_bucket_multi(
+                        [batch[c].to_numpy(zero_copy_only=False) for c in keys],
+                        num_buckets)
                 cols["_bucket"] = pa.array(b, type=pa.int32())
                 return pa.table(cols)
 
