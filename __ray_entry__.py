@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_value_per_type": q.q_median_value_per_type,
         "distinct_users_per_type": q.q_distinct_users_per_type,
         "stratified_docs": q.q_stratified_docs,
+        "top100_events": q.q_top100_events,
         "asof_features_forward": q.q_asof_features_forward,
         "session_enriched": q.q_session_enriched,
         "top3_per_user": q.q_top3_per_user,
@@ -394,6 +395,10 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_per_type": (
             "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct "
             "FROM events GROUP BY event_type"
+        ),
+        "top100_events": (
+            "SELECT event_id, user_id, epoch_us(ts) AS ts_us, value "
+            "FROM events ORDER BY value DESC, event_id LIMIT 100"
         ),
         "asof_features_forward": (
             f"{_SEQ}, w AS ({_W1_WINDOWS}), "

@@ -1015,6 +1015,17 @@ def q_stratified_docs(sf_dir: str):
     return out[["source", "doc_id", "n_chars"]]
 
 
+def q_top100_events(sf_dir: str):
+    """Global ORDER BY ... LIMIT via Ray Data's native distributed sort
+    (range-partitioned shuffle) — the full-sort counterpart of the
+    partial-combine grouped_topk."""
+    ds = _events_us(sf_dir, ["event_id", "user_id", "ts", "value"])
+    out = ds.sort(["value", "event_id"], descending=[True, False]).limit(100)
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id", "ts_us", "value"]],
+        batch_format="pandas")
+
+
 def q_asof_features_forward(sf_dir: str):
     """FORWARD as-of: each probe joined to the EARLIEST window at or
     after it (the leakage-free backward join's mirror — schedule "next
