@@ -129,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": q.q_distinct_users_per_type,
         "stratified_docs": q.q_stratified_docs,
         "top100_events": q.q_top100_events,
+        "user_type_counts": q.q_user_type_counts,
+        "time_since_prev": q.q_time_since_prev,
         "asof_features_forward": q.q_asof_features_forward,
         "session_enriched": q.q_session_enriched,
         "top3_per_user": q.q_top3_per_user,
@@ -395,6 +397,21 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_per_type": (
             "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct "
             "FROM events GROUP BY event_type"
+        ),
+        "user_type_counts": (
+            "SELECT user_id, "
+            "CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click, "
+            "CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error, "
+            "CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase, "
+            "CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup, "
+            "CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view "
+            "FROM events GROUP BY user_id"
+        ),
+        "time_since_prev": (
+            "SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
+            "CAST(COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id), -1) AS BIGINT) AS gap_us "
+            "FROM events"
         ),
         "top100_events": (
             "SELECT event_id, user_id, epoch_us(ts) AS ts_us, value "

@@ -1015,6 +1015,38 @@ def q_stratified_docs(sf_dir: str):
     return out[["source", "doc_id", "n_chars"]]
 
 
+def q_user_type_counts(sf_dir: str):
+    """One-hot categorical COUNT features per user (n_click, n_view, …)
+    — the pivot feature block every tabular training pipeline emits."""
+    from ..stages.joins import categorical_counts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    cats = sorted(ds.unique("event_type"))  # closed low-cardinality set
+    return categorical_counts(ds, "user_id", "event_type", cats,
+                              num_buckets=_w(sf_dir, "events"))
+
+
+def q_time_since_prev(sf_dir: str):
+    """Per-user time-since-previous-event (µs) — the inter-arrival
+    feature, a lag-1 on the timestamp itself."""
+    ds = _events_us(sf_dir, ["event_id", "user_id", "ts"])
+
+    def _dup_ts(batch: pa.Table) -> pa.Table:
+        return batch.append_column("tsv", batch["ts_us"])
+
+    out = lag_lead(ds.map_batches(_dup_ts, batch_format="pyarrow"),
+                   "user_id", "ts_us", "tsv", lags=[1], leads=[],
+                   num_buckets=_w(sf_dir, "events"), tie_cols=["event_id"])
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        gap = df["ts_us"] - df["tsv_lag1"]
+        df["gap_us"] = gap.fillna(-1).astype(np.int64)
+        return df[["event_id", "user_id", "ts_us", "gap_us"]]
+
+    return out.map_batches(_finish, batch_format="pandas")
+
+
 def q_top100_events(sf_dir: str):
     """Global ORDER BY ... LIMIT via Ray Data's native distributed sort
     (range-partitioned shuffle) — the full-sort counterpart of the

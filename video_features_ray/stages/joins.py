@@ -238,6 +238,44 @@ def partial_agg(
     return partials.groupby("_bucket").map_groups(_final, batch_format="pandas")
 
 
+def categorical_counts(
+    ds: "ray.data.Dataset",
+    key: str,
+    cat_col: str,
+    categories: Sequence[str],
+    num_buckets: int = 16,
+    prefix: str = "n_",
+) -> "ray.data.Dataset":
+    """One-hot COUNT features per key: one ``prefix<cat>`` column per
+    category (the classic categorical-pivot feature block). Per-batch
+    crosstab partials (one skinny row per key per batch, fixed width =
+    len(categories)) → bucketed sum combine — the dense-vector
+    aggregation pattern, so the shuffle never moves raw events.
+    ``categories`` must be the closed category list (get it once via
+    ``ds.unique(cat_col)`` — low cardinality by definition of a
+    categorical column)."""
+    cats = list(categories)
+    out_cols = [f"{prefix}{c}" for c in cats]
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(df[key], df[cat_col])
+        ct = ct.reindex(columns=cats, fill_value=0)
+        ct.columns = out_cols
+        ct = ct.reset_index()
+        h = pd.util.hash_pandas_object(ct[key], index=False).to_numpy()
+        ct["_bucket"] = (h % np.uint64(num_buckets)).astype(np.int32)
+        return ct
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key, sort=False)[out_cols].sum().reset_index()
+        for c in out_cols:
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    return (ds.map_batches(_partial, batch_format="pandas")
+            .groupby("_bucket").map_groups(_final, batch_format="pandas"))
+
+
 def grouped_quantile_disc(
     ds: "ray.data.Dataset",
     group_col: str,
