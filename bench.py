@@ -248,6 +248,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "exact_dedup", "minhash_neardup", "similarity_topk", "quality_score",
         "revenue_per_segment", "rolling_sum", "sliding_hourly",
         "median_value_per_type",
+        # round-3 additions
+        "session_range_join", "term_df_topk", "top3_per_user",
+        "user_type_counts", "session_enriched",
     ]
     qs = em.queries()
     for name in bench_queries:

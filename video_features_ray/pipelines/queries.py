@@ -1022,7 +1022,13 @@ def q_user_type_counts(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id", "event_type"])
-    cats = sorted(ds.unique("event_type"))  # closed low-cardinality set
+    # closed low-cardinality set via per-batch distinct partials (one
+    # map + a tiny driver union — Dataset.unique is a full sort shuffle,
+    # measured ~2 s of pure overhead at sf0.1)
+    parts = ds.map_batches(
+        lambda df: pd.DataFrame({"c": df["event_type"].unique()}),
+        batch_format="pandas").to_pandas()
+    cats = sorted(set(parts["c"]))
     return categorical_counts(ds, "user_id", "event_type", cats,
                               num_buckets=_w(sf_dir, "events"))
 
@@ -1105,15 +1111,17 @@ def q_session_enriched(sf_dir: str):
 
     ds = _events_us(sf_dir, ["event_id", "user_id", "ts"])
     w = _w(sf_dir, "events")
+    # ONE sessionize shuffle feeds both join sides: the stats side is a
+    # skinny partial+combine over the materialized session rows (the
+    # first version ran sessionize twice — 4 shuffles for a 3-shuffle plan)
     sess = sessionize(ds, "user_id", "ts_us", gap=SESSION_GAP_US, num_buckets=w,
                       tie_cols=["event_id"]).map_batches(
         lambda df: df[["event_id", "user_id", "ts_us", "session_id"]],
-        batch_format="pandas")
-    stats = sessionize_stats(ds, "user_id", "ts_us", gap=SESSION_GAP_US,
-                             num_buckets=w, tie_cols=["event_id"]).map_batches(
-        lambda df: df[["user_id", "session_id", "n_events"]],
-        batch_format="pandas")
-    out = hash_join(sess, stats, on=["user_id", "session_id"], num_buckets=w)
+        batch_format="pandas").materialize()
+    stats = partial_agg(sess, ["user_id", "session_id"], sums=(),
+                        count_col="n_events", num_buckets=16)
+    out = hash_join(sess, stats, on=["user_id", "session_id"], num_buckets=w,
+                    coalesce_blocks=16)
     return out.map_batches(
         lambda df: df.assign(n_events=df["n_events"].astype(np.int64))[
             ["event_id", "user_id", "session_id", "n_events"]],
@@ -1148,7 +1156,7 @@ def q_session_range_join(sf_dir: str):
         batch_format="pandas")
     out = range_join(ds, sess, key="user_id", left_ts="ts_us",
                      right_start="t_start", right_end="t_end",
-                     num_buckets=_w(sf_dir, "events"))
+                     num_buckets=_w(sf_dir, "events"), coalesce_blocks=16)
     return out.map_batches(
         lambda df: df.assign(session_id=df["session_id"].astype(np.int64))[
             ["event_id", "user_id", "ts_us", "session_id"]],

@@ -134,6 +134,7 @@ def range_join(
     num_buckets: int = 64,
     inclusive: str = "both",
     schemas=None,
+    coalesce_blocks: int | None = None,
 ) -> "ray.data.Dataset":
     """Interval (range) join: each left row ``(key, ts)`` paired with
     every right row of the same key whose ``[start, end]`` contains
@@ -154,7 +155,8 @@ def range_join(
     """
     from .shuffle import TaggedUnion
 
-    tu = TaggedUnion(left, right, key, num_buckets, schemas=schemas)
+    tu = TaggedUnion(left, right, key, num_buckets, schemas=schemas,
+                     coalesce_blocks=coalesce_blocks)
     overlap = (set(tu.left_cols) & set(tu.right_cols)) - {key}
     if overlap:
         raise ValueError(f"range_join requires disjoint non-key columns; got {overlap}")
@@ -272,8 +274,11 @@ def categorical_counts(
             g[c] = g[c].astype(np.int64)
         return g
 
-    return (ds.map_batches(_partial, batch_format="pandas")
-            .groupby("_bucket").map_groups(_final, batch_format="pandas"))
+    # partials are one skinny fixed-width row per key per batch —
+    # coalesce before the groupby so the sort doesn't pay its ~45 ms
+    # per-block tax on dozens of near-empty blocks
+    partials = ds.map_batches(_partial, batch_format="pandas").repartition(16)
+    return partials.groupby("_bucket").map_groups(_final, batch_format="pandas")
 
 
 def grouped_quantile_disc(

@@ -319,7 +319,8 @@ def term_df_topk(
     top = ds.map_batches(_tf_topk, batch_format="pandas")
     dfreq = (ds.map_batches(_df_partial, batch_format="pandas")
              .groupby("_bucket").map_groups(_df_final, batch_format="pandas"))
-    joined = hash_join(top, dfreq, on="term", num_buckets=num_buckets)
+    joined = hash_join(top, dfreq, on="term", num_buckets=num_buckets,
+                       coalesce_blocks=16)
     return joined.map_batches(
         lambda d: d.assign(tf=d["tf"].astype(np.int64),
                            df=d["df"].astype(np.int64))[
