@@ -32,6 +32,19 @@ import ray.data
 
 from ..specs import EncoderSpec
 from .events import stable_bucket
+# Module-level (not function-level) on purpose: ``windows_with_offset``
+# executes on WORKERS. A function-level relative import would re-import
+# the package at call time on the worker, which fails when the driver
+# made the package importable only after ray.init (cloudpickle by-value
+# registration ships code, but a live ``from .windows import ...`` in a
+# worker frame still needs sys.path). Module-level names are pickled
+# with the function's globals instead.
+from .windows import (
+    resample_indices,
+    slide_windows,
+    window_counts,
+    window_timestamps_ms,
+)
 
 
 def salt_repartition(ds: "ray.data.Dataset", key: str, n_salt: int = 16,
@@ -134,8 +147,6 @@ def windows_with_offset(batch: pa.Table, spec: EncoderSpec) -> pa.Table:
     then chunk-local tail windows that would duplicate the next chunk's
     (none, by construction) or exceed the doc (cut by the chunk end) are
     naturally absent. Expects ``pos_offset`` column (int64)."""
-    from .windows import slide_windows
-
     has_off = "pos_offset" in batch.column_names
     off = (batch["pos_offset"].to_numpy(zero_copy_only=False)
            if has_off else np.zeros(len(batch), dtype=np.int64))
@@ -146,8 +157,6 @@ def windows_with_offset(batch: pa.Table, spec: EncoderSpec) -> pa.Table:
     # map each window row back to its input row to apply the offset
     counts = np.zeros(len(batch), dtype=np.int64)
     # recompute counts the same way slide_windows did
-    from .windows import resample_indices, window_counts
-
     n = np.diff(_flat(core["tokens"])[1])
     m, _, eff = resample_indices(n, spec)
     counts = window_counts(m, spec)
@@ -158,8 +167,6 @@ def windows_with_offset(batch: pa.Table, spec: EncoderSpec) -> pa.Table:
     wid = w["window_id"].to_numpy(zero_copy_only=False).astype(np.int64) + shift // spec.chunk_step_units
     # recompute ts from the GLOBAL window start so it is bit-identical to
     # the unsplit pipeline (adding a shifted ts would differ in the last ulp)
-    from .windows import window_timestamps_ms
-
     ts = window_timestamps_ms(wid * spec.effective_step, eff[row_of_w], spec)
     w = w.set_column(w.schema.get_field_index("window_id"),
                      "window_id", pa.array(wid.astype(np.int32)))
