@@ -136,6 +136,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top3_per_user": q.q_top3_per_user,
         "session_range_join": q.q_session_range_join,
         "term_df_topk": q.q_term_df_topk,
+        "dense_rank_events": q.q_dense_rank_events,
+        "ntile_events": q.q_ntile_events,
+        "mode_event_type": q.q_mode_event_type,
         # non-SQL-expressible (rows-only checks)
         "approx_distinct_users": q.q_approx_distinct_users,
         "approx_quantiles_price": q.q_approx_quantiles_price,
@@ -470,6 +473,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.doc_id, t.term, CAST(t.tf AS BIGINT) AS tf, "
             "CAST(d.df AS BIGINT) AS df "
             "FROM top t JOIN dfq d ON t.term = d.term WHERE t.rn <= 3"
+        ),
+        "dense_rank_events": (
+            "SELECT event_id, user_id, CAST(dense_rank() OVER ("
+            "PARTITION BY user_id ORDER BY value DESC) AS BIGINT) AS drnk "
+            "FROM events"
+        ),
+        "ntile_events": (
+            "SELECT event_id, user_id, CAST(ntile(4) OVER ("
+            "PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) "
+            "AS tile FROM events"
+        ),
+        "mode_event_type": (
+            "WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt "
+            "FROM events WHERE event_type IS NOT NULL "
+            "GROUP BY user_id, event_type) "
+            "SELECT user_id, event_type AS mode_event_type, "
+            "CAST(cnt AS BIGINT) AS mode_cnt FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY user_id "
+            "ORDER BY cnt DESC, event_type) AS rn FROM c) WHERE rn = 1"
         ),
         "stratified_docs": (
             "SELECT source, CAST(doc_id AS BIGINT) AS doc_id, "

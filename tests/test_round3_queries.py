@@ -90,3 +90,15 @@ def test_range_join_rejects_column_overlap():
     r = ray.data.from_pandas(pd.DataFrame({"k": [1], "lo": [0], "hi": [2], "x": [9]}))
     with pytest.raises(ValueError, match="disjoint"):
         range_join(l, r, key="k", left_ts="ts", right_start="lo", right_end="hi")
+
+
+def test_dense_rank_events_matches_sql():
+    _check("dense_rank_events")
+
+
+def test_ntile_events_matches_sql():
+    _check("ntile_events")
+
+
+def test_mode_event_type_matches_sql():
+    _check("mode_event_type")

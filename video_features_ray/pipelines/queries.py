@@ -1205,3 +1205,38 @@ def q_approx_distinct_users(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
     est = approx_distinct(ds, "user_id", p=12)
     return pd.DataFrame({"metric": ["approx_distinct_user_id"], "estimate": [est]})
+
+
+def q_dense_rank_events(sf_dir: str):
+    """Per-user DENSE rank by value desc — ties share a rank so no
+    tie-break column is needed for determinism."""
+    from ..stages.events import dense_rank
+
+    ds = _events_us(sf_dir, ["event_id", "user_id", "ts", "value"])
+    out = dense_rank(ds, "user_id", ["value"], ascending=[False],
+                     num_buckets=_w(sf_dir, "events"))
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id", "drnk"]], batch_format="pandas")
+
+
+def q_ntile_events(sf_dir: str):
+    """Per-user NTILE(4) quartile assignment (value desc, event_id
+    tie-break so the split is deterministic)."""
+    from ..stages.events import ntile
+
+    ds = _events_us(sf_dir, ["event_id", "user_id", "ts", "value"])
+    out = ntile(ds, "user_id", ["value", "event_id"], n=4,
+                ascending=[False, True], num_buckets=_w(sf_dir, "events"))
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id", "tile"]], batch_format="pandas")
+
+
+def q_mode_event_type(sf_dir: str):
+    """Most frequent event_type per user (deterministic MODE: ties go to
+    the lexicographically smallest type)."""
+    from ..stages.joins import grouped_mode
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    return grouped_mode(ds, "user_id", "event_type",
+                        num_buckets=_w(sf_dir, "events"))

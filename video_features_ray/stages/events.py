@@ -239,6 +239,82 @@ def window_rank(
                              ascending=ascending)
 
 
+def dense_rank(
+    ds: "ray.data.Dataset",
+    key: str,
+    order_cols: Sequence[str],
+    num_buckets: int = 64,
+    ascending: Sequence[bool] | None = None,
+    out_col: str = "drnk",
+) -> "ray.data.Dataset":
+    """Per-entity DENSE rank within ``key`` by ``order_cols`` — ties
+    share a rank and ranks have no gaps (so no tie-break id is needed;
+    the output is deterministic regardless of tie order). SQL:
+    ``dense_rank() OVER (PARTITION BY key ORDER BY ...)``.
+
+    Vectorized on the bucket-sorted frame: one boolean "order tuple
+    changed vs previous row" column, cumsum, rebased per key group."""
+
+    def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            df[out_col] = pd.Series([], dtype=np.int64)
+            return df
+        first = _key_change(df, key)
+        chg = first.copy()
+        for c in order_cols:
+            a = df[c].to_numpy()
+            chg[1:] |= a[1:] != a[:-1]
+        total = np.cumsum(chg)
+        idx_first = np.flatnonzero(first)
+        sizes = np.diff(np.append(idx_first, n))
+        base = np.repeat(total[idx_first] - 1, sizes)
+        df[out_col] = (total - base).astype(np.int64)
+        return df
+
+    return transform_buckets(ds, key, list(order_cols), _fn, num_buckets,
+                             ascending=ascending)
+
+
+def ntile(
+    ds: "ray.data.Dataset",
+    key: str,
+    order_cols: Sequence[str],
+    n: int,
+    num_buckets: int = 64,
+    ascending: Sequence[bool] | None = None,
+    out_col: str = "tile",
+) -> "ray.data.Dataset":
+    """Per-entity NTILE(n): rows of each ``key`` group, ordered by
+    ``order_cols``, split into ``n`` buckets 1..n where the first
+    ``size % n`` buckets hold ``ceil(size/n)`` rows (exact SQL NTILE
+    semantics — include a unique id as the last order col so the split
+    is deterministic under ties)."""
+
+    def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        m = len(df)
+        if m == 0:
+            df[out_col] = pd.Series([], dtype=np.int64)
+            return df
+        first = _key_change(df, key)
+        idx_first = np.flatnonzero(first)
+        sizes = np.diff(np.append(idx_first, m))
+        rn = np.arange(m, dtype=np.int64) - np.repeat(idx_first, sizes)
+        s = np.repeat(sizes, sizes)
+        q, r = s // n, s % n
+        big = r * (q + 1)          # rows covered by the ceil-sized tiles
+        tile = np.where(
+            rn < big,
+            rn // np.maximum(q + 1, 1),
+            r + (rn - big) // np.maximum(q, 1),
+        )
+        df[out_col] = (tile + 1).astype(np.int64)
+        return df
+
+    return transform_buckets(ds, key, list(order_cols), _fn, num_buckets,
+                             ascending=ascending)
+
+
 def cumulative_sum(
     ds: "ray.data.Dataset",
     key: str,

@@ -240,6 +240,49 @@ def partial_agg(
     return partials.groupby("_bucket").map_groups(_final, batch_format="pandas")
 
 
+def grouped_mode(
+    ds: "ray.data.Dataset",
+    key: str,
+    value: str,
+    num_buckets: int = 16,
+    out_col: str | None = None,
+    count_col: str = "mode_cnt",
+) -> "ray.data.Dataset":
+    """Most frequent ``value`` per ``key`` (the MODE aggregate), ties
+    broken by the lexicographically smallest value — deterministic, so
+    it hash-matches the SQL ``row_number() OVER (ORDER BY count DESC,
+    value)`` formulation. NULL values are ignored (SQL ``mode``
+    semantics).
+
+    Scale shape: per-batch (key, value, cnt) partials (no raw rows
+    move), bucketed by ``key`` ONLY — unlike :func:`partial_agg`'s
+    key-tuple bucketing — so each bucket task holds every candidate
+    value of its keys and can sum + argmax in one step: one skinny
+    shuffle, one pass."""
+    out_col = out_col or f"mode_{value}"
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df[value].notna()]
+        g = (d.groupby([key, value], sort=False).size()
+             .rename("_cnt").reset_index())
+        h = pd.util.hash_pandas_object(g[key], index=False).to_numpy()
+        g["_bucket"] = (h % np.uint64(num_buckets)).astype(np.int32)
+        return g
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        c = (df.groupby([key, value], sort=False)["_cnt"].sum()
+             .reset_index())
+        c = c.sort_values(["_cnt", value], ascending=[False, True],
+                          kind="mergesort")
+        top = c.groupby(key, sort=False).head(1).reset_index(drop=True)
+        top["_cnt"] = top["_cnt"].astype(np.int64)
+        return top.rename(columns={value: out_col, "_cnt": count_col})[
+            [key, out_col, count_col]]
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+    return partials.groupby("_bucket").map_groups(_final, batch_format="pandas")
+
+
 def categorical_counts(
     ds: "ray.data.Dataset",
     key: str,
