@@ -264,7 +264,11 @@ def dense_rank(
         chg = first.copy()
         for c in order_cols:
             a = df[c].to_numpy()
-            chg[1:] |= a[1:] != a[:-1]
+            neq = a[1:] != a[:-1]
+            if a.dtype.kind == "f":
+                # SQL ranks NULLs as equal; NaN != NaN would split them
+                neq &= ~(np.isnan(a[1:]) & np.isnan(a[:-1]))
+            chg[1:] |= neq
         total = np.cumsum(chg)
         idx_first = np.flatnonzero(first)
         sizes = np.diff(np.append(idx_first, n))

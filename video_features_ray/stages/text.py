@@ -297,7 +297,7 @@ def term_df_topk(
               .rename("tf").reset_index())
         tf = tf.sort_values(["tf", "term"], ascending=[False, True],
                             kind="mergesort")
-        top = tf.groupby("doc_id", sort=False).head(k)
+        top = tf.groupby("doc_id", sort=False).head(k).copy()
         top["tf"] = top["tf"].astype(np.int64)
         return top.reset_index(drop=True)
 
