@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top3_per_user": q.q_top3_per_user,
         "session_range_join": q.q_session_range_join,
         "term_df_topk": q.q_term_df_topk,
+        "ngram_jaccard": q.q_ngram_jaccard,
         "dense_rank_events": q.q_dense_rank_events,
         "ntile_events": q.q_ntile_events,
         "mode_event_type": q.q_mode_event_type,
@@ -473,6 +474,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.doc_id, t.term, CAST(t.tf AS BIGINT) AS tf, "
             "CAST(d.df AS BIGINT) AS df "
             "FROM top t JOIN dfq d ON t.term = d.term WHERE t.rn <= 3"
+        ),
+        "ngram_jaccard": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t, "
+            "len(string_split(text, ' ')) AS nt FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, "
+            "array_to_string(t[i:i+2], ' ') AS gram "
+            "FROM (SELECT doc_id, t, unnest(generate_series(1, nt - 2)) AS i "
+            "FROM toks WHERE nt >= 3) x), "
+            "counts AS (SELECT doc_id, COUNT(*) AS ng FROM grams GROUP BY doc_id), "
+            "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "COUNT(*) AS inter FROM grams a "
+            "JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT p.id_a, p.id_b, CAST(p.inter AS BIGINT) AS inter, "
+            "CAST(ca.ng + cb.ng - p.inter AS BIGINT) AS uni, "
+            "p.inter / (ca.ng + cb.ng - p.inter) AS jaccard "
+            "FROM pairs p JOIN counts ca ON p.id_a = ca.doc_id "
+            "JOIN counts cb ON p.id_b = cb.doc_id "
+            "WHERE p.inter / (ca.ng + cb.ng - p.inter) >= 0.1"
         ),
         "dense_rank_events": (
             "SELECT event_id, user_id, CAST(dense_rank() OVER ("

@@ -251,7 +251,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # round-3 additions
         "session_range_join", "term_df_topk", "top3_per_user",
         "user_type_counts", "session_enriched",
-        "dense_rank_events", "mode_event_type",
+        "dense_rank_events", "mode_event_type", "ngram_jaccard",
     ]
     qs = em.queries()
     for name in bench_queries:

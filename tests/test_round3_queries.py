@@ -102,3 +102,31 @@ def test_ntile_events_matches_sql():
 
 def test_mode_event_type_matches_sql():
     _check("mode_event_type")
+
+
+def test_ngram_jaccard_matches_sql():
+    _check("ngram_jaccard")
+
+
+def test_ngram_jaccard_max_df_caps_pairs():
+    """df-capping drops every pair that only a high-df gram connects,
+    and never invents pairs the exact path lacks."""
+    from video_features_ray.stages.dedup import ngram_jaccard_pairs
+
+    boiler = "the same boilerplate footer text"
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            f"unique body {i} words here plus {boiler}" for i in range(4)
+        ] + ["a near dup pair of docs one", "a near dup pair of docs two"],
+    })
+    ds = ray.data.from_pandas(docs)
+    exact = ngram_jaccard_pairs(ds, n=3, threshold=0.05,
+                                num_buckets=4).to_pandas()
+    capped = ngram_jaccard_pairs(ds, n=3, threshold=0.05, num_buckets=4,
+                                 max_df=2).to_pandas()
+    e = set(zip(exact["id_a"], exact["id_b"]))
+    c = set(zip(capped["id_a"], capped["id_b"]))
+    assert (4, 5) in e and (4, 5) in c      # true near-dup survives the cap
+    assert c <= e                            # cap only removes pairs
+    assert len(c) < len(e)                   # boilerplate pairs dropped

@@ -1240,3 +1240,15 @@ def q_mode_event_type(sf_dir: str):
                                columns=["user_id", "event_type"])
     return grouped_mode(ds, "user_id", "event_type",
                         num_buckets=_w(sf_dir, "events"))
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """Exact word-3-gram Jaccard near-dup pairs (J >= 0.1) over the
+    documents corpus — the inverted-index exact baseline to the
+    MinHash-LSH candidate path, bit-exact vs the SQL self-join oracle."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, n=3, threshold=0.1,
+                               num_buckets=_w(sf_dir, "documents"))

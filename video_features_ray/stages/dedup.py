@@ -926,3 +926,141 @@ def embedding_neardup_candidates(
         .groupby("_pb")
         .map_groups(_distinct, batch_format="pandas")
     )
+
+
+def ngram_jaccard_pairs(
+    ds: "ray.data.Dataset",
+    n: int = 3,
+    threshold: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 16,
+    max_df: int | None = None,
+) -> "ray.data.Dataset":
+    """EXACT word-n-gram Jaccard near-dup pairs via an inverted-index
+    join — the oracle-checkable exact baseline to the subquadratic
+    MinHash-LSH path (``minhash_lsh_candidates``).
+
+    J(A,B) = |A∩B| / (|A|+|B|-|A∩B|) over each doc's DISTINCT word
+    n-grams.  Tokenization is ``text.split(' ')`` == DuckDB
+    ``string_split(text, ' ')`` (empties kept) so the result is
+    bit-exact against the SQL self-join oracle.
+
+    Plan (three stages, two skinny shuffles):
+      1. stateless map: explode tokens, form n-grams VECTORIZED on the
+         exploded frame (aligned shift-concat, masked at doc
+         boundaries — a doc is one input row so its grams never cross
+         a batch), distinct per doc, attach the doc's distinct-gram
+         count ``ng``; bucket postings by gram hash.
+      2. per gram-bucket: drop df=1 grams (no pairs), sort by (gram,
+         id), emit each colliding cell's s(s-1)/2 ordered pairs with a
+         closed-form vectorized enumeration (no Python loop), then
+         PRE-AGGREGATE partial intersection counts per (id_a, id_b)
+         inside the task; re-bucket by pair hash.
+      3. per pair-bucket: sum partials, J = inter/(na+nb-inter),
+         filter >= threshold.
+
+    Scale: the only wide ops move (gram-hash, id, ng) postings and
+    (id_a, id_b, partial) triples.  The inherent cost is the quadratic
+    blowup of a high-df gram; ``max_df`` drops grams appearing in more
+    than ``max_df`` docs within a bucket-cell (standard df-capping —
+    CHANGES semantics, so the oracle query leaves it None; set it on
+    web-scale boilerplate corpora, or use the MinHash path).
+
+    Reference has no dedup (brief-mandated training-data operator);
+    windowing/tokenization semantics shared with
+    ``stages/text.py:term_df_topk``.
+    """
+    import pandas as pd
+
+    def _postings(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            id_col: pd.Series([], dtype=np.int64),
+            "gram": pd.Series([], dtype=object),
+            "ng": pd.Series([], dtype=np.int64),
+            "_bucket": pd.Series([], dtype=np.int32)})
+        if df.empty:
+            return empty
+        s = pd.DataFrame({
+            id_col: df[id_col].astype(np.int64),
+            "term": df[text_col].fillna("").str.split(" "),
+        })
+        e = s.explode("term", ignore_index=True)
+        doc = e[id_col].to_numpy()
+        term = e["term"].astype(str)
+        m = len(term) - (n - 1)
+        if m <= 0:
+            return empty
+        # aligned shift-concat: gram i = term[i] .. term[i+n-1]
+        parts = [term.iloc[i:m + i].reset_index(drop=True) for i in range(n)]
+        gram = parts[0].str.cat(parts[1:], sep=" ")
+        valid = doc[:m] == doc[n - 1:]
+        g = pd.DataFrame({id_col: doc[:m][valid], "gram": gram[valid]})
+        g = g.drop_duplicates()
+        cnt = g.groupby(id_col, sort=False)[id_col].transform("size")
+        g["ng"] = cnt.astype(np.int64)
+        h = pd.util.hash_pandas_object(g["gram"], index=False).to_numpy()
+        g["_bucket"] = (h % np.uint64(num_buckets)).astype(np.int32)
+        return g.reset_index(drop=True)
+
+    _pair_empty = pd.DataFrame({
+        "id_a": pd.Series([], dtype=np.int64),
+        "id_b": pd.Series([], dtype=np.int64),
+        "inter": pd.Series([], dtype=np.int64),
+        "na": pd.Series([], dtype=np.int64),
+        "nb": pd.Series([], dtype=np.int64),
+        "_pb": pd.Series([], dtype=np.int32)})
+
+    def _pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        dup = df[df.duplicated("gram", keep=False)]
+        if max_df is not None and len(dup):
+            sizes = dup.groupby("gram", sort=False)["gram"].transform("size")
+            dup = dup[sizes <= max_df]
+        if not len(dup):
+            return _pair_empty
+        dup = dup.sort_values(["gram", id_col], kind="mergesort")
+        ids = dup[id_col].to_numpy()
+        ngs = dup["ng"].to_numpy()
+        grams = dup["gram"].to_numpy()
+        first = np.empty(len(dup), bool)
+        first[0] = True
+        first[1:] = grams[1:] != grams[:-1]
+        # closed-form all-pairs within each sorted cell: element at
+        # local index j pairs with the j elements before it
+        loc = np.arange(len(dup)) - np.maximum.accumulate(
+            np.where(first, np.arange(len(dup)), 0))
+        total = int(loc.sum())
+        if total == 0:
+            return _pair_empty
+        b_idx = np.repeat(np.arange(len(dup)), loc)
+        off = np.concatenate(([0], np.cumsum(loc)))
+        a_idx = b_idx - loc[b_idx] + (np.arange(total) - np.repeat(off[:-1], loc))
+        out = pd.DataFrame({
+            "id_a": ids[a_idx], "id_b": ids[b_idx],
+            "na": ngs[a_idx], "nb": ngs[b_idx]})
+        agg = out.groupby(["id_a", "id_b"], sort=False).agg(
+            inter=("na", "size"), na=("na", "first"),
+            nb=("nb", "first")).reset_index()
+        agg["inter"] = agg["inter"].astype(np.int64)
+        h = (agg["id_a"].to_numpy().astype(np.uint64) * _GOLD
+             + agg["id_b"].to_numpy().astype(np.uint64))
+        agg["_pb"] = (h % np.uint64(num_buckets)).astype(np.int32)
+        return agg[["id_a", "id_b", "inter", "na", "nb", "_pb"]]
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["id_a", "id_b"], sort=False).agg(
+            inter=("inter", "sum"), na=("na", "first"),
+            nb=("nb", "first")).reset_index()
+        uni = (g["na"] + g["nb"] - g["inter"]).astype(np.int64)
+        j = g["inter"].to_numpy() / uni.to_numpy()
+        keep = j >= threshold
+        return pd.DataFrame({
+            "id_a": g["id_a"].to_numpy()[keep],
+            "id_b": g["id_b"].to_numpy()[keep],
+            "inter": g["inter"].to_numpy().astype(np.int64)[keep],
+            "uni": uni.to_numpy()[keep],
+            "jaccard": j[keep]})
+
+    return (ds.map_batches(_postings, batch_format="pandas")
+            .groupby("_bucket").map_groups(_pairs_bucket, batch_format="pandas")
+            .groupby("_pb").map_groups(_final, batch_format="pandas"))
