@@ -976,7 +976,7 @@ def ngram_jaccard_pairs(
     def _postings(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({
             id_col: pd.Series([], dtype=np.int64),
-            "gram": pd.Series([], dtype=object),
+            "gram_h": pd.Series([], dtype=np.uint64),
             "ng": pd.Series([], dtype=np.int64),
             "_bucket": pd.Series([], dtype=np.int32)})
         if df.empty:
@@ -986,6 +986,7 @@ def ngram_jaccard_pairs(
             "term": df[text_col].fillna("").str.split(" "),
         })
         e = s.explode("term", ignore_index=True)
+        del s
         doc = e[id_col].to_numpy()
         term = e["term"].astype(str)
         m = len(term) - (n - 1)
@@ -998,10 +999,19 @@ def ngram_jaccard_pairs(
         g = pd.DataFrame({id_col: doc[:m][valid], "gram": gram[valid]})
         g = g.drop_duplicates()
         cnt = g.groupby(id_col, sort=False)[id_col].transform("size")
-        g["ng"] = cnt.astype(np.int64)
+        # shuffle a 64-bit gram FINGERPRINT, not the gram string: the
+        # posting sort/exchange is the dominant cost and int keys are
+        # ~5x cheaper to sort and ship.  A fingerprint collision would
+        # merge two distinct grams (P ≈ m²/2⁶⁵ ≈ 1e-7 even at 2M
+        # distinct grams per corpus) — standard content-defined
+        # fingerprinting, same trade the winnowing fingerprints make.
         h = pd.util.hash_pandas_object(g["gram"], index=False).to_numpy()
-        g["_bucket"] = (h % np.uint64(num_buckets)).astype(np.int32)
-        return g.reset_index(drop=True)
+        out = pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "gram_h": h,
+            "ng": cnt.to_numpy().astype(np.int64),
+            "_bucket": (h % np.uint64(num_buckets)).astype(np.int32)})
+        return out
 
     _pair_empty = pd.DataFrame({
         "id_a": pd.Series([], dtype=np.int64),
@@ -1012,16 +1022,16 @@ def ngram_jaccard_pairs(
         "_pb": pd.Series([], dtype=np.int32)})
 
     def _pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        dup = df[df.duplicated("gram", keep=False)]
+        dup = df[df.duplicated("gram_h", keep=False)]
         if max_df is not None and len(dup):
-            sizes = dup.groupby("gram", sort=False)["gram"].transform("size")
+            sizes = dup.groupby("gram_h", sort=False)["gram_h"].transform("size")
             dup = dup[sizes <= max_df]
         if not len(dup):
             return _pair_empty
-        dup = dup.sort_values(["gram", id_col], kind="mergesort")
+        dup = dup.sort_values(["gram_h", id_col], kind="mergesort")
         ids = dup[id_col].to_numpy()
         ngs = dup["ng"].to_numpy()
-        grams = dup["gram"].to_numpy()
+        grams = dup["gram_h"].to_numpy()
         first = np.empty(len(dup), bool)
         first[0] = True
         first[1:] = grams[1:] != grams[:-1]
