@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_range_join": q.q_session_range_join,
         "term_df_topk": q.q_term_df_topk,
         "ngram_jaccard": q.q_ngram_jaccard,
+        "pack_sequences": q.q_pack_sequences,
         "dense_rank_events": q.q_dense_rank_events,
         "ntile_events": q.q_ntile_events,
         "mode_event_type": q.q_mode_event_type,
@@ -474,6 +475,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.doc_id, t.term, CAST(t.tf AS BIGINT) AS tf, "
             "CAST(d.df AS BIGINT) AS df "
             "FROM top t JOIN dfq d ON t.term = d.term WHERE t.rn <= 3"
+        ),
+        "pack_sequences": (
+            "WITH c AS (SELECT doc_id, "
+            "len(string_split(COALESCE(text, ''), ' ')) AS cnt FROM documents), "
+            "o AS (SELECT doc_id, cnt, CAST(COALESCE(SUM(cnt) OVER ("
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+            "), 0) AS BIGINT) AS o FROM c), "
+            "e AS (SELECT doc_id, cnt, o, "
+            "unnest(generate_series(o // 512, (o + cnt - 1) // 512)) AS k FROM o) "
+            "SELECT CAST(k AS BIGINT) AS chunk_id, doc_id, "
+            "CAST(greatest(0, k * 512 - o) AS BIGINT) AS tok_start, "
+            "CAST(least(cnt, (k + 1) * 512 - o) AS BIGINT) AS tok_end, "
+            "CAST(greatest(0, o - k * 512) AS BIGINT) AS chunk_off "
+            "FROM e"
         ),
         "ngram_jaccard": (
             "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t, "

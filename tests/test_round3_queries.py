@@ -130,3 +130,35 @@ def test_ngram_jaccard_max_df_caps_pairs():
     assert (4, 5) in e and (4, 5) in c      # true near-dup survives the cap
     assert c <= e                            # cap only removes pairs
     assert len(c) < len(e)                   # boilerplate pairs dropped
+
+
+def test_pack_sequences_matches_sql():
+    _check("pack_sequences")
+
+
+def test_pack_sequences_invariants():
+    """Manifest reconstructs the concat-and-chunk layout: every chunk
+    except the last is exactly full, spans tile each chunk without
+    gaps, and each doc's spans tile the doc."""
+    import __ray_entry__ as em
+
+    df = em.queries()["pack_sequences"](SF).to_pandas()
+    df["span"] = df["tok_end"] - df["tok_start"]
+    per_chunk = df.groupby("chunk_id")["span"].sum()
+    last = per_chunk.index.max()
+    assert (per_chunk.drop(last) == 512).all()
+    assert 0 < per_chunk[last] <= 512
+    # spans tile each chunk contiguously
+    s = df.sort_values(["chunk_id", "chunk_off"])
+    for cid, g in s.groupby("chunk_id"):
+        assert g["chunk_off"].iloc[0] == 0
+        assert (g["chunk_off"].to_numpy()[1:]
+                == (g["chunk_off"] + g["span"]).to_numpy()[:-1]).all()
+    # each doc's spans tile the doc: starts at 0, contiguous, ends at cnt
+    d = df.sort_values(["doc_id", "tok_start"])
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    cnt = {r.doc_id: len(r.text.split(" ")) for r in docs.itertuples()}
+    for did, g in d.groupby("doc_id"):
+        assert g["tok_start"].iloc[0] == 0
+        assert (g["tok_start"].to_numpy()[1:] == g["tok_end"].to_numpy()[:-1]).all()
+        assert g["tok_end"].iloc[-1] == cnt[did]

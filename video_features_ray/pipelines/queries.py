@@ -1252,3 +1252,15 @@ def q_ngram_jaccard(sf_dir: str):
                                columns=["doc_id", "text"])
     return ngram_jaccard_pairs(ds, n=3, threshold=0.1,
                                num_buckets=_w(sf_dir, "documents"))
+
+
+def q_pack_sequences(sf_dir: str):
+    """Concat-and-chunk packing manifest (context 512) over the
+    documents corpus — global token prefix-sum via the distributed-scan
+    pattern, bit-exact vs the SQL window oracle."""
+    from ..stages.packing import pack_sequences
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return pack_sequences(ds, context_len=512,
+                          num_buckets=_w(sf_dir, "documents"))
