@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dense_rank_events": q.q_dense_rank_events,
         "ntile_events": q.q_ntile_events,
         "mode_event_type": q.q_mode_event_type,
+        "shipping_priority": q.q_shipping_priority,
         # non-SQL-expressible (rows-only checks)
         "approx_distinct_users": q.q_approx_distinct_users,
         "approx_quantiles_price": q.q_approx_quantiles_price,
@@ -508,6 +509,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM pairs p JOIN counts ca ON p.id_a = ca.doc_id "
             "JOIN counts cb ON p.id_b = cb.doc_id "
             "WHERE p.inter / (ca.ng + cb.ng - p.inter) >= 0.1"
+        ),
+        "shipping_priority": (
+            "SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, "
+            "epoch_us(o_orderdate) AS o_date_us, "
+            "SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0) "
+            "AS BIGINT)) / 10000.0 AS revenue "
+            "FROM customer, orders, lineitem "
+            "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey "
+            "AND l_orderkey = o_orderkey "
+            "AND o_orderdate < TIMESTAMP '1997-03-15' "
+            "AND l_shipdate > TIMESTAMP '1997-03-15' "
+            "GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey, o_date_us "
+            "LIMIT 10"
         ),
         "dense_rank_events": (
             "SELECT event_id, user_id, CAST(dense_rank() OVER ("

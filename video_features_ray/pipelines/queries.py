@@ -1264,3 +1264,73 @@ def q_pack_sequences(sf_dir: str):
                                columns=["doc_id", "text"])
     return pack_sequences(ds, context_len=512,
                           num_buckets=_w(sf_dir, "documents"))
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape — the chained multi-join plan no other query
+    composes: filtered scans -> SEMI hash join (orders that belong to
+    BUILDING customers; only keys move for the right side) -> large x
+    large INNER hash join (lineitem x orders) -> pre-aggregated grouped
+    revenue -> distributed top-10.  Both joins are bucketed tagged-union
+    shuffles sized by input bytes; the aggregate moves one skinny
+    partial row per (order, batch); the driver merges <= k x buckets
+    rows.  Reference analogue: the engine's join/top-k generalization of
+    the label-map lookup + top-5 path (utils/utils.py:28-46)."""
+    import pyarrow.compute as pc
+
+    from ..stages.joins import grouped_topk, hash_join
+
+    cutoff = pd.Timestamp("1997-03-15")
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda b: pa.table({"custkey": b.filter(
+            pc.equal(b["c_mktsegment"], "BUILDING"))["c_custkey"]}),
+        batch_format="pyarrow")
+
+    def _orders(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.less(b["o_orderdate"], pa.scalar(cutoff)))
+        return pa.table({"custkey": f["o_custkey"],
+                         "orderkey": f["o_orderkey"],
+                         "o_date_us": f["o_orderdate"].cast(pa.int64())})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(_orders, batch_format="pyarrow")
+
+    o_building = hash_join(
+        orders, cust, on="custkey", how="semi",
+        num_buckets=_w(sf_dir, "orders", "customer"),
+        schemas=(pa.schema([("custkey", pa.int64()), ("orderkey", pa.int64()),
+                            ("o_date_us", pa.int64())]),
+                 pa.schema([("custkey", pa.int64())])),
+    ).map_batches(lambda df: df[["orderkey", "o_date_us"]],
+                  batch_format="pandas")
+
+    def _items(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.greater(b["l_shipdate"], pa.scalar(cutoff)))
+        price = f["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = f["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.round(price * (1.0 - disc) * 10000.0).astype(np.int64)
+        return pa.table({"orderkey": f["l_orderkey"], "rev_s": pa.array(rev)})
+
+    items = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(_items, batch_format="pyarrow")
+
+    joined = hash_join(
+        items, o_building, on="orderkey",
+        num_buckets=_w(sf_dir, "lineitem", "orders"),
+        schemas=(pa.schema([("orderkey", pa.int64()), ("rev_s", pa.int64())]),
+                 pa.schema([("orderkey", pa.int64()), ("o_date_us", pa.int64())])))
+
+    top = grouped_topk(joined, ["orderkey", "o_date_us"], sums=["rev_s"],
+                       sort_col="sum_rev_s", k=10,
+                       num_buckets=_w(sf_dir, "lineitem"))
+    top["l_orderkey"] = top["orderkey"].astype(np.int64)
+    top["o_date_us"] = top["o_date_us"].astype(np.int64)
+    top["revenue"] = top["sum_rev_s"].astype(np.int64) / 10000.0
+    return top[["l_orderkey", "o_date_us", "revenue"]]
