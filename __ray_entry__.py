@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_events": q.q_ntile_events,
         "mode_event_type": q.q_mode_event_type,
         "shipping_priority": q.q_shipping_priority,
+        "corr_qty_price": q.q_corr_qty_price,
         # non-SQL-expressible (rows-only checks)
         "approx_distinct_users": q.q_approx_distinct_users,
         "approx_quantiles_price": q.q_approx_quantiles_price,
@@ -522,6 +523,22 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1997-03-15' "
             "GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey, o_date_us "
             "LIMIT 10"
+        ),
+        "corr_qty_price": (
+            "WITH m AS (SELECT l_returnflag, "
+            "CAST(floor(l_quantity) AS BIGINT) AS xs, "
+            "CAST(floor(l_extendedprice) AS BIGINT) AS ys FROM lineitem), "
+            "s AS (SELECT l_returnflag, COUNT(*) AS n, SUM(xs) AS sx, "
+            "SUM(ys) AS sy, SUM(xs*xs) AS sxx, SUM(ys*ys) AS syy, "
+            "SUM(xs*ys) AS sxy FROM m GROUP BY 1) "
+            "SELECT l_returnflag, CAST(n AS BIGINT) AS n, "
+            "(CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) "
+            "- CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / "
+            "(sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) "
+            "- CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * "
+            "sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) "
+            "- CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS corr "
+            "FROM s"
         ),
         "dense_rank_events": (
             "SELECT event_id, user_id, CAST(dense_rank() OVER ("

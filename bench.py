@@ -252,7 +252,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "session_range_join", "term_df_topk", "top3_per_user",
         "user_type_counts", "session_enriched",
         "dense_rank_events", "mode_event_type", "ngram_jaccard",
-        "pack_sequences", "shipping_priority",
+        "pack_sequences", "shipping_priority", "corr_qty_price",
     ]
     qs = em.queries()
     for name in bench_queries:

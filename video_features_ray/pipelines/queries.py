@@ -1334,3 +1334,28 @@ def q_shipping_priority(sf_dir: str):
     top["o_date_us"] = top["o_date_us"].astype(np.int64)
     top["revenue"] = top["sum_rev_s"].astype(np.int64) / 10000.0
     return top[["l_orderkey", "o_date_us", "revenue"]]
+
+
+def q_corr_qty_price(sf_dir: str):
+    """Pearson corr(quantity, price) per returnflag — the multi-moment
+    aggregate: exact int64 moment partials, one closed-form float
+    finish whose op order the SQL oracle mirrors bit-for-bit."""
+    from ..stages.joins import grouped_corr
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def _scale(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        # floor, not round: np.round is half-to-even, SQL round() is
+        # half-away-from-zero, and whole-unit prices DO land on .50
+        # exactly; floor is bit-identical in both engines
+        return pa.table({"l_returnflag": batch["l_returnflag"],
+                         "qs": pa.array(np.floor(q).astype(np.int64)),
+                         "ps": pa.array(np.floor(p).astype(np.int64))})
+
+    return grouped_corr(ds.map_batches(_scale, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                        ["l_returnflag"], "qs", "ps")

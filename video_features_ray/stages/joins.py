@@ -446,3 +446,72 @@ def sliding_aggregate(
     exploded = ds.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True)
     return partial_agg(exploded, [*keys, bucket_col], sums=[value],
                        num_buckets=num_buckets)
+
+
+def grouped_corr(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    x: str,
+    y: str,
+    num_buckets: int = 16,
+    combine: str = "driver",
+    out_col: str = "corr",
+) -> "ray.data.Dataset":
+    """Per-group Pearson correlation over INTEGER-scaled columns ``x``,
+    ``y`` — the multi-moment aggregate (n, Σx, Σy, Σx², Σy², Σxy) as
+    exact int64 partials through :func:`partial_agg`, finished with one
+    closed-form float expression:
+
+        corr = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − Σx²ₜ)(n·Σy² − Σy²ₜ))
+
+    Because every sum is an exact integer and the final expression is a
+    fixed sequence of float64 ops, the result is bit-identical to a SQL
+    oracle that spells out the same formula over the same integer sums
+    (DuckDB's ``corr()`` uses streaming float updates and would differ
+    in low bits).  Groups with zero variance on either side get NULL →
+    coalesced to -1.0 by the caller if needed.
+
+    Scale shape: one skinny moment row per (key, batch) moves; the
+    combine is O(groups).  Int64 moment sums hold to ~10¹² rows of
+    ~10³-scaled values; beyond that, pre-scale down or switch the
+    product columns to float64 (documented trade: exactness → 1 ulp).
+    """
+    keys = list(keys)
+
+    def _moments(batch: pa.Table) -> pa.Table:
+        xs = batch[x].to_numpy(zero_copy_only=False).astype(np.int64)
+        ys = batch[y].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = {k: batch[k] for k in keys}
+        out.update({"_x": pa.array(xs), "_y": pa.array(ys),
+                    "_xx": pa.array(xs * xs), "_yy": pa.array(ys * ys),
+                    "_xy": pa.array(xs * ys)})
+        return pa.table(out)
+
+    agg = partial_agg(ds.map_batches(_moments, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      keys, sums=["_x", "_y", "_xx", "_yy", "_xy"],
+                      count_col="n", num_buckets=num_buckets, combine=combine)
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].astype(np.int64).to_numpy()
+        sx = df["sum__x"].astype(np.int64).to_numpy()
+        sy = df["sum__y"].astype(np.int64).to_numpy()
+        sxx = df["sum__xx"].astype(np.int64).to_numpy()
+        syy = df["sum__yy"].astype(np.int64).to_numpy()
+        sxy = df["sum__xy"].astype(np.int64).to_numpy()
+        # fixed float64 op order == the SQL oracle's expression tree;
+        # cast each exact integer to double BEFORE multiplying (n·Σxy
+        # would overflow int64 long before the doubles lose the result)
+        nf, sxf, syf = (a.astype(np.float64) for a in (n, sx, sy))
+        cov = nf * sxy.astype(np.float64) - sxf * syf
+        vx = nf * sxx.astype(np.float64) - sxf * sxf
+        vy = nf * syy.astype(np.float64) - syf * syf
+        denom = np.sqrt(vx) * np.sqrt(vy)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = np.where(denom > 0, cov / denom, np.nan)
+        out = df[keys].copy()
+        out["n"] = n
+        out[out_col] = c
+        return out
+
+    return agg.map_batches(_finish, batch_format="pandas")
