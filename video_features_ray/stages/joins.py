@@ -55,6 +55,7 @@ def hash_join(
     bloom_prefilter_left: bool = False,
     bloom_bits: int = 1 << 23,
     schemas=None,
+    salt_hot: tuple[list, int] | None = None,
 ) -> "ray.data.Dataset":
     """Large ⨝ large equi-join in ONE hash shuffle (the case
     ``broadcast_join`` can't serve: neither side fits a worker heap).
@@ -71,6 +72,12 @@ def hash_join(
     existence check (no row multiplication, the scale-safe EXISTS /
     NOT EXISTS). ``on`` may be a single column or a LIST (composite
     key — bucketed by a combined hash, so a key tuple never splits).
+
+    ``salt_hot=(hot_keys, n_salts)``: spread each hot key's LEFT rows
+    over n_salts sub-buckets and replicate its RIGHT rows to all of
+    them (see ``TaggedUnion``) — the skew escape hatch when one key
+    carries a data-sized share of the left side. Detect hot keys with
+    :func:`video_features_ray.stages.skew.detect_hot_keys`.
     """
     from .shuffle import TaggedUnion
 
@@ -98,7 +105,7 @@ def hash_join(
             schemas = (l_s, pa.schema([r_s.field(k) for k in keys]))
 
     tu = TaggedUnion(left, right, on, num_buckets, coalesce_blocks=coalesce_blocks,
-                     schemas=schemas)
+                     schemas=schemas, salt_hot=salt_hot)
     left_cols = tu.left_cols
     left_np_dtypes = tu.np_dtypes(left_cols)
     right_np_dtypes = tu.np_dtypes(tu.right_cols)

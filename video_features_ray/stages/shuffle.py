@@ -35,12 +35,33 @@ class TaggedUnion:
                  key, num_buckets: int,
                  ts_cols: tuple[str, str] | None = None,
                  coalesce_blocks: int | None = None,
-                 schemas: tuple[pa.Schema, pa.Schema] | None = None):
+                 schemas: tuple[pa.Schema, pa.Schema] | None = None,
+                 salt_hot: tuple[list, int] | None = None):
+        # ``salt_hot=(hot_keys, n_salts)``: skew escape hatch for joins.
+        # A hot key's bucket would otherwise hold ALL its rows in one
+        # task (per-bucket memory ∝ the hot key's row count — the one
+        # case byte-sized bucket counts can't fix).  Hot LEFT rows are
+        # spread round-robin across ``n_salts`` private sub-buckets;
+        # hot RIGHT rows are REPLICATED to all of them, so every left
+        # row still sees the full right-side set of its key exactly
+        # once.  Valid for per-row-independent combiners (inner/semi/
+        # anti equi-join); NOT for as-of/windowed combiners, which need
+        # a key's rows co-located — those must chunk, not salt.  Cost:
+        # right hot rows ship n_salts×; use when the right side of each
+        # hot key is small (dimension rows) and the left is huge.
         # ``schemas``: caller-supplied (left, right) Arrow schemas. When
         # given, ``Dataset.schema()`` is never called — that call can
         # EXECUTE the upstream pipeline's first block just to infer
         # column types, a double-execution tax on every shuffled join
         # whose input is a transformed (schema-unknown) dataset.
+        if salt_hot is not None:
+            if not isinstance(key, str):
+                raise ValueError("salt_hot supports single-column keys")
+            if ts_cols is not None:
+                raise ValueError("salt_hot is invalid for as-of combiners "
+                                 "(a key's rows must stay co-located)")
+            hot_list, n_salts = salt_hot
+            hot_arr = np.asarray(sorted(hot_list))
         if schemas is not None:
             l_schema, r_schema = schemas
         else:
@@ -78,7 +99,34 @@ class TaggedUnion:
                     b = stable_bucket_multi(
                         [batch[c].to_numpy(zero_copy_only=False) for c in keys],
                         num_buckets)
-                cols["_bucket"] = pa.array(b, type=pa.int32())
+                if salt_hot is not None and n > 0 and len(hot_arr):
+                    kv = batch[keys[0]].to_numpy(zero_copy_only=False)
+                    pos = np.searchsorted(hot_arr, kv)
+                    posc = np.minimum(pos, len(hot_arr) - 1)
+                    hot = hot_arr[posc] == kv
+                    b = b.astype(np.int64)
+                    if side == 0:
+                        # spread hot left rows round-robin over the key's
+                        # private sub-bucket range
+                        ih = np.flatnonzero(hot)
+                        b[ih] = (num_buckets + posc[ih] * n_salts
+                                 + np.arange(len(ih), dtype=np.int64) % n_salts)
+                    else:
+                        # replicate hot right rows into every sub-bucket
+                        ih = np.flatnonzero(hot)
+                        if len(ih):
+                            rep = np.repeat(ih, n_salts)
+                            salts = np.tile(np.arange(n_salts, dtype=np.int64),
+                                            len(ih))
+                            tbl = pa.table(cols)
+                            idx = np.concatenate([np.flatnonzero(~hot), rep])
+                            out = tbl.take(pa.array(idx))
+                            bk = np.concatenate([
+                                b[~hot],
+                                num_buckets + posc[rep] * n_salts + salts])
+                            return out.append_column(
+                                "_bucket", pa.array(bk.astype(np.int32)))
+                cols["_bucket"] = pa.array(np.asarray(b, dtype=np.int32))
                 return pa.table(cols)
 
             return _fn

@@ -180,3 +180,44 @@ def make_offset_window_stage(spec: EncoderSpec):
 
     _stage.__name__ = f"windows_offset_{spec.name}"
     return _stage
+
+
+def detect_hot_keys(
+    ds: "ray.data.Dataset",
+    key: str,
+    threshold_frac: float = 0.01,
+    per_batch_top: int = 256,
+    total_rows: int | None = None,
+) -> list:
+    """Keys carrying more than ``threshold_frac`` of all rows — the
+    candidates worth salting in ``hash_join(salt_hot=...)``.
+
+    One map pass: each batch emits its ``per_batch_top`` most frequent
+    keys with counts plus its row count (skinny partials); the driver
+    sums and thresholds O(top x blocks) rows.  A key above
+    ``threshold_frac`` of the WHOLE input is above it in enough batches
+    to make the per-batch top list wherever it matters, so data-sized
+    hot keys are never missed; borderline keys straddling the threshold
+    may be, which only costs them the salting optimization, never
+    correctness.  ``total_rows`` skips the denominator estimate when
+    the caller already knows it (e.g. parquet footer row counts).
+    """
+    import pandas as pd
+
+    def _partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        vc = df[key].value_counts().head(per_batch_top)
+        out = pd.DataFrame({key: vc.index, "_cnt": vc.to_numpy()})
+        out["_rows"] = 0
+        # one carrier row per batch holds the batch row count, so the
+        # driver can reconstruct the true denominator without a second
+        # pass (top-list counts alone undercount the total)
+        if len(out):
+            out.iloc[0, out.columns.get_loc("_rows")] = len(df)
+        return out
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return []
+    total = total_rows if total_rows is not None else int(parts["_rows"].sum())
+    counts = parts.groupby(key, sort=False)["_cnt"].sum()
+    return sorted(counts[counts >= threshold_frac * max(total, 1)].index.tolist())
