@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_event_type": q.q_mode_event_type,
         "shipping_priority": q.q_shipping_priority,
         "corr_qty_price": q.q_corr_qty_price,
+        "p90_value_per_type": q.q_p90_value_per_type,
         # non-SQL-expressible (rows-only checks)
         "approx_distinct_users": q.q_approx_distinct_users,
         "approx_quantiles_price": q.q_approx_quantiles_price,
@@ -523,6 +524,11 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1997-03-15' "
             "GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey, o_date_us "
             "LIMIT 10"
+        ),
+        "p90_value_per_type": (
+            "SELECT event_type, "
+            "quantile_cont(CAST(round(value * 100.0) AS BIGINT), 0.9) / 100.0 "
+            "AS p90_value FROM events GROUP BY event_type"
         ),
         "corr_qty_price": (
             "WITH m AS (SELECT l_returnflag, "

@@ -253,6 +253,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "user_type_counts", "session_enriched",
         "dense_rank_events", "mode_event_type", "ngram_jaccard",
         "pack_sequences", "shipping_priority", "corr_qty_price",
+        "p90_value_per_type",
     ]
     qs = em.queries()
     for name in bench_queries:

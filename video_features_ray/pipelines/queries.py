@@ -1359,3 +1359,23 @@ def q_corr_qty_price(sf_dir: str):
     return grouped_corr(ds.map_batches(_scale, batch_format="pyarrow",
                                        zero_copy_batch=True),
                         ["l_returnflag"], "qs", "ps")
+
+
+def q_p90_value_per_type(sf_dir: str):
+    """Interpolated p90 of the cent-scaled value per event_type
+    (quantile_cont semantics) — frequency partials + CDF walk, no full
+    sort; the interpolation op order mirrors DuckDB exactly."""
+    from ..stages.joins import grouped_quantile_cont
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def _scale(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": batch["event_type"],
+                         "value_c": pa.array(np.round(v * 100.0).astype(np.int64))})
+
+    out = grouped_quantile_cont(ds.map_batches(_scale, batch_format="pyarrow"),
+                                "event_type", "value_c", q=0.9)
+    out["p90_value"] = out["q0.9"] / 100.0
+    return out[["event_type", "p90_value"]]
