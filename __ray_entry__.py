@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": q.q_shipping_priority,
         "corr_qty_price": q.q_corr_qty_price,
         "p90_value_per_type": q.q_p90_value_per_type,
+        "latest_event_per_user": q.q_latest_event_per_user,
+        "user_journey": q.q_user_journey,
         # non-SQL-expressible (rows-only checks)
         "approx_distinct_users": q.q_approx_distinct_users,
         "approx_quantiles_price": q.q_approx_quantiles_price,
@@ -524,6 +526,18 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1997-03-15' "
             "GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey, o_date_us "
             "LIMIT 10"
+        ),
+        "latest_event_per_user": (
+            "SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
+            "event_type, value FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+            "WHERE rn = 1"
+        ),
+        "user_journey": (
+            "SELECT user_id, string_agg(event_type, '>' "
+            "ORDER BY ts, event_id) AS journey "
+            "FROM events GROUP BY user_id"
         ),
         "p90_value_per_type": (
             "SELECT event_type, "

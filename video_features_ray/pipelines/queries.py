@@ -1379,3 +1379,29 @@ def q_p90_value_per_type(sf_dir: str):
                                 "event_type", "value_c", q=0.9)
     out["p90_value"] = out["q0.9"] / 100.0
     return out[["event_type", "p90_value"]]
+
+
+def q_latest_event_per_user(sf_dir: str):
+    """Each user's most recent event row (argmax lookup feature) via
+    mergeable per-batch candidates — the shuffle moves one row per
+    (user, batch), never the event stream."""
+    from ..stages.joins import grouped_latest
+
+    ds = _events_us(sf_dir, ["event_id", "user_id", "ts", "event_type", "value"])
+    out = grouped_latest(ds, "user_id", "ts_us", tie_cols=["event_id"],
+                         num_buckets=_w(sf_dir, "events"))
+    return out.map_batches(
+        lambda df: df[["user_id", "event_id", "ts_us", "event_type", "value"]],
+        batch_format="pandas")
+
+
+def q_user_journey(sf_dir: str):
+    """Per-user ordered event-type path string (the session-journey
+    feature: string_agg ORDER BY ts)."""
+    from ..stages.joins import grouped_string_agg
+
+    ds = _events_us(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    return grouped_string_agg(ds, "user_id", "event_type",
+                              order_cols=["ts_us", "event_id"], sep=">",
+                              num_buckets=_w(sf_dir, "events"),
+                              out_col="journey")

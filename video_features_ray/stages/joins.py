@@ -559,3 +559,81 @@ def grouped_quantile_cont(
         rows.append((g, v_lo * (1 - f) + v_hi * f))
     return (pd.DataFrame(rows, columns=[group_col, f"q{q}"])
             .sort_values(group_col, kind="mergesort").reset_index(drop=True))
+
+
+def grouped_latest(
+    ds: "ray.data.Dataset",
+    key: str,
+    order_col: str,
+    tie_cols: Sequence[str] = (),
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """The whole row holding each key's MAX ``order_col`` (latest event
+    per user, newest order per customer — the argmax lookup feature).
+
+    Mergeable-partial plan: each batch keeps ONE candidate row per key
+    (vectorized ``groupby.idxmax`` with ``tie_cols`` as descending
+    tie-breaks), the bucketed combine repeats the same pick over
+    candidates — so the shuffle moves O(keys × batches) rows, never the
+    event stream, unlike a windowed ``row_number() = 1`` plan which
+    shuffles every row.  Ties beyond ``(order_col, *tie_cols)`` would be
+    nondeterministic; pass tie columns that make the order total.
+    """
+    sort_cols = [order_col, *tie_cols]
+
+    def _pick(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values([key, *sort_cols],
+                           ascending=[True] + [False] * len(sort_cols),
+                           kind="mergesort")
+        return d.groupby(key, sort=False).head(1)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = _pick(df)
+        h = pd.util.hash_pandas_object(out[key], index=False).to_numpy()
+        return out.assign(
+            _bucket=(h % np.uint64(num_buckets)).astype(np.int32))
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        return _pick(df).drop(columns=["_bucket"])
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+    return partials.groupby("_bucket").map_groups(_final, batch_format="pandas")
+
+
+def grouped_string_agg(
+    ds: "ray.data.Dataset",
+    key: str,
+    value: str,
+    order_cols: Sequence[str],
+    sep: str = ">",
+    num_buckets: int = 16,
+    out_col: str | None = None,
+) -> "ray.data.Dataset":
+    """Ordered per-key concatenation of ``value`` (the session-path /
+    user-journey string: SQL ``string_agg(value, sep ORDER BY ...)``).
+
+    One skinny shuffle: only ``(key, order_cols, value)`` moves, 
+    bucketed by key; each bucket sorts its keys' rows once and joins
+    vectorized.  Row width grows with a key's event count — cap
+    upstream (e.g. compose with a per-key top-N filter) for keys with
+    unbounded histories; at 100 TB an uncapped journey string is a
+    data-modeling bug, not an engine feature.
+    """
+    out_col = out_col or f"{value}_path"
+    cols = [key, *order_cols, value]
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        # SQL string_agg skips NULL values (a key with only NULLs still
+        # appears, as NULL — dropped here: sep.join can't emit SQL NULL)
+        out = df.loc[df[value].notna(), cols].copy()
+        h = pd.util.hash_pandas_object(out[key], index=False).to_numpy()
+        return out.assign(
+            _bucket=(h % np.uint64(num_buckets)).astype(np.int32))
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values([key, *order_cols], kind="mergesort")
+        g = d.groupby(key, sort=False)[value].agg(sep.join)
+        return g.rename(out_col).reset_index()
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+    return partials.groupby("_bucket").map_groups(_final, batch_format="pandas")
