@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "p90_value_per_type": q.q_p90_value_per_type,
         "latest_event_per_user": q.q_latest_event_per_user,
         "user_journey": q.q_user_journey,
+        "order_stats_per_status": q.q_order_stats_per_status,
         # non-SQL-expressible (rows-only checks)
         "approx_distinct_users": q.q_approx_distinct_users,
         "approx_quantiles_price": q.q_approx_quantiles_price,
@@ -526,6 +527,13 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1997-03-15' "
             "GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey, o_date_us "
             "LIMIT 10"
+        ),
+        "order_stats_per_status": (
+            "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0 AS total_price, "
+            "MIN(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0 AS min_price, "
+            "MAX(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0 AS max_price "
+            "FROM orders GROUP BY o_orderstatus"
         ),
         "latest_event_per_user": (
             "SELECT user_id, event_id, epoch_us(ts) AS ts_us, "

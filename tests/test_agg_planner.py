@@ -1,0 +1,69 @@
+"""partial_agg min/max extension + byte-based join-plan selection."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from video_features_ray.stages.joins import (
+    auto_join,
+    broadcast_join,
+    choose_join_plan,
+    hash_join,
+    partial_agg,
+)
+
+
+def _norm(df):
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def test_partial_agg_min_max_matches_pandas():
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"k": rng.integers(0, 7, 5000),
+                       "v": rng.integers(-1000, 1000, 5000)})
+    for combine in ("driver", "distributed"):
+        got = partial_agg(ray.data.from_pandas(df), ["k"], sums=["v"],
+                          mins=["v"], maxs=["v"], combine=combine).to_pandas()
+        want = (df.groupby("k")
+                .agg(sum_v=("v", "sum"), min_v=("v", "min"),
+                     max_v=("v", "max"), n=("v", "size")).reset_index())
+        pd.testing.assert_frame_equal(
+            _norm(got.astype({"n": np.int64})), _norm(want))
+
+
+def test_partial_agg_minmax_only_no_sums():
+    df = pd.DataFrame({"k": [1, 1, 2], "v": [5, -3, 9]})
+    got = partial_agg(ray.data.from_pandas(df), ["k"], mins=["v"],
+                      combine="driver").to_pandas()
+    want = df.groupby("k").agg(min_v=("v", "min"), n=("v", "size")).reset_index()
+    pd.testing.assert_frame_equal(_norm(got.astype({"n": np.int64})), _norm(want))
+
+
+def test_choose_join_plan_boundaries():
+    assert choose_join_plan(None) == "shuffle"
+    assert choose_join_plan(64 << 20) == "broadcast"
+    assert choose_join_plan((64 << 20) + 1) == "shuffle"
+    assert choose_join_plan(10 << 20, broadcast_limit=1 << 20) == "shuffle"
+
+
+@pytest.mark.parametrize("limit", [1, 1 << 30])  # force shuffle / broadcast
+def test_auto_join_both_plans_agree(limit):
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 2000),
+                         "v": np.arange(2000, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.arange(0, 40, dtype=np.int64),
+                          "attr": [f"a{i}" for i in range(40)]})
+    got = auto_join(ray.data.from_pandas(left), right, "k",
+                    broadcast_limit=limit, num_buckets=4).to_pandas()
+    ref = broadcast_join(ray.data.from_pandas(left), right, on="k").to_pandas()
+    pd.testing.assert_frame_equal(_norm(got), _norm(ref))
+
+
+def test_auto_join_semi_always_buckets():
+    left = pd.DataFrame({"k": np.array([1, 2, 3, 4], dtype=np.int64)})
+    right = pd.DataFrame({"k": np.array([2, 4], dtype=np.int64)})
+    got = auto_join(ray.data.from_pandas(left), right, "k", how="semi",
+                    broadcast_limit=1 << 30, num_buckets=2).to_pandas()
+    assert sorted(got["k"].tolist()) == [2, 4]

@@ -1405,3 +1405,31 @@ def q_user_journey(sf_dir: str):
                               order_cols=["ts_us", "event_id"], sep=">",
                               num_buckets=_w(sf_dir, "events"),
                               out_col="journey")
+
+
+def q_order_stats_per_status(sf_dir: str):
+    """count/sum/min/max of cent-scaled totalprice per order status in
+    ONE partial+combine pass (all three stats are algebraic, so they
+    share the same skinny shuffle)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderstatus", "o_totalprice"])
+
+    def _scale(batch: pa.Table) -> pa.Table:
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"o_orderstatus": batch["o_orderstatus"],
+                         "price_c": pa.array(np.round(p * 100.0).astype(np.int64))})
+
+    agg = partial_agg(ds.map_batches(_scale, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      ["o_orderstatus"], sums=["price_c"], mins=["price_c"],
+                      maxs=["price_c"], count_col="n_orders", combine="driver")
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_orders"] = df["n_orders"].astype(np.int64)
+        df["total_price"] = df["sum_price_c"].astype(np.int64) / 100.0
+        df["min_price"] = df["min_price_c"].astype(np.int64) / 100.0
+        df["max_price"] = df["max_price_c"].astype(np.int64) / 100.0
+        return df[["o_orderstatus", "n_orders", "total_price",
+                   "min_price", "max_price"]]
+
+    return agg.map_batches(_finish, batch_format="pandas")

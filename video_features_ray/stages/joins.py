@@ -196,6 +196,8 @@ def partial_agg(
     count_col: str = "n",
     num_buckets: int = 16,
     combine: str = "distributed",
+    mins: Sequence[str] = (),
+    maxs: Sequence[str] = (),
 ) -> "ray.data.Dataset":
     """groupby(keys).agg(sum..., count) with per-batch combining.
 
@@ -215,16 +217,34 @@ def partial_agg(
       is the right plan at ANY input scale — the distributed sort paid
       ~6 s of task overhead to shuffle 1,600 rows.
 
-    Column names: ``sum_<col>`` and ``count_col``.
+    Column names: ``sum_<col>``, ``min_<col>``, ``max_<col>`` and
+    ``count_col`` — sum/min/max are all algebraic (partial-then-combine
+    with the SAME op), so any mix still needs just the one pass.
     """
     keys = list(keys)
-    sums = list(sums)
+    sums, mins, maxs = list(sums), list(mins), list(maxs)
     sum_cols = [f"sum_{c}" for c in sums]
+    min_cols = [f"min_{c}" for c in mins]
+    max_cols = [f"max_{c}" for c in maxs]
+
+    def _stats(g):
+        parts = []
+        if sums:
+            parts.append(g[sums].sum().rename(
+                columns={c: f"sum_{c}" for c in sums}))
+        if mins:
+            parts.append(g[mins].min().rename(
+                columns={c: f"min_{c}" for c in mins}))
+        if maxs:
+            parts.append(g[maxs].max().rename(
+                columns={c: f"max_{c}" for c in maxs}))
+        return pd.concat(parts, axis=1) if parts else None
 
     def _partial(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch.groupby(keys, sort=False, dropna=False)
-        out = g[sums].sum() if sums else g.size().to_frame("__sz").drop(columns="__sz")
-        out = out.rename(columns={c: f"sum_{c}" for c in sums})
+        out = _stats(g)
+        if out is None:
+            out = g.size().to_frame("__sz").drop(columns="__sz")
         out[count_col] = g.size()
         out = out.reset_index()
         h = np.zeros(len(out), dtype=np.uint64)
@@ -235,8 +255,13 @@ def partial_agg(
         return out
 
     def _final(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(keys, sort=False, dropna=False)[sum_cols + [count_col]].sum()
-        return g.reset_index()
+        g = df.groupby(keys, sort=False, dropna=False)
+        out = g[sum_cols + [count_col]].sum()
+        if min_cols:
+            out = pd.concat([out, g[min_cols].min()], axis=1)
+        if max_cols:
+            out = pd.concat([out, g[max_cols].max()], axis=1)
+        return out.reset_index()
 
     partials = ds.map_batches(_partial, batch_format="pandas")
     if combine == "driver":
@@ -637,3 +662,43 @@ def grouped_string_agg(
 
     partials = ds.map_batches(_partial, batch_format="pandas")
     return partials.groupby("_bucket").map_groups(_final, batch_format="pandas")
+
+
+def choose_join_plan(right_bytes: int | None,
+                     broadcast_limit: int = 64 << 20) -> str:
+    """'broadcast' when the right side provably fits every worker heap
+    (each actor holds one copy; ``ray.put`` ships it once per node),
+    else 'shuffle'.  Unknown size → shuffle: the safe plan is the one
+    whose memory is bounded by bucket sizing, not by a guess."""
+    if right_bytes is not None and right_bytes <= broadcast_limit:
+        return "broadcast"
+    return "shuffle"
+
+
+def auto_join(
+    left: "ray.data.Dataset",
+    right,
+    on,
+    right_bytes: int | None = None,
+    how: str = "inner",
+    broadcast_limit: int = 64 << 20,
+    **hash_kw,
+):
+    """Equi-join with physical-plan selection by measured bytes — the
+    optimizer rule every query above applies by hand (dimension tables
+    broadcast, fact×fact shuffles), packaged: pass ``right`` as a
+    pandas DataFrame (size measured directly) or a Dataset with
+    ``right_bytes`` from parquet footer metadata (``table_bytes``);
+    never from a guess.  Broadcast serves inner/left only (semi/anti
+    existence checks go through the bucketed plan, whose right side is
+    already reduced to keys).  ``hash_kw`` forwards to ``hash_join``.
+    """
+    import ray.data as rd
+
+    if isinstance(right, pd.DataFrame):
+        est = int(right.memory_usage(deep=True).sum())
+        if how in ("inner", "left") and \
+                choose_join_plan(est, broadcast_limit) == "broadcast":
+            return broadcast_join(left, right, on=on, how=how)
+        return hash_join(left, rd.from_pandas(right), on, how=how, **hash_kw)
+    return hash_join(left, right, on, how=how, **hash_kw)
