@@ -1302,7 +1302,7 @@ def q_shipping_priority(sf_dir: str):
 
     o_building = hash_join(
         orders, cust, on="custkey", how="semi",
-        num_buckets=_w(sf_dir, "orders", "customer"),
+        num_buckets=_w(sf_dir, "orders", "customer"), coalesce_blocks=16,
         schemas=(pa.schema([("custkey", pa.int64()), ("orderkey", pa.int64()),
                             ("o_date_us", pa.int64())]),
                  pa.schema([("custkey", pa.int64())])),
@@ -1323,7 +1323,7 @@ def q_shipping_priority(sf_dir: str):
 
     joined = hash_join(
         items, o_building, on="orderkey",
-        num_buckets=_w(sf_dir, "lineitem", "orders"),
+        num_buckets=_w(sf_dir, "lineitem", "orders"), coalesce_blocks=16,
         schemas=(pa.schema([("orderkey", pa.int64()), ("rev_s", pa.int64())]),
                  pa.schema([("orderkey", pa.int64()), ("o_date_us", pa.int64())])))
 
