@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": q.q_latest_event_per_user,
         "user_journey": q.q_user_journey,
         "order_stats_per_status": q.q_order_stats_per_status,
+        "share_of_user_total": q.q_share_of_user_total,
+        "user_type_spend": q.q_user_type_spend,
         # non-SQL-expressible (rows-only checks)
         "approx_distinct_users": q.q_approx_distinct_users,
         "approx_quantiles_price": q.q_approx_quantiles_price,
@@ -527,6 +529,26 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1997-03-15' "
             "GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey, o_date_us "
             "LIMIT 10"
+        ),
+        "share_of_user_total": (
+            "SELECT event_id, user_id, "
+            "CAST(round(value * 10000.0) AS BIGINT) / "
+            "SUM(CAST(round(value * 10000.0) AS BIGINT)) OVER ("
+            "PARTITION BY user_id) AS share FROM events"
+        ),
+        "user_type_spend": (
+            "SELECT user_id, "
+            "COALESCE(SUM(CAST(round(value * 10000.0) AS BIGINT)) "
+            "FILTER (event_type = 'click'), 0) / 10000.0 AS spend_click, "
+            "COALESCE(SUM(CAST(round(value * 10000.0) AS BIGINT)) "
+            "FILTER (event_type = 'error'), 0) / 10000.0 AS spend_error, "
+            "COALESCE(SUM(CAST(round(value * 10000.0) AS BIGINT)) "
+            "FILTER (event_type = 'purchase'), 0) / 10000.0 AS spend_purchase, "
+            "COALESCE(SUM(CAST(round(value * 10000.0) AS BIGINT)) "
+            "FILTER (event_type = 'signup'), 0) / 10000.0 AS spend_signup, "
+            "COALESCE(SUM(CAST(round(value * 10000.0) AS BIGINT)) "
+            "FILTER (event_type = 'view'), 0) / 10000.0 AS spend_view "
+            "FROM events GROUP BY user_id"
         ),
         "order_stats_per_status": (
             "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders, "

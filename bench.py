@@ -254,7 +254,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "dense_rank_events", "mode_event_type", "ngram_jaccard",
         "pack_sequences", "shipping_priority", "corr_qty_price",
         "p90_value_per_type", "latest_event_per_user", "user_journey",
-        "order_stats_per_status",
+        "order_stats_per_status", "share_of_user_total", "user_type_spend",
     ]
     qs = em.queries()
     for name in bench_queries:

@@ -1433,3 +1433,55 @@ def q_order_stats_per_status(sf_dir: str):
                    "min_price", "max_price"]]
 
     return agg.map_batches(_finish, batch_format="pandas")
+
+
+def q_share_of_user_total(sf_dir: str):
+    """Each event's share of its user's total value (the percent-of-
+    total ratio feature) — one hash shuffle, single int/int division
+    for bit-parity."""
+    from ..stages.events import group_share
+
+    ds = _events_us(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def _scale(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_id": batch["event_id"],
+                         "user_id": batch["user_id"],
+                         "value_s": pa.array(np.round(v * 10000.0).astype(np.int64))})
+
+    out = group_share(ds.map_batches(_scale, batch_format="pyarrow"),
+                      "user_id", "value_s", num_buckets=_w(sf_dir, "events"),
+                      out_col="share")
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id", "share"]], batch_format="pandas")
+
+
+def q_user_type_spend(sf_dir: str):
+    """Per-user summed value pivoted by event_type (the pivot-SUM
+    feature block beside user_type_counts' pivot-COUNT)."""
+    from ..stages.joins import categorical_pivot_sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type", "value"])
+
+    def _scale(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": batch["user_id"],
+                         "event_type": batch["event_type"],
+                         "value_s": pa.array(np.round(v * 10000.0).astype(np.int64))})
+
+    scaled = ds.map_batches(_scale, batch_format="pyarrow", zero_copy_batch=True)
+    parts = scaled.map_batches(
+        lambda df: pd.DataFrame({"c": df["event_type"].unique()}),
+        batch_format="pandas").to_pandas()
+    cats = sorted(set(parts["c"]))
+    out = categorical_pivot_sum(scaled, "user_id", "event_type", "value_s",
+                                cats, num_buckets=_w(sf_dir, "events"))
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        res = df[["user_id"]].copy()
+        for c in cats:
+            res[f"spend_{c}"] = df[f"sum_{c}"].astype(np.int64) / 10000.0
+        return res
+
+    return out.map_batches(_finish, batch_format="pandas")

@@ -358,3 +358,25 @@ def forward_fill(
         return df
 
     return transform_buckets(ds, key, [ts, *tie_cols], _fn, num_buckets)
+
+
+def group_share(
+    ds: "ray.data.Dataset",
+    key: str,
+    value: str,
+    num_buckets: int = 64,
+    out_col: str | None = None,
+) -> "ray.data.Dataset":
+    """Each row's share of its key's total (``value / SUM(value) OVER
+    (PARTITION BY key)`` — the ratio-feature normalizer).  One hash
+    shuffle via ``transform_buckets``; ``value`` should be an exact
+    integer column so the single int/int → float64 division is
+    bit-reproducible against SQL."""
+    out_col = out_col or f"{value}_share"
+
+    def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby(key, sort=False)[value].transform("sum")
+        df[out_col] = df[value].to_numpy() / tot.to_numpy()
+        return df
+
+    return transform_buckets(ds, key, [], _fn, num_buckets)

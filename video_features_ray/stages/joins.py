@@ -702,3 +702,41 @@ def auto_join(
             return broadcast_join(left, right, on=on, how=how)
         return hash_join(left, rd.from_pandas(right), on, how=how, **hash_kw)
     return hash_join(left, right, on, how=how, **hash_kw)
+
+
+def categorical_pivot_sum(
+    ds: "ray.data.Dataset",
+    key: str,
+    cat_col: str,
+    value: str,
+    categories: Sequence[str],
+    num_buckets: int = 16,
+    prefix: str = "sum_",
+) -> "ray.data.Dataset":
+    """Pivot-SUM feature block: one ``prefix<cat>`` column per category
+    holding the key's summed ``value`` in that category (0 where the
+    key has no such rows — SQL ``COALESCE(SUM(CASE WHEN ...), 0)``).
+    Same dense-vector shape as :func:`categorical_counts`: per-batch
+    pivot partials one skinny fixed-width row per key, bucketed sum
+    combine — raw rows never shuffle."""
+    cats = list(categories)
+    out_cols = [f"{prefix}{c}" for c in cats]
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        pt = df.pivot_table(index=key, columns=cat_col, values=value,
+                            aggfunc="sum", fill_value=0)
+        pt = pt.reindex(columns=cats, fill_value=0)
+        pt.columns = out_cols
+        pt = pt.reset_index()
+        h = pd.util.hash_pandas_object(pt[key], index=False).to_numpy()
+        pt["_bucket"] = (h % np.uint64(num_buckets)).astype(np.int32)
+        return pt
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key, sort=False)[out_cols].sum().reset_index()
+        for c in out_cols:
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    partials = ds.map_batches(_partial, batch_format="pandas").repartition(16)
+    return partials.groupby("_bucket").map_groups(_final, batch_format="pandas")
