@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_stats_per_status": q.q_order_stats_per_status,
         "share_of_user_total": q.q_share_of_user_total,
         "user_type_spend": q.q_user_type_spend,
+        "hourly_active_users": q.q_hourly_active_users,
         # non-SQL-expressible (rows-only checks)
         "approx_distinct_users": q.q_approx_distinct_users,
         "approx_quantiles_price": q.q_approx_quantiles_price,
@@ -529,6 +530,11 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1997-03-15' "
             "GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey, o_date_us "
             "LIMIT 10"
+        ),
+        "hourly_active_users": (
+            "SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us, "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users "
+            "FROM events GROUP BY 1"
         ),
         "share_of_user_total": (
             "SELECT event_id, user_id, "

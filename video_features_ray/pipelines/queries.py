@@ -1485,3 +1485,25 @@ def q_user_type_spend(sf_dir: str):
         return res
 
     return out.map_batches(_finish, batch_format="pandas")
+
+
+def q_hourly_active_users(sf_dir: str):
+    """COUNT(DISTINCT user_id) per hour window — the windowed-distinct
+    engagement metric, composed from the value-bucketed exact distinct
+    (shuffle moves deduped skinny pairs only)."""
+    from ..stages.dedup import distinct_count_per_group
+
+    ds = _events_us(sf_dir, ["user_id", "ts"])
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        t = batch["ts_us"].to_numpy(zero_copy_only=False)
+        return pa.table({"hour_us": pa.array((t // HOUR_US) * HOUR_US),
+                         "user_id": batch["user_id"]})
+
+    out = distinct_count_per_group(
+        ds.map_batches(_bucket, batch_format="pyarrow"),
+        "hour_us", "user_id", num_buckets=_w(sf_dir, "events"))
+    return out.map_batches(
+        lambda df: df.rename(columns={"n_distinct": "active_users"})[
+            ["hour_us", "active_users"]],
+        batch_format="pandas")
