@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "share_of_user_total": q.q_share_of_user_total,
         "user_type_spend": q.q_user_type_spend,
         "hourly_active_users": q.q_hourly_active_users,
+        "asof_click_within_1h": q.q_asof_click_within_1h,
         # non-SQL-expressible (rows-only checks)
         "approx_distinct_users": q.q_approx_distinct_users,
         "approx_quantiles_price": q.q_approx_quantiles_price,
@@ -530,6 +531,18 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1997-03-15' "
             "GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey, o_date_us "
             "LIMIT 10"
+        ),
+        "asof_click_within_1h": (
+            "WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value "
+            "FROM events WHERE event_type = 'purchase'), "
+            "c AS (SELECT event_id AS c_event, user_id, epoch_us(ts) AS ts_us "
+            "FROM events WHERE event_type = 'click') "
+            "SELECT p.event_id, p.user_id, p.ts_us, p.value, "
+            "CAST(CASE WHEN c.ts_us IS NOT NULL "
+            "AND p.ts_us - c.ts_us <= 3600000000 "
+            "THEN c.c_event ELSE -1 END AS BIGINT) AS c_event_r "
+            "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id "
+            "AND p.ts_us >= c.ts_us"
         ),
         "hourly_active_users": (
             "SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us, "

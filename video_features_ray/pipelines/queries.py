@@ -1507,3 +1507,37 @@ def q_hourly_active_users(sf_dir: str):
         lambda df: df.rename(columns={"n_distinct": "active_users"})[
             ["hour_us", "active_users"]],
         batch_format="pandas")
+
+
+def q_asof_click_within_1h(sf_dir: str):
+    """Tolerance-bounded as-of: each purchase joined backward to the
+    user's latest click ONLY if it happened within the last hour
+    (stale lookups dropped — merge_asof's inclusive ``tolerance``,
+    exercised nowhere else in the suite)."""
+    ev = _events_us(sf_dir, ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def _purchases(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["event_type"] == "purchase"]
+        return d[["event_id", "user_id", "ts_us", "value"]]
+
+    def _clicks(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["event_type"] == "click"].copy()
+        d = d.rename(columns={"event_id": "c_event"})
+        return d[["c_event", "user_id", "ts_us"]]
+
+    purchases = ev.map_batches(_purchases, batch_format="pandas")
+    clicks = ev.map_batches(_clicks, batch_format="pandas")
+    joined = asof_join(
+        purchases, clicks, key="user_id", left_ts="ts_us",
+        right_ts="ts_us", direction="backward", tolerance=HOUR_US,
+        num_buckets=_w(sf_dir, "events"), coalesce_blocks=16,
+        schemas=(pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                            ("ts_us", pa.int64()), ("value", pa.float64())]),
+                 pa.schema([("c_event", pa.int64()), ("user_id", pa.int64()),
+                            ("ts_us", pa.int64())])))
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["c_event_r"] = df["c_event_r"].fillna(-1).astype(np.int64)
+        return df[["event_id", "user_id", "ts_us", "value", "c_event_r"]]
+
+    return joined.map_batches(_finish, batch_format="pandas")
