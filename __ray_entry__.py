@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_type_spend": q.q_user_type_spend,
         "hourly_active_users": q.q_hourly_active_users,
         "asof_click_within_1h": q.q_asof_click_within_1h,
+        "churned_customers": q.q_churned_customers,
         # non-SQL-expressible (rows-only checks)
         "approx_distinct_users": q.q_approx_distinct_users,
         "approx_quantiles_price": q.q_approx_quantiles_price,
@@ -531,6 +532,13 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1997-03-15' "
             "GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey, o_date_us "
             "LIMIT 10"
+        ),
+        "churned_customers": (
+            "SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM ("
+            "SELECT DISTINCT o_custkey AS c_custkey FROM orders "
+            "WHERE o_orderdate < TIMESTAMP '1996-01-01' "
+            "EXCEPT SELECT DISTINCT o_custkey FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '1999-01-01')"
         ),
         "asof_click_within_1h": (
             "WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value "

@@ -1074,3 +1074,29 @@ def ngram_jaccard_pairs(
     return (ds.map_batches(_postings, batch_format="pandas")
             .groupby("_bucket").map_groups(_pairs_bucket, batch_format="pandas")
             .groupby("_pb").map_groups(_final, batch_format="pandas"))
+
+
+def distinct_values(
+    ds: "ray.data.Dataset", cols, num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Exact DISTINCT over ``cols`` — per-batch dedup partials bucketed
+    by row hash (duplicates of a tuple always share a bucket, so the
+    per-bucket dedup is globally exact); the shuffle moves only each
+    batch's already-deduped skinny rows.  The building block for SQL
+    set ops: EXCEPT = distinct + anti ``hash_join``, INTERSECT =
+    distinct + semi."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[cols].drop_duplicates()
+        h = np.zeros(len(d), dtype=np.uint64)
+        for c in cols:
+            h = h * np.uint64(0x100000001B3) + pd.util.hash_pandas_object(
+                d[c], index=False).to_numpy()
+        return d.assign(_bucket=(h % np.uint64(num_buckets)).astype(np.int32))
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        return df[cols].drop_duplicates()
+
+    return (ds.map_batches(_partial, batch_format="pandas")
+            .groupby("_bucket").map_groups(_final, batch_format="pandas"))
