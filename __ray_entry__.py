@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_active_users": q.q_hourly_active_users,
         "asof_click_within_1h": q.q_asof_click_within_1h,
         "churned_customers": q.q_churned_customers,
+        "loyal_customers": q.q_loyal_customers,
         # non-SQL-expressible (rows-only checks)
         "approx_distinct_users": q.q_approx_distinct_users,
         "approx_quantiles_price": q.q_approx_quantiles_price,
@@ -532,6 +533,13 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1997-03-15' "
             "GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey, o_date_us "
             "LIMIT 10"
+        ),
+        "loyal_customers": (
+            "SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM ("
+            "SELECT DISTINCT o_custkey AS c_custkey FROM orders "
+            "WHERE o_orderdate < TIMESTAMP '1996-01-01' "
+            "INTERSECT SELECT DISTINCT o_custkey FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '1999-01-01')"
         ),
         "churned_customers": (
             "SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM ("

@@ -1578,3 +1578,38 @@ def q_churned_customers(sf_dir: str):
     return out.map_batches(
         lambda df: df.assign(c_custkey=df["custkey"].astype(np.int64))[["c_custkey"]],
         batch_format="pandas")
+
+
+def q_loyal_customers(sf_dir: str):
+    """SQL INTERSECT as a composition: customers ordering both before
+    1996 AND in 1999+ (bucketed distinct + semi hash join — the EXCEPT
+    query's twin)."""
+    import pyarrow.compute as pc
+
+    from ..stages.dedup import distinct_values
+    from ..stages.joins import hash_join
+
+    w = _w(sf_dir, "orders")
+
+    def _before(b: pa.Table) -> pa.Table:
+        m = pc.less(b["o_orderdate"], pa.scalar(pd.Timestamp("1996-01-01")))
+        return pa.table({"custkey": b.filter(m)["o_custkey"]})
+
+    def _after(b: pa.Table) -> pa.Table:
+        m = pc.greater_equal(b["o_orderdate"],
+                             pa.scalar(pd.Timestamp("1999-01-01")))
+        return pa.table({"custkey": b.filter(m)["o_custkey"]})
+
+    orders = lambda: ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"])
+    early = distinct_values(orders().map_batches(_before, batch_format="pyarrow"),
+                            "custkey", num_buckets=w)
+    late = distinct_values(orders().map_batches(_after, batch_format="pyarrow"),
+                           "custkey", num_buckets=w)
+    out = hash_join(early, late, on="custkey", how="semi", num_buckets=w,
+                    coalesce_blocks=8,
+                    schemas=(pa.schema([("custkey", pa.int64())]),
+                             pa.schema([("custkey", pa.int64())])))
+    return out.map_batches(
+        lambda df: df.assign(c_custkey=df["custkey"].astype(np.int64))[["c_custkey"]],
+        batch_format="pandas")
