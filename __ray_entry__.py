@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_click_within_1h": q.q_asof_click_within_1h,
         "churned_customers": q.q_churned_customers,
         "loyal_customers": q.q_loyal_customers,
+        "rolling_1h_sum": q.q_rolling_1h_sum,
         # non-SQL-expressible (rows-only checks)
         "approx_distinct_users": q.q_approx_distinct_users,
         "approx_quantiles_price": q.q_approx_quantiles_price,
@@ -533,6 +534,13 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1997-03-15' "
             "GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey, o_date_us "
             "LIMIT 10"
+        ),
+        "rolling_1h_sum": (
+            "SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
+            "SUM(CAST(round(value * 10000.0) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY epoch_us(ts) "
+            "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) / 10000.0 "
+            "AS roll_1h FROM events"
         ),
         "loyal_customers": (
             "SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM ("

@@ -156,3 +156,23 @@ def test_salted_join_property(case, n_salts):
     pd.testing.assert_frame_equal(
         plain[key].sort_values(key, kind="mergesort").reset_index(drop=True),
         salted[key].sort_values(key, kind="mergesort").reset_index(drop=True))
+
+
+@given(keyed_ints(cols=("t", "v"), lo=0, hi=30), st.integers(0, 20))
+@settings(**_SETTINGS)
+def test_rolling_time_agg_property(case, span):
+    from video_features_ray.stages.events import rolling_time_agg
+
+    df, parts, buckets = case
+    # small t range forces tied (k, t) pairs — the SQL RANGE peer case
+    df = df.assign(rid=np.arange(len(df), dtype=np.int64))
+    got = (rolling_time_agg(_ds(df, parts), "k", "t", "v", span_us=span,
+                            num_buckets=buckets, out_col="rs")
+           .to_pandas().sort_values("rid").reset_index(drop=True))
+    # naive reference: for each row, sum same-key values in [t-span, t]
+    want = []
+    for _, row in df.iterrows():
+        g = df[(df["k"] == row["k"]) & (df["t"] >= row["t"] - span)
+               & (df["t"] <= row["t"])]
+        want.append(g["v"].sum())
+    assert got["rs"].astype(np.int64).tolist() == want

@@ -1613,3 +1613,27 @@ def q_loyal_customers(sf_dir: str):
     return out.map_batches(
         lambda df: df.assign(c_custkey=df["custkey"].astype(np.int64))[["c_custkey"]],
         batch_format="pandas")
+
+
+def q_rolling_1h_sum(sf_dir: str):
+    """Per-user trailing-1h value sum at every event (time-RANGE rolling
+    window, the row-count window's time-decayed sibling), scaled-int."""
+    from ..stages.events import rolling_time_agg
+
+    ds = _events_us(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def _scale(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_id": batch["event_id"], "user_id": batch["user_id"],
+                         "ts_us": batch["ts_us"],
+                         "value_s": pa.array(np.round(v * 10000.0).astype(np.int64))})
+
+    out = rolling_time_agg(ds.map_batches(_scale, batch_format="pyarrow"),
+                           "user_id", "ts_us", "value_s", span_us=HOUR_US,
+                           num_buckets=_w(sf_dir, "events"))
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["roll_1h"] = df["value_s_rollsum_t"].astype(np.int64) / 10000.0
+        return df[["event_id", "user_id", "ts_us", "roll_1h"]]
+
+    return out.map_batches(_finish, batch_format="pandas")

@@ -380,3 +380,39 @@ def group_share(
         return df
 
     return transform_buckets(ds, key, [], _fn, num_buckets)
+
+
+def rolling_time_agg(
+    ds: "ray.data.Dataset",
+    key: str,
+    ts: str,
+    value: str,
+    span_us: int,
+    num_buckets: int = 64,
+    out_col: str | None = None,
+) -> "ray.data.Dataset":
+    """Per-entity rolling sum over a TIME span — every row gets the sum
+    of its key's values with ``ts`` in ``[t - span_us, t]`` (SQL
+    ``RANGE BETWEEN span PRECEDING AND CURRENT ROW``), the time-decayed
+    sibling of the row-count window in :func:`rolling_agg`.
+
+    One hash shuffle; the kernel is pandas' vectorized datetime-window
+    rolling (``closed='both'`` for the SQL-inclusive lower edge).  SQL
+    RANGE frames include ALL peer rows of a tied timestamp while the
+    positional rolling sees only earlier ones, so tied ``(key, ts)``
+    groups are patched to the group's last (complete) value — a
+    transform, not a loop."""
+    out_col = out_col or f"{value}_rollsum_t"
+
+    def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        idx = pd.to_datetime(df[ts], unit="us")
+        s = (df.set_index(idx).groupby(key, sort=False)[value]
+             .rolling(pd.Timedelta(microseconds=int(span_us)), closed="both")
+             .sum())
+        # df is bucket-sorted by [key, ts]; groupby(sort=False) preserves
+        # that order, so positional assignment is exact
+        df[out_col] = s.to_numpy()
+        df[out_col] = df.groupby([key, ts], sort=False)[out_col].transform("last")
+        return df
+
+    return transform_buckets(ds, key, [ts], _fn, num_buckets)
