@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "churned_customers": q.q_churned_customers,
         "loyal_customers": q.q_loyal_customers,
         "rolling_1h_sum": q.q_rolling_1h_sum,
+        "ewma_value": q.q_ewma_value,
         # non-SQL-expressible (rows-only checks)
         "approx_distinct_users": q.q_approx_distinct_users,
         "approx_quantiles_price": q.q_approx_quantiles_price,

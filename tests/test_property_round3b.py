@@ -176,3 +176,29 @@ def test_rolling_time_agg_property(case, span):
                & (df["t"] <= row["t"])]
         want.append(g["v"].sum())
     assert got["rs"].astype(np.int64).tolist() == want
+
+
+@given(keyed_ints(cols=("t", "v"), lo=0, hi=1000), st.sampled_from([50.0, 300.0]))
+@settings(**_SETTINGS)
+def test_ewma_feature_property(case, halflife):
+    from video_features_ray.stages.events import ewma_feature
+
+    df, parts, buckets = case
+    df = df.assign(rid=np.arange(len(df), dtype=np.int64))
+    got = (ewma_feature(_ds(df, parts), "k", "t", "v", halflife_us=halflife,
+                        num_buckets=buckets, out_col="e")
+           .to_pandas().sort_values("rid").reset_index(drop=True))
+    # reference: pandas ewm(times=, adjust=True) per key over tie-collapsed rows
+    ref = (df.groupby(["k", "t"], sort=False)["v"].mean().reset_index()
+           .sort_values(["k", "t"], kind="mergesort"))
+    outs = []
+    for k, g in ref.groupby("k", sort=False):
+        times = pd.to_datetime(g["t"], unit="us")
+        e = g["v"].ewm(halflife=pd.Timedelta(microseconds=int(halflife)),
+                       times=times.to_numpy()).mean()
+        outs.append(pd.DataFrame({"k": k, "t": g["t"].to_numpy(),
+                                  "want": e.to_numpy()}))
+    want = pd.concat(outs, ignore_index=True)
+    m = got.merge(want, on=["k", "t"], how="left")
+    np.testing.assert_allclose(m["e"].to_numpy(), m["want"].to_numpy(),
+                               rtol=1e-9, atol=1e-12)

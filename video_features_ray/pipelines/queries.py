@@ -1637,3 +1637,19 @@ def q_rolling_1h_sum(sf_dir: str):
         return df[["event_id", "user_id", "ts_us", "roll_1h"]]
 
     return out.map_batches(_finish, batch_format="pandas")
+
+
+def q_ewma_value(sf_dir: str):
+    """Per-user time-decayed EWMA of value (halflife 1 h) at every
+    event — feature-store freshness weighting. Inherently sequential
+    per key, so no SQL oracle: pinned by the property suite against
+    pandas ewm(times=) instead (rows-only at the driver)."""
+    from ..stages.events import ewma_feature
+
+    ds = _events_us(sf_dir, ["event_id", "user_id", "ts", "value"])
+    out = ewma_feature(ds, "user_id", "ts_us", "value",
+                       halflife_us=float(HOUR_US),
+                       num_buckets=_w(sf_dir, "events"))
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id", "ts_us", "value_ewma"]],
+        batch_format="pandas")

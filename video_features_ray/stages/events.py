@@ -416,3 +416,48 @@ def rolling_time_agg(
         return df
 
     return transform_buckets(ds, key, [ts], _fn, num_buckets)
+
+
+def ewma_feature(
+    ds: "ray.data.Dataset",
+    key: str,
+    ts: str,
+    value: str,
+    halflife_us: float,
+    num_buckets: int = 64,
+    out_col: str | None = None,
+) -> "ray.data.Dataset":
+    """Per-entity time-decayed exponential moving average of ``value``
+    ordered by ``ts`` (halflife in the ts unit) — the feature-store
+    freshness-weighted aggregate.  Not SQL-expressible (the recurrence
+    is inherently sequential per key), so it carries a property-test
+    oracle instead of a DuckDB hash; ties on ``ts`` are averaged within
+    the tie first (deterministic under any input order).
+
+    One hash shuffle; the kernel is pandas' vectorized ``ewm(times=)``
+    over each bucket.  Scale shape matches every transform_buckets
+    operator: a key's history lives in exactly one bucket task.
+    """
+    out_col = out_col or f"{value}_ewma"
+
+    def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        # collapse ts ties to their mean so the result is independent of
+        # the (arbitrary) tie order
+        collapsed = (df.groupby([key, ts], sort=False)[value].mean()
+                     .reset_index())
+        # adjusted EWMA closed form (== pandas ewm(times=, adjust=True)):
+        # ewma_i = Σ_{j<=i} v_j·2^((t_j-ref)/h) / Σ_{j<=i} 2^((t_j-ref)/h)
+        # — ref-independent algebraically; anchoring ref at the key's MAX
+        # ts keeps every exponent <= 0 so u never overflows, and ancient
+        # points underflow to exactly the ~0 weight decay gives them.
+        # Groupwise cumsum is a C kernel: no per-key Python loop.
+        g = collapsed.groupby(key, sort=False)
+        t = collapsed[ts].to_numpy(dtype=np.float64)
+        u = np.exp2((t - g[ts].transform("max").to_numpy()) / float(halflife_us))
+        collapsed["_wv"] = collapsed[value].to_numpy() * u
+        collapsed["_w"] = u
+        cs = collapsed.groupby(key, sort=False)[["_wv", "_w"]].cumsum()
+        collapsed[out_col] = cs["_wv"].to_numpy() / cs["_w"].to_numpy()
+        return df.merge(collapsed[[key, ts, out_col]], on=[key, ts], how="left")
+
+    return transform_buckets(ds, key, [ts], _fn, num_buckets)
