@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "loyal_customers": q.q_loyal_customers,
         "rolling_1h_sum": q.q_rolling_1h_sum,
         "ewma_value": q.q_ewma_value,
+        "p99_price_sketch": q.q_p99_price_sketch,
         # non-SQL-expressible (rows-only checks)
         "approx_distinct_users": q.q_approx_distinct_users,
         "approx_quantiles_price": q.q_approx_quantiles_price,

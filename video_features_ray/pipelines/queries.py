@@ -1653,3 +1653,18 @@ def q_ewma_value(sf_dir: str):
     return out.map_batches(
         lambda df: df[["event_id", "user_id", "ts_us", "value_ewma"]],
         batch_format="pandas")
+
+
+def q_p99_price_sketch(sf_dir: str):
+    """Approximate p99 totalprice per order status via the grouped
+    DDSketch histogram (partials bounded by log-buckets, not distinct
+    prices — the quantile scale path). Rel-error ≤ 1% is pytest-pinned
+    (tests/test_grouped_ddsketch.py); rows-only at the driver since a
+    1-ulp libm difference at a bucket edge would break a SQL hash."""
+    from ..stages.joins import grouped_ddsketch_quantile
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderstatus", "o_totalprice"])
+    out = grouped_ddsketch_quantile(ds, "o_orderstatus", "o_totalprice",
+                                    q=0.99, alpha=0.01)
+    return out.rename(columns={"q0.99_approx": "p99_price"})

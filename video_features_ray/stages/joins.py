@@ -740,3 +740,59 @@ def categorical_pivot_sum(
 
     partials = ds.map_batches(_partial, batch_format="pandas").repartition(16)
     return partials.groupby("_bucket").map_groups(_final, batch_format="pandas")
+
+
+def grouped_ddsketch_quantile(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    q: float = 0.5,
+    alpha: float = 0.01,
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """APPROXIMATE per-group quantile with relative-error guarantee
+    ``alpha`` — the 100 TB scale path beside the exact CDF walk of
+    :func:`grouped_quantile_disc`, whose partials grow with DISTINCT
+    VALUES per group (unbounded for continuous data).  Here a value
+    lands in DDSketch log-bucket ``ceil(log_gamma(x))`` (gamma =
+    (1+alpha)/(1-alpha)), so partials are bounded by groups × log-range
+    buckets (~2.3k buckets spanning 1e-9..1e9 at alpha=0.01) no matter
+    how many rows stream through.  Positive values only (standard
+    DDSketch domain); zeros/negatives tracked in a dedicated bucket and
+    returned as 0.0 when the quantile falls there.
+
+    Same shape as every aggregate here: vectorized per-batch bucketing
+    → ``partial_agg`` count combine → driver walk of each group's tiny
+    histogram, answering with the bucket midpoint (relative error ≤
+    alpha, the DDSketch guarantee)."""
+    import math
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    log_gamma = math.log(gamma)
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.zeros(len(v), dtype=np.int64)
+        pos = v > 0
+        idx[pos] = np.ceil(np.log(v[pos]) / log_gamma).astype(np.int64)
+        # non-positive values share sentinel bucket far below any real one
+        idx[~pos] = np.iinfo(np.int32).min
+        return pa.table({group_col: batch[group_col],
+                         "_ddb": pa.array(idx)})
+
+    counts = partial_agg(
+        ds.map_batches(_bucket, batch_format="pyarrow", zero_copy_batch=True),
+        [group_col, "_ddb"], sums=(), count_col="n", num_buckets=num_buckets)
+    pdf = counts.to_pandas()
+    rows = []
+    for g, gdf in pdf.groupby(group_col, sort=False):
+        gdf = gdf.sort_values("_ddb", kind="mergesort")
+        n = int(gdf["n"].sum())
+        rank = max(int(math.ceil(n * q)), 1)
+        cum = gdf["n"].cumsum()
+        b = int(gdf.loc[cum >= rank, "_ddb"].iloc[0])
+        est = 0.0 if b == np.iinfo(np.int32).min else \
+            2.0 * (gamma ** b) / (gamma + 1.0)   # bucket midpoint
+        rows.append((g, est))
+    return (pd.DataFrame(rows, columns=[group_col, f"q{q}_approx"])
+            .sort_values(group_col, kind="mergesort").reset_index(drop=True))
