@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "churned_customers": q.q_churned_customers,
         "loyal_customers": q.q_loyal_customers,
         "rolling_1h_sum": q.q_rolling_1h_sum,
+        "prev_same_type_event": q.q_prev_same_type_event,
         "ewma_value": q.q_ewma_value,
         "p99_price_sketch": q.q_p99_price_sketch,
         # non-SQL-expressible (rows-only checks)
@@ -536,6 +537,12 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1997-03-15' "
             "GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey, o_date_us "
             "LIMIT 10"
+        ),
+        "prev_same_type_event": (
+            "SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, "
+            "CAST(COALESCE(lag(event_id) OVER ("
+            "PARTITION BY user_id, event_type ORDER BY ts), -1) AS BIGINT) "
+            "AS prev_event_r FROM events"
         ),
         "rolling_1h_sum": (
             "SELECT event_id, user_id, epoch_us(ts) AS ts_us, "

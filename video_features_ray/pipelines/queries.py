@@ -1668,3 +1668,43 @@ def q_p99_price_sketch(sf_dir: str):
     out = grouped_ddsketch_quantile(ds, "o_orderstatus", "o_totalprice",
                                     q=0.99, alpha=0.01)
     return out.rename(columns={"q0.99_approx": "p99_price"})
+
+
+def q_prev_same_type_event(sf_dir: str):
+    """COMPOSITE-KEY as-of: each event joined backward to the user's
+    previous event of the SAME type — key (user_id, event_type), strict
+    inequality via an integer-µs probe shift (ts-1), so it equals SQL
+    lag() per (user, type) on this tie-free corpus."""
+    from ..stages.asof import asof_join
+
+    ds = _events_us(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def _left(b: pa.Table) -> pa.Table:
+        t = b["ts_us"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_id": b["event_id"], "user_id": b["user_id"],
+                         "event_type": b["event_type"],
+                         "ts_us": b["ts_us"],
+                         "probe_us": pa.array(t - 1)})
+
+    def _right(b: pa.Table) -> pa.Table:
+        return pa.table({"prev_event": b["event_id"], "user_id": b["user_id"],
+                         "event_type": b["event_type"],
+                         "probe_us": b["ts_us"]})
+
+    left = ds.map_batches(_left, batch_format="pyarrow", zero_copy_batch=True)
+    right = ds.map_batches(_right, batch_format="pyarrow", zero_copy_batch=True)
+    joined = asof_join(
+        left, right, key=["user_id", "event_type"], left_ts="probe_us",
+        right_ts="probe_us", direction="backward",
+        num_buckets=_w(sf_dir, "events"), coalesce_blocks=16,
+        schemas=(pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                            ("event_type", pa.string()), ("ts_us", pa.int64()),
+                            ("probe_us", pa.int64())]),
+                 pa.schema([("prev_event", pa.int64()), ("user_id", pa.int64()),
+                            ("event_type", pa.string()), ("probe_us", pa.int64())])))
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["prev_event_r"] = df["prev_event_r"].fillna(-1).astype(np.int64)
+        return df[["event_id", "user_id", "event_type", "ts_us", "prev_event_r"]]
+
+    return joined.map_batches(_finish, batch_format="pandas")

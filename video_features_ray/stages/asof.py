@@ -40,11 +40,13 @@ def _sortable_series(s: pd.Series) -> bool:
     return False
 
 
-def _merge_asof(left: pd.DataFrame, right: pd.DataFrame, key: str, left_ts: str,
+def _merge_asof(left: pd.DataFrame, right: pd.DataFrame, key, left_ts: str,
                 right_ts: str, direction: str, suffix: str, tolerance=None) -> pd.DataFrame:
+    keys = [key] if isinstance(key, str) else list(key)
     right = right.rename(columns={right_ts: left_ts}) if right_ts != left_ts else right
     right = right.rename(
-        columns={c: f"{c}{suffix}" for c in right.columns if c not in (key, left_ts) }
+        columns={c: f"{c}{suffix}" for c in right.columns
+                 if c not in (*keys, left_ts)}
     )
     left_s = left.sort_values(left_ts, kind="mergesort")
     # merge_asof picks the LAST right row among equal timestamps, so the
@@ -86,17 +88,18 @@ def asof_join(
     ``schemas``: optional (left, right) Arrow schemas — pass when known
     so the tagged union never executes an upstream block for inference."""
     right_ts = right_ts or left_ts
+    keys = [key] if isinstance(key, str) else list(key)
     tu = TaggedUnion(left, right, key, num_buckets,
                      ts_cols=(left_ts, right_ts), coalesce_blocks=coalesce_blocks,
                      schemas=schemas)
     left_cols = tu.left_cols
     left_np_dtypes = tu.np_dtypes(left_cols)
-    out_right_cols = [c for c in tu.right_cols if c not in (key, right_ts)]
+    out_right_cols = [c for c in tu.right_cols if c not in (*keys, right_ts)]
 
     def _per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         l = TaggedUnion.restore_dtypes(
             df[df["_side"] == 0][list(left_cols)].copy(), left_np_dtypes)
-        r = df[df["_side"] == 1][[key, right_ts, *out_right_cols]].copy()
+        r = df[df["_side"] == 1][[*keys, right_ts, *out_right_cols]].copy()
         return _merge_asof(l, r, key, left_ts, right_ts, direction, suffix, tolerance)
 
     return tu.map_buckets(_per_bucket)
