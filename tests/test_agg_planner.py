@@ -67,3 +67,16 @@ def test_auto_join_semi_always_buckets():
     got = auto_join(ray.data.from_pandas(left), right, "k", how="semi",
                     broadcast_limit=1 << 30, num_buckets=2).to_pandas()
     assert sorted(got["k"].tolist()) == [2, 4]
+
+
+def test_auto_join_dataset_right_bytes_broadcasts():
+    left = pd.DataFrame({"k": np.array([1, 2, 3], dtype=np.int64)})
+    right = pd.DataFrame({"k": np.array([1, 3], dtype=np.int64),
+                          "attr": ["x", "y"]})
+    got = auto_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                    "k", right_bytes=1024, broadcast_limit=1 << 20).to_pandas()
+    assert sorted(got["k"].tolist()) == [1, 3]
+    # unknown size stays on the bucketed plan and agrees
+    got2 = auto_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                     "k", num_buckets=2).to_pandas()
+    pd.testing.assert_frame_equal(_norm(got), _norm(got2))

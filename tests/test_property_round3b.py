@@ -202,3 +202,34 @@ def test_ewma_feature_property(case, halflife):
     m = got.merge(want, on=["k", "t"], how="left")
     np.testing.assert_allclose(m["e"].to_numpy(), m["want"].to_numpy(),
                                rtol=1e-9, atol=1e-12)
+
+
+@given(st.integers(0, 10_000))
+@settings(max_examples=10, deadline=None)
+def test_ewma_extreme_span_no_nan(seed):
+    """Spans of thousands of halflives used to underflow the single
+    anchor into 0/0 = NaN at a key's oldest rows; the epoch carry chain
+    must return pandas ewm(times=) values everywhere."""
+    from video_features_ray.stages.events import ewma_feature
+
+    rng = np.random.default_rng(seed)
+    n = 40
+    df = pd.DataFrame({
+        "k": rng.integers(0, 2, n).astype(np.int64),
+        # spread rows across ~3000 halflives (halflife 1.0 below)
+        "t": np.sort(rng.choice(3000, n, replace=False)).astype(np.int64),
+        "v": rng.integers(1, 100, n).astype(np.int64),
+    })
+    df = df.assign(rid=np.arange(n, dtype=np.int64))
+    got = (ewma_feature(_ds(df, 2), "k", "t", "v", halflife_us=1.0,
+                        num_buckets=3, out_col="e")
+           .to_pandas().sort_values("rid").reset_index(drop=True))
+    assert not got["e"].isna().any()
+    ref = df.sort_values(["k", "t"], kind="mergesort")
+    for k, g in ref.groupby("k", sort=False):
+        times = pd.to_datetime(g["t"], unit="us")
+        e = g["v"].ewm(halflife=pd.Timedelta(microseconds=1),
+                       times=times.to_numpy()).mean()
+        m = got[got["k"] == k].sort_values("t")
+        np.testing.assert_allclose(m["e"].to_numpy(), e.to_numpy(),
+                                   rtol=1e-9, atol=1e-12)

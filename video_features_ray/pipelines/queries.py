@@ -1471,10 +1471,14 @@ def q_user_type_spend(sf_dir: str):
                          "value_s": pa.array(np.round(v * 10000.0).astype(np.int64))})
 
     scaled = ds.map_batches(_scale, batch_format="pyarrow", zero_copy_batch=True)
-    parts = scaled.map_batches(
-        lambda df: pd.DataFrame({"c": df["event_type"].unique()}),
-        batch_format="pandas").to_pandas()
-    cats = sorted(set(parts["c"]))
+    # discover the closed category set from a DEDICATED single-column
+    # read — running the distinct over `scaled` would re-execute the
+    # whole read+scale lineage a second time (Datasets are lazy)
+    cats_parts = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type"]
+    ).map_batches(lambda df: pd.DataFrame({"c": df["event_type"].unique()}),
+                  batch_format="pandas").to_pandas()
+    cats = sorted(set(cats_parts["c"]))
     out = categorical_pivot_sum(scaled, "user_id", "event_type", "value_s",
                                 cats, num_buckets=_w(sf_dir, "events"))
 
@@ -1543,76 +1547,8 @@ def q_asof_click_within_1h(sf_dir: str):
     return joined.map_batches(_finish, batch_format="pandas")
 
 
-def q_churned_customers(sf_dir: str):
-    """SQL EXCEPT as a composition: customers who ordered before 1996
-    minus those still ordering in 1999+ (bucketed distinct + anti hash
-    join — both sides large at scale, no broadcast).  The event-type
-    variant is degenerate here (every user has every type), so the
-    cohort split is date-based."""
-    import pyarrow.compute as pc
-
-    from ..stages.dedup import distinct_values
-    from ..stages.joins import hash_join
-
-    w = _w(sf_dir, "orders")
-
-    def _before(b: pa.Table) -> pa.Table:
-        m = pc.less(b["o_orderdate"], pa.scalar(pd.Timestamp("1996-01-01")))
-        return pa.table({"custkey": b.filter(m)["o_custkey"]})
-
-    def _after(b: pa.Table) -> pa.Table:
-        m = pc.greater_equal(b["o_orderdate"],
-                             pa.scalar(pd.Timestamp("1999-01-01")))
-        return pa.table({"custkey": b.filter(m)["o_custkey"]})
-
-    orders = lambda: ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"])
-    early = distinct_values(orders().map_batches(_before, batch_format="pyarrow"),
-                            "custkey", num_buckets=w)
-    late = distinct_values(orders().map_batches(_after, batch_format="pyarrow"),
-                           "custkey", num_buckets=w)
-    out = hash_join(early, late, on="custkey", how="anti", num_buckets=w,
-                    coalesce_blocks=8,
-                    schemas=(pa.schema([("custkey", pa.int64())]),
-                             pa.schema([("custkey", pa.int64())])))
-    return out.map_batches(
-        lambda df: df.assign(c_custkey=df["custkey"].astype(np.int64))[["c_custkey"]],
-        batch_format="pandas")
 
 
-def q_loyal_customers(sf_dir: str):
-    """SQL INTERSECT as a composition: customers ordering both before
-    1996 AND in 1999+ (bucketed distinct + semi hash join — the EXCEPT
-    query's twin)."""
-    import pyarrow.compute as pc
-
-    from ..stages.dedup import distinct_values
-    from ..stages.joins import hash_join
-
-    w = _w(sf_dir, "orders")
-
-    def _before(b: pa.Table) -> pa.Table:
-        m = pc.less(b["o_orderdate"], pa.scalar(pd.Timestamp("1996-01-01")))
-        return pa.table({"custkey": b.filter(m)["o_custkey"]})
-
-    def _after(b: pa.Table) -> pa.Table:
-        m = pc.greater_equal(b["o_orderdate"],
-                             pa.scalar(pd.Timestamp("1999-01-01")))
-        return pa.table({"custkey": b.filter(m)["o_custkey"]})
-
-    orders = lambda: ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"])
-    early = distinct_values(orders().map_batches(_before, batch_format="pyarrow"),
-                            "custkey", num_buckets=w)
-    late = distinct_values(orders().map_batches(_after, batch_format="pyarrow"),
-                           "custkey", num_buckets=w)
-    out = hash_join(early, late, on="custkey", how="semi", num_buckets=w,
-                    coalesce_blocks=8,
-                    schemas=(pa.schema([("custkey", pa.int64())]),
-                             pa.schema([("custkey", pa.int64())])))
-    return out.map_batches(
-        lambda df: df.assign(c_custkey=df["custkey"].astype(np.int64))[["c_custkey"]],
-        batch_format="pandas")
 
 
 def q_rolling_1h_sum(sf_dir: str):
@@ -1708,3 +1644,58 @@ def q_prev_same_type_event(sf_dir: str):
         return df[["event_id", "user_id", "event_type", "ts_us", "prev_event_r"]]
 
     return joined.map_batches(_finish, batch_format="pandas")
+
+
+def _order_cohort_customers(sf_dir: str, how: str):
+    """Shared ONE-pass cohort set-op: distinct pre-1996 customers
+    EXCEPT (``how='anti'``) / INTERSECT (``how='semi'``) distinct
+    1999+ customers.  A single orders scan tags each row's cohort
+    side, per-batch distinct (custkey, side) pairs bucket by custkey,
+    and each bucket answers the existence check locally — one scan,
+    one skinny shuffle, vs. the naive two-scans-per-cohort plan."""
+    import pyarrow.compute as pc
+
+    w = _w(sf_dir, "orders")
+
+    def _tag(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"]
+        early = pc.less(d, pa.scalar(pd.Timestamp("1996-01-01")))
+        late = pc.greater_equal(d, pa.scalar(pd.Timestamp("1999-01-01")))
+        keep = pc.or_(early, late)
+        f = b.filter(keep)
+        side = pc.greater_equal(f["o_orderdate"],
+                                pa.scalar(pd.Timestamp("1999-01-01")))
+        t = pa.table({"custkey": f["o_custkey"],
+                      "_side": side.cast(pa.int8())})
+        # per-batch distinct pairs: only deduped skinny rows shuffle
+        df = t.to_pandas().drop_duplicates()
+        h = pd.util.hash_pandas_object(df["custkey"], index=False).to_numpy()
+        df["_bucket"] = (h % np.uint64(w)).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        early = df.loc[df["_side"] == 0, ["custkey"]].drop_duplicates()
+        late = set(df.loc[df["_side"] == 1, "custkey"].tolist())
+        m = early["custkey"].isin(late).to_numpy()
+        out = early[m] if how == "semi" else early[~m]
+        return out.assign(c_custkey=out["custkey"].astype(np.int64))[["c_custkey"]]
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_orderdate"])
+    tagged = ds.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby("_bucket").map_groups(_per_bucket,
+                                                batch_format="pandas")
+
+
+def q_churned_customers(sf_dir: str):
+    """SQL EXCEPT as a composition (customers ordering before 1996 but
+    not in 1999+); see ``_order_cohort_customers``. Event-type cohorts
+    are degenerate in this corpus (every user has every type), so the
+    split is date-based."""
+    return _order_cohort_customers(sf_dir, "anti")
+
+
+def q_loyal_customers(sf_dir: str):
+    """SQL INTERSECT: customers ordering both before 1996 AND in 1999+
+    — the EXCEPT query's twin over the same one-pass cohort shuffle."""
+    return _order_cohort_customers(sf_dir, "semi")

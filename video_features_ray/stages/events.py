@@ -434,30 +434,64 @@ def ewma_feature(
     oracle instead of a DuckDB hash; ties on ``ts`` are averaged within
     the tie first (deterministic under any input order).
 
-    One hash shuffle; the kernel is pandas' vectorized ``ewm(times=)``
-    over each bucket.  Scale shape matches every transform_buckets
-    operator: a key's history lives in exactly one bucket task.
+    One hash shuffle; the kernel is vectorized groupwise cumsums over
+    the adjusted-EWMA closed form
+    ``ewma_i = Σ_{j<=i} v_j·2^((t_j-ref)/h) / Σ_{j<=i} 2^((t_j-ref)/h)``
+    (== pandas ``ewm(times=, adjust=True)``).  A single anchor ``ref``
+    underflows once a key's span exceeds ~1074 halflives (0/0 → NaN at
+    the oldest rows), so rows are anchored per 256-halflife EPOCH and a
+    tiny per-(key, epoch) carry chain rescales earlier epochs' partial
+    sums into each epoch's frame — the only sequential walk is over
+    epoch partials (span/256h rows per key), never data rows.  History
+    further than float64 resolution genuinely contributes 0.
     """
     out_col = out_col or f"{value}_ewma"
+    EPOCH_HL = 256.0  # halflives per epoch; inter-epoch decay stays representable
 
     def _fn(df: pd.DataFrame) -> pd.DataFrame:
         # collapse ts ties to their mean so the result is independent of
         # the (arbitrary) tie order
         collapsed = (df.groupby([key, ts], sort=False)[value].mean()
                      .reset_index())
-        # adjusted EWMA closed form (== pandas ewm(times=, adjust=True)):
-        # ewma_i = Σ_{j<=i} v_j·2^((t_j-ref)/h) / Σ_{j<=i} 2^((t_j-ref)/h)
-        # — ref-independent algebraically; anchoring ref at the key's MAX
-        # ts keeps every exponent <= 0 so u never overflows, and ancient
-        # points underflow to exactly the ~0 weight decay gives them.
-        # Groupwise cumsum is a C kernel: no per-key Python loop.
-        g = collapsed.groupby(key, sort=False)
+        h = float(halflife_us)
         t = collapsed[ts].to_numpy(dtype=np.float64)
-        u = np.exp2((t - g[ts].transform("max").to_numpy()) / float(halflife_us))
+        g = collapsed.groupby(key, sort=False)
+        t0 = g[ts].transform("min").to_numpy(dtype=np.float64)
+        epoch = np.floor((t - t0) / (EPOCH_HL * h)).astype(np.int64)
+        # anchor: the epoch's END boundary → exponents in (-EPOCH_HL, 0]
+        anchor = t0 + (epoch + 1) * (EPOCH_HL * h)
+        u = np.exp2((t - anchor) / h)
+        collapsed["_ep"] = epoch
         collapsed["_wv"] = collapsed[value].to_numpy() * u
         collapsed["_w"] = u
-        cs = collapsed.groupby(key, sort=False)[["_wv", "_w"]].cumsum()
-        collapsed[out_col] = cs["_wv"].to_numpy() / cs["_w"].to_numpy()
+        gke = collapsed.groupby([key, "_ep"], sort=False)
+        cs = gke[["_wv", "_w"]].cumsum()
+        wv, w = cs["_wv"].to_numpy().copy(), cs["_w"].to_numpy().copy()
+        # carry chain: fold each epoch's total into the NEXT epoch's
+        # frame, decayed by the anchor gap (representable: gap >= EPOCH_HL
+        # halflives decays by >= 2^-EPOCH_HL per step and hits true 0
+        # only past float64's denormal floor — where the weight IS 0)
+        ep_tot = gke[["_wv", "_w"]].sum().reset_index()
+        counts = gke.size().to_numpy()
+        ek = ep_tot[key].to_numpy()
+        ee = ep_tot["_ep"].to_numpy(dtype=np.float64)
+        twv = ep_tot["_wv"].to_numpy()
+        tw = ep_tot["_w"].to_numpy()
+        carry_wv = np.zeros(len(ep_tot))
+        carry_w = np.zeros(len(ep_tot))
+        cwv = cw = 0.0
+        for i in range(len(ep_tot)):  # walks EPOCH partials, not rows
+            if i > 0 and ek[i] == ek[i - 1]:
+                d = 2.0 ** (-(ee[i] - ee[i - 1]) * EPOCH_HL)
+                cwv = (cwv + twv[i - 1]) * d
+                cw = (cw + tw[i - 1]) * d
+            else:
+                cwv = cw = 0.0
+            carry_wv[i] = cwv
+            carry_w[i] = cw
+        wv += np.repeat(carry_wv, counts)
+        w += np.repeat(carry_w, counts)
+        collapsed[out_col] = wv / w
         return df.merge(collapsed[[key, ts, out_col]], on=[key, ts], how="left")
 
     return transform_buckets(ds, key, [ts], _fn, num_buckets)

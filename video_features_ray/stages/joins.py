@@ -701,6 +701,11 @@ def auto_join(
                 choose_join_plan(est, broadcast_limit) == "broadcast":
             return broadcast_join(left, right, on=on, how=how)
         return hash_join(left, rd.from_pandas(right), on, how=how, **hash_kw)
+    if how in ("inner", "left") and \
+            choose_join_plan(right_bytes, broadcast_limit) == "broadcast":
+        # caller proved the right side small via footer metadata —
+        # materializing it here is bounded by right_bytes by contract
+        return broadcast_join(left, right.to_pandas(), on=on, how=how)
     return hash_join(left, right, on, how=how, **hash_kw)
 
 

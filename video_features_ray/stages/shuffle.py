@@ -107,10 +107,17 @@ class TaggedUnion:
                     b = b.astype(np.int64)
                     if side == 0:
                         # spread hot left rows round-robin over the key's
-                        # private sub-bucket range
+                        # private sub-bucket range; OFFSET the start by a
+                        # per-batch value — a round-robin that restarts at
+                        # salt 0 every batch sends a hot key arriving
+                        # one-row-per-block entirely to sub-bucket 0,
+                        # silently undoing the mitigation
                         ih = np.flatnonzero(hot)
+                        off = (np.int64(n) * np.int64(0x9E3779B1)
+                               + (np.int64(ih[0]) if len(ih) else np.int64(0)))
                         b[ih] = (num_buckets + posc[ih] * n_salts
-                                 + np.arange(len(ih), dtype=np.int64) % n_salts)
+                                 + (np.arange(len(ih), dtype=np.int64) + off)
+                                 % n_salts)
                     else:
                         # replicate hot right rows into every sub-bucket
                         ih = np.flatnonzero(hot)
