@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "loyal_customers": q.q_loyal_customers,
         "rolling_1h_sum": q.q_rolling_1h_sum,
         "prev_same_type_event": q.q_prev_same_type_event,
+        "local_supplier_revenue": q.q_local_supplier_revenue,
         "ewma_value": q.q_ewma_value,
         "p99_price_sketch": q.q_p99_price_sketch,
         # non-SQL-expressible (rows-only checks)
@@ -537,6 +538,20 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1997-03-15' "
             "GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey, o_date_us "
             "LIMIT 10"
+        ),
+        "local_supplier_revenue": (
+            "SELECT n_name, "
+            "SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0) "
+            "AS BIGINT)) / 10000.0 AS revenue, "
+            "CAST(COUNT(*) AS BIGINT) AS n_items "
+            "FROM customer, orders, lineitem, supplier, nation, region "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+            "AND r_name = 'ASIA' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY n_name"
         ),
         "prev_same_type_event": (
             "SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, "

@@ -1699,3 +1699,95 @@ def q_loyal_customers(sf_dir: str):
     """SQL INTERSECT: customers ordering both before 1996 AND in 1999+
     — the EXCEPT query's twin over the same one-pass cohort shuffle."""
     return _order_cohort_customers(sf_dir, "semi")
+
+
+def q_local_supplier_revenue(sf_dir: str):
+    """TPC-H Q5 shape — the 6-table plan: region/nation resolved on the
+    driver (tiny dims), customers of the region hash-joined onto
+    date-filtered orders, lineitem hash-joined onto that (the two
+    fact×fact shuffles), supplier resolved by broadcast, the
+    same-nation condition applied as a vectorized filter, and revenue
+    pre-aggregated per nation (driver combine: ≤25 groups at any SF)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import broadcast_join, hash_join
+
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    asia = int(reg.loc[reg["r_name"] == "ASIA", "r_regionkey"].iloc[0])
+    nat = nat[nat["n_regionkey"] == asia]
+    nat_keys = set(nat["n_nationkey"].astype(int).tolist())
+    name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    def _cust(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b["c_nationkey"].cast(pa.int64()),
+                     pa.array(sorted(nat_keys), pa.int64()))
+        f = b.filter(m)
+        return pa.table({"custkey": f["c_custkey"],
+                         "c_nat": f["c_nationkey"].cast(pa.int64())})
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(_cust, batch_format="pyarrow")
+
+    def _orders(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"]
+        m = pc.and_(pc.greater_equal(d, pa.scalar(pd.Timestamp("1996-01-01"))),
+                    pc.less(d, pa.scalar(pd.Timestamp("1997-01-01"))))
+        f = b.filter(m)
+        return pa.table({"custkey": f["o_custkey"], "orderkey": f["o_orderkey"]})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(_orders, batch_format="pyarrow")
+
+    o_cust = hash_join(
+        orders, cust, on="custkey",
+        num_buckets=_w(sf_dir, "orders", "customer"), coalesce_blocks=16,
+        schemas=(pa.schema([("custkey", pa.int64()), ("orderkey", pa.int64())]),
+                 pa.schema([("custkey", pa.int64()), ("c_nat", pa.int64())])),
+    ).map_batches(lambda df: df[["orderkey", "c_nat"]], batch_format="pandas")
+
+    def _items(b: pa.Table) -> pa.Table:
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.round(price * (1.0 - disc) * 10000.0).astype(np.int64)
+        return pa.table({"orderkey": b["l_orderkey"],
+                         "suppkey": b["l_suppkey"], "rev_s": pa.array(rev)})
+
+    items = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(_items, batch_format="pyarrow")
+
+    joined = hash_join(
+        items, o_cust, on="orderkey",
+        num_buckets=_w(sf_dir, "lineitem", "orders"), coalesce_blocks=16,
+        schemas=(pa.schema([("orderkey", pa.int64()), ("suppkey", pa.int64()),
+                            ("rev_s", pa.int64())]),
+                 pa.schema([("orderkey", pa.int64()), ("c_nat", pa.int64())])))
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp.rename(columns={"s_suppkey": "suppkey"})
+    supp["s_nat"] = supp["s_nationkey"].astype(np.int64)
+    enriched = broadcast_join(joined, supp[["suppkey", "s_nat"]], on="suppkey")
+
+    def _local(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["c_nat"] == df["s_nat"]].copy()
+        d["n_name"] = d["s_nat"].astype(int).map(name_of)
+        return d[["n_name", "rev_s"]]
+
+    agg = partial_agg(enriched.map_batches(_local, batch_format="pandas"),
+                      ["n_name"], sums=["rev_s"], count_col="n_items",
+                      combine="driver")
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = df["sum_rev_s"].astype(np.int64) / 10000.0
+        df["n_items"] = df["n_items"].astype(np.int64)
+        return df[["n_name", "revenue", "n_items"]]
+
+    return agg.map_batches(_finish, batch_format="pandas")
