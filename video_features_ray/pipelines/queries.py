@@ -1791,3 +1791,27 @@ def q_local_supplier_revenue(sf_dir: str):
         return df[["n_name", "revenue", "n_items"]]
 
     return agg.map_batches(_finish, batch_format="pandas")
+
+
+def q_revenue_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(status, priority) over orders — subtotals at
+    every level from one shuffled pass (finest groups combine once;
+    coarser levels re-sum groups, not rows)."""
+    from ..stages.joins import rollup_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def _scale(batch: pa.Table) -> pa.Table:
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"o_orderstatus": batch["o_orderstatus"],
+                         "o_orderpriority": batch["o_orderpriority"],
+                         "price_c": pa.array(np.round(p * 100.0).astype(np.int64))})
+
+    out = rollup_agg(ds.map_batches(_scale, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                     ["o_orderstatus", "o_orderpriority"], sums=["price_c"],
+                     count_col="n_orders")
+    out["revenue"] = out["sum_price_c"].astype(np.int64) / 100.0
+    return out[["o_orderstatus", "o_orderpriority", "n_orders", "revenue"]]

@@ -801,3 +801,40 @@ def grouped_ddsketch_quantile(
         rows.append((g, est))
     return (pd.DataFrame(rows, columns=[group_col, f"q{q}_approx"])
             .sort_values(group_col, kind="mergesort").reset_index(drop=True))
+
+
+def rollup_agg(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    sums: Sequence[str] = (),
+    count_col: str = "n",
+    num_buckets: int = 16,
+    all_label: str = "ALL",
+) -> pd.DataFrame:
+    """SQL ``GROUP BY ROLLUP(keys)``: one row per finest group plus
+    subtotals at every key prefix and a grand total, with ``all_label``
+    standing in for the rolled-up levels (assumes the key columns are
+    themselves non-null, as SQL's NULL subtotal markers do).
+
+    Scale shape: the input shuffles ONCE, pre-combined to the finest
+    level by :func:`partial_agg`; every coarser level is derived by
+    re-summing the finest GROUPS (driver-side — bounded by group count,
+    not rows; at millions of finest groups, feed the combined finest
+    level back through ``partial_agg`` per level instead)."""
+    keys = list(keys)
+    sum_cols = [f"sum_{c}" for c in sums]
+    finest = partial_agg(ds, keys, sums=sums, count_col=count_col,
+                         num_buckets=num_buckets).to_pandas()
+    levels = [finest.copy()]
+    for depth in range(len(keys) - 1, -1, -1):
+        kept = keys[:depth]
+        g = (finest.groupby(kept, sort=False)[sum_cols + [count_col]].sum()
+             .reset_index() if kept else
+             finest[[*sum_cols, count_col]].sum().to_frame().T)
+        for c in keys[depth:]:
+            g[c] = all_label
+        levels.append(g[keys + sum_cols + [count_col]])
+    out = pd.concat(levels, ignore_index=True)
+    for c in [count_col, *sum_cols]:
+        out[c] = out[c].astype(np.int64)
+    return (out.sort_values(keys, kind="mergesort").reset_index(drop=True))
