@@ -78,3 +78,32 @@ def test_salt_repartition_spreads():
     out = salt_repartition(ray.data.from_arrow(table), "source", n_salt=4).to_pandas()
     assert out["_salt"].nunique() > 1  # hot single-source key gets spread
     assert len(out) == len(table)
+
+
+def test_mixed_batch_nongiant_rows_pass_whole():
+    """A non-giant row whose length lies in (body+halo, max_tokens]
+    must pass through untouched even when a giant row shares its batch
+    — the vector path used to cap it at body+halo (silent truncation
+    whenever (max_tokens - halo) is not a step multiple)."""
+    spec = EncoderSpec("sk_trunc", "w1", 152, 128, 8)  # halo 24: body+halo 1928 < 2000
+    max_tokens = 2000
+    rng = np.random.default_rng(3)
+    rows = [("near", rng.integers(0, 100, 1990, dtype=np.int32)),   # non-giant, > body+halo
+            ("giant", rng.integers(0, 100, 5000, dtype=np.int32))]  # forces the vector path
+    flat = np.concatenate([t for _, t in rows])
+    offs = np.concatenate(([0], np.cumsum([len(t) for _, t in rows])))
+    tab = pa.table({
+        "doc_id": pa.array([d for d, _ in rows]),
+        "tokens": pa.ListArray.from_arrays(
+            pa.array(offs, pa.int64()).cast(pa.int32()),
+            pa.array(flat, pa.int32())),
+        "n_tok": pa.array(np.diff(offs).astype(np.int32)),
+        "source": pa.array(["web", "web"]),
+    })
+    out = split_giant_sequences(ray.data.from_arrow(tab), spec,
+                                max_tokens=max_tokens).to_pandas()
+    near = out[out["doc_id"] == "near"]
+    assert len(near) == 1
+    assert int(near["n_tok"].iloc[0]) == 1990
+    np.testing.assert_array_equal(np.asarray(near["tokens"].iloc[0]),
+                                  rows[0][1])

@@ -1120,8 +1120,18 @@ def q_session_enriched(sf_dir: str):
         batch_format="pandas").materialize()
     stats = partial_agg(sess, ["user_id", "session_id"], sums=(),
                         count_col="n_events", num_buckets=16)
+    # explicit schemas: stats is a lazy partial_agg lineage and
+    # TaggedUnion's .schema() fallback would execute part of it just
+    # for type inference (the double-execution tax fixed elsewhere)
     out = hash_join(sess, stats, on=["user_id", "session_id"], num_buckets=w,
-                    coalesce_blocks=16)
+                    coalesce_blocks=16,
+                    schemas=(pa.schema([("event_id", pa.int64()),
+                                        ("user_id", pa.int64()),
+                                        ("ts_us", pa.int64()),
+                                        ("session_id", pa.int64())]),
+                             pa.schema([("user_id", pa.int64()),
+                                        ("session_id", pa.int64()),
+                                        ("n_events", pa.int64())])))
     return out.map_batches(
         lambda df: df.assign(n_events=df["n_events"].astype(np.int64))[
             ["event_id", "user_id", "session_id", "n_events"]],

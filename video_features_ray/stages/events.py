@@ -25,25 +25,31 @@ import pyarrow as pa
 import ray.data
 
 
-def stable_bucket(values: np.ndarray, num_buckets: int) -> np.ndarray:
-    """Deterministic hash-bucket for int or string keys (vectorized)."""
+def stable_hash64(values: np.ndarray) -> np.ndarray:
+    """Full-width deterministic uint64 hash for int or string keys
+    (vectorized, cross-process stable)."""
     arr = np.asarray(values)
     if arr.dtype.kind in "iu":
         # Fibonacci-style multiplicative mix so sequential ids spread out
-        h = (arr.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(17)
-        return (h % np.uint64(num_buckets)).astype(np.int32)
-    h = pd.util.hash_array(arr.astype(object))  # fixed default key → cross-process stable
-    return (h % np.uint64(num_buckets)).astype(np.int32)
+        return (arr.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(17)
+    return pd.util.hash_array(arr.astype(object)).astype(np.uint64)
+
+
+def stable_bucket(values: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Deterministic hash-bucket for int or string keys (vectorized)."""
+    return (stable_hash64(values) % np.uint64(num_buckets)).astype(np.int32)
 
 
 def stable_bucket_multi(arrays, num_buckets: int) -> np.ndarray:
-    """Composite-key bucket: combine the per-column stable hashes with a
-    multiply-fold (order-sensitive, cross-process deterministic)."""
+    """Composite-key bucket: combine the per-column FULL-WIDTH hashes
+    with a multiply-fold (order-sensitive, cross-process deterministic).
+    Folding int32 bucket values instead of uint64 hashes — the old
+    `stable_bucket(a, 1 << 62)` shape — silently wrapped each column's
+    contribution to 32 sign-extended bits."""
     h = np.zeros(len(arrays[0]), dtype=np.uint64)
     with np.errstate(over="ignore"):
         for a in arrays:
-            h = h * np.uint64(0x100000001B3) + stable_bucket(
-                np.asarray(a), 1 << 62).astype(np.uint64)
+            h = h * np.uint64(0x100000001B3) + stable_hash64(np.asarray(a))
     return (h % np.uint64(num_buckets)).astype(np.int32)
 
 
@@ -128,6 +134,24 @@ def lag_lead(
     return transform_buckets(ds, key, [ts, *tie_cols], _fn, num_buckets)
 
 
+def _session_ids(df: pd.DataFrame, key: str, ts: str, gap: float,
+                 session_col: str) -> pd.DataFrame:
+    """Shared session-boundary kernel: new session at each entity change
+    or when ``ts - prev_ts > gap``; ``session_col`` is the 0-based
+    ordinal within the entity.  The ONE place gap/tie semantics live —
+    sessionize and sessionize_stats both call it."""
+    t = df[ts].to_numpy()
+    new = _key_change(df, key).copy()
+    if len(df) > 1:
+        dt = ((t[1:] - t[:-1]).astype("float64") if t.dtype.kind != "m"
+              else (t[1:] - t[:-1]) / np.timedelta64(1, "s"))
+        new[1:] |= dt > gap
+    ord_ = np.cumsum(new) - 1  # global session ordinal in bucket
+    key_base = np.maximum.accumulate(np.where(_key_change(df, key), ord_, -1))
+    df[session_col] = (ord_ - key_base).astype(np.int64)
+    return df
+
+
 def sessionize(
     ds: "ray.data.Dataset",
     key: str,
@@ -143,15 +167,7 @@ def sessionize(
     the 0-based session ordinal within the entity."""
 
     def _fn(df: pd.DataFrame) -> pd.DataFrame:
-        t = df[ts].to_numpy()
-        new = _key_change(df, key).copy()
-        if len(df) > 1:
-            dt = (t[1:] - t[:-1]).astype("float64") if t.dtype.kind != "m" else (t[1:] - t[:-1]) / np.timedelta64(1, "s")
-            new[1:] |= dt > gap
-        ord_ = np.cumsum(new) - 1  # global session ordinal in bucket
-        key_base = np.maximum.accumulate(np.where(_key_change(df, key), ord_, -1))
-        df[session_col] = (ord_ - key_base).astype(np.int64)
-        return df
+        return _session_ids(df, key, ts, gap, session_col)
 
     return transform_buckets(ds, key, [ts, *tie_cols], _fn, num_buckets)
 
@@ -172,15 +188,7 @@ def sessionize_stats(
     task could see whole (2.8 s → ~1.3 s at sf0.1/32cpu)."""
 
     def _fn(df: pd.DataFrame) -> pd.DataFrame:
-        t = df[ts].to_numpy()
-        new = _key_change(df, key).copy()
-        if len(df) > 1:
-            dt = ((t[1:] - t[:-1]).astype("float64") if t.dtype.kind != "m"
-                  else (t[1:] - t[:-1]) / np.timedelta64(1, "s"))
-            new[1:] |= dt > gap
-        ord_ = np.cumsum(new) - 1
-        key_base = np.maximum.accumulate(np.where(_key_change(df, key), ord_, -1))
-        df[session_col] = (ord_ - key_base).astype(np.int64)
+        df = _session_ids(df, key, ts, gap, session_col)
         g = df.groupby([key, session_col], sort=False).agg(
             n_events=(ts, "size"), t_start=(ts, "min"), t_end=(ts, "max"),
         ).reset_index()

@@ -126,7 +126,18 @@ def hash_join(
             df[df["_side"] == 1][[*keys, *out_right]].copy(), right_np_dtypes)
         r = r.rename(columns={c: (f"{c}{suffix}" if c in left_cols else c)
                               for c in out_right})
-        return l.merge(r, on=keys, how=how)
+        # SQL join semantics: a NULL key matches NOTHING (pandas merge
+        # would pair NaN with NaN) — drop null-key right rows always,
+        # and for LEFT keep null-key left rows as unmatched
+        r = r[r[keys].notna().all(axis=1)]
+        l_valid = l[keys].notna().all(axis=1).to_numpy()
+        if how == "inner":
+            return l[l_valid].merge(r, on=keys, how="inner")
+        matched = l[l_valid].merge(r, on=keys, how="left")
+        if l_valid.all():
+            return matched
+        rest = l[~l_valid].reindex(columns=matched.columns)
+        return pd.concat([matched, rest], ignore_index=True)
 
     return tu.map_buckets(_per_bucket)
 
@@ -374,6 +385,10 @@ def grouped_quantile_disc(
     shuffle."""
     import math
 
+    # SQL quantile_disc ignores NULL values (a NaN frequency row would
+    # shift every rank and can itself be selected)
+    ds = ds.map_batches(lambda df: df[df[value_col].notna()],
+                        batch_format="pandas")
     counts = partial_agg(ds, [group_col, value_col], sums=(),
                          count_col="n", num_buckets=num_buckets)
     pdf = counts.to_pandas()
@@ -568,6 +583,9 @@ def grouped_quantile_cont(
     walks each group's tiny CDF, O(groups × distinct values)."""
     import math
 
+    # SQL quantile_cont ignores NULL values
+    ds = ds.map_batches(lambda df: df[df[value_col].notna()],
+                        batch_format="pandas")
     counts = partial_agg(ds, [group_col, value_col], sums=(),
                          count_col="n", num_buckets=num_buckets)
     pdf = counts.to_pandas()

@@ -87,8 +87,12 @@ def pack_sequences(
 
     # driver reduce: one partial row per (block, bucket) pair — O(small)
     pdf = counts.map_batches(_partials, batch_format="pandas").to_pandas()
-    totals = np.zeros(num_buckets + 1, np.int64)
     agg = pdf.groupby("_bucket")["cnt"].sum()
+    # size by the OBSERVED max bucket: ids need only be dense integers,
+    # not 0-based — 1-based ids put the max id in bucket num_buckets,
+    # which a fixed-size array would index out of bounds
+    nb = (int(np.asarray(agg.index, np.int64).max()) + 1) if len(agg) else 1
+    totals = np.zeros(nb + 1, np.int64)
     totals[np.asarray(agg.index, np.int64) + 1] = agg.to_numpy(np.int64)
     base = np.cumsum(totals)[:-1]  # exclusive scan: base[b] = tokens before range b
 

@@ -105,7 +105,13 @@ def split_giant_sequences(
         row_of = np.repeat(np.arange(n_rows, dtype=np.int64), k)
         local = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(k) - k, k)
         starts = local * body
-        ends = np.minimum(starts + body + halo, n[row_of])
+        # giant rows: chunk spans capped at body+halo. NON-giant rows in
+        # this mixed batch (k=1, start=0) must pass through WHOLE — the
+        # cap would silently truncate any n in (body+halo, max_tokens],
+        # which exists whenever (max_tokens - halo) isn't a step multiple
+        ends = np.where(giant[row_of],
+                        np.minimum(starts + body + halo, n[row_of]),
+                        n[row_of])
         out_lens = ends - starts
         tok_total = int(out_lens.sum())
         t_row = np.repeat(np.arange(total, dtype=np.int64), out_lens)
@@ -210,9 +216,14 @@ def detect_hot_keys(
         out["_rows"] = 0
         # one carrier row per batch holds the batch row count, so the
         # driver can reconstruct the true denominator without a second
-        # pass (top-list counts alone undercount the total)
+        # pass (top-list counts alone undercount the total). A batch of
+        # all-NULL keys has an EMPTY top list but still contributes rows
+        # — dropping its carrier would shrink the denominator and
+        # over-flag borderline keys as hot.
         if len(out):
             out.iloc[0, out.columns.get_loc("_rows")] = len(df)
+        elif len(df):
+            out = pd.DataFrame({key: [None], "_cnt": [0], "_rows": [len(df)]})
         return out
 
     parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
