@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prev_same_type_event": q.q_prev_same_type_event,
         "local_supplier_revenue": q.q_local_supplier_revenue,
         "revenue_rollup": q.q_revenue_rollup,
+        "revenue_cube": q.q_revenue_cube,
         "ewma_value": q.q_ewma_value,
         "p99_price_sketch": q.q_p99_price_sketch,
         # non-SQL-expressible (rows-only checks)
@@ -539,6 +540,14 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1997-03-15' "
             "GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey, o_date_us "
             "LIMIT 10"
+        ),
+        "revenue_cube": (
+            "SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus, "
+            "COALESCE(o_orderpriority, 'ALL') AS o_orderpriority, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0 "
+            "AS revenue FROM orders "
+            "GROUP BY CUBE(o_orderstatus, o_orderpriority)"
         ),
         "revenue_rollup": (
             "SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus, "

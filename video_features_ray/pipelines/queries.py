@@ -1825,3 +1825,26 @@ def q_revenue_rollup(sf_dir: str):
                      count_col="n_orders")
     out["revenue"] = out["sum_price_c"].astype(np.int64) / 100.0
     return out[["o_orderstatus", "o_orderpriority", "n_orders", "revenue"]]
+
+
+def q_revenue_cube(sf_dir: str):
+    """GROUP BY CUBE(status, priority): all four aggregation levels from
+    one shuffled finest-level pass."""
+    from ..stages.joins import cube_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def _scale(batch: pa.Table) -> pa.Table:
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"o_orderstatus": batch["o_orderstatus"],
+                         "o_orderpriority": batch["o_orderpriority"],
+                         "price_c": pa.array(np.round(p * 100.0).astype(np.int64))})
+
+    out = cube_agg(ds.map_batches(_scale, batch_format="pyarrow",
+                                  zero_copy_batch=True),
+                   ["o_orderstatus", "o_orderpriority"], sums=["price_c"],
+                   count_col="n_orders")
+    out["revenue"] = out["sum_price_c"].astype(np.int64) / 100.0
+    return out[["o_orderstatus", "o_orderpriority", "n_orders", "revenue"]]

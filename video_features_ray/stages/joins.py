@@ -856,3 +856,60 @@ def rollup_agg(
     for c in [count_col, *sum_cols]:
         out[c] = out[c].astype(np.int64)
     return (out.sort_values(keys, kind="mergesort").reset_index(drop=True))
+
+
+def grouping_sets_agg(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    sets: Sequence[Sequence[str]],
+    sums: Sequence[str] = (),
+    count_col: str = "n",
+    num_buckets: int = 16,
+    all_label: str = "ALL",
+) -> pd.DataFrame:
+    """SQL ``GROUP BY GROUPING SETS(sets)`` over subsets of ``keys`` —
+    the generalization behind :func:`rollup_agg` (prefix sets) and
+    :func:`cube_agg` (all subsets).  One shuffled finest-level combine;
+    every requested set re-sums finest GROUPS (driver-side, bounded by
+    group count).  Key columns must be non-null (``all_label`` marks
+    rolled-up levels, as SQL uses NULL)."""
+    keys = list(keys)
+    sum_cols = [f"sum_{c}" for c in sums]
+    for s in sets:
+        if not set(s) <= set(keys):
+            raise ValueError(f"grouping set {s} not a subset of {keys}")
+    finest = partial_agg(ds, keys, sums=sums, count_col=count_col,
+                         num_buckets=num_buckets).to_pandas()
+    levels = []
+    for s in sets:
+        kept = [k for k in keys if k in set(s)]   # canonical column order
+        g = (finest.groupby(kept, sort=False)[sum_cols + [count_col]].sum()
+             .reset_index() if kept else
+             finest[[*sum_cols, count_col]].sum().to_frame().T)
+        for c in keys:
+            if c not in kept:
+                g[c] = all_label
+        levels.append(g[keys + sum_cols + [count_col]])
+    out = pd.concat(levels, ignore_index=True)
+    for c in [count_col, *sum_cols]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(keys, kind="mergesort").reset_index(drop=True)
+
+
+def cube_agg(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    sums: Sequence[str] = (),
+    count_col: str = "n",
+    num_buckets: int = 16,
+    all_label: str = "ALL",
+) -> pd.DataFrame:
+    """SQL ``GROUP BY CUBE(keys)``: every subset of ``keys`` (2^k sets,
+    keep k small) through one finest-level shuffle."""
+    from itertools import combinations
+
+    keys = list(keys)
+    sets = [list(c) for r in range(len(keys), -1, -1)
+            for c in combinations(keys, r)]
+    return grouping_sets_agg(ds, keys, sets, sums=sums, count_col=count_col,
+                             num_buckets=num_buckets, all_label=all_label)
