@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_cube": q.q_revenue_cube,
         "ewma_value": q.q_ewma_value,
         "p99_price_sketch": q.q_p99_price_sketch,
+        "pq_topk": q.q_pq_topk,
         # non-SQL-expressible (rows-only checks)
         "approx_distinct_users": q.q_approx_distinct_users,
         "approx_quantiles_price": q.q_approx_quantiles_price,

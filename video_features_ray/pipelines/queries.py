@@ -1848,3 +1848,26 @@ def q_revenue_cube(sf_dir: str):
                    count_col="n_orders")
     out["revenue"] = out["sum_price_c"].astype(np.int64) / 100.0
     return out[["o_orderstatus", "o_orderpriority", "n_orders", "revenue"]]
+
+
+def q_pq_topk(sf_dir: str):
+    """Product-quantization ANN: codebooks from the hash-spread sample,
+    one encode pass (64 floats → 8 bytes/vector), ADC shortlist-128,
+    exact re-rank to top-10. Approximate by design → rows-only at the
+    driver; recall/identity bounds pinned in tests/test_pq.py."""
+    import pyarrow.parquet as pqt
+
+    from ..functions.sketches import bottom_k_sample
+    from ..stages.similarity import pq_encode, pq_topk_rerank, pq_train
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    sample = bottom_k_sample(ds, "vec_id", k=256)
+    smat = np.stack([np.asarray(v, np.float64) for v in sample["embedding"]])
+    books = pq_train(smat, m=8, k=32, iters=12)
+    codes = pq_encode(ds, books)
+    qtab = pqt.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "=", 0)])
+    q = np.asarray(qtab["embedding"][0].as_py(), dtype=np.float64)
+    return pq_topk_rerank(codes, ds, books, q, k=10, shortlist=128)

