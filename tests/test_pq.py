@@ -97,3 +97,51 @@ def test_pq_rerank_recovers_exact_topk():
     got = pq_topk_rerank(codes, ds, books, q, k=10, shortlist=100)
     recall = len(set(exact) & set(got["vec_id"])) / 10
     assert recall >= 0.9, recall
+
+
+def test_ivfpq_exact_when_probing_all():
+    """With n_probe == n_centroids the IVF prune is a no-op, so IVF-PQ
+    must return exactly what flat PQ+rerank returns; with a generous
+    shortlist that equals exact L2 top-k on this fixture."""
+    from video_features_ray.stages.similarity import (
+        build_ivf_codebook,
+        ivf_assign,
+        ivfpq_topk,
+    )
+
+    x, df = _corpus(n=1000)
+    ds = ray.data.from_arrow(df).repartition(4)
+    ivf_cb = build_ivf_codebook(x[:256], n_centroids=8)
+    books = pq_train(x[:256], m=8, k=32)
+    codes = pq_encode(ds, books)
+    buckets = ivf_assign(ds, ivf_cb).select_columns(["vec_id", "ivf_bucket"])
+    from video_features_ray.stages.joins import hash_join
+    index = hash_join(codes, buckets, on="vec_id", num_buckets=4).materialize()
+    q = x[5]
+    got = ivfpq_topk(index, ds, ivf_cb, books, q, k=10, n_probe=8,
+                     shortlist=200)
+    exact = np.argsort(((x - q[None, :]) ** 2).sum(axis=1))[:10].tolist()
+    assert set(got["vec_id"]) == set(exact)
+
+
+def test_ivfpq_pruned_recall():
+    from video_features_ray.stages.similarity import (
+        build_ivf_codebook,
+        ivf_assign,
+        ivfpq_topk,
+    )
+    from video_features_ray.stages.joins import hash_join
+
+    x, df = _corpus(n=1000)
+    ds = ray.data.from_arrow(df).repartition(4)
+    ivf_cb = build_ivf_codebook(x[:256], n_centroids=8)
+    books = pq_train(x[:256], m=8, k=32)
+    index = hash_join(pq_encode(ds, books),
+                      ivf_assign(ds, ivf_cb).select_columns(["vec_id", "ivf_bucket"]),
+                      on="vec_id", num_buckets=4).materialize()
+    q = x[5]
+    got = ivfpq_topk(index, ds, ivf_cb, books, q, k=10, n_probe=3,
+                     shortlist=100)
+    exact = set(np.argsort(((x - q[None, :]) ** 2).sum(axis=1))[:10].tolist())
+    recall = len(exact & set(got["vec_id"])) / 10
+    assert recall >= 0.7, recall  # query's own cluster is in the probe set

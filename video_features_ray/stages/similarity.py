@@ -253,9 +253,16 @@ def pq_topk(codes: "ray.data.Dataset", codebooks: np.ndarray,
         if n == 0:
             return pa.table({id_col: pa.array([], pa.int64()),
                              "adc": pa.array([], pa.float64())})
-        flat = col.values.to_numpy(zero_copy_only=False)
-        start = col.offsets[0].as_py()
-        codes = flat[start:start + n * m].reshape(n, m)
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            flat = col.values.to_numpy(zero_copy_only=False)
+            start = col.offsets[0].as_py()
+            codes = flat[start:start + n * m].reshape(n, m)
+        else:
+            # codes that round-tripped through a pandas stage (e.g. the
+            # hash_join with the IVF bucket column) arrive as Ray's
+            # tensor extension / object cells instead of list<uint8>
+            codes = np.asarray(
+                col.to_numpy(zero_copy_only=False).tolist(), dtype=np.uint8)
         d = tab[np.arange(m)[None, :], codes].sum(axis=1)
         idx = np.argpartition(d, k)[:k] if n > k else np.arange(n)
         ids = batch[id_col].take(pa.array(idx)).combine_chunks()
@@ -307,3 +314,38 @@ def pq_topk_rerank(
     out = picked[[id_col, "l2"]].reset_index(drop=True)
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
     return out
+
+
+def ivfpq_topk(
+    codes_with_buckets: "ray.data.Dataset",
+    vectors: "ray.data.Dataset",
+    ivf_codebook: np.ndarray,
+    pq_codebooks: np.ndarray,
+    query: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """IVF-PQ: the billion-vector composition — coarse IVF prune
+    (``n_probe`` of C buckets scanned), ADC over 8-byte codes inside
+    the probed buckets, exact re-rank of the shortlist.  Input is the
+    write-time index: ``pq_encode(...)`` joined with ``ivf_assign``'s
+    bucket column (build once, reuse per query).  Per query the scan
+    touches ~n_probe/C of the code table and ``shortlist`` float
+    vectors — nothing else moves."""
+    import pyarrow.compute as pc
+
+    q = np.asarray(query, dtype=np.float64)
+    d = ((ivf_codebook - q[None, :]) ** 2).sum(axis=1)
+    probe = np.sort(np.argsort(d)[:n_probe]).astype(np.int32)
+
+    def _prune(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["ivf_bucket"],
+                                     value_set=pa.array(probe)))
+
+    pruned = codes_with_buckets.map_batches(_prune, batch_format="pyarrow",
+                                            zero_copy_batch=True)
+    return pq_topk_rerank(pruned, vectors, pq_codebooks, query, k=k,
+                          shortlist=shortlist, id_col=id_col, vec_col=vec_col)
