@@ -80,3 +80,37 @@ def test_auto_join_dataset_right_bytes_broadcasts():
     got2 = auto_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
                      "k", num_buckets=2).to_pandas()
     pd.testing.assert_frame_equal(_norm(got), _norm(got2))
+
+
+def test_rollup_numeric_keys_and_label():
+    from video_features_ray.stages.joins import cube_agg, rollup_agg
+
+    df = pd.DataFrame({"y": np.array([2020, 2020, 2021], dtype=np.int64),
+                       "v": np.array([1, 2, 4], dtype=np.int64)})
+    out = rollup_agg(ray.data.from_pandas(df), ["y"], sums=["v"])
+    # string keys with the ALL marker; totals correct at both levels
+    assert set(out["y"]) == {"2020", "2021", "ALL"}
+    assert int(out.loc[out["y"] == "ALL", "sum_v"].iloc[0]) == 7
+    cube = cube_agg(ray.data.from_pandas(df), ["y"], sums=["v"])
+    assert len(cube) == 3
+
+
+def test_broadcast_join_null_keys_match_hash_join():
+    left = pd.DataFrame({"k": pd.array([1, None, 3], dtype="Int64"),
+                         "v": [10, 20, 30]})
+    right = pd.DataFrame({"k": pd.array([1, None], dtype="Int64"),
+                          "attr": ["a", "b"]})
+    b_inner = broadcast_join(ray.data.from_pandas(left), right, on="k").to_pandas()
+    h_inner = hash_join(ray.data.from_pandas(left),
+                        ray.data.from_pandas(right), "k",
+                        num_buckets=2).to_pandas()
+    assert sorted(b_inner["v"].tolist()) == sorted(h_inner["v"].tolist()) == [10]
+    b_left = broadcast_join(ray.data.from_pandas(left), right, on="k",
+                            how="left").to_pandas()
+    assert len(b_left) == 3 and b_left["attr"].notna().sum() == 1
+
+
+def test_hash_join_rejects_unsupported_how():
+    l = ray.data.from_pandas(pd.DataFrame({"k": [1]}))
+    with pytest.raises(ValueError):
+        hash_join(l, l, "k", how="outer")

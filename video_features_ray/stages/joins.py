@@ -32,6 +32,11 @@ def broadcast_join(
     on: str | list[str],
     how: str = "inner",
 ) -> "ray.data.Dataset":
+    keys = [on] if isinstance(on, str) else list(on)
+    # SQL NULL-key semantics, matching hash_join: NULL never matches —
+    # without this the two plans auto_join switches between would
+    # return different rows on nullable keys
+    small_df = small_df[small_df[keys].notna().all(axis=1)]
     ref = ray.put(small_df)
 
     class _Join:
@@ -39,8 +44,17 @@ def broadcast_join(
             self.small = ray.get(ref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self.small, on=on, how=how)
+            valid = batch[keys].notna().all(axis=1).to_numpy()
+            if how == "inner":
+                return batch[valid].merge(self.small, on=on, how="inner")
+            matched = batch[valid].merge(self.small, on=on, how="left")
+            if valid.all():
+                return matched
+            rest = batch[~valid].reindex(columns=matched.columns)
+            return pd.concat([matched, rest], ignore_index=True)
 
+    if how not in ("inner", "left"):
+        raise ValueError(f"broadcast_join supports inner/left, got {how!r}")
     return big.map_batches(_Join, batch_format="pandas", concurrency=(1, 8))
 
 
@@ -81,6 +95,11 @@ def hash_join(
     """
     from .shuffle import TaggedUnion
 
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(
+            f"hash_join supports inner/left/semi/anti, got {how!r} "
+            "(for right: flip the sides; for full outer: union the "
+            "inner result with both sides' anti rows)")
     keys = [on] if isinstance(on, str) else list(on)
 
     if bloom_prefilter_left:
@@ -385,17 +404,20 @@ def grouped_quantile_disc(
     shuffle."""
     import math
 
-    # SQL quantile_disc ignores NULL values (a NaN frequency row would
-    # shift every rank and can itself be selected)
-    ds = ds.map_batches(lambda df: df[df[value_col].notna()],
-                        batch_format="pandas")
     counts = partial_agg(ds, [group_col, value_col], sums=(),
                          count_col="n", num_buckets=num_buckets)
     pdf = counts.to_pandas()
     rows = []
     for g, gdf in pdf.groupby(group_col, sort=False):
-        gdf = gdf.sort_values(value_col, kind="mergesort")
+        # SQL quantile_disc ignores NULL values but still EMITS a group
+        # whose values are all NULL (with a NULL quantile) — so nulls
+        # are excluded here in the walk, not filtered upstream
+        gdf = gdf[gdf[value_col].notna()].sort_values(value_col,
+                                                      kind="mergesort")
         n = int(gdf["n"].sum())
+        if n == 0:
+            rows.append((g, np.nan))
+            continue
         rank = max(math.ceil(n * q), 1)
         cum = gdf["n"].cumsum()
         val = gdf.loc[cum >= rank, value_col].iloc[0]
@@ -583,16 +605,18 @@ def grouped_quantile_cont(
     walks each group's tiny CDF, O(groups × distinct values)."""
     import math
 
-    # SQL quantile_cont ignores NULL values
-    ds = ds.map_batches(lambda df: df[df[value_col].notna()],
-                        batch_format="pandas")
     counts = partial_agg(ds, [group_col, value_col], sums=(),
                          count_col="n", num_buckets=num_buckets)
     pdf = counts.to_pandas()
     rows = []
     for g, gdf in pdf.groupby(group_col, sort=False):
-        gdf = gdf.sort_values(value_col, kind="mergesort")
+        # SQL semantics: NULL values excluded, all-NULL groups kept
+        gdf = gdf[gdf[value_col].notna()].sort_values(value_col,
+                                                      kind="mergesort")
         n = int(gdf["n"].sum())
+        if n == 0:
+            rows.append((g, np.nan))
+            continue
         pos = (n - 1) * q
         lo, hi = int(math.floor(pos)), int(math.ceil(pos))
         f = pos - lo
@@ -830,33 +854,13 @@ def rollup_agg(
     all_label: str = "ALL",
 ) -> pd.DataFrame:
     """SQL ``GROUP BY ROLLUP(keys)``: one row per finest group plus
-    subtotals at every key prefix and a grand total, with ``all_label``
-    standing in for the rolled-up levels (assumes the key columns are
-    themselves non-null, as SQL's NULL subtotal markers do).
-
-    Scale shape: the input shuffles ONCE, pre-combined to the finest
-    level by :func:`partial_agg`; every coarser level is derived by
-    re-summing the finest GROUPS (driver-side — bounded by group count,
-    not rows; at millions of finest groups, feed the combined finest
-    level back through ``partial_agg`` per level instead)."""
+    subtotals at every key prefix and a grand total — the prefix-sets
+    case of :func:`grouping_sets_agg` (see it for the scale shape and
+    the string-key convention)."""
     keys = list(keys)
-    sum_cols = [f"sum_{c}" for c in sums]
-    finest = partial_agg(ds, keys, sums=sums, count_col=count_col,
-                         num_buckets=num_buckets).to_pandas()
-    levels = [finest.copy()]
-    for depth in range(len(keys) - 1, -1, -1):
-        kept = keys[:depth]
-        g = (finest.groupby(kept, sort=False)[sum_cols + [count_col]].sum()
-             .reset_index() if kept else
-             finest[[*sum_cols, count_col]].sum().to_frame().T)
-        for c in keys[depth:]:
-            g[c] = all_label
-        levels.append(g[keys + sum_cols + [count_col]])
-    out = pd.concat(levels, ignore_index=True)
-    for c in [count_col, *sum_cols]:
-        out[c] = out[c].astype(np.int64)
-    return (out.sort_values(keys, kind="mergesort").reset_index(drop=True))
-
+    sets = [keys[:d] for d in range(len(keys), -1, -1)]
+    return grouping_sets_agg(ds, keys, sets, sums=sums, count_col=count_col,
+                             num_buckets=num_buckets, all_label=all_label)
 
 def grouping_sets_agg(
     ds: "ray.data.Dataset",
@@ -880,6 +884,12 @@ def grouping_sets_agg(
             raise ValueError(f"grouping set {s} not a subset of {keys}")
     finest = partial_agg(ds, keys, sums=sums, count_col=count_col,
                          num_buckets=num_buckets).to_pandas()
+    # output key columns are STRINGS (all_label marks rolled-up levels,
+    # as SQL uses NULL): mixing the string label into an int64 key
+    # column would make the final sort raise on str<int comparisons —
+    # SQL users mirror with COALESCE(CAST(k AS VARCHAR), all_label)
+    for c in keys:
+        finest[c] = finest[c].astype(str)
     levels = []
     for s in sets:
         kept = [k for k in keys if k in set(s)]   # canonical column order

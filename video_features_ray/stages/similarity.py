@@ -192,6 +192,8 @@ def pq_train(sample: np.ndarray, m: int = 4, k: int = 16, iters: int = 10,
     dim = sample.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
+    if k > 256:
+        raise ValueError(f"k={k} exceeds uint8 code range (max 256)")
     sub = dim // m
     return np.stack([
         build_ivf_codebook(sample[:, j * sub:(j + 1) * sub], n_centroids=k,
@@ -251,7 +253,9 @@ def pq_topk(codes: "ray.data.Dataset", codebooks: np.ndarray,
             col = col.combine_chunks()
         n = len(col)
         if n == 0:
-            return pa.table({id_col: pa.array([], pa.int64()),
+            # empty slice of the REAL id column keeps block schemas
+            # consistent when id_col is not int64
+            return pa.table({id_col: batch[id_col].slice(0, 0),
                              "adc": pa.array([], pa.float64())})
         if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
             flat = col.values.to_numpy(zero_copy_only=False)
@@ -264,14 +268,18 @@ def pq_topk(codes: "ray.data.Dataset", codebooks: np.ndarray,
             codes = np.asarray(
                 col.to_numpy(zero_copy_only=False).tolist(), dtype=np.uint8)
         d = tab[np.arange(m)[None, :], codes].sum(axis=1)
-        idx = np.argpartition(d, k)[:k] if n > k else np.arange(n)
-        ids = batch[id_col].take(pa.array(idx)).combine_chunks()
+        # deterministic boundary: ADC ties broken by id (argpartition
+        # alone would keep whichever tied rows block order presents)
+        ids_np = batch[id_col].to_numpy(zero_copy_only=False)
+        order = pd.DataFrame({"d": d, "i": ids_np}).sort_values(
+            ["d", "i"], kind="mergesort").index[:k].to_numpy()
+        ids = batch[id_col].take(pa.array(order)).combine_chunks()
         return pa.table({id_col: ids,
-                         "adc": pa.array(d[idx], type=pa.float64())})
+                         "adc": pa.array(d[order], type=pa.float64())})
 
     partials = codes.map_batches(_partial, batch_format="pyarrow",
                                  zero_copy_batch=True)
-    top = partials.sort("adc").limit(k).to_pandas()
+    top = partials.sort(["adc", id_col]).limit(k).to_pandas()
     top = top.sort_values(["adc", id_col]).reset_index(drop=True)
     top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
     return top
