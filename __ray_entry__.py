@@ -154,6 +154,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "churned_customers": q.q_churned_customers,
         "loyal_customers": q.q_loyal_customers,
         "rolling_1h_sum": q.q_rolling_1h_sum,
+        "pct_rank_events": q.q_pct_rank_events,
+        "bfill_events": q.q_bfill_events,
         "prev_same_type_event": q.q_prev_same_type_event,
         "local_supplier_revenue": q.q_local_supplier_revenue,
         "revenue_rollup": q.q_revenue_rollup,
@@ -577,6 +579,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COALESCE(lag(event_id) OVER ("
             "PARTITION BY user_id, event_type ORDER BY ts), -1) AS BIGINT) "
             "AS prev_event_r FROM events"
+        ),
+        "pct_rank_events": (
+            "SELECT event_id, user_id, percent_rank() OVER ("
+            "PARTITION BY user_id ORDER BY value DESC, event_id) "
+            "AS pct_rank FROM events"
+        ),
+        "bfill_events": (
+            "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
+            "CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v "
+            "FROM events) "
+            "SELECT event_id, user_id, ts_us, "
+            "COALESCE(first_value(v IGNORE NULLS) OVER ("
+            "PARTITION BY user_id ORDER BY ts_us, event_id "
+            "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), -1.0) "
+            "AS v_bfill FROM e"
         ),
         "rolling_1h_sum": (
             "SELECT event_id, user_id, epoch_us(ts) AS ts_us, "

@@ -257,6 +257,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "order_stats_per_status", "share_of_user_total", "user_type_spend",
         "hourly_active_users", "asof_click_within_1h", "churned_customers",
         "rolling_1h_sum", "ewma_value", "prev_same_type_event",
+        "pct_rank_events", "bfill_events",
         "local_supplier_revenue", "revenue_rollup", "revenue_cube",
     ]
     qs = em.queries()

@@ -1871,3 +1871,47 @@ def q_pq_topk(sf_dir: str):
                           filters=[("vec_id", "=", 0)])
     q = np.asarray(qtab["embedding"][0].as_py(), dtype=np.float64)
     return pq_topk_rerank(codes, ds, books, q, k=10, shortlist=128)
+
+
+def q_pct_rank_events(sf_dir: str):
+    """Per-user percent_rank by value desc (the normalized-rank
+    feature), tie-broken by event_id for a total order."""
+    from ..stages.events import percent_rank
+
+    ds = _events_us(sf_dir, ["event_id", "user_id", "ts", "value"])
+    out = percent_rank(ds, "user_id", ["value", "event_id"],
+                       ascending=[False, True],
+                       num_buckets=_w(sf_dir, "events"))
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id", "pct_rank"]],
+        batch_format="pandas")
+
+
+def q_bfill_events(sf_dir: str):
+    """Per-user backward fill of the value column over planted nulls
+    (forward_fill's mirror); nulls planted deterministically on
+    event_id % 5 == 0 so the operator has work at every SF."""
+    import pyarrow.compute as pc
+
+    from ..stages.events import backward_fill
+
+    ds = _events_us(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def _plant(b: pa.Table) -> pa.Table:
+        # null out rows where event_id % 5 == 0 (vectorized arithmetic)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        v = b["value"].to_numpy(zero_copy_only=False).copy()
+        v[eid % 5 == 0] = np.nan
+        return pa.table({"event_id": b["event_id"], "user_id": b["user_id"],
+                         "ts_us": b["ts_us"], "value": pa.array(v)})
+
+    out = backward_fill(ds.map_batches(_plant, batch_format="pyarrow"),
+                        "user_id", "ts_us", "value",
+                        num_buckets=_w(sf_dir, "events"),
+                        tie_cols=["event_id"])
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["v_bfill"] = df["value_bfill"].fillna(-1.0)
+        return df[["event_id", "user_id", "ts_us", "v_bfill"]]
+
+    return out.map_batches(_finish, batch_format="pandas")

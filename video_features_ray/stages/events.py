@@ -503,3 +503,53 @@ def ewma_feature(
         return df.merge(collapsed[[key, ts, out_col]], on=[key, ts], how="left")
 
     return transform_buckets(ds, key, [ts], _fn, num_buckets)
+
+
+def backward_fill(
+    ds: "ray.data.Dataset",
+    key: str,
+    ts: str,
+    value: str,
+    num_buckets: int = 64,
+    out_col: str | None = None,
+    tie_cols: Sequence[str] = (),
+) -> "ray.data.Dataset":
+    """Per-entity backward-fill: the NEXT non-null value at or after
+    each row (forward_fill's mirror — SQL ``first_value(v IGNORE
+    NULLS) OVER (... ROWS BETWEEN CURRENT ROW AND UNBOUNDED
+    FOLLOWING)``)."""
+    out_col = out_col or f"{value}_bfill"
+
+    def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        df[out_col] = df.groupby(key, sort=False)[value].bfill()
+        return df
+
+    return transform_buckets(ds, key, [ts, *tie_cols], _fn, num_buckets)
+
+
+def percent_rank(
+    ds: "ray.data.Dataset",
+    key: str,
+    sort_cols: Sequence[str],
+    num_buckets: int = 64,
+    ascending: Sequence[bool] | None = None,
+    out_col: str = "pct_rank",
+) -> "ray.data.Dataset":
+    """SQL ``percent_rank()``: (rank-1)/(n-1) within the key partition
+    (0.0 for single-row partitions).  With ``sort_cols`` forming a
+    total order, rank == row position — pass a tie-break column, as
+    every ranked operator here requires for determinism."""
+
+    def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        chg = _key_change(df, key)
+        idx = np.arange(len(df), dtype=np.int64)
+        start = np.maximum.accumulate(np.where(chg, idx, -1))
+        rank = idx - start  # 0-based position within key
+        n = df.groupby(key, sort=False)[key].transform("size").to_numpy()
+        with np.errstate(invalid="ignore"):
+            pr = np.where(n > 1, rank / np.maximum(n - 1, 1), 0.0)
+        df[out_col] = pr
+        return df
+
+    return transform_buckets(ds, key, list(sort_cols), _fn, num_buckets,
+                             ascending=ascending)
