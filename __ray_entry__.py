@@ -163,6 +163,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma_value": q.q_ewma_value,
         "p99_price_sketch": q.q_p99_price_sketch,
         "pq_topk": q.q_pq_topk,
+        # feature-engineering family (stages/features.py)
+        "stddev_value_per_type": q.q_stddev_value_per_type,
+        "zscore_value": q.q_zscore_value,
+        "minmax_value": q.q_minmax_value,
+        "target_encode_type": q.q_target_encode_type,
+        "lang_onehot_per_source": q.q_lang_onehot_per_source,
+        "value_histogram": q.q_value_histogram,
+        "multi_lag_value": q.q_multi_lag_value,
         # non-SQL-expressible (rows-only checks)
         "approx_distinct_users": q.q_approx_distinct_users,
         "approx_quantiles_price": q.q_approx_quantiles_price,
@@ -728,4 +736,74 @@ def oracle_sql() -> dict[str, str]:
         # the allclose fixture tests, which SQL cannot express)
         "flagship_features": f"{_SEQ} {_W1_WINDOWS}",
         "checkpointed_extract": f"{_SEQ} {_W1_WINDOWS}",
+        # feature-engineering family — every finish expression mirrors
+        # the Ray float64 op order over identical exact integer sums
+        "stddev_value_per_type": (
+            "WITH e AS (SELECT event_type, "
+            "CAST(round(value*100.0) AS BIGINT) AS xs FROM events), "
+            "s AS (SELECT event_type, COUNT(*) AS n, SUM(xs) AS sx, "
+            "SUM(xs*xs) AS sxx FROM e GROUP BY event_type) "
+            "SELECT event_type, CAST(n AS BIGINT) AS n, "
+            "((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) "
+            "- CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) "
+            "/ (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0))) / 1e4 "
+            "AS var_value, "
+            "sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) "
+            "- CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) "
+            "/ (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0))) / 1e2 "
+            "AS stddev_value FROM s"
+        ),
+        "zscore_value": (
+            "WITH e AS (SELECT event_id, event_type, "
+            "CAST(round(value*100.0) AS BIGINT) AS xs FROM events), "
+            "s AS (SELECT event_type, COUNT(*) AS n, SUM(xs) AS sx, "
+            "SUM(xs*xs) AS sxx FROM e GROUP BY event_type) "
+            "SELECT e.event_id, e.event_type, COALESCE("
+            "(CAST(e.xs AS DOUBLE) - CAST(s.sx AS DOUBLE)/CAST(s.n AS DOUBLE)) "
+            "/ sqrt((CAST(s.n AS DOUBLE)*CAST(s.sxx AS DOUBLE) "
+            "- CAST(s.sx AS DOUBLE)*CAST(s.sx AS DOUBLE)) "
+            "/ (CAST(s.n AS DOUBLE)*(CAST(s.n AS DOUBLE)-1.0))), -999.0) AS z "
+            "FROM e JOIN s USING (event_type)"
+        ),
+        "minmax_value": (
+            "WITH e AS (SELECT event_id, user_id, "
+            "CAST(round(value*100.0) AS BIGINT) AS xs FROM events), "
+            "s AS (SELECT user_id, MIN(xs) AS lo, MAX(xs) AS hi "
+            "FROM e GROUP BY user_id) "
+            "SELECT e.event_id, e.user_id, COALESCE("
+            "(CAST(e.xs AS DOUBLE) - CAST(s.lo AS DOUBLE)) "
+            "/ (CAST(s.hi AS DOUBLE) - CAST(s.lo AS DOUBLE)), -1.0) AS mm "
+            "FROM e JOIN s USING (user_id)"
+        ),
+        "target_encode_type": (
+            "WITH e AS (SELECT event_id, event_type, "
+            "CAST(round(value*100.0) AS BIGINT) AS xs FROM events), "
+            "s AS (SELECT event_type, COUNT(*) AS n, SUM(xs) AS sx "
+            "FROM e GROUP BY event_type) "
+            "SELECT e.event_id, e.event_type, COALESCE("
+            "(CAST(s.sx AS DOUBLE)/CAST(s.n AS DOUBLE)) / 100.0, -1.0) AS te "
+            "FROM e JOIN s USING (event_type)"
+        ),
+        "lang_onehot_per_source": (
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            + ", ".join(
+                f"CAST(SUM(CASE WHEN lang = '{c}' THEN 1 ELSE 0 END) "
+                f"AS BIGINT) AS n_{c}"
+                for c in ("de", "en", "es", "fr", "zh"))
+            + " FROM documents GROUP BY source"
+        ),
+        "value_histogram": (
+            "WITH e AS (SELECT CAST(round(value*100.0) AS BIGINT) AS xs "
+            "FROM events) "
+            "SELECT CAST(floor(CAST(xs AS DOUBLE) / 250.0) AS BIGINT) AS bin, "
+            "CAST(COUNT(*) AS BIGINT) AS n_rows FROM e GROUP BY 1"
+        ),
+        "multi_lag_value": (
+            "SELECT event_id, user_id, epoch_us(ts) AS ts_us, value, "
+            "COALESCE(lag(value, 1) OVER w, -1.0) AS lag_1, "
+            "COALESCE(lag(value, 2) OVER w, -1.0) AS lag_2, "
+            "COALESCE(lag(value, 3) OVER w, -1.0) AS lag_3 "
+            "FROM events WINDOW w AS ("
+            "PARTITION BY user_id ORDER BY epoch_us(ts), event_id)"
+        ),
     }

@@ -1,0 +1,118 @@
+"""Operator-level tests for stages/features.py (the feature-eng family).
+
+The SQL-parity gate lives in test_oracle_parity; here we pin the edge
+cases SQL can't isolate: partition-boundary lag masks, frozen-vocab
+unknown handling, degenerate fit groups, and bucket-width invariance.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from video_features_ray.stages.features import (
+    fixed_width_bin,
+    grouped_variance,
+    histogram,
+    mean_target_encode,
+    minmax_normalize,
+    multi_lag,
+    one_hot,
+    zscore_normalize,
+)
+
+
+def _events_df():
+    rng = np.random.RandomState(7)
+    n = 400
+    return pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "k": rng.randint(0, 7, n).astype(np.int64),
+        "ts": rng.permutation(n).astype(np.int64),
+        "x": rng.randint(-500, 500, n).astype(np.int64),
+    })
+
+
+def test_multi_lag_never_crosses_partition():
+    df = _events_df()
+    out = multi_lag(ray.data.from_pandas(df), "k", "ts", "x",
+                    lags=(1, 2, 3), num_buckets=4).to_pandas()
+    out = out.sort_values(["k", "ts"]).reset_index(drop=True)
+    ref = df.sort_values(["k", "ts"]).reset_index(drop=True)
+    for k in (1, 2, 3):
+        want = ref.groupby("k")["x"].shift(k)
+        got = out[f"lag_{k}"]
+        assert np.allclose(got.to_numpy(), want.to_numpy(), equal_nan=True)
+
+
+def test_multi_lag_lag_longer_than_group():
+    df = pd.DataFrame({"k": [1, 1, 2], "ts": [0, 1, 0],
+                       "x": [10.0, 20.0, 30.0]})
+    out = multi_lag(ray.data.from_pandas(df), "k", "ts", "x",
+                    lags=(5,), num_buckets=2).to_pandas()
+    assert out["lag_5"].isna().all()
+
+
+def test_one_hot_frozen_vocab_unknown_is_all_zeros():
+    df = pd.DataFrame({"c": ["a", "b", "zz", "a"]})
+    out = one_hot(ray.data.from_pandas(df), "c",
+                  categories=["a", "b"]).to_pandas()
+    zz = out[out["c"] == "zz"]
+    assert (zz[["is_a", "is_b"]].to_numpy() == 0).all()
+    assert out["is_a"].sum() == 2 and out["is_b"].sum() == 1
+
+
+def test_one_hot_discovers_sorted_vocab():
+    df = pd.DataFrame({"c": ["b", "a", "b"]})
+    out = one_hot(ray.data.from_pandas(df), "c").to_pandas()
+    assert [c for c in out.columns if c.startswith("is_")] == ["is_a", "is_b"]
+
+
+def test_zscore_singleton_and_constant_groups_are_null():
+    df = pd.DataFrame({"g": ["s", "c", "c", "n", "n"],
+                       "x": [5, 7, 7, 1, 3]})
+    out = zscore_normalize(ray.data.from_pandas(df), "g", "x").to_pandas()
+    assert out.loc[out["g"] == "s", "z"].isna().all()     # n = 1
+    assert out.loc[out["g"] == "c", "z"].isna().all()     # zero variance
+    z = out.loc[out["g"] == "n", "z"].to_numpy()
+    assert np.allclose(sorted(z), [-np.sqrt(0.5), np.sqrt(0.5)])
+
+
+def test_minmax_constant_group_is_null():
+    df = pd.DataFrame({"g": ["a", "a", "b"], "x": [2, 6, 9]})
+    out = minmax_normalize(ray.data.from_pandas(df), "g", "x").to_pandas()
+    a = out.loc[out["g"] == "a"].sort_values("x")["mm"].to_numpy()
+    assert np.allclose(a, [0.0, 1.0])
+    assert out.loc[out["g"] == "b", "mm"].isna().all()
+
+
+def test_mean_target_encode_values():
+    df = pd.DataFrame({"c": ["a", "a", "b"], "t": [10, 20, 7]})
+    out = mean_target_encode(ray.data.from_pandas(df), "c", "t").to_pandas()
+    assert np.allclose(out.loc[out["c"] == "a", "te"], 15.0)
+    assert np.allclose(out.loc[out["c"] == "b", "te"], 7.0)
+
+
+def test_fixed_width_bin_negatives_floor():
+    df = pd.DataFrame({"x": [-10.0, -0.1, 0.0, 0.1, 10.0]})
+    out = fixed_width_bin(ray.data.from_pandas(df), "x", 5.0).to_pandas()
+    assert out.sort_values("x")["bin"].tolist() == [-2, -1, 0, 0, 2]
+
+
+def test_histogram_counts():
+    df = pd.DataFrame({"x": [0.0, 1.0, 4.9, 5.0, 9.9, 10.0]})
+    out = histogram(ray.data.from_pandas(df), "x", 5.0).to_pandas()
+    got = dict(zip(out["bin"], out["n"]))
+    assert got == {0: 3, 1: 2, 2: 1}
+
+
+@pytest.mark.parametrize("width", [2, 16])
+def test_grouped_variance_bucket_invariance(width):
+    df = _events_df()
+    out = grouped_variance(ray.data.from_pandas(df), ["k"], "x",
+                           num_buckets=width).to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    ref = df.groupby("k")["x"].agg(["count", "var", "std"]).reset_index()
+    assert (out["n"].to_numpy() == ref["count"].to_numpy()).all()
+    assert np.allclose(out["var"].to_numpy(), ref["var"].to_numpy())
+    assert np.allclose(out["stddev"].to_numpy(), ref["std"].to_numpy())

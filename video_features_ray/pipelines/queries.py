@@ -1915,3 +1915,141 @@ def q_bfill_events(sf_dir: str):
         return df[["event_id", "user_id", "ts_us", "v_bfill"]]
 
     return out.map_batches(_finish, batch_format="pandas")
+
+
+# --- feature-engineering family (stages/features.py) -------------------
+
+def _events_scaled(sf_dir: str, keep, scale: float = 100.0,
+                   value_col: str = "value",
+                   out_col: str = "xs") -> "ray.data.Dataset":
+    """events with ``value`` → int64 ``out_col`` = round(value*scale).
+
+    value is cent-exact in the fixture, so scale=100 is lossless and
+    keeps Σx² inside int64 out to ~10^9 rows per group (beyond that,
+    switch the moment partials to float128/hugeint).
+    """
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=[*keep, value_col])
+
+    def _scale(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        out = {c: batch[c] for c in keep}
+        out[out_col] = pa.array(np.round(v * scale).astype(np.int64))
+        return pa.table(out)
+
+    return ds.map_batches(_scale, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def q_stddev_value_per_type(sf_dir: str):
+    """Per-type variance/stddev of the cent-scaled value: exact int64
+    moment partials, closed-form float finish (grouped_variance),
+    unscaled by one final division pair the oracle mirrors."""
+    from ..stages.features import grouped_variance
+
+    ds = _events_scaled(sf_dir, ["event_type"])
+    out = grouped_variance(ds, ["event_type"], "xs").to_pandas()
+    out["var_value"] = out["var"] / 1e4
+    out["stddev_value"] = out["stddev"] / 1e2
+    return out[["event_type", "n", "var_value", "stddev_value"]]
+
+
+def q_zscore_value(sf_dir: str):
+    """Per-row z-score of value within its event_type — the
+    fit/transform split: one moment pass, broadcast stat table, no
+    payload shuffle (the window-function plan sorts the corpus)."""
+    from ..stages.features import zscore_normalize
+
+    ds = _events_scaled(sf_dir, ["event_id", "event_type"])
+    out = zscore_normalize(ds, "event_type", "xs", out_col="z")
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["z"] = df["z"].fillna(-999.0)
+        return df[["event_id", "event_type", "z"]]
+
+    return out.map_batches(_finish, batch_format="pandas")
+
+
+def q_minmax_value(sf_dir: str):
+    """Per-row min-max scaling of value within its user — per-user
+    min/max fit broadcast to a map-only transform."""
+    from ..stages.features import minmax_normalize
+
+    ds = _events_scaled(sf_dir, ["event_id", "user_id"])
+    out = minmax_normalize(ds, "user_id", "xs", out_col="mm",
+                           combine="distributed",
+                           num_buckets=_w(sf_dir, "events"))
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["mm"] = df["mm"].fillna(-1.0)
+        return df[["event_id", "user_id", "mm"]]
+
+    return out.map_batches(_finish, batch_format="pandas")
+
+
+def q_target_encode_type(sf_dir: str):
+    """Mean-target encoding of event_type by value (the classic
+    categorical feature): exact int sums, one division, broadcast."""
+    from ..stages.features import mean_target_encode
+
+    ds = _events_scaled(sf_dir, ["event_id", "event_type"])
+    out = mean_target_encode(ds, "event_type", "xs", out_col="te_s")
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["te"] = (df["te_s"] / 100.0).fillna(-1.0)
+        return df[["event_id", "event_type", "te"]]
+
+    return out.map_batches(_finish, batch_format="pandas")
+
+
+DOC_LANGS = ["de", "en", "es", "fr", "zh"]  # frozen vocabulary
+
+
+def q_lang_onehot_per_source(sf_dir: str):
+    """One-hot encode documents.lang (frozen 5-lang vocabulary), then
+    sum the indicator block per source — the lang-mix design matrix.
+    Map-only encode; the only shuffle is the O(sources) aggregate."""
+    from ..stages.features import one_hot
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "lang"])
+    hot = one_hot(ds, "lang", categories=DOC_LANGS)
+    out = partial_agg(hot.drop_columns(["lang"]), ["source"],
+                      sums=[f"is_{c}" for c in DOC_LANGS],
+                      count_col="n_docs", combine="driver").to_pandas()
+    cols = {f"sum_is_{c}": f"n_{c}" for c in DOC_LANGS}
+    out = out.rename(columns=cols)
+    return out[["source", "n_docs", *cols.values()]]
+
+
+HIST_WIDTH = 250.0  # 2.50 value units on the cent-scaled axis
+
+
+def q_value_histogram(sf_dir: str):
+    """Fixed-width histogram of the scaled value: floor-binning map +
+    O(bins) count aggregate — bins bounded by value range, not corpus."""
+    from ..stages.features import histogram
+
+    ds = _events_scaled(sf_dir, [])
+    out = histogram(ds, "xs", HIST_WIDTH).to_pandas()
+    out = out.rename(columns={"n": "n_rows"})
+    return out[["bin", "n_rows"]]
+
+
+def q_multi_lag_value(sf_dir: str):
+    """lag-1/2/3 value features per user (autoregressive block): ONE
+    shuffle + per-bucket sort produces all three lag columns."""
+    from ..stages.features import multi_lag
+
+    ds = _events_us(sf_dir, ["event_id", "user_id", "ts", "value"])
+    out = multi_lag(ds, "user_id", "ts_us", "value", lags=(1, 2, 3),
+                    num_buckets=_w(sf_dir, "events"),
+                    extra_order=["event_id"])
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        for k in (1, 2, 3):
+            df[f"lag_{k}"] = df[f"lag_{k}"].fillna(-1.0)
+        return df[["event_id", "user_id", "ts_us", "value",
+                   "lag_1", "lag_2", "lag_3"]]
+
+    return out.map_batches(_finish, batch_format="pandas")

@@ -1,0 +1,354 @@
+"""Feature-engineering operators: normalization, encoding, binning.
+
+The reference normalizes per-model inside its transforms
+(``models/i3d/transforms/transforms.py`` Normalize / ScaleTo1_1); this
+module generalizes that to the DATA-DERIVED feature transforms a
+training pipeline needs — statistics learned from the corpus itself
+(z-score, min-max, target encoding) and structural encodings (one-hot,
+binning, multi-lag).  All of them follow the same two-phase scale
+shape:
+
+  1. **fit** — one `partial_agg` pass produces the per-group statistic
+     table (O(groups) rows: sums/counts/mins/maxs, all algebraic);
+  2. **transform** — the statistic table is broadcast ONCE via
+     ``ray.put`` and applied inside a vectorized ``map_batches``; the
+     payload never shuffles.
+
+That is the canonical fit/transform split (sklearn-style) expressed as
+Ray Data stages: the fit output is tiny (one row per category /
+group), so broadcasting beats a shuffle join at any corpus size while
+``#groups × row_size`` fits in worker heap (documented limit; for
+billion-category vocabularies switch the transform to
+:func:`..stages.joins.hash_join` on the category key).
+
+Bit-exactness with the SQL oracles: inputs are integer-scaled
+(cents), every fit statistic is an EXACT int64 sum/count/min/max, and
+each finish expression is a fixed sequence of float64 ops mirrored
+verbatim in the oracle SQL (see grouped_corr's rationale,
+``joins.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from .joins import partial_agg
+
+
+def _broadcast_stats(agg_ds: "ray.data.Dataset", keys: Sequence[str]):
+    """Materialize a (small) fit table and ``ray.put`` it once.
+
+    Returns an ObjectRef to a pandas frame indexed by the key tuple.
+    The fit table is O(groups) — the ONLY driver materialization in
+    this module, bounded by category cardinality, never by corpus
+    size.
+    """
+    pdf = agg_ds.to_pandas()
+    pdf = pdf.set_index(list(keys)).sort_index()
+    return ray.put(pdf)
+
+
+def grouped_variance(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    x: str,
+    num_buckets: int = 16,
+    combine: str = "driver",
+    ddof: int = 1,
+) -> "ray.data.Dataset":
+    """Per-group variance + stddev over an INTEGER-scaled column —
+    exact (n, Σx, Σx²) int64 partials, one closed-form float finish:
+
+        var_samp = (n·Σx² − (Σx)²) / (n·(n − ddof))
+
+    ddof=1 is SQL ``var_samp``/``stddev_samp``; ddof=0 is ``var_pop``.
+    Output columns: keys, ``n``, ``var``, ``stddev``.  The SQL oracle
+    spells the identical expression over the identical integer sums
+    (DuckDB's native ``stddev`` uses streaming float updates → low-bit
+    drift; this form is bit-stable).
+    """
+    keys = list(keys)
+
+    def _moments(batch: pa.Table) -> pa.Table:
+        xs = batch[x].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = {k: batch[k] for k in keys}
+        out.update({"_x": pa.array(xs), "_xx": pa.array(xs * xs)})
+        return pa.table(out)
+
+    agg = partial_agg(ds.map_batches(_moments, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      keys, sums=["_x", "_xx"], count_col="n",
+                      num_buckets=num_buckets, combine=combine)
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].astype(np.int64).to_numpy()
+        sx = df["sum__x"].astype(np.int64).to_numpy()
+        sxx = df["sum__xx"].astype(np.int64).to_numpy()
+        # cast each exact int to double BEFORE multiplying (overflow)
+        nf, sxf, sxxf = (a.astype(np.float64) for a in (n, sx, sxx))
+        denom = nf * (nf - float(ddof))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            var = np.where(denom > 0,
+                           (nf * sxxf - sxf * sxf) / denom, np.nan)
+        out = df[keys].copy()
+        out["n"] = n
+        out["var"] = var
+        out["stddev"] = np.sqrt(var)
+        return out
+
+    return agg.map_batches(_finish, batch_format="pandas")
+
+
+def zscore_normalize(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    out_col: str = "z",
+    num_buckets: int = 16,
+    combine: str = "driver",
+) -> "ray.data.Dataset":
+    """Per-group z-score feature: ``z = (x − mean) / stddev_samp``
+    attached to every row.  Fit = one exact-moment `partial_agg`
+    pass; transform = broadcast the O(groups) stat table and apply it
+    vectorized per batch — the payload never shuffles (vs the naive
+    window-function plan, which sorts the whole table twice).
+
+    mean = Σx/n and sd = sqrt((n·Σx² − (Σx)²)/(n·(n−1))) are computed
+    in a fixed float64 op order mirrored by the oracle SQL.  Groups
+    with n < 2 or zero variance get NULL z.
+    """
+    def _moments(batch: pa.Table) -> pa.Table:
+        xs = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({group_col: batch[group_col],
+                         "_x": pa.array(xs), "_xx": pa.array(xs * xs)})
+
+    agg = partial_agg(ds.map_batches(_moments, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      [group_col], sums=["_x", "_xx"], count_col="n",
+                      num_buckets=num_buckets, combine=combine)
+    stats_ref = _broadcast_stats(agg, [group_col])
+
+    class _Apply:
+        def __init__(self):
+            pdf = ray.get(stats_ref)
+            n = pdf["n"].astype(np.int64).to_numpy().astype(np.float64)
+            sx = pdf["sum__x"].astype(np.int64).to_numpy().astype(np.float64)
+            sxx = pdf["sum__xx"].astype(np.int64).to_numpy().astype(np.float64)
+            self.mean = sx / n
+            denom = n * (n - 1.0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                var = np.where(denom > 0, (n * sxx - sx * sx) / denom,
+                               np.nan)
+            sd = np.sqrt(var)
+            self.sd = np.where(sd > 0, sd, np.nan)
+            self.idx = pd.Index(pdf.index)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pos = self.idx.get_indexer(
+                batch[group_col].to_numpy(zero_copy_only=False))
+            xs = batch[value_col].to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            ok = pos >= 0
+            z = np.full(len(xs), np.nan)
+            p = pos[ok]
+            z[ok] = (xs[ok] - self.mean[p]) / self.sd[p]
+            return batch.append_column(out_col, pa.array(z))
+
+    return ds.map_batches(_Apply, concurrency=(1, 8),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+def minmax_normalize(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    out_col: str = "mm",
+    num_buckets: int = 16,
+    combine: str = "driver",
+) -> "ray.data.Dataset":
+    """Per-group min-max scaling ``(x − min) / (max − min)`` attached
+    to every row.  Same fit/transform shape as :func:`zscore_normalize`
+    with algebraic min/max partials.  Constant groups (max == min) get
+    NULL."""
+    agg = partial_agg(ds, [group_col], mins=[value_col], maxs=[value_col],
+                      num_buckets=num_buckets, combine=combine)
+    stats_ref = _broadcast_stats(agg, [group_col])
+
+    class _Apply:
+        def __init__(self):
+            pdf = ray.get(stats_ref)
+            self.lo = pdf[f"min_{value_col}"].to_numpy().astype(np.float64)
+            hi = pdf[f"max_{value_col}"].to_numpy().astype(np.float64)
+            rng = hi - self.lo
+            self.rng = np.where(rng > 0, rng, np.nan)
+            self.idx = pd.Index(pdf.index)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pos = self.idx.get_indexer(
+                batch[group_col].to_numpy(zero_copy_only=False))
+            xs = batch[value_col].to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            ok = pos >= 0
+            m = np.full(len(xs), np.nan)
+            p = pos[ok]
+            m[ok] = (xs[ok] - self.lo[p]) / self.rng[p]
+            return batch.append_column(out_col, pa.array(m))
+
+    return ds.map_batches(_Apply, concurrency=(1, 8),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+def mean_target_encode(
+    ds: "ray.data.Dataset",
+    cat_col: str,
+    target_col: str,
+    out_col: str = "te",
+    num_buckets: int = 16,
+    combine: str = "driver",
+) -> "ray.data.Dataset":
+    """Mean target encoding: replace/annotate a categorical with the
+    corpus mean of an INTEGER-scaled target within that category —
+    ``te = Σtarget / n`` (one float64 division, oracle-mirrored).
+    Categories unseen in the fit pass (impossible here — fit and
+    transform read the same corpus — but possible with a frozen
+    encoder) get NULL."""
+    def _cast(batch: pa.Table) -> pa.Table:
+        xs = batch[target_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({cat_col: batch[cat_col], "_t": pa.array(xs)})
+
+    agg = partial_agg(ds.map_batches(_cast, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      [cat_col], sums=["_t"], count_col="n",
+                      num_buckets=num_buckets, combine=combine)
+    stats_ref = _broadcast_stats(agg, [cat_col])
+
+    class _Apply:
+        def __init__(self):
+            pdf = ray.get(stats_ref)
+            st = pdf["sum__t"].astype(np.int64).to_numpy().astype(np.float64)
+            n = pdf["n"].astype(np.int64).to_numpy().astype(np.float64)
+            self.te = st / n
+            self.idx = pd.Index(pdf.index)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pos = self.idx.get_indexer(
+                batch[cat_col].to_numpy(zero_copy_only=False))
+            ok = pos >= 0
+            te = np.full(len(pos), np.nan)
+            te[ok] = self.te[pos[ok]]
+            return batch.append_column(out_col, pa.array(te))
+
+    return ds.map_batches(_Apply, concurrency=(1, 8),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+def one_hot(
+    ds: "ray.data.Dataset",
+    cat_col: str,
+    categories: Sequence[str] | None = None,
+    prefix: str = "is_",
+) -> "ray.data.Dataset":
+    """One-hot encode a categorical column into int64 0/1 columns
+    ``<prefix><category>``.
+
+    ``categories=None`` discovers the vocabulary with one distinct
+    aggregate (sorted for a deterministic column order) — a tiny
+    shuffle of unique values only.  Pass an explicit list to freeze
+    the encoding (the production path: vocabularies belong in config,
+    not re-derived per run).  Unlisted values encode as all-zeros —
+    the standard handle-unknown=ignore behavior.  Map-only transform,
+    no shuffle of the payload.
+    """
+    if categories is None:
+        uniq = partial_agg(ds.select_columns([cat_col]), [cat_col],
+                           combine="driver").to_pandas()
+        categories = sorted(uniq[cat_col].tolist())
+    categories = list(categories)
+
+    def _encode(batch: pa.Table) -> pa.Table:
+        vals = batch[cat_col].to_numpy(zero_copy_only=False)
+        for c in categories:
+            batch = batch.append_column(
+                f"{prefix}{c}", pa.array((vals == c).astype(np.int64)))
+        return batch
+
+    return ds.map_batches(_encode, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def fixed_width_bin(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    width: float,
+    bin_col: str = "bin",
+) -> "ray.data.Dataset":
+    """Discretize a numeric column into fixed-width bins:
+    ``bin = floor(x / width)`` (int64).  Map-only; compose with
+    `partial_agg` on ``bin_col`` for a histogram.  floor (not round)
+    matches SQL ``floor()`` bit-for-bit for negatives too."""
+    def _bin(batch: pa.Table) -> pa.Table:
+        xs = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.floor(xs / width).astype(np.int64)
+        return batch.append_column(bin_col, pa.array(b))
+
+    return ds.map_batches(_bin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def histogram(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    width: float,
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Fixed-width histogram: bin then count per bin.  The combine is
+    O(bins) — bins are value-range-bounded, not corpus-bounded, so the
+    driver plan is safe at any scale."""
+    binned = fixed_width_bin(ds.select_columns([value_col]), value_col, width)
+    return partial_agg(binned.select_columns(["bin"]), ["bin"],
+                       num_buckets=num_buckets, combine="driver")
+
+
+def multi_lag(
+    ds: "ray.data.Dataset",
+    key: str,
+    ts: str,
+    value_col: str,
+    lags: Sequence[int] = (1, 2, 3),
+    num_buckets: int = 16,
+    extra_order: Sequence[str] = (),
+) -> "ray.data.Dataset":
+    """Lag-feature matrix: one shuffle, one sort per bucket, then ALL
+    requested lags as shifted views with key-boundary masks — the
+    standard autoregressive feature block (``lag_k`` columns), k lags
+    for the price of one (the naive plan re-shuffles per lag).
+
+    SQL: ``LAG(v, k) OVER (PARTITION BY key ORDER BY ts, ...)``.
+    """
+    from .events import transform_buckets, _key_change
+
+    lags = list(lags)
+    order = [ts, *extra_order]
+
+    def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        # transform_buckets hands fn the bucket pre-sorted by [key, *order]
+        n = len(df)
+        v = df[value_col].to_numpy().astype(np.float64)
+        new_key = _key_change(df, key)
+        # boundary index of each row's partition start
+        starts = np.maximum.accumulate(np.where(new_key, np.arange(n), 0))
+        idx = np.arange(n)
+        for k in lags:
+            shifted = np.concatenate([np.full(k, np.nan), v[:-k]]) \
+                if k < n else np.full(n, np.nan)
+            # mask rows whose lag-k source crosses the partition start
+            bad = idx - k < starts
+            df[f"lag_{k}"] = np.where(bad, np.nan, shifted)
+        return df
+
+    return transform_buckets(ds, key, order, _fn, num_buckets=num_buckets)
