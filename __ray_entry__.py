@@ -171,6 +171,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_onehot_per_source": q.q_lang_onehot_per_source,
         "value_histogram": q.q_value_histogram,
         "multi_lag_value": q.q_multi_lag_value,
+        "cume_dist_events": q.q_cume_dist_events,
+        "price_qty_regression": q.q_price_qty_regression,
+        "daily_order_vs_ship": q.q_daily_order_vs_ship,
         # non-SQL-expressible (rows-only checks)
         "approx_distinct_users": q.q_approx_distinct_users,
         "approx_quantiles_price": q.q_approx_quantiles_price,
@@ -805,5 +808,38 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(lag(value, 3) OVER w, -1.0) AS lag_3 "
             "FROM events WINDOW w AS ("
             "PARTITION BY user_id ORDER BY epoch_us(ts), event_id)"
+        ),
+        "cume_dist_events": (
+            "SELECT event_id, user_id, cume_dist() OVER ("
+            "PARTITION BY user_id ORDER BY value, event_id) "
+            "AS cume_dist FROM events"
+        ),
+        "price_qty_regression": (
+            "WITH e AS (SELECT l_returnflag, "
+            "CAST(floor(l_quantity) AS BIGINT) AS xs, "
+            "CAST(floor(l_extendedprice) AS BIGINT) AS ys FROM lineitem), "
+            "s AS (SELECT l_returnflag, COUNT(*) AS n, SUM(xs) AS sx, "
+            "SUM(ys) AS sy, SUM(xs*xs) AS sxx, SUM(xs*ys) AS sxy "
+            "FROM e GROUP BY l_returnflag) "
+            "SELECT l_returnflag, CAST(n AS BIGINT) AS n, "
+            "(CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) "
+            "- CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) "
+            "/ (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) "
+            "- CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) AS slope, "
+            "(CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) "
+            "- CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) "
+            "/ (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) "
+            "- CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) "
+            "/ CAST(n AS DOUBLE) AS intercept FROM s"
+        ),
+        "daily_order_vs_ship": (
+            "WITH o AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day, "
+            "COUNT(*) AS n_orders FROM orders GROUP BY 1), "
+            "l AS (SELECT epoch_us(l_shipdate) // 86400000000 AS day, "
+            "SUM(CAST(floor(l_quantity) AS BIGINT)) AS qty "
+            "FROM lineitem GROUP BY 1) "
+            "SELECT day, CAST(COALESCE(o.n_orders, -1) AS BIGINT) AS n_orders, "
+            "CAST(COALESCE(l.qty, -1) AS BIGINT) AS ship_qty "
+            "FROM o FULL OUTER JOIN l USING (day)"
         ),
     }

@@ -2053,3 +2053,83 @@ def q_multi_lag_value(sf_dir: str):
                    "lag_1", "lag_2", "lag_3"]]
 
     return out.map_batches(_finish, batch_format="pandas")
+
+
+def q_cume_dist_events(sf_dir: str):
+    """Per-user cume_dist by value (the ECDF feature beside
+    percent_rank), tie-broken by event_id for a total order."""
+    from ..stages.events import cume_dist
+
+    ds = _events_us(sf_dir, ["event_id", "user_id", "ts", "value"])
+    out = cume_dist(ds, "user_id", ["value", "event_id"],
+                    num_buckets=_w(sf_dir, "events"))
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id", "cume_dist"]],
+        batch_format="pandas")
+
+
+def q_price_qty_regression(sf_dir: str):
+    """regr_slope/intercept of extendedprice on quantity per
+    returnflag — grouped_corr's sibling moment aggregate; floor-int
+    inputs, closed-form float finish mirrored by the oracle."""
+    from ..stages.joins import grouped_regression
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def _scale(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"l_returnflag": batch["l_returnflag"],
+                         "qs": pa.array(np.floor(q).astype(np.int64)),
+                         "ps": pa.array(np.floor(p).astype(np.int64))})
+
+    return grouped_regression(ds.map_batches(_scale, batch_format="pyarrow",
+                                             zero_copy_batch=True),
+                              ["l_returnflag"], "qs", "ps")
+
+
+DAY_US = 86_400_000_000
+
+
+def q_daily_order_vs_ship(sf_dir: str):
+    """FULL OUTER join of two daily aggregates — orders placed vs
+    quantity shipped per day (ship days extend past order days on both
+    ends, so both unmatched directions are exercised).  Two O(days)
+    partial_aggs, one outer hash_join, sentinel fills."""
+    from ..stages.joins import hash_join
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderdate"])
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_shipdate", "l_quantity"])
+
+    def _oday(batch: pa.Table) -> pa.Table:
+        d = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"day": pa.array(d // DAY_US)})
+
+    def _lday(batch: pa.Table) -> pa.Table:
+        d = batch["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        return pa.table({"day": pa.array(d // DAY_US),
+                         "qs": pa.array(np.floor(q).astype(np.int64))})
+
+    o_agg = partial_agg(orders.map_batches(_oday, batch_format="pyarrow"),
+                        ["day"], count_col="n_orders", combine="distributed",
+                        num_buckets=_w(sf_dir, "orders"))
+    l_agg = partial_agg(li.map_batches(_lday, batch_format="pyarrow"),
+                        ["day"], sums=["qs"], combine="distributed",
+                        num_buckets=_w(sf_dir, "lineitem"))
+    l_agg = l_agg.map_batches(
+        lambda df: df[["day", "sum_qs"]], batch_format="pandas")
+
+    joined = hash_join(o_agg, l_agg, "day", how="outer",
+                       num_buckets=_w(sf_dir, "orders"))
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_orders"] = df["n_orders"].fillna(-1).astype(np.int64)
+        df["ship_qty"] = df["sum_qs"].fillna(-1).astype(np.int64)
+        return df[["day", "n_orders", "ship_qty"]]
+
+    return joined.map_batches(_finish, batch_format="pandas")

@@ -553,3 +553,30 @@ def percent_rank(
 
     return transform_buckets(ds, key, list(sort_cols), _fn, num_buckets,
                              ascending=ascending)
+
+
+def cume_dist(
+    ds: "ray.data.Dataset",
+    key: str,
+    sort_cols: Sequence[str],
+    num_buckets: int = 64,
+    ascending: Sequence[bool] | None = None,
+    out_col: str = "cume_dist",
+) -> "ray.data.Dataset":
+    """SQL ``cume_dist()``: (# peers ≤ current) / n within the key
+    partition.  Like every ranked operator here, ``sort_cols`` must
+    form a TOTAL order (pass a tie-break column) — then peers are
+    singletons and cume_dist == row_position / n, one exact integer
+    division per row (bit-identical to the oracle's count ratio)."""
+
+    def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        chg = _key_change(df, key)
+        idx = np.arange(len(df), dtype=np.int64)
+        start = np.maximum.accumulate(np.where(chg, idx, -1))
+        pos1 = idx - start + 1  # 1-based position within key
+        n = df.groupby(key, sort=False)[key].transform("size").to_numpy()
+        df[out_col] = pos1 / n
+        return df
+
+    return transform_buckets(ds, key, list(sort_cols), _fn, num_buckets,
+                             ascending=ascending)

@@ -80,7 +80,10 @@ def hash_join(
     splits across buckets, so the per-bucket merge is globally exact.
     Overlapping non-key right columns get ``suffix``.
 
-    ``how``: ``inner`` / ``left`` (pd.merge semantics), or ``semi`` /
+    ``how``: ``inner`` / ``left`` / ``outer`` (pd.merge semantics;
+    ``outer`` is SQL FULL OUTER — both sides' unmatched rows survive
+    with typed-null fills, including null-key rows, which match
+    nothing but are kept), or ``semi`` /
     ``anti`` — left rows whose key does (not) appear on the right;
     these return only left columns via a per-bucket vectorized
     existence check (no row multiplication, the scale-safe EXISTS /
@@ -95,11 +98,10 @@ def hash_join(
     """
     from .shuffle import TaggedUnion
 
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "outer", "semi", "anti"):
         raise ValueError(
-            f"hash_join supports inner/left/semi/anti, got {how!r} "
-            "(for right: flip the sides; for full outer: union the "
-            "inner result with both sides' anti rows)")
+            f"hash_join supports inner/left/outer/semi/anti, got {how!r} "
+            "(for right: flip the sides)")
     keys = [on] if isinstance(on, str) else list(on)
 
     if bloom_prefilter_left:
@@ -146,17 +148,21 @@ def hash_join(
         r = r.rename(columns={c: (f"{c}{suffix}" if c in left_cols else c)
                               for c in out_right})
         # SQL join semantics: a NULL key matches NOTHING (pandas merge
-        # would pair NaN with NaN) — drop null-key right rows always,
-        # and for LEFT keep null-key left rows as unmatched
-        r = r[r[keys].notna().all(axis=1)]
+        # would pair NaN with NaN) — null-key right rows never match;
+        # LEFT/OUTER keep null-key left rows, OUTER also keeps the
+        # null-key right rows, all as unmatched
+        r_valid = r[keys].notna().all(axis=1).to_numpy()
+        r_null, r = r[~r_valid], r[r_valid]
         l_valid = l[keys].notna().all(axis=1).to_numpy()
         if how == "inner":
             return l[l_valid].merge(r, on=keys, how="inner")
-        matched = l[l_valid].merge(r, on=keys, how="left")
-        if l_valid.all():
-            return matched
-        rest = l[~l_valid].reindex(columns=matched.columns)
-        return pd.concat([matched, rest], ignore_index=True)
+        matched = l[l_valid].merge(r, on=keys, how=how)
+        rest = [matched]
+        if not l_valid.all():
+            rest.append(l[~l_valid].reindex(columns=matched.columns))
+        if how == "outer" and len(r_null):
+            rest.append(r_null.reindex(columns=matched.columns))
+        return pd.concat(rest, ignore_index=True) if len(rest) > 1 else matched
 
     return tu.map_buckets(_per_bucket)
 
@@ -581,6 +587,62 @@ def grouped_corr(
         out = df[keys].copy()
         out["n"] = n
         out[out_col] = c
+        return out
+
+    return agg.map_batches(_finish, batch_format="pandas")
+
+
+def grouped_regression(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    x: str,
+    y: str,
+    num_buckets: int = 16,
+    combine: str = "driver",
+) -> "ray.data.Dataset":
+    """Per-group simple linear regression y = slope·x + intercept over
+    INTEGER-scaled columns (SQL ``regr_slope`` / ``regr_intercept``) —
+    :func:`grouped_corr`'s sibling on the same exact moment partials
+    (n, Σx, Σy, Σx², Σxy), finished closed-form:
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy − slope·Σx) / n
+
+    Bit-identical to an oracle spelling the same float64 expression
+    over the same integer sums (native ``regr_slope`` streams floats).
+    Zero-x-variance groups get NULL slope/intercept.  One skinny
+    moment row per (key, batch) moves; combine is O(groups)."""
+    keys = list(keys)
+
+    def _moments(batch: pa.Table) -> pa.Table:
+        xs = batch[x].to_numpy(zero_copy_only=False).astype(np.int64)
+        ys = batch[y].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = {k: batch[k] for k in keys}
+        out.update({"_x": pa.array(xs), "_y": pa.array(ys),
+                    "_xx": pa.array(xs * xs), "_xy": pa.array(xs * ys)})
+        return pa.table(out)
+
+    agg = partial_agg(ds.map_batches(_moments, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      keys, sums=["_x", "_y", "_xx", "_xy"],
+                      count_col="n", num_buckets=num_buckets, combine=combine)
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].astype(np.int64).to_numpy()
+        sx = df["sum__x"].astype(np.int64).to_numpy()
+        sy = df["sum__y"].astype(np.int64).to_numpy()
+        sxx = df["sum__xx"].astype(np.int64).to_numpy()
+        sxy = df["sum__xy"].astype(np.int64).to_numpy()
+        nf, sxf, syf = (a.astype(np.float64) for a in (n, sx, sy))
+        cov = nf * sxy.astype(np.float64) - sxf * syf
+        vx = nf * sxx.astype(np.float64) - sxf * sxf
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = np.where(vx > 0, cov / vx, np.nan)
+            intercept = (syf - slope * sxf) / nf
+        out = df[keys].copy()
+        out["n"] = n
+        out["slope"] = slope
+        out["intercept"] = intercept
         return out
 
     return agg.map_batches(_finish, batch_format="pandas")
