@@ -174,6 +174,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cume_dist_events": q.q_cume_dist_events,
         "price_qty_regression": q.q_price_qty_regression,
         "daily_order_vs_ship": q.q_daily_order_vs_ship,
+        "robust_value_per_type": q.q_robust_value_per_type,
+        "count_encode_type": q.q_count_encode_type,
+        "lang_source_cross": q.q_lang_source_cross,
+        "lineitem_unpivot": q.q_lineitem_unpivot,
+        "quantile_bin_value": q.q_quantile_bin_value,
         # non-SQL-expressible (rows-only checks)
         "approx_distinct_users": q.q_approx_distinct_users,
         "approx_quantiles_price": q.q_approx_quantiles_price,
@@ -841,5 +846,49 @@ def oracle_sql() -> dict[str, str]:
             "SELECT day, CAST(COALESCE(o.n_orders, -1) AS BIGINT) AS n_orders, "
             "CAST(COALESCE(l.qty, -1) AS BIGINT) AS ship_qty "
             "FROM o FULL OUTER JOIN l USING (day)"
+        ),
+        "robust_value_per_type": (
+            "WITH e AS (SELECT event_id, event_type, "
+            "CAST(round(value*100.0) AS BIGINT) AS xs FROM events), "
+            "s AS (SELECT event_type, "
+            "quantile_cont(xs, 0.25) AS p25, "
+            "quantile_cont(xs, 0.50) AS med, "
+            "quantile_cont(xs, 0.75) AS p75 FROM e GROUP BY event_type) "
+            "SELECT e.event_id, e.event_type, COALESCE("
+            "(CAST(e.xs AS DOUBLE) - s.med) / (s.p75 - s.p25), -999.0) "
+            "AS rs FROM e JOIN s USING (event_type)"
+        ),
+        "count_encode_type": (
+            "WITH s AS (SELECT event_type, COUNT(*) AS n "
+            "FROM events GROUP BY event_type) "
+            "SELECT e.event_id, e.event_type, CAST(s.n AS BIGINT) AS ce "
+            "FROM events e JOIN s USING (event_type)"
+        ),
+        "lang_source_cross": (
+            "SELECT lang || '|' || source AS lang_source, "
+            "CAST(COUNT(*) AS BIGINT) AS n_docs "
+            "FROM documents GROUP BY 1"
+        ),
+        "lineitem_unpivot": (
+            "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, "
+            "'l_quantity' AS measure, l_quantity AS value FROM lineitem "
+            "UNION ALL SELECT l_orderkey, CAST(l_linenumber AS BIGINT), "
+            "'l_extendedprice', l_extendedprice FROM lineitem "
+            "UNION ALL SELECT l_orderkey, CAST(l_linenumber AS BIGINT), "
+            "'l_discount', l_discount FROM lineitem "
+            "UNION ALL SELECT l_orderkey, CAST(l_linenumber AS BIGINT), "
+            "'l_tax', l_tax FROM lineitem"
+        ),
+        "quantile_bin_value": (
+            "WITH e AS (SELECT event_id, "
+            "CAST(round(value*100.0) AS BIGINT) AS xs FROM events), "
+            "s AS (SELECT quantile_cont(xs, 0.25) AS b1, "
+            "quantile_cont(xs, 0.50) AS b2, "
+            "quantile_cont(xs, 0.75) AS b3 FROM e) "
+            "SELECT e.event_id, CAST("
+            "(CASE WHEN CAST(e.xs AS DOUBLE) >= s.b1 THEN 1 ELSE 0 END) + "
+            "(CASE WHEN CAST(e.xs AS DOUBLE) >= s.b2 THEN 1 ELSE 0 END) + "
+            "(CASE WHEN CAST(e.xs AS DOUBLE) >= s.b3 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS qbin FROM e, s"
         ),
     }

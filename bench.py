@@ -259,6 +259,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "rolling_1h_sum", "ewma_value", "prev_same_type_event",
         "pct_rank_events", "bfill_events",
         "local_supplier_revenue", "revenue_rollup", "revenue_cube",
+        # feature-engineering family
+        "stddev_value_per_type", "zscore_value", "minmax_value",
+        "target_encode_type", "lang_onehot_per_source", "value_histogram",
+        "multi_lag_value", "cume_dist_events", "price_qty_regression",
+        "daily_order_vs_ship", "robust_value_per_type",
+        "count_encode_type", "lang_source_cross",
     ]
     qs = em.queries()
     for name in bench_queries:

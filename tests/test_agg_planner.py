@@ -113,4 +113,6 @@ def test_broadcast_join_null_keys_match_hash_join():
 def test_hash_join_rejects_unsupported_how():
     l = ray.data.from_pandas(pd.DataFrame({"k": [1]}))
     with pytest.raises(ValueError):
-        hash_join(l, l, "k", how="outer")
+        hash_join(l, l, "k", how="right")  # flip the sides instead
+    with pytest.raises(ValueError):
+        hash_join(l, l, "k", how="cross")

@@ -116,3 +116,75 @@ def test_grouped_variance_bucket_invariance(width):
     assert (out["n"].to_numpy() == ref["count"].to_numpy()).all()
     assert np.allclose(out["var"].to_numpy(), ref["var"].to_numpy())
     assert np.allclose(out["stddev"].to_numpy(), ref["std"].to_numpy())
+
+
+def test_robust_scale_constant_iqr_is_null():
+    from video_features_ray.stages.features import robust_scale
+    # 5 identical values → IQR 0 → NULL; spread group scales exactly
+    df = pd.DataFrame({"g": ["c"] * 5 + ["s"] * 5,
+                       "x": [7] * 5 + [0, 10, 20, 30, 40]})
+    out = robust_scale(ray.data.from_pandas(df), "g", "x").to_pandas()
+    assert out.loc[out["g"] == "c", "rs"].isna().all()
+    s = out.loc[out["g"] == "s"].sort_values("x")["rs"].to_numpy()
+    assert np.allclose(s, ([0, 10, 20, 30, 40] - np.float64(20.0)) / 20.0)
+
+
+def test_count_encode_unseen_is_zero_and_counts_exact():
+    from video_features_ray.stages.features import count_encode
+
+    df = pd.DataFrame({"c": ["a", "a", "b", "a"]})
+    out = count_encode(ray.data.from_pandas(df), "c").to_pandas()
+    assert (out.loc[out["c"] == "a", "ce"] == 3).all()
+    assert (out.loc[out["c"] == "b", "ce"] == 1).all()
+    assert out["ce"].dtype == np.int64
+
+
+def test_feature_cross_null_propagates():
+    from video_features_ray.stages.features import feature_cross
+
+    df = pd.DataFrame({"a": ["x", None, "y"], "b": ["1", "2", None]})
+    out = feature_cross(ray.data.from_pandas(df), ["a", "b"]).to_pandas()
+    assert out["cross"].tolist()[0] == "x|1"
+    assert pd.isna(out["cross"].tolist()[1]) and pd.isna(out["cross"].tolist()[2])
+
+
+def test_unpivot_shape_and_values():
+    from video_features_ray.stages.features import unpivot
+
+    df = pd.DataFrame({"id": [1, 2], "a": [10.0, 20.0], "b": [0.5, 0.6]})
+    out = unpivot(ray.data.from_pandas(df), ["id"], ["a", "b"]).to_pandas()
+    assert len(out) == 4
+    want = df.melt(id_vars=["id"], value_vars=["a", "b"])
+    got = out.sort_values(["id", "variable"]).reset_index(drop=True)
+    want = want.sort_values(["id", "variable"]).reset_index(drop=True)
+    assert got["value"].tolist() == want["value"].tolist()
+    assert got["variable"].tolist() == want["variable"].tolist()
+
+
+def test_quantile_bin_equal_frequency():
+    from video_features_ray.stages.features import quantile_bin
+
+    # 0..99 → quartiles should land 25 rows per bin
+    df = pd.DataFrame({"x": np.arange(100, dtype=np.int64)})
+    out = quantile_bin(ray.data.from_pandas(df), "x", k=4).to_pandas()
+    counts = out["qbin"].value_counts().sort_index()
+    assert counts.index.tolist() == [0, 1, 2, 3]
+    # interpolated boundaries → 25/25/25/25 up to boundary rounding
+    assert all(24 <= c <= 26 for c in counts)
+    # monotone: larger x never gets a smaller bin
+    s = out.sort_values("x")["qbin"].to_numpy()
+    assert (np.diff(s) >= 0).all()
+
+
+def test_quantile_bin_heavy_ties_skip_bins_consistently():
+    from video_features_ray.stages.features import quantile_bin
+
+    # >75% identical values → b1 == b2 == b3 → only bins 0 and 3 exist
+    df = pd.DataFrame({"x": np.array([0] * 90 + list(range(1, 11)),
+                                     dtype=np.int64)})
+    out = quantile_bin(ray.data.from_pandas(df), "x", k=4).to_pandas()
+    assert set(out["qbin"].unique()) == {3}  # all x >= all boundaries (0.0)
+    # and a spread corpus still uses bin 0
+    df2 = pd.DataFrame({"x": np.arange(20, dtype=np.int64)})
+    out2 = quantile_bin(ray.data.from_pandas(df2), "x", k=4).to_pandas()
+    assert (out2["qbin"] == 0).any()

@@ -2133,3 +2133,79 @@ def q_daily_order_vs_ship(sf_dir: str):
         return df[["day", "n_orders", "ship_qty"]]
 
     return joined.map_batches(_finish, batch_format="pandas")
+
+
+def q_robust_value_per_type(sf_dir: str):
+    """Robust scaling (x − median)/IQR of value within its event_type —
+    quantile fit (one CDF walk, DuckDB quantile_cont-exact) broadcast
+    to a map-only transform."""
+    from ..stages.features import robust_scale
+
+    ds = _events_scaled(sf_dir, ["event_id", "event_type"])
+    out = robust_scale(ds, "event_type", "xs", out_col="rs")
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["rs"] = df["rs"].fillna(-999.0)
+        return df[["event_id", "event_type", "rs"]]
+
+    return out.map_batches(_finish, batch_format="pandas")
+
+
+def q_count_encode_type(sf_dir: str):
+    """Frequency encoding of event_type: each row annotated with its
+    category's corpus count (exact int64)."""
+    from ..stages.features import count_encode
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type"])
+    out = count_encode(ds, "event_type", out_col="ce")
+    return out.map_batches(
+        lambda df: df[["event_id", "event_type", "ce"]],
+        batch_format="pandas")
+
+
+def q_lang_source_cross(sf_dir: str):
+    """Feature crossing lang × source on documents (Arrow string-join
+    kernel, map-only) then the crossed-category count table — the
+    interaction feature's vocabulary with frequencies."""
+    from ..stages.features import feature_cross
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "source"])
+    crossed = feature_cross(ds, ["lang", "source"], out_col="lang_source")
+    out = partial_agg(crossed.select_columns(["lang_source"]),
+                      ["lang_source"], count_col="n_docs",
+                      combine="driver").to_pandas()
+    return out[["lang_source", "n_docs"]]
+
+
+def q_lineitem_unpivot(sf_dir: str):
+    """Wide → long on lineitem's four measure columns (the melt that
+    feeds long-form feature stores) — map-only Arrow kernel, raw
+    doubles pass through untouched so parity is trivial."""
+    from ..stages.features import unpivot
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"])
+    out = unpivot(ds, ["l_orderkey", "l_linenumber"],
+                  ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+                  var_col="measure", value_col="value")
+
+    def _cast(df: pd.DataFrame) -> pd.DataFrame:
+        df["l_linenumber"] = df["l_linenumber"].astype(np.int64)
+        return df
+
+    return out.map_batches(_cast, batch_format="pandas")
+
+
+def q_quantile_bin_value(sf_dir: str):
+    """Quartile (equal-frequency) binning of the cent-scaled value —
+    quantile-fit boundaries broadcast to one searchsorted per batch."""
+    from ..stages.features import quantile_bin
+
+    ds = _events_scaled(sf_dir, ["event_id"])
+    out = quantile_bin(ds, "xs", k=4)
+    return out.map_batches(lambda df: df[["event_id", "qbin"]],
+                           batch_format="pandas")

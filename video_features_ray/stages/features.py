@@ -352,3 +352,185 @@ def multi_lag(
         return df
 
     return transform_buckets(ds, key, order, _fn, num_buckets=num_buckets)
+
+
+def robust_scale(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    out_col: str = "rs",
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Per-group robust scaling ``(x − median) / (p75 − p25)`` — the
+    outlier-insensitive alternative to z-score (sklearn RobustScaler).
+
+    Fit = ONE frequency pass through :func:`..stages.joins
+    .grouped_quantiles_cont` (p25/p50/p75 from a single CDF walk,
+    O(groups × distinct values) on the driver); transform = broadcast
+    + vectorized apply, payload never shuffles.  Zero-IQR groups get
+    NULL.  Quantiles follow DuckDB ``quantile_cont`` bit-for-bit (the
+    pinned two-sided-weights form), so the whole feature is
+    SQL-checkable."""
+    from .joins import grouped_quantiles_cont
+
+    pdf = grouped_quantiles_cont(ds.select_columns([group_col, value_col]),
+                                 group_col, value_col, [0.25, 0.5, 0.75],
+                                 num_buckets=num_buckets)
+    pdf = pdf.set_index(group_col).sort_index()
+    stats_ref = ray.put(pdf)
+
+    class _Apply:
+        def __init__(self):
+            t = ray.get(stats_ref)
+            self.med = t["q0.5"].to_numpy()
+            iqr = t["q0.75"].to_numpy() - t["q0.25"].to_numpy()
+            self.iqr = np.where(iqr > 0, iqr, np.nan)
+            self.idx = pd.Index(t.index)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pos = self.idx.get_indexer(
+                batch[group_col].to_numpy(zero_copy_only=False))
+            xs = batch[value_col].to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            ok = pos >= 0
+            r = np.full(len(xs), np.nan)
+            p = pos[ok]
+            r[ok] = (xs[ok] - self.med[p]) / self.iqr[p]
+            return batch.append_column(out_col, pa.array(r))
+
+    return ds.map_batches(_Apply, concurrency=(1, 8),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+def count_encode(
+    ds: "ray.data.Dataset",
+    cat_col: str,
+    out_col: str = "ce",
+    num_buckets: int = 16,
+    combine: str = "driver",
+) -> "ray.data.Dataset":
+    """Frequency (count) encoding: annotate each row with its
+    category's corpus count — the cheapest high-signal categorical
+    feature.  Fit = one count partial_agg; transform = broadcast +
+    vectorized lookup (int64, exact)."""
+    agg = partial_agg(ds.select_columns([cat_col]), [cat_col],
+                      count_col="n", num_buckets=num_buckets,
+                      combine=combine)
+    stats_ref = _broadcast_stats(agg, [cat_col])
+
+    class _Apply:
+        def __init__(self):
+            pdf = ray.get(stats_ref)
+            self.n = pdf["n"].astype(np.int64).to_numpy()
+            self.idx = pd.Index(pdf.index)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pos = self.idx.get_indexer(
+                batch[cat_col].to_numpy(zero_copy_only=False))
+            ok = pos >= 0
+            ce = np.zeros(len(pos), dtype=np.int64)  # unseen → 0
+            ce[ok] = self.n[pos[ok]]
+            return batch.append_column(out_col, pa.array(ce))
+
+    return ds.map_batches(_Apply, concurrency=(1, 8),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+def feature_cross(
+    ds: "ray.data.Dataset",
+    cols: Sequence[str],
+    out_col: str = "cross",
+    sep: str = "|",
+) -> "ray.data.Dataset":
+    """Feature crossing: concatenate categorical columns into one
+    composite key (``a|b``) — the interaction feature fed to one-hot /
+    target / count encoders.  Pure Arrow kernel (binary_join_element_
+    wise), map-only, zero shuffle; NULL in any input → NULL cross
+    (SQL ``||`` semantics)."""
+    import pyarrow.compute as pc
+
+    cols = list(cols)
+
+    def _cross(batch: pa.Table) -> pa.Table:
+        parts = [batch[c].cast(pa.string()) for c in cols]
+        crossed = pc.binary_join_element_wise(*parts, sep)
+        return batch.append_column(out_col, crossed)
+
+    return ds.map_batches(_cross, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def unpivot(
+    ds: "ray.data.Dataset",
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    var_col: str = "variable",
+    value_col: str = "value",
+) -> "ray.data.Dataset":
+    """Wide → long (SQL UNPIVOT / pandas melt): one output row per
+    (input row × value column), the inverse of the categorical-pivot
+    block.  Pure Arrow per batch — id/value arrays pass through
+    zero-copy, only the constant ``variable`` label is materialized;
+    no shuffle.  Value columns are cast to float64 (the long-form
+    value axis must be one type)."""
+    id_cols, value_cols = list(id_cols), list(value_cols)
+
+    def _melt(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        parts = []
+        for vc in value_cols:
+            cols = {c: batch[c] for c in id_cols}
+            cols[var_col] = pa.DictionaryArray.from_arrays(
+                pa.array(np.zeros(n, dtype=np.int32)), pa.array([vc]))
+            cols[value_col] = batch[vc].cast(pa.float64())
+            parts.append(pa.table(cols))
+        out = pa.concat_tables(parts)
+        # emit plain strings (dictionary was just the cheap constant)
+        i = out.column_names.index(var_col)
+        return out.set_column(i, var_col, out[var_col].cast(pa.string()))
+
+    return ds.map_batches(_melt, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def quantile_bin(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    k: int = 4,
+    bin_col: str = "qbin",
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Equal-frequency (quantile) binning: fit the k−1 interior
+    boundaries ``quantile_cont(i/k)`` over the INTEGER-valued column
+    (one frequency pass + driver CDF walk, DuckDB-parity pinned), then
+    ``bin = #boundaries ≤ x`` via one broadcast ``searchsorted`` —
+    sklearn KBinsDiscretizer(strategy='quantile') as two Ray stages.
+    Duplicate boundaries (heavy ties) skip bins on both engines
+    identically, since the comparison set is the same floats."""
+    from .joins import grouped_quantiles_cont
+
+    qs = [i / k for i in range(1, k)]
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        return pa.table({"_g": pa.array(np.zeros(len(batch), dtype=np.int8)),
+                         value_col: batch[value_col]})
+
+    pdf = grouped_quantiles_cont(
+        ds.select_columns([value_col]).map_batches(
+            _tag, batch_format="pyarrow", zero_copy_batch=True),
+        "_g", value_col, qs, num_buckets=num_buckets)
+    bounds = pdf[[f"q{q}" for q in qs]].to_numpy().ravel().astype(np.float64)
+    bounds_ref = ray.put(np.sort(bounds))
+
+    class _Apply:
+        def __init__(self):
+            self.bounds = ray.get(bounds_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            xs = batch[value_col].to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            b = np.searchsorted(self.bounds, xs, side="right").astype(np.int64)
+            return batch.append_column(bin_col, pa.array(b))
+
+    return ds.map_batches(_Apply, concurrency=(1, 8),
+                          batch_format="pyarrow", zero_copy_batch=True)

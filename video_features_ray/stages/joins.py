@@ -665,6 +665,20 @@ def grouped_quantile_cont(
     Same scale shape as :func:`grouped_quantile_disc`: per-batch
     (group, value) frequency partials → bucketed combine → the driver
     walks each group's tiny CDF, O(groups × distinct values)."""
+    return grouped_quantiles_cont(ds, group_col, value_col, [q],
+                                  num_buckets=num_buckets)
+
+
+def grouped_quantiles_cont(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    qs: Sequence[float],
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """:func:`grouped_quantile_cont` for SEVERAL quantiles from ONE
+    frequency pass (the robust-scaling fit needs p25/p50/p75 — one CDF
+    walk serves all three).  Columns ``q<q>`` per requested quantile."""
     import math
 
     counts = partial_agg(ds, [group_col, value_col], sums=(),
@@ -677,16 +691,19 @@ def grouped_quantile_cont(
                                                       kind="mergesort")
         n = int(gdf["n"].sum())
         if n == 0:
-            rows.append((g, np.nan))
+            rows.append((g, *[np.nan] * len(qs)))
             continue
-        pos = (n - 1) * q
-        lo, hi = int(math.floor(pos)), int(math.ceil(pos))
-        f = pos - lo
         cum = gdf["n"].cumsum()
-        v_lo = float(gdf.loc[cum >= lo + 1, value_col].iloc[0])
-        v_hi = float(gdf.loc[cum >= hi + 1, value_col].iloc[0])
-        rows.append((g, v_lo * (1 - f) + v_hi * f))
-    return (pd.DataFrame(rows, columns=[group_col, f"q{q}"])
+        vals = []
+        for q in qs:
+            pos = (n - 1) * q
+            lo, hi = int(math.floor(pos)), int(math.ceil(pos))
+            f = pos - lo
+            v_lo = float(gdf.loc[cum >= lo + 1, value_col].iloc[0])
+            v_hi = float(gdf.loc[cum >= hi + 1, value_col].iloc[0])
+            vals.append(v_lo * (1 - f) + v_hi * f)
+        rows.append((g, *vals))
+    return (pd.DataFrame(rows, columns=[group_col, *[f"q{q}" for q in qs]])
             .sort_values(group_col, kind="mergesort").reset_index(drop=True))
 
 
