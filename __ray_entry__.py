@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_cross": q.q_lang_source_cross,
         "lineitem_unpivot": q.q_lineitem_unpivot,
         "quantile_bin_value": q.q_quantile_bin_value,
+        "train_test_split": q.q_train_test_split,
         # non-SQL-expressible (rows-only checks)
         "approx_distinct_users": q.q_approx_distinct_users,
         "approx_quantiles_price": q.q_approx_quantiles_price,
@@ -890,5 +891,11 @@ def oracle_sql() -> dict[str, str]:
             "(CASE WHEN CAST(e.xs AS DOUBLE) >= s.b2 THEN 1 ELSE 0 END) + "
             "(CASE WHEN CAST(e.xs AS DOUBLE) >= s.b3 THEN 1 ELSE 0 END) "
             "AS BIGINT) AS qbin FROM e, s"
+        ),
+        "train_test_split": (
+            "SELECT event_id, user_id, "
+            "CASE WHEN hash(user_id) % 10000 < 9000 THEN 'train' "
+            "WHEN hash(user_id) % 10000 < 9500 THEN 'val' "
+            "ELSE 'test' END AS split FROM events"
         ),
     }

