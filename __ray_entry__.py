@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_unpivot": q.q_lineitem_unpivot,
         "quantile_bin_value": q.q_quantile_bin_value,
         "train_test_split": q.q_train_test_split,
+        "winsorized_value": q.q_winsorized_value,
         # non-SQL-expressible (rows-only checks)
         "approx_distinct_users": q.q_approx_distinct_users,
         "approx_quantiles_price": q.q_approx_quantiles_price,
@@ -811,7 +812,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, epoch_us(ts) AS ts_us, value, "
             "COALESCE(lag(value, 1) OVER w, -1.0) AS lag_1, "
             "COALESCE(lag(value, 2) OVER w, -1.0) AS lag_2, "
-            "COALESCE(lag(value, 3) OVER w, -1.0) AS lag_3 "
+            "COALESCE(lag(value, 3) OVER w, -1.0) AS lag_3, "
+            "COALESCE(lead(value, 1) OVER w, -1.0) AS lead_1 "
             "FROM events WINDOW w AS ("
             "PARTITION BY user_id ORDER BY epoch_us(ts), event_id)"
         ),
@@ -897,5 +899,15 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN hash(user_id) % 10000 < 9000 THEN 'train' "
             "WHEN hash(user_id) % 10000 < 9500 THEN 'val' "
             "ELSE 'test' END AS split FROM events"
+        ),
+        "winsorized_value": (
+            "WITH e AS (SELECT event_id, event_type, "
+            "CAST(round(value*100.0) AS BIGINT) AS xs FROM events), "
+            "s AS (SELECT event_type, "
+            "quantile_cont(xs, 0.05) AS lo, "
+            "quantile_cont(xs, 0.95) AS hi FROM e GROUP BY event_type) "
+            "SELECT e.event_id, e.event_type, "
+            "least(greatest(CAST(e.xs AS DOUBLE), s.lo), s.hi) / 100.0 AS w "
+            "FROM e JOIN s USING (event_type)"
         ),
     }

@@ -217,3 +217,30 @@ def test_hash_split_rejects_bad_fractions():
     with pytest.raises(ValueError):
         hash_split(ray.data.from_pandas(df), "uid",
                    fractions=[("train", 0.5), ("test", 0.3)])
+
+
+def test_multi_lag_leads_never_cross_partition():
+    from video_features_ray.stages.features import multi_lag
+
+    df = _events_df()
+    out = multi_lag(ray.data.from_pandas(df), "k", "ts", "x",
+                    lags=(1,), leads=(1, 2), num_buckets=4).to_pandas()
+    out = out.sort_values(["k", "ts"]).reset_index(drop=True)
+    ref = df.sort_values(["k", "ts"]).reset_index(drop=True)
+    for k in (1, 2):
+        want = ref.groupby("k")["x"].shift(-k)
+        assert np.allclose(out[f"lead_{k}"].to_numpy(), want.to_numpy(),
+                           equal_nan=True)
+
+
+def test_winsorize_clips_to_band():
+    from video_features_ray.stages.features import winsorize
+
+    df = pd.DataFrame({"g": ["a"] * 101,
+                       "x": np.arange(101, dtype=np.int64)})
+    out = winsorize(ray.data.from_pandas(df), "g", "x",
+                    lo_q=0.05, hi_q=0.95).to_pandas()
+    # p05 = 5.0, p95 = 95.0 on 0..100
+    assert out["w"].min() == 5.0 and out["w"].max() == 95.0
+    mid = out[(out["x"] >= 10) & (out["x"] <= 90)]
+    assert np.array_equal(mid["w"].to_numpy(), mid["x"].to_numpy().astype(float))

@@ -2044,13 +2044,14 @@ def q_multi_lag_value(sf_dir: str):
     ds = _events_us(sf_dir, ["event_id", "user_id", "ts", "value"])
     out = multi_lag(ds, "user_id", "ts_us", "value", lags=(1, 2, 3),
                     num_buckets=_w(sf_dir, "events"),
-                    extra_order=["event_id"])
+                    extra_order=["event_id"], leads=(1,))
 
     def _finish(df: pd.DataFrame) -> pd.DataFrame:
         for k in (1, 2, 3):
             df[f"lag_{k}"] = df[f"lag_{k}"].fillna(-1.0)
+        df["lead_1"] = df["lead_1"].fillna(-1.0)
         return df[["event_id", "user_id", "ts_us", "value",
-                   "lag_1", "lag_2", "lag_3"]]
+                   "lag_1", "lag_2", "lag_3", "lead_1"]]
 
     return out.map_batches(_finish, batch_format="pandas")
 
@@ -2115,17 +2116,19 @@ def q_daily_order_vs_ship(sf_dir: str):
         return pa.table({"day": pa.array(d // DAY_US),
                          "qs": pa.array(np.floor(q).astype(np.int64))})
 
+    # both aggregates are O(days) — driver combine is the right plan at
+    # ANY corpus size (partial size = days x blocks; a distributed
+    # combine paid 3 shuffles of overhead to move ~2,500 rows), and it
+    # materializes the sides so the outer join's TaggedUnion cannot
+    # re-execute the upstream for schema inference
     o_agg = partial_agg(orders.map_batches(_oday, batch_format="pyarrow"),
-                        ["day"], count_col="n_orders", combine="distributed",
-                        num_buckets=_w(sf_dir, "orders"))
+                        ["day"], count_col="n_orders", combine="driver")
     l_agg = partial_agg(li.map_batches(_lday, batch_format="pyarrow"),
-                        ["day"], sums=["qs"], combine="distributed",
-                        num_buckets=_w(sf_dir, "lineitem"))
+                        ["day"], sums=["qs"], combine="driver")
     l_agg = l_agg.map_batches(
         lambda df: df[["day", "sum_qs"]], batch_format="pandas")
 
-    joined = hash_join(o_agg, l_agg, "day", how="outer",
-                       num_buckets=_w(sf_dir, "orders"))
+    joined = hash_join(o_agg, l_agg, "day", how="outer", num_buckets=8)
 
     def _finish(df: pd.DataFrame) -> pd.DataFrame:
         df["n_orders"] = df["n_orders"].fillna(-1).astype(np.int64)
@@ -2223,3 +2226,20 @@ def q_train_test_split(sf_dir: str):
     return out.map_batches(
         lambda df: df[["event_id", "user_id", "split"]],
         batch_format="pandas")
+
+
+def q_winsorized_value(sf_dir: str):
+    """Per-type winsorization of the cent-scaled value to the
+    [p05, p95] band (outlier clipping before scaling) — quantile fit
+    broadcast to one vectorized clip per batch."""
+    from ..stages.features import winsorize
+
+    ds = _events_scaled(sf_dir, ["event_id", "event_type"])
+    out = winsorize(ds, "event_type", "xs", lo_q=0.05, hi_q=0.95,
+                    out_col="ws")
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["w"] = df["ws"] / 100.0
+        return df[["event_id", "event_type", "w"]]
+
+    return out.map_batches(_finish, batch_format="pandas")

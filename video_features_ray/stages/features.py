@@ -322,17 +322,20 @@ def multi_lag(
     lags: Sequence[int] = (1, 2, 3),
     num_buckets: int = 16,
     extra_order: Sequence[str] = (),
+    leads: Sequence[int] = (),
 ) -> "ray.data.Dataset":
-    """Lag-feature matrix: one shuffle, one sort per bucket, then ALL
-    requested lags as shifted views with key-boundary masks — the
-    standard autoregressive feature block (``lag_k`` columns), k lags
-    for the price of one (the naive plan re-shuffles per lag).
+    """Lag/lead-feature matrix: one shuffle, one sort per bucket, then
+    ALL requested lags AND leads as shifted views with key-boundary
+    masks — the standard autoregressive feature block (``lag_k`` /
+    ``lead_k`` columns), every offset for the price of one shuffle
+    (the naive plan re-shuffles per offset).
 
-    SQL: ``LAG(v, k) OVER (PARTITION BY key ORDER BY ts, ...)``.
+    SQL: ``LAG(v, k)`` / ``LEAD(v, k)`` ``OVER (PARTITION BY key
+    ORDER BY ts, ...)``.
     """
     from .events import transform_buckets, _key_change
 
-    lags = list(lags)
+    lags, leads = list(lags), list(leads)
     order = [ts, *extra_order]
 
     def _fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -340,7 +343,7 @@ def multi_lag(
         n = len(df)
         v = df[value_col].to_numpy().astype(np.float64)
         new_key = _key_change(df, key)
-        # boundary index of each row's partition start
+        # boundary index of each row's partition start / end
         starts = np.maximum.accumulate(np.where(new_key, np.arange(n), 0))
         idx = np.arange(n)
         for k in lags:
@@ -349,6 +352,18 @@ def multi_lag(
             # mask rows whose lag-k source crosses the partition start
             bad = idx - k < starts
             df[f"lag_{k}"] = np.where(bad, np.nan, shifted)
+        if leads:
+            # each row's partition end = (next partition start) − 1
+            starts_idx = np.flatnonzero(new_key)
+            pos = np.searchsorted(starts_idx, idx, side="right")
+            nxt = np.where(pos < len(starts_idx),
+                           starts_idx[np.minimum(pos, len(starts_idx) - 1)], n)
+            ends = nxt - 1
+        for k in leads:
+            shifted = np.concatenate([v[k:], np.full(k, np.nan)]) \
+                if k < n else np.full(n, np.nan)
+            bad = idx + k > ends
+            df[f"lead_{k}"] = np.where(bad, np.nan, shifted)
         return df
 
     return transform_buckets(ds, key, order, _fn, num_buckets=num_buckets)
@@ -572,3 +587,48 @@ def hash_split(
 
     return ds.map_batches(_assign, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def winsorize(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+    out_col: str = "w",
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Per-group winsorization: clip values to the [lo_q, hi_q]
+    quantile band — the standard outlier treatment before scaling.
+    Same fit/transform shape as :func:`robust_scale` (both quantile
+    bounds from ONE CDF walk, DuckDB quantile_cont parity), clip is
+    one vectorized ``np.minimum/maximum`` per batch."""
+    from .joins import grouped_quantiles_cont
+
+    pdf = grouped_quantiles_cont(ds.select_columns([group_col, value_col]),
+                                 group_col, value_col, [lo_q, hi_q],
+                                 num_buckets=num_buckets)
+    pdf = pdf.set_index(group_col).sort_index()
+    lo_name, hi_name = f"q{lo_q}", f"q{hi_q}"
+    stats_ref = ray.put(pdf)
+
+    class _Apply:
+        def __init__(self):
+            t = ray.get(stats_ref)
+            self.lo = t[lo_name].to_numpy()
+            self.hi = t[hi_name].to_numpy()
+            self.idx = pd.Index(t.index)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pos = self.idx.get_indexer(
+                batch[group_col].to_numpy(zero_copy_only=False))
+            xs = batch[value_col].to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            ok = pos >= 0
+            w = xs.copy()
+            p = pos[ok]
+            w[ok] = np.minimum(np.maximum(xs[ok], self.lo[p]), self.hi[p])
+            return batch.append_column(out_col, pa.array(w))
+
+    return ds.map_batches(_Apply, concurrency=(1, 8),
+                          batch_format="pyarrow", zero_copy_batch=True)
