@@ -244,3 +244,33 @@ def test_winsorize_clips_to_band():
     assert out["w"].min() == 5.0 and out["w"].max() == 95.0
     mid = out[(out["x"] >= 10) & (out["x"] <= 90)]
     assert np.array_equal(mid["w"].to_numpy(), mid["x"].to_numpy().astype(float))
+
+
+@pytest.mark.parametrize("op,kwargs,col", [
+    ("zscore_normalize", {}, "z"),
+    ("minmax_normalize", {}, "mm"),
+    ("mean_target_encode", {}, "te"),
+    ("count_encode", {}, "ce"),
+])
+def test_join_transform_path_bit_equals_broadcast(op, kwargs, col):
+    import video_features_ray.stages.features as F
+
+    rng = np.random.RandomState(13)
+    n = 500
+    df = pd.DataFrame({"row": np.arange(n, dtype=np.int64),
+                       "g": rng.randint(0, 40, n).astype(np.int64),
+                       "x": rng.randint(-100, 100, n).astype(np.int64)})
+    fn = getattr(F, op)
+    args = (ray.data.from_pandas(df).repartition(3), "g", "x")
+    if op == "count_encode":
+        args = (ray.data.from_pandas(df).repartition(3), "g")
+    a = fn(*args, via="broadcast", **kwargs).to_pandas()
+    b = fn(*args, via="join", **kwargs).to_pandas()
+    a = a.sort_values("row").reset_index(drop=True)
+    b = b.sort_values("row").reset_index(drop=True)
+    ga, gb = a[col].to_numpy(), b[col].to_numpy()
+    if ga.dtype.kind == "f":
+        # bit-exact, not just allclose: same exact int sums, same op order
+        assert np.array_equal(ga, gb, equal_nan=True)
+    else:
+        assert np.array_equal(ga, gb)

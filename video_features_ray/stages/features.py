@@ -112,6 +112,7 @@ def zscore_normalize(
     out_col: str = "z",
     num_buckets: int = 16,
     combine: str = "driver",
+    via: str = "broadcast",
 ) -> "ray.data.Dataset":
     """Per-group z-score feature: ``z = (x − mean) / stddev_samp``
     attached to every row.  Fit = one exact-moment `partial_agg`
@@ -122,7 +123,16 @@ def zscore_normalize(
     mean = Σx/n and sd = sqrt((n·Σx² − (Σx)²)/(n·(n−1))) are computed
     in a fixed float64 op order mirrored by the oracle SQL.  Groups
     with n < 2 or zero variance get NULL z.
+
+    ``via="join"`` is the billion-cardinality scale path: instead of
+    broadcasting the stat table into every actor's heap, LEFT
+    hash-join it onto the payload (one shuffle) and finish the same
+    float expression per row — bit-identical output, worker memory
+    O(bucket) instead of O(groups).  Pick it when #groups × row_size
+    no longer fits a worker.
     """
+    if via not in ("broadcast", "join"):
+        raise ValueError(f"via must be broadcast|join, got {via!r}")
     def _moments(batch: pa.Table) -> pa.Table:
         xs = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({group_col: batch[group_col],
@@ -132,6 +142,32 @@ def zscore_normalize(
                                      zero_copy_batch=True),
                       [group_col], sums=["_x", "_xx"], count_col="n",
                       num_buckets=num_buckets, combine=combine)
+
+    if via == "join":
+        from .joins import hash_join
+
+        joined = hash_join(ds, agg, group_col, num_buckets=num_buckets,
+                           how="left")
+
+        def _fin(df: pd.DataFrame) -> pd.DataFrame:
+            # same float64 op order as the broadcast path — the sums
+            # are the same exact integers, so the output is bit-equal
+            n = df["n"].to_numpy(dtype=np.float64)
+            sx = df["sum__x"].to_numpy(dtype=np.float64)
+            sxx = df["sum__xx"].to_numpy(dtype=np.float64)
+            mean = sx / n
+            denom = n * (n - 1.0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                var = np.where(denom > 0, (n * sxx - sx * sx) / denom,
+                               np.nan)
+                sd = np.sqrt(var)
+                sd = np.where(sd > 0, sd, np.nan)
+                xs = df[value_col].to_numpy(dtype=np.float64)
+                df[out_col] = (xs - mean) / sd
+            return df.drop(columns=["sum__x", "sum__xx", "n"])
+
+        return joined.map_batches(_fin, batch_format="pandas")
+
     stats_ref = _broadcast_stats(agg, [group_col])
 
     class _Apply:
@@ -171,13 +207,35 @@ def minmax_normalize(
     out_col: str = "mm",
     num_buckets: int = 16,
     combine: str = "driver",
+    via: str = "broadcast",
 ) -> "ray.data.Dataset":
     """Per-group min-max scaling ``(x − min) / (max − min)`` attached
     to every row.  Same fit/transform shape as :func:`zscore_normalize`
-    with algebraic min/max partials.  Constant groups (max == min) get
+    with algebraic min/max partials (and the same ``via="join"``
+    billion-cardinality path).  Constant groups (max == min) get
     NULL."""
     agg = partial_agg(ds, [group_col], mins=[value_col], maxs=[value_col],
                       num_buckets=num_buckets, combine=combine)
+    lo_c, hi_c = f"min_{value_col}", f"max_{value_col}"
+
+    if via == "join":
+        from .joins import hash_join
+
+        joined = hash_join(ds, agg, group_col, num_buckets=num_buckets,
+                           how="left")
+
+        def _fin(df: pd.DataFrame) -> pd.DataFrame:
+            lo = df[lo_c].to_numpy(dtype=np.float64)
+            hi = df[hi_c].to_numpy(dtype=np.float64)
+            rng = hi - lo
+            rng = np.where(rng > 0, rng, np.nan)
+            xs = df[value_col].to_numpy(dtype=np.float64)
+            with np.errstate(invalid="ignore"):
+                df[out_col] = (xs - lo) / rng
+            return df.drop(columns=[lo_c, hi_c, "n"], errors="ignore")
+
+        return joined.map_batches(_fin, batch_format="pandas")
+
     stats_ref = _broadcast_stats(agg, [group_col])
 
     class _Apply:
@@ -211,6 +269,7 @@ def mean_target_encode(
     out_col: str = "te",
     num_buckets: int = 16,
     combine: str = "driver",
+    via: str = "broadcast",
 ) -> "ray.data.Dataset":
     """Mean target encoding: replace/annotate a categorical with the
     corpus mean of an INTEGER-scaled target within that category —
@@ -226,6 +285,22 @@ def mean_target_encode(
                                      zero_copy_batch=True),
                       [cat_col], sums=["_t"], count_col="n",
                       num_buckets=num_buckets, combine=combine)
+
+    if via == "join":
+        from .joins import hash_join
+
+        joined = hash_join(ds, agg, cat_col, num_buckets=num_buckets,
+                           how="left")
+
+        def _fin(df: pd.DataFrame) -> pd.DataFrame:
+            st = df["sum__t"].to_numpy(dtype=np.float64)
+            n = df["n"].to_numpy(dtype=np.float64)
+            with np.errstate(invalid="ignore"):
+                df[out_col] = st / n
+            return df.drop(columns=["sum__t", "n"])
+
+        return joined.map_batches(_fin, batch_format="pandas")
+
     stats_ref = _broadcast_stats(agg, [cat_col])
 
     class _Apply:
@@ -423,14 +498,29 @@ def count_encode(
     out_col: str = "ce",
     num_buckets: int = 16,
     combine: str = "driver",
+    via: str = "broadcast",
 ) -> "ray.data.Dataset":
     """Frequency (count) encoding: annotate each row with its
     category's corpus count — the cheapest high-signal categorical
     feature.  Fit = one count partial_agg; transform = broadcast +
-    vectorized lookup (int64, exact)."""
+    vectorized lookup (int64, exact); ``via="join"`` for
+    billion-cardinality vocabularies (see :func:`zscore_normalize`)."""
     agg = partial_agg(ds.select_columns([cat_col]), [cat_col],
                       count_col="n", num_buckets=num_buckets,
                       combine=combine)
+
+    if via == "join":
+        from .joins import hash_join
+
+        joined = hash_join(ds, agg, cat_col, num_buckets=num_buckets,
+                           how="left")
+
+        def _fin(df: pd.DataFrame) -> pd.DataFrame:
+            df[out_col] = (df["n"].fillna(0).astype(np.int64))
+            return df.drop(columns=["n"])
+
+        return joined.map_batches(_fin, batch_format="pandas")
+
     stats_ref = _broadcast_stats(agg, [cat_col])
 
     class _Apply:
