@@ -181,6 +181,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_bin_value": q.q_quantile_bin_value,
         "train_test_split": q.q_train_test_split,
         "winsorized_value": q.q_winsorized_value,
+        "ordered_te_value": q.q_ordered_te_value,
+        "running_peak_value": q.q_running_peak_value,
         # non-SQL-expressible (rows-only checks)
         "approx_distinct_users": q.q_approx_distinct_users,
         "approx_quantiles_price": q.q_approx_quantiles_price,
@@ -909,5 +911,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.event_id, e.event_type, "
             "least(greatest(CAST(e.xs AS DOUBLE), s.lo), s.hi) / 100.0 AS w "
             "FROM e JOIN s USING (event_type)"
+        ),
+        "ordered_te_value": (
+            "WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us, "
+            "CAST(round(value*100.0) AS BIGINT) AS xs FROM events) "
+            "SELECT event_id, event_type, COALESCE("
+            "(CAST(SUM(xs) OVER w AS DOUBLE) "
+            "/ CAST(COUNT(*) OVER w AS DOUBLE)) / 100.0, -1.0) AS ote "
+            "FROM e WINDOW w AS (PARTITION BY event_type "
+            "ORDER BY ts_us, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+        ),
+        "running_peak_value": (
+            "SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
+            "MAX(value) OVER w AS vmax, MIN(value) OVER w AS vmin "
+            "FROM events WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY epoch_us(ts), event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         ),
     }

@@ -266,7 +266,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "daily_order_vs_ship", "robust_value_per_type",
         "count_encode_type", "lang_source_cross",
         "lineitem_unpivot", "quantile_bin_value", "train_test_split",
-        "winsorized_value",
+        "winsorized_value", "ordered_te_value", "running_peak_value",
     ]
     qs = em.queries()
     for name in bench_queries:

@@ -274,3 +274,32 @@ def test_join_transform_path_bit_equals_broadcast(op, kwargs, col):
         assert np.array_equal(ga, gb, equal_nan=True)
     else:
         assert np.array_equal(ga, gb)
+
+
+def test_ordered_te_no_leakage():
+    from video_features_ray.stages.features import ordered_target_encode
+
+    # three rows per key in time order: ote must use ONLY earlier rows
+    df = pd.DataFrame({"k": ["a", "a", "a", "b"],
+                       "ts": [1, 2, 3, 1],
+                       "t": [10, 20, 40, 7]})
+    out = (ordered_target_encode(ray.data.from_pandas(df), "k", "ts", "t",
+                                 num_buckets=2)
+           .to_pandas().sort_values(["k", "ts"]).reset_index(drop=True))
+    a = out[out["k"] == "a"]["ote"].tolist()
+    assert np.isnan(a[0]) and a[1] == 10.0 and a[2] == 15.0
+    assert np.isnan(out[out["k"] == "b"]["ote"].iloc[0])
+
+
+def test_cumulative_extrema_matches_pandas():
+    from video_features_ray.stages.features import cumulative_extrema
+
+    df = _events_df()
+    out = (cumulative_extrema(ray.data.from_pandas(df), "k", "ts", "x",
+                              num_buckets=4)
+           .to_pandas().sort_values(["k", "ts"]).reset_index(drop=True))
+    ref = df.sort_values(["k", "ts"]).reset_index(drop=True)
+    want_max = ref.groupby("k")["x"].cummax().to_numpy()
+    want_min = ref.groupby("k")["x"].cummin().to_numpy()
+    assert np.array_equal(out["cummax"].to_numpy(), want_max)
+    assert np.array_equal(out["cummin"].to_numpy(), want_min)

@@ -2246,3 +2246,45 @@ def q_winsorized_value(sf_dir: str):
         return df[["event_id", "event_type", "w"]]
 
     return out.map_batches(_finish, batch_format="pandas")
+
+
+def q_ordered_te_value(sf_dir: str):
+    """Leakage-free (ordered/CatBoost) target encoding: each event's
+    mean value over STRICTLY EARLIER events of its type — the
+    time-respecting sibling of target_encode_type."""
+    from ..stages.features import ordered_target_encode
+
+    ds = _events_us(sf_dir, ["event_id", "event_type", "ts", "value"])
+
+    def _scale(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_id": batch["event_id"],
+                         "event_type": batch["event_type"],
+                         "ts_us": batch["ts_us"],
+                         "xs": pa.array(np.round(v * 100.0).astype(np.int64))})
+
+    out = ordered_target_encode(
+        ds.map_batches(_scale, batch_format="pyarrow"),
+        "event_type", "ts_us", "xs", out_col="ote_s",
+        num_buckets=_w(sf_dir, "events"), extra_order=["event_id"])
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["ote"] = (df["ote_s"] / 100.0).fillna(-1.0)
+        return df[["event_id", "event_type", "ote"]]
+
+    return out.map_batches(_finish, batch_format="pandas")
+
+
+def q_running_peak_value(sf_dir: str):
+    """Per-user running max/min of value (high-watermark / drawdown
+    features) — expanding extrema from the one-shuffle bucket plan."""
+    from ..stages.features import cumulative_extrema
+
+    ds = _events_us(sf_dir, ["event_id", "user_id", "ts", "value"])
+    out = cumulative_extrema(ds, "user_id", "ts_us", "value",
+                             num_buckets=_w(sf_dir, "events"),
+                             extra_order=["event_id"],
+                             max_col="vmax", min_col="vmin")
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id", "ts_us", "vmax", "vmin"]],
+        batch_format="pandas")

@@ -722,3 +722,65 @@ def winsorize(
 
     return ds.map_batches(_Apply, concurrency=(1, 8),
                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ordered_target_encode(
+    ds: "ray.data.Dataset",
+    key: str,
+    ts: str,
+    target_col: str,
+    out_col: str = "ote",
+    num_buckets: int = 16,
+    extra_order: Sequence[str] = (),
+) -> "ray.data.Dataset":
+    """LEAKAGE-FREE (ordered / CatBoost-style) target encoding: each
+    row gets the mean target over STRICTLY EARLIER rows of its
+    category — the time-respecting alternative to
+    :func:`mean_target_encode`, whose corpus mean leaks the row's own
+    target and the future.  First row(s) of a category get NULL
+    (no history).
+
+    One shuffle + per-bucket sort (the category never splits), then a
+    groupwise shifted cumsum/cumcount — exact int64 running sums, one
+    float division per row, mirrored by a ``ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING`` window in SQL."""
+    from .events import transform_buckets
+
+    def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[target_col].to_numpy()
+        g = df.groupby(key, sort=False)
+        csum = g[target_col].cumsum().to_numpy() - v   # Σ earlier
+        cnt = g.cumcount().to_numpy()                  # # earlier
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ote = np.where(cnt > 0,
+                           csum.astype(np.float64) / cnt.astype(np.float64),
+                           np.nan)
+        df[out_col] = ote
+        return df
+
+    return transform_buckets(ds, key, [ts, *extra_order], _fn, num_buckets)
+
+
+def cumulative_extrema(
+    ds: "ray.data.Dataset",
+    key: str,
+    ts: str,
+    value_col: str,
+    num_buckets: int = 16,
+    extra_order: Sequence[str] = (),
+    max_col: str = "cummax",
+    min_col: str = "cummin",
+) -> "ray.data.Dataset":
+    """Running peak/trough per entity: expanding MAX/MIN of ``value``
+    up to and including each row (drawdown / high-watermark features).
+    Same one-shuffle bucket plan as every windowed operator here; raw
+    values pass through untouched, so SQL parity is exact."""
+    from .events import transform_buckets
+
+    def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key, sort=False)[value_col]
+        df[max_col] = g.cummax()
+        df[min_col] = g.cummin()
+        return df
+
+    return transform_buckets(ds, key, [ts, *extra_order], _fn, num_buckets)
