@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ordered_te_value": q.q_ordered_te_value,
         "running_peak_value": q.q_running_peak_value,
         # non-SQL-expressible (rows-only checks)
+        "pca_embeddings": q.q_pca_embeddings,
         "approx_distinct_users": q.q_approx_distinct_users,
         "approx_quantiles_price": q.q_approx_quantiles_price,
         "minhash_neardup": q.q_minhash_neardup,

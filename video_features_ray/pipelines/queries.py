@@ -2288,3 +2288,23 @@ def q_running_peak_value(sf_dir: str):
     return out.map_batches(
         lambda df: df[["event_id", "user_id", "ts_us", "vmax", "vmin"]],
         batch_format="pandas")
+
+
+def q_pca_embeddings(sf_dir: str):
+    """Distributed PCA: fit on the embeddings table (one two-moment
+    partial pass, driver eigh of the 64x64 covariance), then project
+    every vector to the top-8 components. Not SQL-expressible (eigh);
+    pinned against single-process numpy PCA in tests/test_pca.py."""
+    from ..stages.encode import fit_pca, pca_project
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    mean, comps, vals = fit_pca(ds, "embedding", k=8)
+    out = pca_project(ds, mean, comps, "embedding", out_col="pca")
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        # expose the leading coordinate as a scalar check surface
+        df["pc1"] = [float(v[0]) for v in df["pca"]]
+        return df[["vec_id", "pc1"]]
+
+    return out.map_batches(_finish, batch_format="pandas")

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import ray
 
 from ..specs import EncoderSpec, VOCAB_SIZE
 
@@ -129,3 +130,114 @@ class Encoder:
         for name, mat in feats.items():
             out = out.append_column(name, _fixed_list(mat))
         return out
+
+
+def _list_col_matrix(col, n_rows: int) -> np.ndarray:
+    """Zero-copy-ish (row, dim) float64 view of a fixed-width vector
+    column — plain ``list<float>``, ``fixed_size_list``, or Ray's
+    tensor-extension array (offset-sliced chunks handled)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        flat = col.values.to_numpy(zero_copy_only=False)
+        start = col.offsets[0].as_py()
+        if start != 0:
+            flat = flat[start:]
+        dim = (col.offsets[1].as_py() - col.offsets[0].as_py()) if n_rows else 0
+        return flat[: n_rows * dim].reshape(n_rows, dim).astype(np.float64)
+    if pa.types.is_fixed_size_list(t):
+        dim = t.list_size
+        flat = col.values.to_numpy(zero_copy_only=False)
+        start = col.offset * dim
+        return flat[start: start + n_rows * dim].reshape(
+            n_rows, dim).astype(np.float64)
+    # Ray ArrowTensorArray / other extension: materialize via to_numpy
+    x = col.to_numpy(zero_copy_only=False)
+    if x.dtype == object:
+        x = np.stack(x)
+    return np.asarray(x, dtype=np.float64).reshape(n_rows, -1)
+
+
+def fit_pca(ds: "ray.data.Dataset", col: str = "embedding", k: int = 8):
+    """DISTRIBUTED PCA training over an embedding column — the
+    corpus-scale version of the reference's PCA postprocessor
+    (`/root/reference/models/vggish/vggish_src/vggish_postprocess.py:77-88`
+    applies SHIPPED params; here they are learned from the data, the
+    way distributed BPE closed the tokenizer-training loop).
+
+    Iter-free two-moment plan: every batch emits ONE skinny partial
+    row (n, Σx, Σxxᵀ flattened — D + D² doubles); the driver reduces
+    O(batches) partials, forms the covariance
+    ``(Σxxᵀ − n·mean·meanᵀ)/(n−1)``, and runs one D×D ``eigh``.  Data
+    never moves; the only driver-side work is O(batches·D²) + O(D³),
+    independent of corpus size.  Eigenvector signs are fixed by the
+    largest-|component|-positive convention so training is
+    deterministic up to float-sum ordering.
+
+    Returns ``(mean [D], components [D, k], eigvals [k])`` with
+    components sorted by descending eigenvalue.
+    """
+    def _partial(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        x = _list_col_matrix(batch[col], n)
+        sx = x.sum(axis=0)
+        sxx = x.T @ x
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "sx": pa.array([sx.tolist()], pa.list_(pa.float64())),
+            "sxx": pa.array([sxx.reshape(-1).tolist()], pa.list_(pa.float64())),
+        })
+
+    pdf = ds.map_batches(_partial, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    n = int(pdf["n"].sum())
+    if n < 2:
+        raise ValueError(f"fit_pca needs >= 2 rows, got {n}")
+    sx = np.sum(np.stack(pdf["sx"].to_numpy()), axis=0)
+    d = len(sx)
+    sxx = np.sum(np.stack(pdf["sxx"].to_numpy()), axis=0).reshape(d, d)
+    mean = sx / n
+    cov = (sxx - n * np.outer(mean, mean)) / (n - 1)
+    eigvals, eigvecs = np.linalg.eigh(cov)       # ascending
+    order = np.argsort(eigvals)[::-1][:k]
+    comps = eigvecs[:, order]
+    vals = eigvals[order]
+    # deterministic sign: largest-|component| of each vector positive
+    flip = np.sign(comps[np.argmax(np.abs(comps), axis=0),
+                         np.arange(comps.shape[1])])
+    flip[flip == 0] = 1.0
+    return mean, comps * flip, vals
+
+
+def pca_project(
+    ds: "ray.data.Dataset",
+    mean: np.ndarray,
+    components: np.ndarray,
+    col: str = "embedding",
+    out_col: str = "pca",
+    whiten_eigvals: np.ndarray | None = None,
+    concurrency=(1, 8),
+) -> "ray.data.Dataset":
+    """Apply a fitted PCA: ``y = (x − mean) @ components`` (optionally
+    ÷ sqrt(eigvals) for whitening — the reference postprocessor's
+    shape).  Params are ``ray.put`` ONCE; each actor pulls them in
+    ``__init__`` and projects batches with one dgemm."""
+    w = components / np.sqrt(whiten_eigvals)[None, :] \
+        if whiten_eigvals is not None else components
+    params_ref = ray.put((np.asarray(mean, dtype=np.float64),
+                          np.ascontiguousarray(w, dtype=np.float64)))
+
+    class _Project:
+        def __init__(self):
+            self.mean, self.w = ray.get(params_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            x = _list_col_matrix(batch[col], n)
+            y = (x - self.mean[None, :]) @ self.w
+            return batch.append_column(out_col,
+                                       _fixed_list(y.astype(np.float32)))
+
+    return ds.map_batches(_Project, concurrency=concurrency,
+                          batch_format="pyarrow", zero_copy_batch=True)
