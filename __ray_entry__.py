@@ -183,6 +183,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_value": q.q_winsorized_value,
         "ordered_te_value": q.q_ordered_te_value,
         "running_peak_value": q.q_running_peak_value,
+        "impute_value": q.q_impute_value,
+        "ordinal_encode_type": q.q_ordinal_encode_type,
         # non-SQL-expressible (rows-only checks)
         "pca_embeddings": q.q_pca_embeddings,
         "approx_distinct_users": q.q_approx_distinct_users,
@@ -929,5 +931,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM events WINDOW w AS (PARTITION BY user_id "
             "ORDER BY epoch_us(ts), event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ),
+        "impute_value": (
+            "WITH e AS (SELECT event_id, event_type, "
+            "CASE WHEN event_id % 7 = 0 THEN NULL "
+            "ELSE CAST(round(value*100.0) AS BIGINT) END AS xs FROM events), "
+            "s AS (SELECT event_type, SUM(xs) AS sx, COUNT(xs) AS n "
+            "FROM e GROUP BY event_type) "
+            "SELECT e.event_id, e.event_type, "
+            "COALESCE(CAST(e.xs AS DOUBLE), "
+            "CAST(s.sx AS DOUBLE)/CAST(s.n AS DOUBLE)) / 100.0 AS v_filled "
+            "FROM e JOIN s USING (event_type)"
+        ),
+        "ordinal_encode_type": (
+            "WITH v AS (SELECT event_type, "
+            "CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT) "
+            "AS oe FROM (SELECT DISTINCT event_type FROM events)) "
+            "SELECT e.event_id, e.event_type, v.oe "
+            "FROM events e JOIN v USING (event_type)"
         ),
     }

@@ -303,3 +303,25 @@ def test_cumulative_extrema_matches_pandas():
     want_min = ref.groupby("k")["x"].cummin().to_numpy()
     assert np.array_equal(out["cummax"].to_numpy(), want_max)
     assert np.array_equal(out["cummin"].to_numpy(), want_min)
+
+
+def test_mean_impute_fills_only_missing():
+    from video_features_ray.stages.features import mean_impute
+
+    df = pd.DataFrame({"g": ["a", "a", "a", "b"],
+                       "x": [10.0, np.nan, 20.0, np.nan]})
+    out = mean_impute(ray.data.from_pandas(df), "g", "x").to_pandas()
+    a = out[out["g"] == "a"].sort_values("x")["imputed"].tolist()
+    assert sorted(a) == [10.0, 15.0, 20.0]
+    # group with no observed values stays NULL
+    assert out.loc[out["g"] == "b", "imputed"].isna().all()
+
+
+def test_ordinal_encode_sorted_vocab_and_unknown():
+    from video_features_ray.stages.features import ordinal_encode
+
+    df = pd.DataFrame({"c": ["b", "a", "c", "zz"]})
+    out = ordinal_encode(ray.data.from_pandas(df), "c",
+                         categories=["a", "b", "c"]).to_pandas()
+    got = dict(zip(out["c"], out["oe"]))
+    assert got == {"a": 0, "b": 1, "c": 2, "zz": -1}

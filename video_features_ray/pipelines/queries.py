@@ -2308,3 +2308,45 @@ def q_pca_embeddings(sf_dir: str):
         return df[["vec_id", "pc1"]]
 
     return out.map_batches(_finish, batch_format="pandas")
+
+
+def q_impute_value(sf_dir: str):
+    """Mean imputation over planted nulls (event_id % 7 == 0 nulled,
+    as in bfill_events): per-type mean of the OBSERVED cent values
+    fills the holes."""
+    from ..stages.features import mean_impute
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type", "value"])
+
+    def _plant(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        v = b["value"].to_numpy(zero_copy_only=False)
+        xs = np.round(v * 100.0)
+        xs[eid % 7 == 0] = np.nan
+        # from_pandas=True: NaN becomes a true Arrow NULL, not a float
+        return pa.table({"event_id": b["event_id"],
+                         "event_type": b["event_type"],
+                         "xs": pa.array(xs, from_pandas=True)})
+
+    out = mean_impute(ds.map_batches(_plant, batch_format="pyarrow"),
+                      "event_type", "xs", out_col="filled")
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["v_filled"] = df["filled"] / 100.0
+        return df[["event_id", "event_type", "v_filled"]]
+
+    return out.map_batches(_finish, batch_format="pandas")
+
+
+def q_ordinal_encode_type(sf_dir: str):
+    """Ordinal (label) encoding of event_type by sorted-vocabulary
+    index — map-only after one distinct aggregate."""
+    from ..stages.features import ordinal_encode
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type"])
+    out = ordinal_encode(ds, "event_type", out_col="oe")
+    return out.map_batches(
+        lambda df: df[["event_id", "event_type", "oe"]],
+        batch_format="pandas")

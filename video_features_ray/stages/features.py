@@ -784,3 +784,79 @@ def cumulative_extrema(
         return df
 
     return transform_buckets(ds, key, [ts, *extra_order], _fn, num_buckets)
+
+
+def mean_impute(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    out_col: str = "imputed",
+    num_buckets: int = 16,
+    combine: str = "driver",
+) -> "ray.data.Dataset":
+    """Per-group mean imputation: fill NULLs with the group mean of
+    the NON-NULL values (exact int sums over the observed rows, one
+    float division) — the baseline numeric-missing-value treatment.
+    Groups that are entirely NULL stay NULL."""
+    def _observed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = batch[value_col]
+        mask = pc.is_valid(col)
+        if pa.types.is_floating(col.type):  # treat NaN as missing too
+            mask = pc.and_(mask, pc.invert(pc.is_nan(col)))
+        t = batch.filter(mask)
+        xs = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({group_col: t[group_col], "_x": pa.array(xs)})
+
+    agg = partial_agg(ds.map_batches(_observed, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      [group_col], sums=["_x"], count_col="n",
+                      num_buckets=num_buckets, combine=combine)
+    stats_ref = _broadcast_stats(agg, [group_col])
+
+    class _Apply:
+        def __init__(self):
+            pdf = ray.get(stats_ref)
+            sx = pdf["sum__x"].astype(np.int64).to_numpy().astype(np.float64)
+            n = pdf["n"].astype(np.int64).to_numpy().astype(np.float64)
+            self.mean = sx / n
+            self.idx = pd.Index(pdf.index)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pos = self.idx.get_indexer(
+                batch[group_col].to_numpy(zero_copy_only=False))
+            xs = batch[value_col].to_numpy(zero_copy_only=False)
+            xs = np.asarray(xs, dtype=np.float64)
+            out = xs.copy()
+            fill = np.isnan(xs) & (pos >= 0)
+            out[fill] = self.mean[pos[fill]]
+            return batch.append_column(out_col, pa.array(out))
+
+    return ds.map_batches(_Apply, concurrency=(1, 8),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ordinal_encode(
+    ds: "ray.data.Dataset",
+    cat_col: str,
+    categories: Sequence[str] | None = None,
+    out_col: str = "oe",
+) -> "ray.data.Dataset":
+    """Ordinal (label) encoding: category → its index in the SORTED
+    vocabulary (deterministic, reproducible across runs).  Vocabulary
+    discovered with one distinct aggregate or frozen via
+    ``categories``; unknown values get −1 (sklearn
+    handle_unknown=use_encoded_value)."""
+    if categories is None:
+        uniq = partial_agg(ds.select_columns([cat_col]), [cat_col],
+                           combine="driver").to_pandas()
+        categories = sorted(uniq[cat_col].dropna().tolist())
+    idx = pd.Index(list(categories))
+
+    def _encode(batch: pa.Table) -> pa.Table:
+        pos = idx.get_indexer(batch[cat_col].to_numpy(zero_copy_only=False))
+        return batch.append_column(out_col, pa.array(pos.astype(np.int64)))
+
+    return ds.map_batches(_encode, batch_format="pyarrow",
+                          zero_copy_batch=True)
