@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_peak_value": q.q_running_peak_value,
         "impute_value": q.q_impute_value,
         "ordinal_encode_type": q.q_ordinal_encode_type,
+        "rolling_1h_stats": q.q_rolling_1h_stats,
         # non-SQL-expressible (rows-only checks)
         "pca_embeddings": q.q_pca_embeddings,
         "approx_distinct_users": q.q_approx_distinct_users,
@@ -949,5 +950,20 @@ def oracle_sql() -> dict[str, str]:
             "AS oe FROM (SELECT DISTINCT event_type FROM events)) "
             "SELECT e.event_id, e.event_type, v.oe "
             "FROM events e JOIN v USING (event_type)"
+        ),
+        "rolling_1h_stats": (
+            "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
+            "CAST(round(value*100.0) AS BIGINT) AS xs FROM events) "
+            "SELECT event_id, user_id, ts_us, "
+            "(CAST(SUM(xs) OVER w AS DOUBLE) "
+            "/ CAST(COUNT(*) OVER w AS DOUBLE)) / 100.0 AS roll_mean_v, "
+            "COALESCE(sqrt((CAST(COUNT(*) OVER w AS DOUBLE)"
+            "*CAST(SUM(xs*xs) OVER w AS DOUBLE) "
+            "- CAST(SUM(xs) OVER w AS DOUBLE)*CAST(SUM(xs) OVER w AS DOUBLE))"
+            " / (CAST(COUNT(*) OVER w AS DOUBLE)"
+            "*(CAST(COUNT(*) OVER w AS DOUBLE)-1.0))) / 100.0, -1.0) "
+            "AS roll_std_v "
+            "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us "
+            "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"
         ),
     }

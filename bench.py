@@ -267,7 +267,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "count_encode_type", "lang_source_cross",
         "lineitem_unpivot", "quantile_bin_value", "train_test_split",
         "winsorized_value", "ordered_te_value", "running_peak_value",
-        "impute_value", "ordinal_encode_type",
+        "impute_value", "ordinal_encode_type", "rolling_1h_stats",
     ]
     qs = em.queries()
     for name in bench_queries:

@@ -113,3 +113,35 @@ def test_asof_join(direction):
         .reset_index(drop=True)
     )
     np.testing.assert_allclose(got_b["rv_r"].to_numpy(), want["rv_r"].to_numpy(), equal_nan=True)
+
+
+def test_rolling_time_moments_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from video_features_ray.stages.events import rolling_time_moments
+
+    rng = np.random.RandomState(17)
+    n = 600
+    df = pd.DataFrame({
+        "k": rng.randint(0, 6, n).astype(np.int64),
+        "ts": np.sort(rng.randint(0, 10_000, n)).astype(np.int64),
+        "x": rng.randint(0, 1000, n).astype(np.int64),
+    })
+    out = (rolling_time_moments(ray.data.from_pandas(df), "k", "ts", "x",
+                                span_us=500, num_buckets=4)
+           .to_pandas().sort_values(["k", "ts"]).reset_index(drop=True))
+    ref = df.sort_values(["k", "ts"]).reset_index(drop=True)
+    # naive reference: for each row, all same-key rows in [t-500, t]
+    for i in rng.choice(n, 60, replace=False):
+        r = ref.iloc[i]
+        w = ref[(ref["k"] == r["k"]) & (ref["ts"] >= r["ts"] - 500)
+                & (ref["ts"] <= r["ts"])]["x"].to_numpy()
+        # out rows with same (k, ts) all share the full-peer value
+        got = out[(out["k"] == r["k"]) & (out["ts"] == r["ts"])]
+        assert np.allclose(got["roll_mean"].to_numpy(), w.mean())
+        if len(w) > 1:
+            assert np.allclose(got["roll_std"].to_numpy(), w.std(ddof=1))
+        else:
+            assert got["roll_std"].isna().all()

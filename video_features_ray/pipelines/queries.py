@@ -2350,3 +2350,29 @@ def q_ordinal_encode_type(sf_dir: str):
     return out.map_batches(
         lambda df: df[["event_id", "event_type", "oe"]],
         batch_format="pandas")
+
+
+def q_rolling_1h_stats(sf_dir: str):
+    """Per-user trailing-1h mean AND std of the cent value — the
+    volatility window feature (rolling_1h_sum's second moment)."""
+    from ..stages.events import rolling_time_moments
+
+    ds = _events_scaled(sf_dir, ["event_id", "user_id", "ts"])
+
+    def _us(batch: pa.Table) -> pa.Table:
+        t = batch["ts"].cast(pa.int64())
+        return pa.table({"event_id": batch["event_id"],
+                         "user_id": batch["user_id"],
+                         "ts_us": t, "xs": batch["xs"]})
+
+    out = rolling_time_moments(ds.map_batches(_us, batch_format="pyarrow"),
+                               "user_id", "ts_us", "xs", span_us=HOUR_US,
+                               num_buckets=_w(sf_dir, "events"))
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["roll_mean_v"] = df["roll_mean"] / 100.0
+        df["roll_std_v"] = (df["roll_std"] / 100.0).fillna(-1.0)
+        return df[["event_id", "user_id", "ts_us",
+                   "roll_mean_v", "roll_std_v"]]
+
+    return out.map_batches(_finish, batch_format="pandas")

@@ -580,3 +580,49 @@ def cume_dist(
 
     return transform_buckets(ds, key, list(sort_cols), _fn, num_buckets,
                              ascending=ascending)
+
+
+def rolling_time_moments(
+    ds: "ray.data.Dataset",
+    key: str,
+    ts: str,
+    value: str,
+    span_us: int,
+    num_buckets: int = 64,
+    mean_col: str = "roll_mean",
+    std_col: str = "roll_std",
+) -> "ray.data.Dataset":
+    """Per-entity rolling MEAN and SAMPLE STD over a trailing time
+    span — :func:`rolling_time_agg`'s second-moment sibling and the
+    standard volatility feature.  ``value`` must be INTEGER-scaled so
+    the window sums (n, Σx, Σx²) are exact (float64 holds them exactly
+    below 2⁵³); the finish is the same closed-form variance expression
+    the grouped aggregates use, mirrored by three window aggregates in
+    SQL.  Single-row windows get NULL std."""
+
+    def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        idx = pd.to_datetime(df[ts], unit="us")
+        xs = df[value].astype(np.float64)
+        frame = pd.DataFrame({"_x": xs, "_xx": xs * xs}, index=df.index)
+        frame[key] = df[key].to_numpy()
+        g = frame.set_index(idx).groupby(key, sort=False)
+        win = g.rolling(pd.Timedelta(microseconds=int(span_us)),
+                        closed="both")
+        n = win["_x"].count().to_numpy()
+        sx = win["_x"].sum().to_numpy()
+        sxx = win["_xx"].sum().to_numpy()
+        for name, arr in (("_n", n), ("_sx", sx), ("_sxx", sxx)):
+            df[name] = arr
+            # SQL RANGE frames include ALL peers of a tied ts; the
+            # positional rolling saw only earlier ones — patch to the
+            # tie group's last (complete) value
+            df[name] = df.groupby([key, ts], sort=False)[name].transform("last")
+        n, sx, sxx = (df[c].to_numpy() for c in ("_n", "_sx", "_sxx"))
+        df[mean_col] = sx / n
+        denom = n * (n - 1.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            var = np.where(denom > 0, (n * sxx - sx * sx) / denom, np.nan)
+        df[std_col] = np.sqrt(var)
+        return df.drop(columns=["_n", "_sx", "_sxx"])
+
+    return transform_buckets(ds, key, [ts], _fn, num_buckets)
