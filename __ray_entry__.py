@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "impute_value": q.q_impute_value,
         "ordinal_encode_type": q.q_ordinal_encode_type,
         "rolling_1h_stats": q.q_rolling_1h_stats,
+        "feature_store_events": q.q_feature_store_events,
         # non-SQL-expressible (rows-only checks)
         "pca_embeddings": q.q_pca_embeddings,
         "approx_distinct_users": q.q_approx_distinct_users,
@@ -964,6 +965,44 @@ def oracle_sql() -> dict[str, str]:
             "*(CAST(COUNT(*) OVER w AS DOUBLE)-1.0))) / 100.0, -1.0) "
             "AS roll_std_v "
             "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us "
+            "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"
+        ),
+        "feature_store_events": (
+            "WITH e AS (SELECT event_id, user_id, event_type, "
+            "epoch_us(ts) AS ts_us, value, "
+            "CAST(round(value*100.0) AS BIGINT) AS xs FROM events), "
+            "s AS (SELECT event_type, COUNT(*) AS n, SUM(xs) AS sx, "
+            "SUM(xs*xs) AS sxx FROM e GROUP BY event_type) "
+            "SELECT e.event_id, e.user_id, e.ts_us, e.value, "
+            "COALESCE(lag(e.value, 1) OVER wo, -1.0) AS lag_1, "
+            "COALESCE(lag(e.value, 2) OVER wo, -1.0) AS lag_2, "
+            "COALESCE(lead(e.value, 1) OVER wo, -1.0) AS lead_1, "
+            "COALESCE(CAST(e.ts_us - lag(e.ts_us) OVER wo AS DOUBLE), -1.0) "
+            "AS dt_prev, "
+            "MAX(e.value) OVER wc AS vmax, MIN(e.value) OVER wc AS vmin, "
+            "(CAST(SUM(e.xs) OVER wr AS DOUBLE) "
+            "/ CAST(COUNT(*) OVER wr AS DOUBLE)) / 100.0 AS roll_mean_v, "
+            "COALESCE(sqrt((CAST(COUNT(*) OVER wr AS DOUBLE)"
+            "*CAST(SUM(e.xs*e.xs) OVER wr AS DOUBLE) "
+            "- CAST(SUM(e.xs) OVER wr AS DOUBLE)"
+            "*CAST(SUM(e.xs) OVER wr AS DOUBLE)) "
+            "/ (CAST(COUNT(*) OVER wr AS DOUBLE)"
+            "*(CAST(COUNT(*) OVER wr AS DOUBLE)-1.0))) / 100.0, -1.0) "
+            "AS roll_std_v, "
+            "COALESCE((CAST(e.xs AS DOUBLE) "
+            "- CAST(s.sx AS DOUBLE)/CAST(s.n AS DOUBLE)) "
+            "/ sqrt((CAST(s.n AS DOUBLE)*CAST(s.sxx AS DOUBLE) "
+            "- CAST(s.sx AS DOUBLE)*CAST(s.sx AS DOUBLE)) "
+            "/ (CAST(s.n AS DOUBLE)*(CAST(s.n AS DOUBLE)-1.0))), -999.0) "
+            "AS z, "
+            "CASE WHEN hash(e.user_id) % 10000 < 9000 THEN 'train' "
+            "WHEN hash(e.user_id) % 10000 < 9500 THEN 'val' "
+            "ELSE 'test' END AS split "
+            "FROM e JOIN s USING (event_type) "
+            "WINDOW wo AS (PARTITION BY e.user_id ORDER BY e.ts_us, e.event_id), "
+            "wc AS (PARTITION BY e.user_id ORDER BY e.ts_us, e.event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
+            "wr AS (PARTITION BY e.user_id ORDER BY e.ts_us "
             "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"
         ),
     }

@@ -2376,3 +2376,26 @@ def q_rolling_1h_stats(sf_dir: str):
                    "roll_mean_v", "roll_std_v"]]
 
     return out.map_batches(_finish, batch_format="pandas")
+
+
+def q_feature_store_events(sf_dir: str):
+    """THE composed feature_eng flagship: one-shuffle per-user window
+    block (lags/lead/rolling 1h mean+std/extrema/dt_prev) + broadcast
+    z-score + hash split — the full per-event training feature table,
+    every column DuckDB-hash-checked in one query."""
+    from .feature_store import feature_store_pipeline
+
+    out = feature_store_pipeline(sf_dir, num_buckets=_w(sf_dir, "events"))
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("lag_1", "lag_2", "lead_1", "dt_prev"):
+            df[c] = df[c].fillna(-1.0)
+        df["roll_mean_v"] = df["roll_mean"] / 100.0
+        df["roll_std_v"] = (df["roll_std"] / 100.0).fillna(-1.0)
+        df["z"] = df["z"].fillna(-999.0)
+        return df[["event_id", "user_id", "ts_us", "value",
+                   "lag_1", "lag_2", "lead_1", "dt_prev",
+                   "vmax", "vmin", "roll_mean_v", "roll_std_v",
+                   "z", "split"]]
+
+    return out.map_batches(_finish, batch_format="pandas")
