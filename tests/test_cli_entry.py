@@ -87,3 +87,42 @@ def test_cli_api_checkpoint_equivalence(seq_file, tmp_path):
         for g, w in zip(got["feature"], want["feature"]):
             np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                        rtol=1e-4, atol=1e-5)
+
+
+def test_cli_features_matches_library(tmp_path):
+    """CLI `features` subcommand == library events_feature_table on the
+    same input (the CLI-vs-API equivalence contract, feature edition)."""
+    out_dir = str(tmp_path / "feat_out")
+    env = dict(os.environ, RAY_ADDRESS="", PYTHONPATH=REPO)
+    env.pop("RAY_ADDRESS")
+    r = subprocess.run(
+        [sys.executable, "-m", "video_features_ray", "features",
+         "--input", "/root/testdata/sf0.001/events.parquet",
+         "--out", out_dir, "--num-cpus", "4", "--num-buckets", "4"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=280)
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["rows"] == 1000
+
+    from video_features_ray.pipelines.feature_store import (
+        events_feature_table,
+    )
+
+    lib = (events_feature_table(["/root/testdata/sf0.001/events.parquet"],
+                                num_buckets=4)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    frames = []
+    for root, _, files in os.walk(out_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                t = pq.read_table(os.path.join(root, f)).to_pandas()
+                # partition col comes back as the dir value
+                t["split"] = os.path.basename(root).split("=", 1)[1]
+                frames.append(t)
+    cli = (pd.concat(frames, ignore_index=True)
+           .sort_values("event_id").reset_index(drop=True))
+    assert len(cli) == len(lib)
+    for c in ("lag_1", "roll_mean", "roll_std", "z", "vmax", "dt_prev"):
+        assert np.allclose(cli[c].to_numpy(), lib[c].to_numpy(),
+                           equal_nan=True), c
+    assert (cli["split"].to_numpy() == lib["split"].to_numpy()).all()

@@ -36,6 +36,18 @@ def _parse(argv):
     ex.add_argument("--wave-size", type=int, default=2)
     ex.add_argument("--num-cpus", type=int, default=None)
     sub.add_parser("specs", help="list registered encoder specs")
+    fe = sub.add_parser("features",
+                        help="events parquet -> per-event training feature "
+                             "table (lags/lead/rolling/extrema/z-score/split), "
+                             "partitioned by split")
+    fe.add_argument("--input", required=True, nargs="+",
+                    help="event parquet file(s)/glob(s) with "
+                         "(event_id, user_id, ts, event_type, value)")
+    fe.add_argument("--out", required=True, help="output directory")
+    fe.add_argument("--span-us", type=int, default=3_600_000_000,
+                    help="rolling-window span in microseconds (default 1h)")
+    fe.add_argument("--num-buckets", type=int, default=64)
+    fe.add_argument("--num-cpus", type=int, default=None)
     return p.parse_args(argv)
 
 
@@ -75,11 +87,28 @@ def main(argv=None) -> int:
         from ray.data import DataContext
 
         DataContext.get_current().enable_progress_bars = False
-        spec = get_spec(args.spec)
         files = sorted(f for pat in args.input for f in glob.glob(pat))
         if not files:
             print(f"no input files match {args.input}", file=sys.stderr)
             return 2
+        if args.cmd == "features":
+            import os
+
+            import pyarrow.parquet as pq
+
+            from .pipelines.feature_store import events_feature_table
+
+            out = events_feature_table(files, num_buckets=args.num_buckets,
+                                       span_us=args.span_us)
+            out.write_parquet(args.out, partition_cols=["split"])
+            rows = 0
+            for root, _dirs, fnames in os.walk(args.out):
+                rows += sum(
+                    pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                    for f in fnames if f.endswith(".parquet"))
+            print(json.dumps({"out": args.out, "rows": rows}))
+            return 0
+        spec = get_spec(args.spec)
         if args.checkpoint:
             from .pipelines.extract import extract
             from .state.checkpoint import run_checkpointed

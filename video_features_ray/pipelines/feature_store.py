@@ -105,15 +105,28 @@ def user_feature_block(
 def feature_store_pipeline(
     sf_dir: str,
     num_buckets: int = 64,
+    span_us: int = HOUR_US,
 ) -> "ray.data.Dataset":
     """events → (one-shuffle user feature block) → per-type z-score
     (broadcast fit/transform) → leakage-safe hash split.  Returns the
     wide per-event feature table a trainer would consume; write it
     with ``write_parquet(partition_cols=["split"])`` for the resumable
     partitioned layout."""
+    return events_feature_table([f"{sf_dir}/events.parquet"],
+                                num_buckets=num_buckets, span_us=span_us)
+
+
+def events_feature_table(
+    paths,
+    num_buckets: int = 64,
+    span_us: int = HOUR_US,
+) -> "ray.data.Dataset":
+    """:func:`feature_store_pipeline` over explicit parquet paths (the
+    CLI entry's input shape — any event table with
+    ``event_id, user_id, ts, event_type, value``)."""
     from ..stages.features import hash_split, zscore_normalize
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = ray.data.read_parquet(list(paths),
                                columns=["event_id", "user_id", "ts",
                                         "event_type", "value"])
 
@@ -129,6 +142,6 @@ def feature_store_pipeline(
         })
 
     ds = ds.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
-    feats = user_feature_block(ds, num_buckets=num_buckets)
+    feats = user_feature_block(ds, span_us=span_us, num_buckets=num_buckets)
     feats = zscore_normalize(feats, "event_type", "xs", out_col="z")
     return hash_split(feats, "user_id")
