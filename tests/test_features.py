@@ -325,3 +325,33 @@ def test_ordinal_encode_sorted_vocab_and_unknown():
                          categories=["a", "b", "c"]).to_pandas()
     got = dict(zip(out["c"], out["oe"]))
     assert got == {"a": 0, "b": 1, "c": 2, "zz": -1}
+
+
+def test_ordered_te_chunked_bit_equals_unchunked():
+    from video_features_ray.stages.features import ordered_target_encode
+
+    rng = np.random.RandomState(31)
+    n = 700
+    df = pd.DataFrame({
+        "row": np.arange(n, dtype=np.int64),
+        "k": rng.randint(0, 4, n).astype(np.int64),
+        "ts": np.sort(rng.randint(0, 100_000, n)).astype(np.int64),
+        "t": rng.randint(0, 500, n).astype(np.int64),
+    })
+    ds = ray.data.from_pandas(df).repartition(3)
+    a = (ordered_target_encode(ds, "k", "ts", "t", num_buckets=4,
+                               extra_order=["row"])
+         .to_pandas().sort_values("row").reset_index(drop=True))
+    b = (ordered_target_encode(ds, "k", "ts", "t", num_buckets=4,
+                               extra_order=["row"], time_bucket_us=7_000)
+         .to_pandas().sort_values("row").reset_index(drop=True))
+    # bit-equal: both paths divide the same exact integers
+    assert np.array_equal(a["ote"].to_numpy(), b["ote"].to_numpy(),
+                          equal_nan=True)
+    # and both match the strictly-earlier pandas reference
+    ref = df.sort_values(["k", "ts", "row"]).reset_index(drop=True)
+    g = ref.groupby("k")["t"]
+    want = ((g.cumsum() - ref["t"]) / g.cumcount()).to_numpy()
+    got = (a.sort_values("row").merge(ref[["row"]], on="row")
+           .set_index("row").loc[ref["row"]]["ote"].to_numpy())
+    assert np.allclose(got, want, equal_nan=True)

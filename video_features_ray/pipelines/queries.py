@@ -1978,7 +1978,7 @@ def q_minmax_value(sf_dir: str):
     ds = _events_scaled(sf_dir, ["event_id", "user_id"])
     # user_id is the high-cardinality case -> exercise the JOIN
     # transform path (worker memory O(bucket), not O(users)); the
-    # oracle is identical because the float op order is
+    # oracle is unchanged because both paths share one float op order
     out = minmax_normalize(ds, "user_id", "xs", out_col="mm",
                            combine="distributed", via="join",
                            num_buckets=_w(sf_dir, "events"))

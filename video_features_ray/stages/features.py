@@ -732,33 +732,102 @@ def ordered_target_encode(
     out_col: str = "ote",
     num_buckets: int = 16,
     extra_order: Sequence[str] = (),
+    time_bucket_us: int | None = None,
 ) -> "ray.data.Dataset":
     """LEAKAGE-FREE (ordered / CatBoost-style) target encoding: each
     row gets the mean target over STRICTLY EARLIER rows of its
     category — the time-respecting alternative to
     :func:`mean_target_encode`, whose corpus mean leaks the row's own
     target and the future.  First row(s) of a category get NULL
-    (no history).
+    (no history).  ``target_col`` must be integer-scaled (the running
+    sums are exact ints on both paths).
 
-    One shuffle + per-bucket sort (the category never splits), then a
-    groupwise shifted cumsum/cumcount — exact int64 running sums, one
-    float division per row, mirrored by a ``ROWS BETWEEN UNBOUNDED
-    PRECEDING AND 1 PRECEDING`` window in SQL."""
+    Default plan: one shuffle + per-bucket sort (the category never
+    splits), groupwise shifted cumsum/cumcount, one float division per
+    row — mirrored by a ``ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+    PRECEDING`` window in SQL.  With a LOW-cardinality key every bucket
+    holds a category's FULL history, so a single task's frame grows
+    with the corpus — the OOM shape at 100 TB.
+
+    ``time_bucket_us`` is the scale path (the :func:`..stages.events
+    .ewma_feature` epoch-carry pattern): rows chunk by
+    ``(key, ts // time_bucket_us)``, each task computes intra-chunk
+    prefixes over ONE bounded chunk, a tiny O(categories × buckets)
+    per-chunk total table is exclusive-prefix-summed per key on the
+    driver and broadcast, and each row's encoding is
+    ``(carry_sum + intra_sum) / (carry_cnt + intra_cnt)`` — the SAME
+    exact integers as the unchunked plan, so output is bit-equal
+    (pinned in tests) and the SQL oracle is unchanged."""
     from .events import transform_buckets
 
-    def _fn(df: pd.DataFrame) -> pd.DataFrame:
+    if time_bucket_us is None:
+        def _fn(df: pd.DataFrame) -> pd.DataFrame:
+            v = df[target_col].to_numpy()
+            g = df.groupby(key, sort=False)
+            csum = g[target_col].cumsum().to_numpy() - v   # Σ earlier
+            cnt = g.cumcount().to_numpy()                  # # earlier
+            with np.errstate(invalid="ignore", divide="ignore"):
+                ote = np.where(cnt > 0,
+                               csum.astype(np.float64) / cnt.astype(np.float64),
+                               np.nan)
+            df[out_col] = ote
+            return df
+
+        return transform_buckets(ds, key, [ts, *extra_order], _fn,
+                                 num_buckets)
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        t = batch[ts].to_numpy(zero_copy_only=False)
+        tb = (t // np.int64(time_bucket_us)).astype(np.int64)
+        k = batch[key].to_numpy(zero_copy_only=False)
+        ktb = np.char.add(np.char.add(k.astype(str), "|"), tb.astype(str))
+        return (batch.append_column("_tb", pa.array(tb))
+                     .append_column("_ktb", pa.array(ktb)))
+
+    tagged = ds.map_batches(_tag, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    # tiny per-chunk totals → exclusive prefix per key on the driver
+    tot = partial_agg(tagged, [key, "_tb"], sums=[target_col],
+                      count_col="_cn", num_buckets=num_buckets,
+                      combine="driver").to_pandas()
+    tot = tot.sort_values([key, "_tb"], kind="mergesort")
+    sc = f"sum_{target_col}"
+    tot["_carry_s"] = (tot.groupby(key)[sc].cumsum() - tot[sc]).astype(np.int64)
+    tot["_carry_n"] = (tot.groupby(key)["_cn"].cumsum() - tot["_cn"]).astype(np.int64)
+    carry_ref = ray.put(
+        tot.set_index([key, "_tb"])[["_carry_s", "_carry_n"]].sort_index())
+
+    def _chunk_fn(df: pd.DataFrame) -> pd.DataFrame:
         v = df[target_col].to_numpy()
-        g = df.groupby(key, sort=False)
-        csum = g[target_col].cumsum().to_numpy() - v   # Σ earlier
-        cnt = g.cumcount().to_numpy()                  # # earlier
-        with np.errstate(invalid="ignore", divide="ignore"):
-            ote = np.where(cnt > 0,
-                           csum.astype(np.float64) / cnt.astype(np.float64),
-                           np.nan)
-        df[out_col] = ote
+        g = df.groupby("_ktb", sort=False)
+        df["_cs"] = (g[target_col].cumsum().to_numpy() - v).astype(np.int64)
+        df["_cc"] = g.cumcount().to_numpy().astype(np.int64)
         return df
 
-    return transform_buckets(ds, key, [ts, *extra_order], _fn, num_buckets)
+    chunked = transform_buckets(tagged, "_ktb", [ts, *extra_order],
+                                _chunk_fn, num_buckets)
+
+    class _AddCarry:
+        def __init__(self):
+            t = ray.get(carry_ref)
+            self.idx = t.index
+            self.cs = t["_carry_s"].to_numpy()
+            self.cn = t["_carry_n"].to_numpy()
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            pos = self.idx.get_indexer(
+                pd.MultiIndex.from_arrays([df[key], df["_tb"]]))
+            s = self.cs[pos] + df["_cs"].to_numpy()
+            n = self.cn[pos] + df["_cc"].to_numpy()
+            with np.errstate(invalid="ignore", divide="ignore"):
+                df[out_col] = np.where(
+                    n > 0, s.astype(np.float64) / n.astype(np.float64),
+                    np.nan)
+            return df.drop(columns=["_tb", "_ktb", "_cs", "_cc"])
+
+    return chunked.map_batches(_AddCarry, concurrency=(1, 8),
+                               batch_format="pandas")
 
 
 def cumulative_extrema(
