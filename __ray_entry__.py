@@ -187,6 +187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ordinal_encode_type": q.q_ordinal_encode_type,
         "rolling_1h_stats": q.q_rolling_1h_stats,
         "feature_store_events": q.q_feature_store_events,
+        "skew_kurt_per_type": q.q_skew_kurt_per_type,
+        "value_percentile": q.q_value_percentile,
         # non-SQL-expressible (rows-only checks)
         "pca_embeddings": q.q_pca_embeddings,
         "approx_distinct_users": q.q_approx_distinct_users,
@@ -1004,5 +1006,30 @@ def oracle_sql() -> dict[str, str]:
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
             "wr AS (PARTITION BY e.user_id ORDER BY e.ts_us "
             "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"
+        ),
+        "skew_kurt_per_type": (
+            "WITH e AS (SELECT event_type, "
+            "CAST(floor(value) AS BIGINT) AS xs FROM events), "
+            "s AS (SELECT event_type, COUNT(*) AS n, SUM(xs) AS s1, "
+            "SUM(xs*xs) AS s2, SUM(xs*xs*xs) AS s3, "
+            "SUM(xs*xs*xs*xs) AS s4 FROM e GROUP BY event_type), "
+            "t AS (SELECT event_type, CAST(n AS BIGINT) AS n, "
+            "CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE) AS m, "
+            "CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE) AS r2, "
+            "CAST(s3 AS DOUBLE)/CAST(n AS DOUBLE) AS r3, "
+            "CAST(s4 AS DOUBLE)/CAST(n AS DOUBLE) AS r4 FROM s), "
+            "u AS (SELECT event_type, n, m, r2 - m*m AS m2, "
+            "r3 - 3.0*m*r2 + 2.0*m*m*m AS m3, "
+            "r4 - 4.0*m*r3 + 6.0*m*m*r2 - 3.0*m*m*m*m AS m4 FROM t) "
+            "SELECT event_type, n, "
+            "COALESCE(CASE WHEN m2 > 0 THEN m3/(sqrt(m2)*m2) END, -999.0) "
+            "AS skew, "
+            "COALESCE(CASE WHEN m2 > 0 THEN m4/(m2*m2) - 3.0 END, -999.0) "
+            "AS kurt FROM u"
+        ),
+        "value_percentile": (
+            "WITH e AS (SELECT event_id, "
+            "CAST(round(value*100.0) AS BIGINT) AS xs FROM events) "
+            "SELECT event_id, cume_dist() OVER (ORDER BY xs) AS pctl FROM e"
         ),
     }

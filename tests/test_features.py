@@ -355,3 +355,34 @@ def test_ordered_te_chunked_bit_equals_unchunked():
     got = (a.sort_values("row").merge(ref[["row"]], on="row")
            .set_index("row").loc[ref["row"]]["ote"].to_numpy())
     assert np.allclose(got, want, equal_nan=True)
+
+
+def test_quantile_transform_ecdf():
+    from video_features_ray.stages.features import quantile_transform
+
+    df = pd.DataFrame({"x": np.array([10, 20, 20, 30], dtype=np.int64)})
+    out = quantile_transform(ray.data.from_pandas(df), "x",
+                             out_col="q").to_pandas()
+    got = dict(zip(out["x"], out["q"]))
+    assert got == {10: 0.25, 20: 0.75, 30: 1.0}
+
+
+def test_grouped_skew_kurt_known_values():
+    from video_features_ray.stages.joins import grouped_skew_kurt
+
+    rng = np.random.RandomState(41)
+    x = rng.randint(0, 200, 3000).astype(np.int64)
+    df = pd.DataFrame({"g": ["a"] * len(x), "x": x})
+    out = grouped_skew_kurt(ray.data.from_pandas(df).repartition(4),
+                            ["g"], "x").to_pandas()
+    xf = x.astype(np.float64)
+    m = xf.mean()
+    m2 = ((xf - m) ** 2).mean()
+    want_skew = ((xf - m) ** 3).mean() / m2 ** 1.5
+    want_kurt = ((xf - m) ** 4).mean() / m2 ** 2 - 3.0
+    assert np.isclose(out["skew"].iloc[0], want_skew)
+    assert np.isclose(out["kurt"].iloc[0], want_kurt)
+    # constant group -> NULL
+    dfc = pd.DataFrame({"g": ["c"] * 5, "x": [7] * 5})
+    outc = grouped_skew_kurt(ray.data.from_pandas(dfc), ["g"], "x").to_pandas()
+    assert outc["skew"].isna().all() and outc["kurt"].isna().all()

@@ -2399,3 +2399,37 @@ def q_feature_store_events(sf_dir: str):
                    "z", "split"]]
 
     return out.map_batches(_finish, batch_format="pandas")
+
+
+def q_skew_kurt_per_type(sf_dir: str):
+    """Skewness + excess kurtosis of the unit-scaled value per type —
+    the 3rd/4th-moment aggregate (exact int64 moment partials, one
+    mirrored float finish; floor-unit scale keeps Σx⁴ in int64)."""
+    from ..stages.joins import grouped_skew_kurt
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def _scale(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": batch["event_type"],
+                         "xs": pa.array(np.floor(v).astype(np.int64))})
+
+    out = grouped_skew_kurt(ds.map_batches(_scale, batch_format="pyarrow",
+                                           zero_copy_batch=True),
+                            ["event_type"], "xs").to_pandas()
+    out["skew"] = out["skew"].fillna(-999.0)
+    out["kurt"] = out["kurt"].fillna(-999.0)
+    return out[["event_type", "n", "skew", "kurt"]]
+
+
+def q_value_percentile(sf_dir: str):
+    """Global ECDF transform of the cent value (QuantileTransformer's
+    rank step == cume_dist over the whole corpus): value-domain-bounded
+    frequency fit broadcast to one searchsorted per batch."""
+    from ..stages.features import quantile_transform
+
+    ds = _events_scaled(sf_dir, ["event_id"])
+    out = quantile_transform(ds, "xs", out_col="pctl")
+    return out.map_batches(lambda df: df[["event_id", "pctl"]],
+                           batch_format="pandas")

@@ -929,3 +929,43 @@ def ordinal_encode(
 
     return ds.map_batches(_encode, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def quantile_transform(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    out_col: str = "q",
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Global ECDF (percentile) transform: each value → the fraction
+    of the corpus ≤ it — sklearn QuantileTransformer's rank step, and
+    exactly SQL ``cume_dist() OVER (ORDER BY value)``.
+
+    Fit = one frequency ``partial_agg`` over the INTEGER-scaled value
+    (the table is bounded by the VALUE DOMAIN — e.g. ≤ ~50k distinct
+    cents — not the corpus; for unbounded continuous values substitute
+    the DDSketch path); the cumulative-count table broadcasts once and
+    the transform is one ``searchsorted`` per batch.  Exact integer
+    counts → one float division, bit-equal to the oracle."""
+    counts = partial_agg(ds.select_columns([value_col]), [value_col],
+                         count_col="n", num_buckets=num_buckets,
+                         combine="distributed").to_pandas()
+    counts = counts.sort_values(value_col, kind="mergesort")
+    vals = counts[value_col].to_numpy()
+    cum = counts["n"].astype(np.int64).cumsum().to_numpy()
+    total = float(cum[-1]) if len(cum) else 0.0
+    ref = ray.put((vals, cum, total))
+
+    class _Apply:
+        def __init__(self):
+            self.vals, self.cum, self.total = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            x = batch[value_col].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.vals, x, side="right")
+            c = np.where(pos > 0, self.cum[np.maximum(pos - 1, 0)], 0)
+            q = c.astype(np.float64) / self.total
+            return batch.append_column(out_col, pa.array(q))
+
+    return ds.map_batches(_Apply, concurrency=(1, 8),
+                          batch_format="pyarrow", zero_copy_batch=True)

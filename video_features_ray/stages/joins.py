@@ -1002,3 +1002,61 @@ def cube_agg(
             for c in combinations(keys, r)]
     return grouping_sets_agg(ds, keys, sets, sums=sums, count_col=count_col,
                              num_buckets=num_buckets, all_label=all_label)
+
+
+def grouped_skew_kurt(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    x: str,
+    num_buckets: int = 16,
+    combine: str = "driver",
+) -> "ray.data.Dataset":
+    """Per-group SKEWNESS and EXCESS KURTOSIS over an INTEGER-scaled
+    column — the 3rd/4th-moment siblings of :func:`grouped_corr`:
+    exact int64 partials (n, Σx, Σx², Σx³, Σx⁴), one closed-form
+    float finish over population central moments
+
+        m_k = Σ(x − mean)^k / n      (expanded in raw moments)
+        skew = m₃ / m₂^1.5           excess kurtosis = m₄ / m₂² − 3
+
+    Keep the scale of ``x`` modest: Σx⁴ must fit int64 (e.g. unit-
+    scaled values ≤ ~500 hold to ~10⁸ rows per batch-key; beyond that
+    pre-divide the scale).  Zero-variance groups get NULL."""
+    keys = list(keys)
+
+    def _moments(batch: pa.Table) -> pa.Table:
+        xs = batch[x].to_numpy(zero_copy_only=False).astype(np.int64)
+        x2 = xs * xs
+        out = {k: batch[k] for k in keys}
+        out.update({"_x": pa.array(xs), "_x2": pa.array(x2),
+                    "_x3": pa.array(x2 * xs), "_x4": pa.array(x2 * x2)})
+        return pa.table(out)
+
+    agg = partial_agg(ds.map_batches(_moments, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      keys, sums=["_x", "_x2", "_x3", "_x4"],
+                      count_col="n", num_buckets=num_buckets,
+                      combine=combine)
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].astype(np.int64).to_numpy()
+        s1 = df["sum__x"].astype(np.int64).to_numpy().astype(np.float64)
+        s2 = df["sum__x2"].astype(np.int64).to_numpy().astype(np.float64)
+        s3 = df["sum__x3"].astype(np.int64).to_numpy().astype(np.float64)
+        s4 = df["sum__x4"].astype(np.int64).to_numpy().astype(np.float64)
+        nf = n.astype(np.float64)
+        m = s1 / nf
+        m2 = s2 / nf - m * m
+        m3 = s3 / nf - 3.0 * m * (s2 / nf) + 2.0 * m * m * m
+        m4 = (s4 / nf - 4.0 * m * (s3 / nf) + 6.0 * m * m * (s2 / nf)
+              - 3.0 * m * m * m * m)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            skew = np.where(m2 > 0, m3 / (np.sqrt(m2) * m2), np.nan)
+            kurt = np.where(m2 > 0, m4 / (m2 * m2) - 3.0, np.nan)
+        out = df[keys].copy()
+        out["n"] = n
+        out["skew"] = skew
+        out["kurt"] = kurt
+        return out
+
+    return agg.map_batches(_finish, batch_format="pandas")
