@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feature_store_events": q.q_feature_store_events,
         "skew_kurt_per_type": q.q_skew_kurt_per_type,
         "value_percentile": q.q_value_percentile,
+        "profile_events": q.q_profile_events,
         # non-SQL-expressible (rows-only checks)
         "pca_embeddings": q.q_pca_embeddings,
         "approx_distinct_users": q.q_approx_distinct_users,
@@ -1031,5 +1032,18 @@ def oracle_sql() -> dict[str, str]:
             "WITH e AS (SELECT event_id, "
             "CAST(round(value*100.0) AS BIGINT) AS xs FROM events) "
             "SELECT event_id, cume_dist() OVER (ORDER BY xs) AS pctl FROM e"
+        ),
+        "profile_events": (
+            "SELECT 'event_id' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_nulls, "
+            "CAST(MIN(event_id) AS DOUBLE) AS min_v, "
+            "CAST(MAX(event_id) AS DOUBLE) AS max_v FROM events "
+            "UNION ALL SELECT 'user_id', CAST(COUNT(*) AS BIGINT), "
+            "CAST(COUNT(*) - COUNT(user_id) AS BIGINT), "
+            "CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE) "
+            "FROM events "
+            "UNION ALL SELECT 'value', CAST(COUNT(*) AS BIGINT), "
+            "CAST(COUNT(*) - COUNT(value) AS BIGINT), "
+            "MIN(value), MAX(value) FROM events"
         ),
     }

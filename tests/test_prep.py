@@ -104,3 +104,33 @@ def test_validate_sequences_rejects_dupes():
     bad = pa.table({"doc_id": pa.array(["a", "b", "a"])})
     with pytest.raises(ValueError, match="non-unique"):
         validate_sequences(ray.data.from_arrow(bad))
+
+
+def test_profile_columns_report():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from video_features_ray.stages.prep import profile_columns
+
+    df = pd.DataFrame({
+        "i": np.array([1, 2, 2, 3], dtype=np.int64),
+        "f": [1.5, np.nan, 2.5, 2.5],
+        "s": ["b", "a", None, "c"],
+    })
+    # NaN must be a true Arrow null for the null count
+    import pyarrow as pa
+    t = pa.table({"i": pa.array(df["i"]),
+                  "f": pa.array(df["f"], from_pandas=True),
+                  "s": pa.array(df["s"])})
+    out = profile_columns(ray.data.from_arrow(t).repartition(2),
+                          ["i", "f", "s"]).set_index("column")
+    assert out.loc["i", "n_rows"] == 4 and out.loc["i", "n_nulls"] == 0
+    assert out.loc["i", "min"] == 1.0 and out.loc["i", "max"] == 3.0
+    assert out.loc["f", "n_nulls"] == 1
+    assert out.loc["f", "min"] == 1.5 and out.loc["f", "max"] == 2.5
+    assert out.loc["s", "n_nulls"] == 1
+    assert out.loc["s", "min"] == "a" and out.loc["s", "max"] == "c"
+    # approx distinct within HLL error of truth (tiny counts are exact)
+    assert abs(out.loc["i", "approx_distinct"] - 3) < 0.5
+    assert abs(out.loc["s", "approx_distinct"] - 3) < 0.5

@@ -2433,3 +2433,19 @@ def q_value_percentile(sf_dir: str):
     out = quantile_transform(ds, "xs", out_col="pctl")
     return out.map_batches(lambda df: df[["event_id", "pctl"]],
                            batch_format="pandas")
+
+
+def q_profile_events(sf_dir: str):
+    """Single-pass numeric profile of the events table (row/null
+    counts, min/max per column) — the pre-training hygiene report;
+    the exact fields are SQL-checked, the HLL distinct estimate is
+    covered separately (approx_distinct_users)."""
+    from ..stages.prep import profile_columns
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "value"])
+    out = profile_columns(ds, ["event_id", "user_id", "value"])
+    out = out.rename(columns={"min": "min_v", "max": "max_v"})
+    out["min_v"] = out["min_v"].astype(np.float64)
+    out["max_v"] = out["max_v"].astype(np.float64)
+    return out[["column", "n_rows", "n_nulls", "min_v", "max_v"]]

@@ -203,3 +203,91 @@ def validate_sequences(ds: "ray.data.Dataset") -> None:
     if dupes:
         ids = [d["doc_id"] for d in dupes]
         raise ValueError(f"non-unique doc_id values (first 5): {ids}")
+
+
+def profile_columns(ds: "ray.data.Dataset", columns, p: int = 12) -> pd.DataFrame:
+    """One-pass table profile — per column: row count, null count,
+    min/max, HLL approx-distinct — the pre-training hygiene report
+    (null-rate and range checks before features are fit).
+
+    Per batch each column emits ONE skinny partial row (counts, local
+    min/max, 2^p HLL registers); the driver merges O(batches × cols)
+    partials.  Numeric min/max ride a float64 field, string min/max a
+    string field, so the partial schema is uniform across dtypes.
+    Everything except approx_distinct is exact (and SQL-mirrorable);
+    the HLL carries its usual ~1.6% standard error."""
+    from ..functions.sketches import HyperLogLog, _hash_values, _mix64
+
+    columns = list(columns)
+
+    def _hash_any(col):
+        # floats: hash the exact bit pattern (distinctness of doubles);
+        # ints/strings: the shared vectorized kernels
+        if pa.types.is_floating(col.type):
+            filled = col.fill_null(0.0) if col.null_count else col
+            v = (filled.cast(pa.float64())
+                 .to_numpy(zero_copy_only=False).view(np.uint64))
+            valid = (col.is_valid().to_numpy(zero_copy_only=False)
+                     if col.null_count else np.ones(len(col), dtype=bool))
+            return _mix64(v.copy()), valid
+        return _hash_values(col, with_valid=True)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        out = {"column": [], "n_rows": [], "n_nulls": [],
+               "min_num": [], "max_num": [], "min_str": [], "max_str": [],
+               "regs": []}
+        for c in columns:
+            col = batch[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            h, valid = _hash_any(col)
+            hll = HyperLogLog(p)
+            hll.add_hashes(h[valid])
+            mn = mx = None
+            if valid.any():
+                mm = pc.min_max(col)
+                mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            is_num = pa.types.is_integer(col.type) or pa.types.is_floating(col.type)
+            out["column"].append(c)
+            out["n_rows"].append(len(col))
+            out["n_nulls"].append(int((~valid).sum()))
+            out["min_num"].append(float(mn) if is_num and mn is not None else None)
+            out["max_num"].append(float(mx) if is_num and mx is not None else None)
+            out["min_str"].append(None if is_num else mn)
+            out["max_str"].append(None if is_num else mx)
+            out["regs"].append(hll.registers.tobytes())
+        return pa.table({
+            "column": pa.array(out["column"]),
+            "n_rows": pa.array(out["n_rows"], pa.int64()),
+            "n_nulls": pa.array(out["n_nulls"], pa.int64()),
+            "min_num": pa.array(out["min_num"], pa.float64()),
+            "max_num": pa.array(out["max_num"], pa.float64()),
+            "min_str": pa.array(out["min_str"], pa.string()),
+            "max_str": pa.array(out["max_str"], pa.string()),
+            "regs": pa.array(out["regs"], pa.binary()),
+        })
+
+    parts = (ds.select_columns(columns)
+             .map_batches(_partial, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas())
+    rows = []
+    for c in columns:
+        g = parts[parts["column"] == c]
+        hll = HyperLogLog(p)
+        for rb in g["regs"]:
+            hll.registers = np.maximum(hll.registers,
+                                       np.frombuffer(rb, dtype=np.uint8))
+        nums = g["min_num"].dropna()
+        strs = g["min_str"].dropna()
+        mn = float(nums.min()) if len(nums) else (strs.min() if len(strs) else None)
+        nums = g["max_num"].dropna()
+        strs = g["max_str"].dropna()
+        mx = float(nums.max()) if len(nums) else (strs.max() if len(strs) else None)
+        rows.append({
+            "column": c,
+            "n_rows": int(g["n_rows"].sum()),
+            "n_nulls": int(g["n_nulls"].sum()),
+            "min": mn, "max": mx,
+            "approx_distinct": hll.estimate(),
+        })
+    return pd.DataFrame(rows)
