@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skew_kurt_per_type": q.q_skew_kurt_per_type,
         "value_percentile": q.q_value_percentile,
         "profile_events": q.q_profile_events,
+        "kfold_users": q.q_kfold_users,
         # non-SQL-expressible (rows-only checks)
         "pca_embeddings": q.q_pca_embeddings,
         "approx_distinct_users": q.q_approx_distinct_users,
@@ -1045,5 +1046,9 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'value', CAST(COUNT(*) AS BIGINT), "
             "CAST(COUNT(*) - COUNT(value) AS BIGINT), "
             "MIN(value), MAX(value) FROM events"
+        ),
+        "kfold_users": (
+            "SELECT event_id, user_id, "
+            "CAST((hash(user_id) % 10000) % 5 AS BIGINT) AS fold FROM events"
         ),
     }

@@ -269,7 +269,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "winsorized_value", "ordered_te_value", "running_peak_value",
         "impute_value", "ordinal_encode_type", "rolling_1h_stats",
         "feature_store_events", "skew_kurt_per_type", "value_percentile",
-        "profile_events",
+        "profile_events", "kfold_users",
     ]
     qs = em.queries()
     for name in bench_queries:

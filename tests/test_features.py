@@ -386,3 +386,16 @@ def test_grouped_skew_kurt_known_values():
     dfc = pd.DataFrame({"g": ["c"] * 5, "x": [7] * 5})
     outc = grouped_skew_kurt(ray.data.from_pandas(dfc), ["g"], "x").to_pandas()
     assert outc["skew"].isna().all() and outc["kurt"].isna().all()
+
+
+def test_kfold_entity_consistent_and_balanced():
+    from video_features_ray.stages.features import kfold_assign
+
+    rng = np.random.RandomState(8)
+    df = pd.DataFrame({"row": np.arange(3000, dtype=np.int64),
+                       "uid": rng.randint(0, 500, 3000).astype(np.int64)})
+    out = kfold_assign(ray.data.from_pandas(df), "uid", k=5).to_pandas()
+    assert (out.groupby("uid")["fold"].nunique() == 1).all()
+    ent = out.drop_duplicates("uid")["fold"].value_counts(normalize=True)
+    assert set(ent.index) == {0, 1, 2, 3, 4}
+    assert all(abs(f - 0.2) < 0.07 for f in ent)

@@ -2449,3 +2449,16 @@ def q_profile_events(sf_dir: str):
     out["min_v"] = out["min_v"].astype(np.float64)
     out["max_v"] = out["max_v"].astype(np.float64)
     return out[["column", "n_rows", "n_nulls", "min_v", "max_v"]]
+
+
+def q_kfold_users(sf_dir: str):
+    """5-fold CV assignment by user hash (all of a user's events share
+    a fold) — hash_split's cross-validation sibling."""
+    from ..stages.features import kfold_assign
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id"])
+    out = kfold_assign(ds, "user_id", k=5)
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id", "fold"]],
+        batch_format="pandas")

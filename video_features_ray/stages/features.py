@@ -969,3 +969,28 @@ def quantile_transform(
 
     return ds.map_batches(_Apply, concurrency=(1, 8),
                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+def kfold_assign(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    k: int = 5,
+    out_col: str = "fold",
+    basis: int = 10000,
+) -> "ray.data.Dataset":
+    """Deterministic k-fold assignment by ENTITY hash —
+    :func:`hash_split`'s cross-validation sibling: ``fold =
+    (hash(id) % basis) % k`` (two mods so fold boundaries and the
+    train/val/test cuts quantize the SAME hash axis — an entity's fold
+    is stable whether or not a split ran first).  Map-only,
+    reproducible, leakage-safe, oracle-checkable as one expression."""
+    from ..functions.sketches import duckdb_hash_int64
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        h = duckdb_hash_int64(
+            batch[id_col].to_numpy(zero_copy_only=False)) % np.uint64(basis)
+        fold = (h % np.uint64(k)).astype(np.int64)
+        return batch.append_column(out_col, pa.array(fold))
+
+    return ds.map_batches(_assign, batch_format="pyarrow",
+                          zero_copy_batch=True)
