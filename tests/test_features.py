@@ -399,3 +399,62 @@ def test_kfold_entity_consistent_and_balanced():
     ent = out.drop_duplicates("uid")["fold"].value_counts(normalize=True)
     assert set(ent.index) == {0, 1, 2, 3, 4}
     assert all(abs(f - 0.2) < 0.07 for f in ent)
+
+
+def test_join_transform_survives_payload_column_named_n():
+    from video_features_ray.stages.features import count_encode
+
+    # payload already carries a column 'n' — must NOT shadow the fit count
+    df = pd.DataFrame({"c": ["a", "a", "b"], "n": [99, 98, 97]})
+    out = count_encode(ray.data.from_pandas(df), "c", via="join").to_pandas()
+    assert sorted(out.loc[out["c"] == "a", "ce"]) == [2, 2]
+    assert (out.loc[out["c"] == "b", "ce"] == 1).all()
+    assert sorted(out["n"]) == [97, 98, 99]  # payload column intact
+
+
+def test_one_hot_discovery_with_nulls():
+    df = pd.DataFrame({"c": ["b", None, "a"]})
+    out = one_hot(ray.data.from_pandas(df), "c").to_pandas()
+    assert [c for c in out.columns if c.startswith("is_")] == ["is_a", "is_b"]
+    nul = out[out["c"].isna()]
+    assert (nul[["is_a", "is_b"]].to_numpy() == 0).all()
+
+
+def test_fixed_width_bin_null_propagates():
+    import pyarrow as pa
+    t = pa.table({"x": pa.array([1.0, None, 7.5], type=pa.float64())})
+    out = fixed_width_bin(ray.data.from_arrow(t), "x", 5.0).to_pandas()
+    assert out["bin"].isna().sum() == 1
+    assert sorted(out["bin"].dropna()) == [0, 1]
+
+
+def test_via_typo_fails_fast():
+    from video_features_ray.stages.features import (
+        count_encode,
+        mean_target_encode,
+        minmax_normalize,
+    )
+
+    df = pd.DataFrame({"g": ["a"], "x": [1]})
+    ds = ray.data.from_pandas(df)
+    for fn, args in ((minmax_normalize, (ds, "g", "x")),
+                     (mean_target_encode, (ds, "g", "x")),
+                     (count_encode, (ds, "g"))):
+        with pytest.raises(ValueError):
+            fn(*args, via="Join")
+
+
+def test_broadcast_null_group_key_matches_join_semantics():
+    from video_features_ray.stages.features import mean_target_encode
+    import pyarrow as pa
+
+    t = pa.table({"g": pa.array(["a", "a", None]),
+                  "x": pa.array([10, 20, 7], type=pa.int64())})
+    b = mean_target_encode(ray.data.from_arrow(t), "g", "x",
+                           via="broadcast").to_pandas()
+    j = mean_target_encode(ray.data.from_arrow(t), "g", "x",
+                           via="join").to_pandas()
+    # NULL key → NULL encoding on BOTH paths (SQL: NULL matches nothing)
+    assert b.loc[b["g"].isna(), "te"].isna().all()
+    assert j.loc[j["g"].isna(), "te"].isna().all()
+    assert np.allclose(sorted(b["te"].dropna()), sorted(j["te"].dropna()))

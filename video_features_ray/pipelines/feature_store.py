@@ -23,7 +23,11 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..stages.events import transform_buckets, _key_change
+from ..stages.events import (
+    partition_bounds,
+    rolling_moment_cols,
+    transform_buckets,
+)
 
 HOUR_US = 3_600_000_000
 
@@ -55,13 +59,7 @@ def user_feature_block(
         idx = np.arange(n)
         v = df[value].to_numpy().astype(np.float64)
         t = df[ts].to_numpy().astype(np.int64)
-        new_key = _key_change(df, key)
-        starts = np.maximum.accumulate(np.where(new_key, idx, 0))
-        starts_idx = np.flatnonzero(new_key)
-        pos = np.searchsorted(starts_idx, idx, side="right")
-        nxt = np.where(pos < len(starts_idx),
-                       starts_idx[np.minimum(pos, len(starts_idx) - 1)], n)
-        ends = nxt - 1
+        starts, ends = partition_bounds(df, key)
 
         for k in (1, 2):
             shifted = np.concatenate([np.full(k, np.nan), v[:-k]]) \
@@ -78,26 +76,13 @@ def user_feature_block(
         df["vmax"] = g.cummax()
         df["vmin"] = g.cummin()
 
-        xs = df[scaled].astype(np.float64)
-        frame = pd.DataFrame({"_x": xs, "_xx": xs * xs}, index=df.index)
-        frame[key] = df[key].to_numpy()
-        win = (frame.set_index(pd.to_datetime(t, unit="us"))
-               .groupby(key, sort=False)
-               .rolling(pd.Timedelta(microseconds=int(span_us)),
-                        closed="both"))
-        cnt = win["_x"].count().to_numpy()
-        sx = win["_x"].sum().to_numpy()
-        sxx = win["_xx"].sum().to_numpy()
-        for name, arr in (("_n", cnt), ("_sx", sx), ("_sxx", sxx)):
-            df[name] = arr
-            df[name] = df.groupby([key, ts], sort=False)[name].transform("last")
-        cnt, sx, sxx = (df[c].to_numpy() for c in ("_n", "_sx", "_sxx"))
+        cnt, sx, sxx = rolling_moment_cols(df, key, ts, scaled, span_us)
         df["roll_mean"] = sx / cnt
         denom = cnt * (cnt - 1.0)
         with np.errstate(divide="ignore", invalid="ignore"):
             var = np.where(denom > 0, (cnt * sxx - sx * sx) / denom, np.nan)
         df["roll_std"] = np.sqrt(var)
-        return df.drop(columns=["_n", "_sx", "_sxx"])
+        return df
 
     return transform_buckets(ds, key, [ts, tie], _fn, num_buckets)
 
@@ -131,6 +116,11 @@ def events_feature_table(
                                         "event_type", "value"])
 
     def _prep(batch: pa.Table) -> pa.Table:
+        if batch["value"].null_count:
+            raise ValueError(
+                "events.value contains NULLs — a NULL would int-cast to "
+                "garbage and silently poison the z-score moment sums; "
+                "run stages.features.mean_impute (or filter) first")
         v = batch["value"].to_numpy(zero_copy_only=False)
         return pa.table({
             "event_id": batch["event_id"],
@@ -143,5 +133,11 @@ def events_feature_table(
 
     ds = ds.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
     feats = user_feature_block(ds, span_us=span_us, num_buckets=num_buckets)
-    feats = zscore_normalize(feats, "event_type", "xs", out_col="z")
+    # fit the z-score moments on the PRE-shuffle stream: the fused
+    # block only adds columns / reorders rows, so the int sums are
+    # bit-identical — and the expensive shuffle executes exactly ONCE
+    # (fitting on `feats` would run it eagerly for the fit and again
+    # at consumption)
+    feats = zscore_normalize(feats, "event_type", "xs", out_col="z",
+                             fit_ds=ds)
     return hash_split(feats, "user_id")

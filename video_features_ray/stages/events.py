@@ -97,6 +97,49 @@ def _key_change(df: pd.DataFrame, key: str) -> np.ndarray:
     return chg
 
 
+def partition_bounds(df: pd.DataFrame, key: str):
+    """(starts, ends) index arrays of each row's key partition over a
+    frame pre-sorted by [key, ...] — the shared boundary mask every
+    lag/lead kernel needs (one definition; multi_lag and the fused
+    feature-store block both use it)."""
+    n = len(df)
+    idx = np.arange(n)
+    chg = _key_change(df, key)
+    starts = np.maximum.accumulate(np.where(chg, idx, 0))
+    s_idx = np.flatnonzero(chg)
+    pos = np.searchsorted(s_idx, idx, side="right")
+    nxt = np.where(pos < len(s_idx),
+                   s_idx[np.minimum(pos, len(s_idx) - 1)], n)
+    return starts, nxt - 1
+
+
+def rolling_moment_cols(df: pd.DataFrame, key: str, ts: str, value: str,
+                        span_us: int):
+    """Trailing-``span_us`` windowed (n, Σx, Σx²) arrays for a bucket
+    frame pre-sorted by [key, ts, ...], with the SQL RANGE tie-peer
+    patch applied — the one shared kernel behind rolling_time_moments
+    and the fused feature-store block (a fix here reaches both)."""
+    xs = df[value].astype(np.float64)
+    t = df[ts].to_numpy()
+    frame = pd.DataFrame({"_x": xs, "_xx": xs * xs}, index=df.index)
+    frame[key] = df[key].to_numpy()
+    win = (frame.set_index(pd.to_datetime(t, unit="us"))
+           .groupby(key, sort=False)
+           .rolling(pd.Timedelta(microseconds=int(span_us)),
+                    closed="both"))
+    tmp = pd.DataFrame({"_n": win["_x"].count().to_numpy(),
+                        "_sx": win["_x"].sum().to_numpy(),
+                        "_sxx": win["_xx"].sum().to_numpy()})
+    tmp[key] = df[key].to_numpy()
+    tmp[ts] = t
+    # SQL RANGE frames include ALL peers of a tied ts; the positional
+    # rolling saw only earlier ones — patch to the tie group's last
+    g = tmp.groupby([key, ts], sort=False)
+    return (g["_n"].transform("last").to_numpy(),
+            g["_sx"].transform("last").to_numpy(),
+            g["_sxx"].transform("last").to_numpy())
+
+
 def lag_lead(
     ds: "ray.data.Dataset",
     key: str,
@@ -601,28 +644,12 @@ def rolling_time_moments(
     SQL.  Single-row windows get NULL std."""
 
     def _fn(df: pd.DataFrame) -> pd.DataFrame:
-        idx = pd.to_datetime(df[ts], unit="us")
-        xs = df[value].astype(np.float64)
-        frame = pd.DataFrame({"_x": xs, "_xx": xs * xs}, index=df.index)
-        frame[key] = df[key].to_numpy()
-        g = frame.set_index(idx).groupby(key, sort=False)
-        win = g.rolling(pd.Timedelta(microseconds=int(span_us)),
-                        closed="both")
-        n = win["_x"].count().to_numpy()
-        sx = win["_x"].sum().to_numpy()
-        sxx = win["_xx"].sum().to_numpy()
-        for name, arr in (("_n", n), ("_sx", sx), ("_sxx", sxx)):
-            df[name] = arr
-            # SQL RANGE frames include ALL peers of a tied ts; the
-            # positional rolling saw only earlier ones — patch to the
-            # tie group's last (complete) value
-            df[name] = df.groupby([key, ts], sort=False)[name].transform("last")
-        n, sx, sxx = (df[c].to_numpy() for c in ("_n", "_sx", "_sxx"))
+        n, sx, sxx = rolling_moment_cols(df, key, ts, value, span_us)
         df[mean_col] = sx / n
         denom = n * (n - 1.0)
         with np.errstate(divide="ignore", invalid="ignore"):
             var = np.where(denom > 0, (n * sxx - sx * sx) / denom, np.nan)
         df[std_col] = np.sqrt(var)
-        return df.drop(columns=["_n", "_sx", "_sxx"])
+        return df
 
     return transform_buckets(ds, key, [ts], _fn, num_buckets)

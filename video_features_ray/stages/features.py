@@ -54,6 +54,33 @@ def _broadcast_stats(agg_ds: "ray.data.Dataset", keys: Sequence[str]):
     return ray.put(pdf)
 
 
+def _key_indexer(idx: "pd.Index", batch: pa.Table, col: str) -> np.ndarray:
+    """Positions of a batch's group keys in a fit index, with SQL NULL
+    semantics: a NULL key matches NOTHING (-1).  pd.Index.get_indexer
+    would happily match a NaN key to a NaN index entry, silently
+    diverging from the join transform path and every JOIN-USING
+    oracle."""
+    c = batch[col]
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    pos = idx.get_indexer(c.to_numpy(zero_copy_only=False))
+    if c.null_count:
+        pos = np.where(c.is_valid().to_numpy(zero_copy_only=False), pos, -1)
+    return pos
+
+
+def _fit_for_join(agg: "ray.data.Dataset", keys, renames: dict):
+    """Project a fit table to key + reserved ``__fit_*`` stat names so
+    a LEFT hash_join onto an arbitrary payload can never collide with
+    (and silently shadow) a payload column like ``n``."""
+    cols = [*keys, *renames.keys()]
+
+    def _r(df: pd.DataFrame) -> pd.DataFrame:
+        return df[cols].rename(columns=renames)
+
+    return agg.map_batches(_r, batch_format="pandas")
+
+
 def grouped_variance(
     ds: "ray.data.Dataset",
     keys: Sequence[str],
@@ -113,6 +140,7 @@ def zscore_normalize(
     num_buckets: int = 16,
     combine: str = "driver",
     via: str = "broadcast",
+    fit_ds: "ray.data.Dataset | None" = None,
 ) -> "ray.data.Dataset":
     """Per-group z-score feature: ``z = (x − mean) / stddev_samp``
     attached to every row.  Fit = one exact-moment `partial_agg`
@@ -133,28 +161,38 @@ def zscore_normalize(
     """
     if via not in ("broadcast", "join"):
         raise ValueError(f"via must be broadcast|join, got {via!r}")
+
+    # fit_ds: fit the moments on an UPSTREAM dataset carrying the same
+    # (group, value) rows — e.g. the pre-shuffle input of an expensive
+    # fused block — so the expensive pipeline isn't executed once for
+    # the fit and again for the transform; sums are the same exact
+    # integers, so the output is bit-identical
     def _moments(batch: pa.Table) -> pa.Table:
         xs = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({group_col: batch[group_col],
                          "_x": pa.array(xs), "_xx": pa.array(xs * xs)})
 
-    agg = partial_agg(ds.map_batches(_moments, batch_format="pyarrow",
-                                     zero_copy_batch=True),
+    src = fit_ds if fit_ds is not None else ds
+    agg = partial_agg(src.map_batches(_moments, batch_format="pyarrow",
+                                      zero_copy_batch=True),
                       [group_col], sums=["_x", "_xx"], count_col="n",
                       num_buckets=num_buckets, combine=combine)
 
     if via == "join":
         from .joins import hash_join
 
-        joined = hash_join(ds, agg, group_col, num_buckets=num_buckets,
+        fit = _fit_for_join(agg, [group_col],
+                            {"sum__x": "__fit_sx", "sum__xx": "__fit_sxx",
+                             "n": "__fit_n"})
+        joined = hash_join(ds, fit, group_col, num_buckets=num_buckets,
                            how="left")
 
         def _fin(df: pd.DataFrame) -> pd.DataFrame:
             # same float64 op order as the broadcast path — the sums
             # are the same exact integers, so the output is bit-equal
-            n = df["n"].to_numpy(dtype=np.float64)
-            sx = df["sum__x"].to_numpy(dtype=np.float64)
-            sxx = df["sum__xx"].to_numpy(dtype=np.float64)
+            n = df["__fit_n"].to_numpy(dtype=np.float64)
+            sx = df["__fit_sx"].to_numpy(dtype=np.float64)
+            sxx = df["__fit_sxx"].to_numpy(dtype=np.float64)
             mean = sx / n
             denom = n * (n - 1.0)
             with np.errstate(divide="ignore", invalid="ignore"):
@@ -164,7 +202,7 @@ def zscore_normalize(
                 sd = np.where(sd > 0, sd, np.nan)
                 xs = df[value_col].to_numpy(dtype=np.float64)
                 df[out_col] = (xs - mean) / sd
-            return df.drop(columns=["sum__x", "sum__xx", "n"])
+            return df.drop(columns=["__fit_sx", "__fit_sxx", "__fit_n"])
 
         return joined.map_batches(_fin, batch_format="pandas")
 
@@ -186,8 +224,7 @@ def zscore_normalize(
             self.idx = pd.Index(pdf.index)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            pos = self.idx.get_indexer(
-                batch[group_col].to_numpy(zero_copy_only=False))
+            pos = _key_indexer(self.idx, batch, group_col)
             xs = batch[value_col].to_numpy(
                 zero_copy_only=False).astype(np.float64)
             ok = pos >= 0
@@ -214,6 +251,8 @@ def minmax_normalize(
     with algebraic min/max partials (and the same ``via="join"``
     billion-cardinality path).  Constant groups (max == min) get
     NULL."""
+    if via not in ("broadcast", "join"):
+        raise ValueError(f"via must be broadcast|join, got {via!r}")
     agg = partial_agg(ds, [group_col], mins=[value_col], maxs=[value_col],
                       num_buckets=num_buckets, combine=combine)
     lo_c, hi_c = f"min_{value_col}", f"max_{value_col}"
@@ -221,18 +260,20 @@ def minmax_normalize(
     if via == "join":
         from .joins import hash_join
 
-        joined = hash_join(ds, agg, group_col, num_buckets=num_buckets,
+        fit = _fit_for_join(agg, [group_col],
+                            {lo_c: "__fit_lo", hi_c: "__fit_hi"})
+        joined = hash_join(ds, fit, group_col, num_buckets=num_buckets,
                            how="left")
 
         def _fin(df: pd.DataFrame) -> pd.DataFrame:
-            lo = df[lo_c].to_numpy(dtype=np.float64)
-            hi = df[hi_c].to_numpy(dtype=np.float64)
+            lo = df["__fit_lo"].to_numpy(dtype=np.float64)
+            hi = df["__fit_hi"].to_numpy(dtype=np.float64)
             rng = hi - lo
             rng = np.where(rng > 0, rng, np.nan)
             xs = df[value_col].to_numpy(dtype=np.float64)
             with np.errstate(invalid="ignore"):
                 df[out_col] = (xs - lo) / rng
-            return df.drop(columns=[lo_c, hi_c, "n"], errors="ignore")
+            return df.drop(columns=["__fit_lo", "__fit_hi"])
 
         return joined.map_batches(_fin, batch_format="pandas")
 
@@ -248,8 +289,7 @@ def minmax_normalize(
             self.idx = pd.Index(pdf.index)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            pos = self.idx.get_indexer(
-                batch[group_col].to_numpy(zero_copy_only=False))
+            pos = _key_indexer(self.idx, batch, group_col)
             xs = batch[value_col].to_numpy(
                 zero_copy_only=False).astype(np.float64)
             ok = pos >= 0
@@ -277,6 +317,9 @@ def mean_target_encode(
     Categories unseen in the fit pass (impossible here — fit and
     transform read the same corpus — but possible with a frozen
     encoder) get NULL."""
+    if via not in ("broadcast", "join"):
+        raise ValueError(f"via must be broadcast|join, got {via!r}")
+
     def _cast(batch: pa.Table) -> pa.Table:
         xs = batch[target_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({cat_col: batch[cat_col], "_t": pa.array(xs)})
@@ -289,15 +332,17 @@ def mean_target_encode(
     if via == "join":
         from .joins import hash_join
 
-        joined = hash_join(ds, agg, cat_col, num_buckets=num_buckets,
+        fit = _fit_for_join(agg, [cat_col],
+                            {"sum__t": "__fit_st", "n": "__fit_n"})
+        joined = hash_join(ds, fit, cat_col, num_buckets=num_buckets,
                            how="left")
 
         def _fin(df: pd.DataFrame) -> pd.DataFrame:
-            st = df["sum__t"].to_numpy(dtype=np.float64)
-            n = df["n"].to_numpy(dtype=np.float64)
+            st = df["__fit_st"].to_numpy(dtype=np.float64)
+            n = df["__fit_n"].to_numpy(dtype=np.float64)
             with np.errstate(invalid="ignore"):
                 df[out_col] = st / n
-            return df.drop(columns=["sum__t", "n"])
+            return df.drop(columns=["__fit_st", "__fit_n"])
 
         return joined.map_batches(_fin, batch_format="pandas")
 
@@ -312,8 +357,7 @@ def mean_target_encode(
             self.idx = pd.Index(pdf.index)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            pos = self.idx.get_indexer(
-                batch[cat_col].to_numpy(zero_copy_only=False))
+            pos = _key_indexer(self.idx, batch, cat_col)
             ok = pos >= 0
             te = np.full(len(pos), np.nan)
             te[ok] = self.te[pos[ok]]
@@ -343,7 +387,7 @@ def one_hot(
     if categories is None:
         uniq = partial_agg(ds.select_columns([cat_col]), [cat_col],
                            combine="driver").to_pandas()
-        categories = sorted(uniq[cat_col].tolist())
+        categories = sorted(uniq[cat_col].dropna().tolist())
     categories = list(categories)
 
     def _encode(batch: pa.Table) -> pa.Table:
@@ -366,11 +410,16 @@ def fixed_width_bin(
     """Discretize a numeric column into fixed-width bins:
     ``bin = floor(x / width)`` (int64).  Map-only; compose with
     `partial_agg` on ``bin_col`` for a histogram.  floor (not round)
-    matches SQL ``floor()`` bit-for-bit for negatives too."""
+    matches SQL ``floor()`` bit-for-bit for negatives too; NULL/NaN
+    values get a NULL bin (SQL ``floor(NULL)``), never a garbage
+    int-cast."""
     def _bin(batch: pa.Table) -> pa.Table:
         xs = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        b = np.floor(xs / width).astype(np.int64)
-        return batch.append_column(bin_col, pa.array(b))
+        with np.errstate(invalid="ignore"):
+            b = np.floor(xs / width)
+        bad = np.isnan(b)
+        arr = pa.array(np.where(bad, 0, b).astype(np.int64), mask=bad)
+        return batch.append_column(bin_col, arr)
 
     return ds.map_batches(_bin, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -408,7 +457,7 @@ def multi_lag(
     SQL: ``LAG(v, k)`` / ``LEAD(v, k)`` ``OVER (PARTITION BY key
     ORDER BY ts, ...)``.
     """
-    from .events import transform_buckets, _key_change
+    from .events import partition_bounds, transform_buckets
 
     lags, leads = list(lags), list(leads)
     order = [ts, *extra_order]
@@ -417,9 +466,7 @@ def multi_lag(
         # transform_buckets hands fn the bucket pre-sorted by [key, *order]
         n = len(df)
         v = df[value_col].to_numpy().astype(np.float64)
-        new_key = _key_change(df, key)
-        # boundary index of each row's partition start / end
-        starts = np.maximum.accumulate(np.where(new_key, np.arange(n), 0))
+        starts, ends = partition_bounds(df, key)
         idx = np.arange(n)
         for k in lags:
             shifted = np.concatenate([np.full(k, np.nan), v[:-k]]) \
@@ -427,13 +474,6 @@ def multi_lag(
             # mask rows whose lag-k source crosses the partition start
             bad = idx - k < starts
             df[f"lag_{k}"] = np.where(bad, np.nan, shifted)
-        if leads:
-            # each row's partition end = (next partition start) − 1
-            starts_idx = np.flatnonzero(new_key)
-            pos = np.searchsorted(starts_idx, idx, side="right")
-            nxt = np.where(pos < len(starts_idx),
-                           starts_idx[np.minimum(pos, len(starts_idx) - 1)], n)
-            ends = nxt - 1
         for k in leads:
             shifted = np.concatenate([v[k:], np.full(k, np.nan)]) \
                 if k < n else np.full(n, np.nan)
@@ -478,8 +518,7 @@ def robust_scale(
             self.idx = pd.Index(t.index)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            pos = self.idx.get_indexer(
-                batch[group_col].to_numpy(zero_copy_only=False))
+            pos = _key_indexer(self.idx, batch, group_col)
             xs = batch[value_col].to_numpy(
                 zero_copy_only=False).astype(np.float64)
             ok = pos >= 0
@@ -505,6 +544,8 @@ def count_encode(
     feature.  Fit = one count partial_agg; transform = broadcast +
     vectorized lookup (int64, exact); ``via="join"`` for
     billion-cardinality vocabularies (see :func:`zscore_normalize`)."""
+    if via not in ("broadcast", "join"):
+        raise ValueError(f"via must be broadcast|join, got {via!r}")
     agg = partial_agg(ds.select_columns([cat_col]), [cat_col],
                       count_col="n", num_buckets=num_buckets,
                       combine=combine)
@@ -512,12 +553,13 @@ def count_encode(
     if via == "join":
         from .joins import hash_join
 
-        joined = hash_join(ds, agg, cat_col, num_buckets=num_buckets,
+        fit = _fit_for_join(agg, [cat_col], {"n": "__fit_n"})
+        joined = hash_join(ds, fit, cat_col, num_buckets=num_buckets,
                            how="left")
 
         def _fin(df: pd.DataFrame) -> pd.DataFrame:
-            df[out_col] = (df["n"].fillna(0).astype(np.int64))
-            return df.drop(columns=["n"])
+            df[out_col] = (df["__fit_n"].fillna(0).astype(np.int64))
+            return df.drop(columns=["__fit_n"])
 
         return joined.map_batches(_fin, batch_format="pandas")
 
@@ -530,8 +572,7 @@ def count_encode(
             self.idx = pd.Index(pdf.index)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            pos = self.idx.get_indexer(
-                batch[cat_col].to_numpy(zero_copy_only=False))
+            pos = _key_indexer(self.idx, batch, cat_col)
             ok = pos >= 0
             ce = np.zeros(len(pos), dtype=np.int64)  # unseen → 0
             ce[ok] = self.n[pos[ok]]
@@ -710,8 +751,7 @@ def winsorize(
             self.idx = pd.Index(t.index)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            pos = self.idx.get_indexer(
-                batch[group_col].to_numpy(zero_copy_only=False))
+            pos = _key_indexer(self.idx, batch, group_col)
             xs = batch[value_col].to_numpy(
                 zero_copy_only=False).astype(np.float64)
             ok = pos >= 0
@@ -818,12 +858,14 @@ def ordered_target_encode(
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             pos = self.idx.get_indexer(
                 pd.MultiIndex.from_arrays([df[key], df["_tb"]]))
-            s = self.cs[pos] + df["_cs"].to_numpy()
-            n = self.cn[pos] + df["_cc"].to_numpy()
+            ok = pos >= 0  # unmatched (NULL key / drift) -> NULL, never
+            p = np.maximum(pos, 0)  # a silent read of the last carry row
+            s = self.cs[p] + df["_cs"].to_numpy()
+            n = self.cn[p] + df["_cc"].to_numpy()
             with np.errstate(invalid="ignore", divide="ignore"):
                 df[out_col] = np.where(
-                    n > 0, s.astype(np.float64) / n.astype(np.float64),
-                    np.nan)
+                    ok & (n > 0),
+                    s.astype(np.float64) / n.astype(np.float64), np.nan)
             return df.drop(columns=["_tb", "_ktb", "_cs", "_cc"])
 
     return chunked.map_batches(_AddCarry, concurrency=(1, 8),
@@ -893,8 +935,7 @@ def mean_impute(
             self.idx = pd.Index(pdf.index)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            pos = self.idx.get_indexer(
-                batch[group_col].to_numpy(zero_copy_only=False))
+            pos = _key_indexer(self.idx, batch, group_col)
             xs = batch[value_col].to_numpy(zero_copy_only=False)
             xs = np.asarray(xs, dtype=np.float64)
             out = xs.copy()
