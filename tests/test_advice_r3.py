@@ -91,3 +91,106 @@ def test_cli_uses_ray_address_env(monkeypatch):
         m.main(["extract", "--input", "/tmp/nope*.parquet", "--out", "/tmp/o",
                 "--spec", "r21d_like_16_16", "--num-cpus", "4"])
     assert calls == {"address": "ray://head:10001"}
+
+
+# --- second code-review batch (round-3 self-review) regressions ---
+
+def test_sessionize_datetime64_ts():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from video_features_ray.stages.events import sessionize
+
+    # two events 10 min apart, then a 2-h gap -> sessions 0,0,1 with
+    # gap given in SECONDS for a datetime64 column
+    df = pd.DataFrame({
+        "k": [1, 1, 1],
+        "t": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 00:10",
+                             "2024-01-01 02:10"]),
+        "i": [0, 1, 2],
+    })
+    out = (sessionize(ray.data.from_pandas(df), "k", "t", gap=1800.0,
+                      num_buckets=2, tie_cols=["i"])
+           .to_pandas().sort_values("i"))
+    assert out["session_id"].tolist() == [0, 0, 1]
+
+
+def test_range_join_null_keys_match_nothing():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from video_features_ray.stages.joins import range_join
+
+    l = pd.DataFrame({"k": [1.0, np.nan], "ts": [5, 5]})
+    r = pd.DataFrame({"k": [1.0, np.nan], "lo": [0, 0], "hi": [10, 10]})
+    out = range_join(ray.data.from_pandas(l), ray.data.from_pandas(r),
+                     "k", "ts", "lo", "hi", num_buckets=2).to_pandas()
+    assert len(out) == 1 and out["k"].iloc[0] == 1.0
+
+
+def test_broadcast_join_suffixes_match_hash_join():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from video_features_ray.stages.joins import broadcast_join, hash_join
+
+    big = pd.DataFrame({"k": [1.0, 2.0, np.nan], "a": [10, 20, 30]})
+    small = pd.DataFrame({"k": [1.0, 2.0], "a": [100, 200], "b": [7, 8]})
+    b = broadcast_join(ray.data.from_pandas(big), small, "k",
+                       how="left").to_pandas()
+    h = hash_join(ray.data.from_pandas(big),
+                  ray.data.from_pandas(small), "k", how="left",
+                  num_buckets=2).to_pandas()
+    assert set(b.columns) == set(h.columns) == {"k", "a", "a_r", "b"}
+    # the null-key left row keeps its own 'a' value in BOTH plans
+    assert b.loc[b["k"].isna(), "a"].iloc[0] == 30
+    assert h.loc[h["k"].isna(), "a"].iloc[0] == 30
+
+
+def test_encoder_empty_batch_reduce_stats_schema():
+    import pyarrow as pa
+
+    from video_features_ray.specs import EncoderSpec
+    from video_features_ray.stages.encode import Encoder
+
+    spec = EncoderSpec("t_empty_rs", "w1", 4, 2, 8)
+    enc = Encoder(spec, reduce_stats=True)
+    empty = pa.table({"doc_id": pa.array([], pa.string()),
+                      "window_tokens": pa.array([], pa.list_(pa.int32()))})
+    out = enc(empty)
+    assert out.column_names == ["rows", "toks", "feat_abs_sum"]
+    assert len(out) == 0
+
+
+def test_profile_columns_timestamp_and_bool():
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from video_features_ray.stages.prep import profile_columns
+
+    t = pa.table({
+        "ts": pa.array(pd.to_datetime(["2024-01-02", "2024-01-01", None])),
+        "flag": pa.array([True, False, True]),
+    })
+    out = profile_columns(ray.data.from_arrow(t), ["ts", "flag"]
+                          ).set_index("column")
+    assert out.loc["ts", "n_nulls"] == 1
+    assert str(out.loc["ts", "min"]).startswith("2024-01-01")
+    assert abs(out.loc["flag", "approx_distinct"] - 2) < 0.5
+
+
+def test_summarize_features_sliced_list_column():
+    import pyarrow as pa
+    import ray.data
+
+    from video_features_ray.stages.prep import summarize_features
+
+    arr = pa.array([[1.0, 2.0], [3.0, 4.0], [100.0, 200.0]],
+                   type=pa.list_(pa.float64()))
+    sliced = pa.table({"feature": arr.slice(0, 2)})  # excludes 100/200
+    got = summarize_features(ray.data.from_arrow(sliced))
+    assert got["max"] == 4.0 and got["count"] == 4

@@ -104,6 +104,10 @@ class Encoder:
             col = col.combine_chunks()
         w = len(batch)
         if w == 0:
+            if self.reduce_stats:  # keep the stats schema block-uniform
+                return pa.table({"rows": pa.array([], pa.int64()),
+                                 "toks": pa.array([], pa.int64()),
+                                 "feat_abs_sum": pa.array([], pa.float64())})
             cols = dict(zip(batch.column_names, batch.columns))
             cols["feature"] = pa.array([], type=pa.list_(pa.float32()))
             if self.spec.kind == "w2":
@@ -180,6 +184,10 @@ def fit_pca(ds: "ray.data.Dataset", col: str = "embedding", k: int = 8):
     """
     def _partial(batch: pa.Table) -> pa.Table:
         n = len(batch)
+        if n == 0:  # an empty block would emit ragged [] partials
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "sx": pa.array([], pa.list_(pa.float64())),
+                             "sxx": pa.array([], pa.list_(pa.float64()))})
         x = _list_col_matrix(batch[col], n)
         sx = x.sum(axis=0)
         sxx = x.T @ x

@@ -186,8 +186,13 @@ def _session_ids(df: pd.DataFrame, key: str, ts: str, gap: float,
     t = df[ts].to_numpy()
     new = _key_change(df, key).copy()
     if len(df) > 1:
-        dt = ((t[1:] - t[:-1]).astype("float64") if t.dtype.kind != "m"
-              else (t[1:] - t[:-1]) / np.timedelta64(1, "s"))
+        d = t[1:] - t[:-1]
+        # datetime64 ts -> the DIFF is timedelta64 ('m'); normalize to
+        # seconds so gap keeps one unit (testing t's dtype here would
+        # route datetime input to the raw branch and compare gap
+        # against nanoseconds)
+        dt = (d / np.timedelta64(1, "s") if d.dtype.kind == "m"
+              else d.astype("float64"))
         new[1:] |= dt > gap
     ord_ = np.cumsum(new) - 1  # global session ordinal in bucket
     key_base = np.maximum.accumulate(np.where(_key_change(df, key), ord_, -1))

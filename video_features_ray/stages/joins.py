@@ -38,16 +38,26 @@ def broadcast_join(
     # return different rows on nullable keys
     small_df = small_df[small_df[keys].notna().all(axis=1)]
     ref = ray.put(small_df)
+    small_cols = [c for c in small_df.columns if c not in keys]
 
     class _Join:
         def __init__(self):
             self.small = ray.get(ref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            # hash_join-compatible suffixing: overlapping RIGHT columns
+            # get '_r', LEFT columns keep their names (pandas' default
+            # _x/_y would rename the left side too, so auto_join's two
+            # plans would return different schemas AND the left-join
+            # rest-rows reindex would null out every renamed value)
+            small = self.small
+            overlap = [c for c in small_cols if c in batch.columns]
+            if overlap:
+                small = small.rename(columns={c: f"{c}_r" for c in overlap})
             valid = batch[keys].notna().all(axis=1).to_numpy()
             if how == "inner":
-                return batch[valid].merge(self.small, on=on, how="inner")
-            matched = batch[valid].merge(self.small, on=on, how="left")
+                return batch[valid].merge(small, on=on, how="inner")
+            matched = batch[valid].merge(small, on=on, how="left")
             if valid.all():
                 return matched
             rest = batch[~valid].reindex(columns=matched.columns)
@@ -217,6 +227,10 @@ def range_join(
             df[df["_side"] == 0][list(left_cols)].copy(), l_dtypes)
         r = TaggedUnion.restore_dtypes(
             df[df["_side"] == 1][list(right_cols)].copy(), r_dtypes)
+        # SQL NULL-key semantics (as in hash_join/broadcast_join):
+        # pandas merge would pair NaN keys with each other
+        l = l[l[key].notna()]
+        r = r[r[key].notna()]
         m = l.merge(r, on=key, how="inner")
         keep = (getattr(m[right_start], lo_op)(m[left_ts])
                 & getattr(m[left_ts], hi_op)(m[right_end]))
@@ -508,6 +522,8 @@ def sliding_aggregate(
     """
     n_per = int(np.ceil(window / step))
 
+    skinny = [*keys, value]
+
     def _explode(batch: pa.Table) -> pa.Table:
         n = len(batch)
         t = batch[ts].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -515,7 +531,9 @@ def sliding_aggregate(
         k = np.tile(np.arange(n_per, dtype=np.float64), n)
         starts = (np.floor(t[idx] / step) - k) * step
         keep = starts > t[idx] - window          # t ∈ [start, start+window)
-        out = batch.take(pa.array(idx[keep]))
+        # replicate ONLY the pre-aggregation columns — taking the whole
+        # batch would duplicate every payload column n_per times
+        out = batch.select(skinny).take(pa.array(idx[keep]))
         return out.append_column(bucket_col, pa.array(starts[keep]))
 
     exploded = ds.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True)
@@ -980,8 +998,13 @@ def grouping_sets_agg(
                 g[c] = all_label
         levels.append(g[keys + sum_cols + [count_col]])
     out = pd.concat(levels, ignore_index=True)
-    for c in [count_col, *sum_cols]:
-        out[c] = out[c].astype(np.int64)
+    # counts are always int64; sums stay int64 ONLY when the input was
+    # integer-scaled (the bit-exactness contract every aggregate here
+    # documents) — blindly casting a float sum would truncate it
+    out[count_col] = out[count_col].astype(np.int64)
+    for c in sum_cols:
+        if pd.api.types.is_integer_dtype(finest[c]):
+            out[c] = out[c].astype(np.int64)
     return out.sort_values(keys, kind="mergesort").reset_index(drop=True)
 
 

@@ -148,7 +148,10 @@ def topk_predictions(
             mat = mat - mat.max(axis=1, keepdims=True)
             e = np.exp(mat)
             p = e / e.sum(axis=1, keepdims=True)
-            idx = np.argsort(-p, axis=1)[:, :k]
+            kk = min(k, p.shape[1])
+            part = np.argpartition(-p, kk - 1, axis=1)[:, :kk]
+            order = np.argsort(np.take_along_axis(-p, part, axis=1), axis=1)
+            idx = np.take_along_axis(part, order, axis=1)
             batch = batch.drop(columns=[score_col])
             batch["topk_ids"] = list(idx.astype(np.int64))
             batch["topk_probs"] = list(np.take_along_axis(p, idx, axis=1))
@@ -169,6 +172,12 @@ def summarize_features(ds: "ray.data.Dataset", col: str = "feature") -> dict:
         if isinstance(c, pa.ChunkedArray):
             c = c.combine_chunks()
         flat = c.values.to_numpy(zero_copy_only=False)
+        if len(c):
+            # a SLICED list array's .values spans the whole parent
+            # buffer — trim to this block's offsets or out-of-slice
+            # rows pollute the stats
+            lo, hi = c.offsets[0].as_py(), c.offsets[-1].as_py()
+            flat = flat[lo:hi]
         if len(flat) == 0:
             return pa.table({"mx": pa.array([], pa.float64()),
                              "mn": pa.array([], pa.float64()),
@@ -222,14 +231,20 @@ def profile_columns(ds: "ray.data.Dataset", columns, p: int = 12) -> pd.DataFram
 
     def _hash_any(col):
         # floats: hash the exact bit pattern (distinctness of doubles);
-        # ints/strings: the shared vectorized kernels
-        if pa.types.is_floating(col.type):
+        # temporal/bool: their integer representation; ints/strings:
+        # the shared vectorized kernels
+        t = col.type
+        if pa.types.is_floating(t):
             filled = col.fill_null(0.0) if col.null_count else col
             v = (filled.cast(pa.float64())
                  .to_numpy(zero_copy_only=False).view(np.uint64))
             valid = (col.is_valid().to_numpy(zero_copy_only=False)
                      if col.null_count else np.ones(len(col), dtype=bool))
             return _mix64(v.copy()), valid
+        if (pa.types.is_temporal(t) or pa.types.is_boolean(t)):
+            as_int = col.cast(pa.int64() if t.bit_width >= 32
+                              else pa.int32()).cast(pa.int64())
+            return _hash_values(as_int, with_valid=True)
         return _hash_values(col, with_valid=True)
 
     def _partial(batch: pa.Table) -> pa.Table:
@@ -253,8 +268,11 @@ def profile_columns(ds: "ray.data.Dataset", columns, p: int = 12) -> pd.DataFram
             out["n_nulls"].append(int((~valid).sum()))
             out["min_num"].append(float(mn) if is_num and mn is not None else None)
             out["max_num"].append(float(mx) if is_num and mx is not None else None)
-            out["min_str"].append(None if is_num else mn)
-            out["max_str"].append(None if is_num else mx)
+            # non-numeric min/max ride the string field; timestamps
+            # stringify to ISO, whose lexicographic order is
+            # chronological, so the driver-side min/max stays right
+            out["min_str"].append(None if is_num or mn is None else str(mn))
+            out["max_str"].append(None if is_num or mx is None else str(mx))
             out["regs"].append(hll.registers.tobytes())
         return pa.table({
             "column": pa.array(out["column"]),
