@@ -7,9 +7,10 @@ partial-per-batch → tiny-merge shape (sketches are designed mergeable):
 - ``HyperLogLog``        — p-bit register HLL for distinct counts;
   one serialized register array per batch, max-merged.
 - ``bottom_k_sample``    — deterministic "consistent sample": keep the
-  k rows with the smallest ``md5(key)`` — per-batch partial bottom-k,
+  k rows with the smallest ``hash(key)`` (bit-exact DuckDB replica) —
+  per-batch partial bottom-k,
   driver merge. Unlike reservoir sampling it is deterministic,
-  mergeable, and reproducible in SQL (``ORDER BY md5(key) LIMIT k``).
+  mergeable, and reproducible in SQL (``ORDER BY hash(key) LIMIT k``).
 - ``token_frequencies``  — dense-vector aggregation: each batch emits a
   ``bincount`` over the fixed vocab (49408 ints ≈ 0.4 MB), partials
   sum elementwise; top-k on the driver. Moves O(vocab) per block —

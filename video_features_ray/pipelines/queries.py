@@ -196,7 +196,10 @@ ASOF_GRID_N = 16
 ASOF_GRID_STEP = 937.0
 
 
-def q_asof_features(sf_dir: str):
+def _asof_grid_query(sf_dir: str, direction: str):
+    """Shared body of the backward/forward as-of feature queries: the
+    w1 window table joined as-of onto a fixed per-doc probe grid, with
+    sentinel fills — ONE definition of the grid/schemas/finish."""
     windows = q_w1_windows(sf_dir).map_batches(
         lambda b: pa.table({"doc_id": b["doc_id"], "ts_ms": b["ts_ms"],
                             "window_id": b["window_id"], "win_ts": b["ts_ms"]}),
@@ -211,15 +214,15 @@ def q_asof_features(sf_dir: str):
         return pa.table({"doc_id": pa.array(out_ids.tolist(), pa.string()),
                          "ts_q": pa.array(out_ts, pa.float64())})
 
-    probes = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
-        _grid, batch_format="pyarrow"
-    )
+    probes = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id"]).map_batches(
+        _grid, batch_format="pyarrow")
     # num_buckets scales with the cluster (merge parallelism); the
     # coalesce stays 16 — it exists to merge skinny input blocks before
     # the sort, and more blocks just re-pay the ~45 ms/block sort tax
     joined = asof_join(
         probes, windows, key="doc_id", left_ts="ts_q", right_ts="ts_ms",
-        direction="backward", num_buckets=_w(sf_dir, "documents"),
+        direction=direction, num_buckets=_w(sf_dir, "documents"),
         coalesce_blocks=16,
         # explicit schemas: both sides are transformed datasets, so
         # .schema() would execute their first blocks twice (item r3-9)
@@ -233,6 +236,12 @@ def q_asof_features(sf_dir: str):
         return df[["doc_id", "ts_q", "window_id_r", "win_ts_r"]]
 
     return joined.map_batches(_finish, batch_format="pandas")
+
+
+def q_asof_features(sf_dir: str):
+    """BACKWARD as-of: each probe joined to the latest window at or
+    before it (zero temporal leakage)."""
+    return _asof_grid_query(sf_dir, "backward")
 
 
 # ---------------------------------------------------------------------------
@@ -452,9 +461,12 @@ def q_quality_score(sf_dir: str):
 def q_similarity_topk(sf_dir: str):
     import pyarrow.parquet as pq
 
-    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qvec = np.asarray(qtab.filter(pa.compute.equal(qtab["vec_id"], 0))["embedding"][0].as_py(),
-                      dtype=np.float64)
+    # predicate pushdown: only the ONE query row lands on the driver
+    # (a plain read_table would materialize the whole vector corpus)
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "=", 0)])
+    qvec = np.asarray(qtab["embedding"][0].as_py(), dtype=np.float64)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     top = cosine_topk(ds, qvec, k=10)
     top["vec_id"] = top["vec_id"].astype(np.int64)
@@ -632,7 +644,7 @@ def q_kmeans_centroids(sf_dir: str):
 
 def q_ivf_topk(sf_dir: str):
     """IVF coarse-quantized top-k. The codebook trains on a DISTRIBUTED
-    deterministic sample (bottom-256 by md5(vec_id) — hash-spread, not
+    deterministic sample (bottom-256 by hash(vec_id) — hash-spread, not
     the first rows of one file), and the query probes ALL centroids so
     the bucketed path is provably exact: its oracle is the brute-force
     cosine SQL. Pruned-probe recall is separately pinned in tests."""
@@ -675,7 +687,8 @@ def q_flagship_features(sf_dir: str):
     out = extract(seq, spec)
 
     def _check_cols(b: pa.Table) -> pa.Table:
-        assert "feature" in b.column_names  # encoder really ran
+        if "feature" not in b.column_names:  # encoder really ran
+            raise ValueError("flagship pipeline lost the feature column")
         return _window_sums(b)
 
     return out.map_batches(_check_cols, batch_format="pyarrow")
@@ -722,7 +735,14 @@ def q_checkpointed_extract(sf_dir: str):
         seqs = ds.map_batches(tokenize_documents, batch_format="pyarrow")
         return extract(seqs, spec, encoder_concurrency=(1, 2), with_features=False)
 
-    out_dir = tempfile.mkdtemp(prefix="vfr_ckpt_")
+    import os
+    import shutil
+
+    # deterministic per-sf dir, wiped before the run: mkdtemp leaked a
+    # full corpus-sized output copy on EVERY invocation
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"{tempfile.gettempdir()}/vfr_ckpt_query_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
     run_checkpointed([f"{sf_dir}/documents.parquet"], _pipe, out_dir,
                      target_rows=100_000, wave_size=2)
     return ray.data.read_parquet(out_dir, file_extensions=["parquet"]).map_batches(
@@ -802,7 +822,7 @@ def q_w2_resampled(sf_dir: str):
 
 
 def q_sample_bottomk(sf_dir: str):
-    """Deterministic consistent sample: 20 docs with smallest md5(doc_id)."""
+    """Deterministic consistent sample: 20 docs with smallest DuckDB-hash(doc_id)."""
     from ..functions.sketches import bottom_k_sample
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
@@ -1002,7 +1022,7 @@ def q_distinct_users_per_type(sf_dir: str):
 
 
 def q_stratified_docs(sf_dir: str):
-    """Per-source deterministic sample: 3 docs with smallest md5(doc_id)
+    """Per-source deterministic sample: 3 docs with smallest DuckDB-hash(doc_id)
     per source (group-bucketed bottom-k)."""
     from ..functions.sketches import stratified_bottom_k
 
@@ -1015,6 +1035,9 @@ def q_stratified_docs(sf_dir: str):
     return out[["source", "doc_id", "n_chars"]]
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]  # frozen vocabulary
+
+
 def q_user_type_counts(sf_dir: str):
     """One-hot categorical COUNT features per user (n_click, n_view, …)
     — the pivot feature block every tabular training pipeline emits."""
@@ -1022,14 +1045,11 @@ def q_user_type_counts(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id", "event_type"])
-    # closed low-cardinality set via per-batch distinct partials (one
-    # map + a tiny driver union — Dataset.unique is a full sort shuffle,
-    # measured ~2 s of pure overhead at sf0.1)
-    parts = ds.map_batches(
-        lambda df: pd.DataFrame({"c": df["event_type"].unique()}),
-        batch_format="pandas").to_pandas()
-    cats = sorted(set(parts["c"]))
-    return categorical_counts(ds, "user_id", "event_type", cats,
+    # FROZEN vocabulary (like DOC_LANGS): the oracle hard-codes these
+    # five columns, so discovering the set from data would change the
+    # output SCHEMA on a corpus missing a type — and it cost an extra
+    # distinct scan per invocation
+    return categorical_counts(ds, "user_id", "event_type", EVENT_TYPES,
                               num_buckets=_w(sf_dir, "events"))
 
 
@@ -1069,37 +1089,7 @@ def q_asof_features_forward(sf_dir: str):
     after it (the leakage-free backward join's mirror — schedule "next
     feature refresh" lookups). Right timestamps are unique per doc, so
     the DuckDB ASOF tie behavior (order-dependent on ties) cannot bite."""
-    windows = q_w1_windows(sf_dir).map_batches(
-        lambda b: pa.table({"doc_id": b["doc_id"], "ts_ms": b["ts_ms"],
-                            "window_id": b["window_id"], "win_ts": b["ts_ms"]}),
-        batch_format="pyarrow",
-    )
-
-    def _grid(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].cast(pa.string()).to_pylist()
-        g = np.arange(ASOF_GRID_N, dtype=np.float64) * ASOF_GRID_STEP
-        out_ids = np.repeat(np.array(ids, dtype=object), ASOF_GRID_N)
-        out_ts = np.tile(g, len(ids))
-        return pa.table({"doc_id": pa.array(out_ids.tolist(), pa.string()),
-                         "ts_q": pa.array(out_ts, pa.float64())})
-
-    probes = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                   columns=["doc_id"]).map_batches(
-        _grid, batch_format="pyarrow")
-    joined = asof_join(
-        probes, windows, key="doc_id", left_ts="ts_q", right_ts="ts_ms",
-        direction="forward", num_buckets=_w(sf_dir, "documents"),
-        coalesce_blocks=16,
-        schemas=(pa.schema([("doc_id", pa.string()), ("ts_q", pa.float64())]),
-                 pa.schema([("doc_id", pa.string()), ("ts_ms", pa.float64()),
-                            ("window_id", pa.int64()), ("win_ts", pa.float64())])))
-
-    def _finish(df: pd.DataFrame) -> pd.DataFrame:
-        df["window_id_r"] = df["window_id_r"].fillna(-1).astype(np.int64)
-        df["win_ts_r"] = df["win_ts_r"].fillna(-1.0).astype(np.float64)
-        return df[["doc_id", "ts_q", "window_id_r", "win_ts_r"]]
-
-    return joined.map_batches(_finish, batch_format="pandas")
+    return _asof_grid_query(sf_dir, "forward")
 
 
 def q_session_enriched(sf_dir: str):
@@ -1119,7 +1109,7 @@ def q_session_enriched(sf_dir: str):
         lambda df: df[["event_id", "user_id", "ts_us", "session_id"]],
         batch_format="pandas").materialize()
     stats = partial_agg(sess, ["user_id", "session_id"], sums=(),
-                        count_col="n_events", num_buckets=16)
+                        count_col="n_events", num_buckets=w)
     # explicit schemas: stats is a lazy partial_agg lineage and
     # TaggedUnion's .schema() fallback would execute part of it just
     # for type inference (the double-execution tax fixed elsewhere)
@@ -1481,14 +1471,9 @@ def q_user_type_spend(sf_dir: str):
                          "value_s": pa.array(np.round(v * 10000.0).astype(np.int64))})
 
     scaled = ds.map_batches(_scale, batch_format="pyarrow", zero_copy_batch=True)
-    # discover the closed category set from a DEDICATED single-column
-    # read — running the distinct over `scaled` would re-execute the
-    # whole read+scale lineage a second time (Datasets are lazy)
-    cats_parts = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_type"]
-    ).map_batches(lambda df: pd.DataFrame({"c": df["event_type"].unique()}),
-                  batch_format="pandas").to_pandas()
-    cats = sorted(set(cats_parts["c"]))
+    # FROZEN vocabulary — schema-stable vs the hard-coded oracle
+    # columns, and no per-invocation distinct scan
+    cats = EVENT_TYPES
     out = categorical_pivot_sum(scaled, "user_id", "event_type", "value_s",
                                 cats, num_buckets=_w(sf_dir, "events"))
 
