@@ -199,3 +199,53 @@ def test_embedding_neardup_degenerate_bucket_bounded():
     assert len(out) >= (16 * 15 // 2) * (n // 16) * 0  # completes at all
     assert len(out) > 0
     assert (out["cosine"] > 0.999).all()
+
+
+def test_neardup_family_works_with_int64_ids():
+    """Regression: raw int64 doc_ids (the documents table's native
+    dtype) previously produced ZERO matches in the joined verify —
+    the pairs side kept int ids while the docs side was cast to
+    string. The MinHasher now canonicalizes ids to string."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from video_features_ray.stages.dedup import (
+        jaccard_verify_joined,
+        minhash_lsh_candidates,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again while the cat watches from the warm windowsill")
+    rows = []
+    for i in range(30):
+        rows.append({"doc_id": np.int64(i), "text": f"unique text {i} " * 8})
+    # plant 3 near-identical pairs with INT ids
+    for j in range(3):
+        rows.append({"doc_id": np.int64(100 + j), "text": base})
+        rows.append({"doc_id": np.int64(200 + j), "text": base + " tail"})
+    df = pd.DataFrame(rows)
+    ds = ray.data.from_pandas(df)
+    cands = minhash_lsh_candidates(ds, num_perm=64, bands=16, num_buckets=4)
+    verified = jaccard_verify_joined(cands, ds, threshold=0.5,
+                                     num_buckets=4).to_pandas()
+    # the planted near-dups are found and ids round-trip as strings
+    assert len(verified) >= 3
+    found = {frozenset((a, b)) for a, b in
+             zip(verified["id_a"], verified["id_b"])}
+    assert any({"100", "200"} <= set(p) or {"101", "201"} <= set(p)
+               or {"102", "202"} <= set(p) for p in found)
+
+
+def test_simhash_blocked_kernel_matches_per_row():
+    import numpy as np
+    import pyarrow as pa
+
+    from video_features_ray.stages.dedup import batch_simhash64, simhash64
+
+    texts = ["hello world this is a longer document " * 3,
+             "another different text entirely with words " * 2,
+             "short"]
+    batch = batch_simhash64(pa.array(texts, pa.string()))
+    singles = np.array([simhash64(t) for t in texts], dtype=np.uint64)
+    assert np.array_equal(batch, singles)

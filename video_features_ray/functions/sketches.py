@@ -41,13 +41,16 @@ class HyperLogLog:
         """h: uint64 hashes."""
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
         rest = (h << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
-        # rank = leading zeros of remaining bits + 1, vectorized via log2
-        lz = np.zeros(len(h), dtype=np.uint8)
-        v = rest.copy()
-        nonzero = v != 0
-        fl = np.zeros(len(h))
-        fl[nonzero] = np.floor(np.log2(v[nonzero].astype(np.float64)))
-        lz = (63 - fl).astype(np.uint8) + 1
+        # rank = leading zeros + 1 via an EXACT integer floor-log2
+        # shift cascade (float64 log2 rounds values within half an ULP
+        # below a power of two UP, understating the rank by one)
+        v = rest.copy()  # sentinel bit guarantees v != 0
+        fl = np.zeros(len(h), dtype=np.uint8)
+        for shift in (32, 16, 8, 4, 2, 1):
+            m = v >= (np.uint64(1) << np.uint64(shift))
+            fl[m] += np.uint8(shift)
+            v = np.where(m, v >> np.uint64(shift), v)
+        lz = (np.uint8(63) - fl) + np.uint8(1)
         np.maximum.at(self.registers, idx, lz)
 
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":

@@ -239,7 +239,11 @@ class MinHasher:
         offsets = np.arange(0, (n + 1) * self.num_perm, self.num_perm, dtype=np.int32)
         sig_col = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
                                            pa.array(flat, type=pa.uint64()))
-        return pa.table({self.id_col: batch[self.id_col], "minhash": sig_col})
+        # canonical STRING ids: the whole candidate/verify family keys
+        # on this column, and a raw int64 doc_id would silently fail to
+        # match the string-cast docs side in jaccard_verify_joined
+        return pa.table({self.id_col: batch[self.id_col].cast(pa.string()),
+                         "minhash": sig_col})
 
 
 def _fixed_list_matrix(col, width: int, dtype) -> np.ndarray:
@@ -302,7 +306,10 @@ def minhash_lsh_candidates(
     single-task global distinct). At scale the band groupby is the only
     wide op and its rows are 3 small ints.
     """
-    rows_per_band = num_perm // bands
+    if num_perm % bands:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands}) "
+            "— the trailing permutations would be silently dropped")
 
     def _bands_fn(batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -344,7 +351,10 @@ def minhash_lsh_candidates(
                     a.append(ids[i]); b.append(ids[j])
         out = pd.DataFrame({"id_a": pd.Series(a, dtype=object),
                             "id_b": pd.Series(b, dtype=object)})
-        out = out.drop_duplicates()
+        # keep the per-bucket collision COUNT (a plain drop_duplicates
+        # collapsed multi-band collisions, deflating n_bands)
+        out = (out.groupby(["id_a", "id_b"], sort=False).size()
+               .rename("n_local").reset_index())
         if len(out):
             h = (pd.util.hash_pandas_object(out["id_a"], index=False).to_numpy()
                  * _GOLD
@@ -355,9 +365,8 @@ def minhash_lsh_candidates(
         return out
 
     def _distinct(df: pd.DataFrame) -> pd.DataFrame:
-        g = (df.groupby(["id_a", "id_b"], sort=False).size()
-             .rename("n_bands").reset_index())
-        return g.drop(columns=[], errors="ignore")
+        return (df.groupby(["id_a", "id_b"], sort=False)["n_local"].sum()
+                .astype(np.int64).rename("n_bands").reset_index())
 
     sigs = ds.map_batches(
         MinHasher, batch_format="pyarrow",
@@ -376,21 +385,34 @@ def minhash_lsh_candidates(
             .map_groups(_distinct, batch_format="pandas"))
 
 
+def _pair_jaccard(sa: np.ndarray, sb: np.ndarray) -> float:
+    """THE Jaccard semantics (distinct shingles, zero-union sentinel)
+    — one definition shared by the broadcast and joined verifiers so
+    they cannot drift apart."""
+    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+    union = len(sa) + len(sb) - inter or 1
+    return inter / union
+
+
 def jaccard_verify_pairs(
     pairs_df: pd.DataFrame, texts: dict[str, str], shingle_k: int = 5, threshold: float = 0.5
 ) -> pd.DataFrame:
     """Exact shingle-set Jaccard over candidate pairs (vectorized
     per-pair via sorted-array intersection)."""
     ids = sorted({*pairs_df["id_a"], *pairs_df["id_b"]})
-    tcol = pa.array([texts.get(i, "") for i in ids], pa.string())
+    missing = [i for i in ids if i not in texts]
+    if missing:
+        # a silent "" would shingle two missing texts identically and
+        # VERIFY the pair at jaccard=1.0 — deleting unrelated docs
+        raise KeyError(
+            f"texts lookup missing {len(missing)} candidate ids "
+            f"(first: {missing[:3]})")
+    tcol = pa.array([texts[i] for i in ids], pa.string())
     h, off = _batch_shingle_hashes(tcol, shingle_k, distinct=True)
     sets = {i: h[off[j]: off[j + 1]] for j, i in enumerate(ids)}
     out = []
     for ia, ib in zip(pairs_df["id_a"], pairs_df["id_b"]):
-        sa, sb = sets[ia], sets[ib]
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        union = len(sa) + len(sb) - inter or 1
-        j = inter / union
+        j = _pair_jaccard(sets[ia], sets[ib])
         if j >= threshold:
             out.append((ia, ib, j))
     return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
@@ -407,7 +429,9 @@ def jaccard_verify_stage(
     100 TB pre-join pairs with their texts by id instead)."""
     import ray
 
-    lookup_ref = ray.put(dict(zip(texts_df[id_col], texts_df[text_col])))
+    # string keys to match the MinHasher's canonical string ids
+    lookup_ref = ray.put(dict(zip(texts_df[id_col].astype(str),
+                                  texts_df[text_col])))
 
     class _Verify:
         def __init__(self):
@@ -468,11 +492,8 @@ def jaccard_verify_joined(
         ids_a = df["id_a"].tolist()
         ids_b = df["id_b"].tolist()
         for i in range(len(df)):
-            sa = ha[offa[i]: offa[i + 1]]
-            sb = hb[offb[i]: offb[i + 1]]
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter or 1
-            j = inter / union
+            j = _pair_jaccard(ha[offa[i]: offa[i + 1]],
+                              hb[offb[i]: offb[i + 1]])
             if j >= threshold:
                 out.append((ids_a[i], ids_b[i], j))
         return (pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
@@ -681,11 +702,28 @@ def batch_simhash64(texts, shingle_k: int = 5) -> np.ndarray:
     n_rows = len(off) - 1
     if n_rows == 0:
         return np.zeros(0, np.uint64)
-    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
-    signs = 2 * bits - 1
-    votes = np.add.reduceat(signs, off[:-1], axis=0)   # (n_rows, 64); every row ≥1 shingle
-    return ((votes > 0).astype(np.uint64)
-            << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+    # process ROW blocks so the transient (shingles, 64) sign matrix is
+    # bounded (~65 B/shingle at int8) — the unblocked matrix was
+    # ~512 B/shingle and OOM'd on long-document batches; a single giant
+    # doc can still exceed the cap (one row minimum per block)
+    MAX_SHINGLES = 1_000_000
+    ar64 = np.arange(64, dtype=np.uint64)
+    out = np.zeros(n_rows, np.uint64)
+    r0 = 0
+    while r0 < n_rows:
+        r1 = r0 + 1
+        while r1 < n_rows and off[r1 + 1] - off[r0] <= MAX_SHINGLES:
+            r1 += 1
+        hs = h[off[r0]: off[r1]]
+        o = (off[r0: r1 + 1] - off[r0])
+        signs = ((hs[:, None] >> ar64[None, :]) & np.uint64(1)).astype(np.int8)
+        signs *= 2
+        signs -= 1
+        votes = np.add.reduceat(signs, o[:-1], axis=0, dtype=np.int64)
+        out[r0:r1] = ((votes > 0).astype(np.uint64)
+                      << ar64[None, :]).sum(axis=1, dtype=np.uint64)
+        r0 = r1
+    return out
 
 
 def simhash64(text: str, shingle_k: int = 5) -> np.uint64:
@@ -971,8 +1009,6 @@ def ngram_jaccard_pairs(
     windowing/tokenization semantics shared with
     ``stages/text.py:term_df_topk``.
     """
-    import pandas as pd
-
     def _postings(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({
             id_col: pd.Series([], dtype=np.int64),

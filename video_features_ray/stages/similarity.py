@@ -59,14 +59,25 @@ def cosine_topk(
         norms[norms == 0] = 1.0
         sims = (mat @ qv) / norms
         if len(sims) > k:
-            idx = np.argpartition(-sims, k)[:k]
+            # deterministic boundary: keep EVERY row tied with the k-th
+            # similarity, then break ties by id — plain argpartition
+            # keeps whichever tied rows block order presents (pq_topk
+            # got this right first; same rule here)
+            kth = np.partition(sims, len(sims) - k)[len(sims) - k]
+            cand = np.flatnonzero(sims >= kth)
+            ids_np = batch[id_col].to_numpy(zero_copy_only=False)
+            pick = (pd.DataFrame({"s": sims[cand], "i": ids_np[cand]})
+                    .sort_values(["s", "i"], ascending=[False, True])
+                    .index.to_numpy()[:k])
+            idx = cand[pick]
         else:
             idx = np.arange(len(sims))
         ids = batch[id_col].take(pa.array(idx)).combine_chunks()
         return pa.table({id_col: ids, "cosine": pa.array(sims[idx], type=pa.float64())})
 
     partials = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
-    top = partials.sort("cosine", descending=True).limit(k).to_pandas()
+    top = (partials.sort(["cosine", id_col], descending=[True, False])
+           .limit(k).to_pandas())
     top = top.sort_values(["cosine", id_col], ascending=[False, True]).reset_index(drop=True)
     top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
     return top

@@ -320,6 +320,6 @@ def term_df_topk(
         out["tf"] = out["tf"].astype(np.int64)
         return out[["doc_id", "term", "tf", "df"]]
 
-    partials = ds.map_batches(_partial, batch_format="pandas").repartition(16)
+    partials = ds.map_batches(_partial, batch_format="pandas")
     return partials.groupby("_bucket").map_groups(_per_bucket,
                                                   batch_format="pandas")
