@@ -194,3 +194,72 @@ def test_summarize_features_sliced_list_column():
     sliced = pa.table({"feature": arr.slice(0, 2)})  # excludes 100/200
     got = summarize_features(ray.data.from_arrow(sliced))
     assert got["max"] == 4.0 and got["count"] == 4
+
+
+# --- third review batch (asof/shuffle/checkpoint/windows) regressions ---
+
+def test_asof_join_integer_ts_distinct_names():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from video_features_ray.stages.asof import asof_join
+
+    l = pd.DataFrame({"k": [1, 1], "t_l": np.array([10, 20], np.int64),
+                      "x": [1.0, 2.0]})
+    r = pd.DataFrame({"k": [1, 1], "t_r": np.array([5, 15], np.int64),
+                      "y": [100.0, 200.0]})
+    out = asof_join(ray.data.from_pandas(l), ray.data.from_pandas(r),
+                    key="k", left_ts="t_l", right_ts="t_r",
+                    num_buckets=2).to_pandas().sort_values("t_l")
+    # int64 ts on both sides used to raise MergeError (right side's
+    # ts came back float64 from the union padding)
+    assert out["y_r"].tolist() == [100.0, 200.0]
+
+
+def test_asof_join_null_ts_rows_survive_unmatched():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from video_features_ray.stages.asof import asof_join
+
+    l = pd.DataFrame({"k": [1, 1], "t": [10.0, np.nan], "x": [1, 2]})
+    r = pd.DataFrame({"k": [1], "t": [5.0], "y": [100.0]})
+    out = asof_join(ray.data.from_pandas(l), ray.data.from_pandas(r),
+                    key="k", left_ts="t", num_buckets=2).to_pandas()
+    assert len(out) == 2  # merge_asof used to refuse the whole bucket
+    assert out.loc[out["t"].isna(), "y_r"].isna().all()
+    assert out.loc[out["t"] == 10.0, "y_r"].iloc[0] == 100.0
+
+
+def test_asof_rename_collision_raises():
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from video_features_ray.stages.asof import asof_join_broadcast
+
+    l = ray.data.from_pandas(pd.DataFrame({"k": [1], "ts": [1.0]}))
+    r = pd.DataFrame({"k": [1], "rts": [1.0], "ts": [9.9]})
+    with pytest.raises(Exception):
+        asof_join_broadcast(l, r, key="k", left_ts="ts",
+                            right_ts="rts").to_pandas()
+
+
+def test_checkpoint_duplicate_basenames_get_distinct_ids(tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from video_features_ray.state.checkpoint import plan_partitions
+
+    for sub in ("a", "b"):
+        d = tmp_path / sub
+        d.mkdir()
+        pq.write_table(pa.table({"x": list(range(10))}),
+                       str(d / "part-0.parquet"))
+    parts = plan_partitions([str(tmp_path / "a" / "part-0.parquet"),
+                             str(tmp_path / "b" / "part-0.parquet")])
+    ids = [p.partition_id for p in parts]
+    assert len(ids) == len(set(ids)), ids

@@ -40,15 +40,25 @@ def _sortable_series(s: pd.Series) -> bool:
     return False
 
 
-def _merge_asof(left: pd.DataFrame, right: pd.DataFrame, key, left_ts: str,
-                right_ts: str, direction: str, suffix: str, tolerance=None) -> pd.DataFrame:
-    keys = [key] if isinstance(key, str) else list(key)
-    right = right.rename(columns={right_ts: left_ts}) if right_ts != left_ts else right
+def _prep_right(right: pd.DataFrame, keys, left_ts: str, right_ts: str,
+                suffix: str) -> pd.DataFrame:
+    """Rename/suffix/tie-sort the right side ONCE (the broadcast path
+    calls this a single time in actor __init__; the bucket path per
+    bucket, where the table is that bucket's slice anyway)."""
+    if right_ts != left_ts:
+        if left_ts in right.columns:
+            raise ValueError(
+                f"right side already has a column named {left_ts!r}; "
+                "renaming its timestamp onto it would duplicate the "
+                "label — rename the clashing column first")
+        right = right.rename(columns={right_ts: left_ts})
     right = right.rename(
         columns={c: f"{c}{suffix}" for c in right.columns
                  if c not in (*keys, left_ts)}
     )
-    left_s = left.sort_values(left_ts, kind="mergesort")
+    # SQL ASOF semantics: a NULL timestamp matches nothing (merge_asof
+    # would refuse the whole frame instead)
+    right = right[right[left_ts].notna()]
     # merge_asof picks the LAST right row among equal timestamps, so the
     # right sort needs a deterministic tie-break — otherwise the winner
     # of a (key, ts) tie depends on shuffle arrival order. The rule:
@@ -58,12 +68,32 @@ def _merge_asof(left: pd.DataFrame, right: pd.DataFrame, key, left_ts: str,
     # the scalar columns, which is where real ids live.
     right_tie = [c for c in right.columns
                  if c != left_ts and _sortable_series(right[c])]
-    right_s = right.sort_values([left_ts, *right_tie], kind="mergesort")
+    return right.sort_values([left_ts, *right_tie], kind="mergesort")
+
+
+def _merge_asof_prepped(left: pd.DataFrame, right_s: pd.DataFrame, key,
+                        left_ts: str, direction: str, suffix: str,
+                        tolerance=None) -> pd.DataFrame:
+    # left rows with NULL ts cannot be positioned: SQL yields them with
+    # no match — keep them, null-filled, instead of crashing merge_asof
+    l_valid = left[left_ts].notna().to_numpy()
+    left_s = left[l_valid].sort_values(left_ts, kind="mergesort")
     out = pd.merge_asof(
         left_s, right_s, on=left_ts, by=key, direction=direction,
         tolerance=tolerance, suffixes=("", suffix),
     )
-    return out
+    if l_valid.all():
+        return out
+    rest = left[~l_valid].reindex(columns=out.columns)
+    return pd.concat([out, rest], ignore_index=True)
+
+
+def _merge_asof(left: pd.DataFrame, right: pd.DataFrame, key, left_ts: str,
+                right_ts: str, direction: str, suffix: str, tolerance=None) -> pd.DataFrame:
+    keys = [key] if isinstance(key, str) else list(key)
+    right_s = _prep_right(right, keys, left_ts, right_ts, suffix)
+    return _merge_asof_prepped(left, right_s, key, left_ts, direction,
+                               suffix, tolerance)
 
 
 def asof_join(
@@ -95,11 +125,17 @@ def asof_join(
     left_cols = tu.left_cols
     left_np_dtypes = tu.np_dtypes(left_cols)
     out_right_cols = [c for c in tu.right_cols if c not in (*keys, right_ts)]
+    # the union pads each side's missing columns with nulls, so the
+    # right's own columns come back float64 when the names differ —
+    # restore BOTH sides or merge_asof raises on int-vs-float ts keys
+    right_np_dtypes = tu.np_dtypes([*keys, right_ts, *out_right_cols])
 
     def _per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         l = TaggedUnion.restore_dtypes(
             df[df["_side"] == 0][list(left_cols)].copy(), left_np_dtypes)
-        r = df[df["_side"] == 1][[*keys, right_ts, *out_right_cols]].copy()
+        r = TaggedUnion.restore_dtypes(
+            df[df["_side"] == 1][[*keys, right_ts, *out_right_cols]].copy(),
+            right_np_dtypes)
         return _merge_asof(l, r, key, left_ts, right_ts, direction, suffix, tolerance)
 
     return tu.map_buckets(_per_bucket)
@@ -117,14 +153,18 @@ def asof_join_broadcast(
 ) -> "ray.data.Dataset":
     """Small right side: broadcast once via ray.put, merge per batch."""
     right_ts = right_ts or left_ts
-    right_sorted = right_table.sort_values([key, right_ts], kind="mergesort").reset_index(drop=True)
-    ref = ray.put(right_sorted)
+    keys = [key] if isinstance(key, str) else list(key)
+    ref = ray.put(right_table)
 
     class _AsofMap:
         def __init__(self):
-            self.right = ray.get(ref)
+            # rename/suffix/tie-sort ONCE per actor — doing it per
+            # batch re-sorted the whole immutable table on every call
+            self.right = _prep_right(ray.get(ref), keys, left_ts,
+                                     right_ts, suffix)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return _merge_asof(batch, self.right, key, left_ts, right_ts, direction, suffix, tolerance)
+            return _merge_asof_prepped(batch, self.right, key, left_ts,
+                                       direction, suffix, tolerance)
 
     return left.map_batches(_AsofMap, batch_format="pandas", concurrency=(1, 8))

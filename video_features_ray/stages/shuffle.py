@@ -89,8 +89,6 @@ class TaggedUnion:
                             else pa.nulls(n, type=arrow_types.get(c)))
                         for c in union_cols}
                 cols["_side"] = pa.array(np.full(n, side, dtype=np.int8))
-                if own_ts is not None:
-                    cols["_ts"] = batch[own_ts]
                 keys = [key] if isinstance(key, str) else list(key)
                 if len(keys) == 1:
                     b = stable_bucket(
@@ -113,8 +111,13 @@ class TaggedUnion:
                         # one-row-per-block entirely to sub-bucket 0,
                         # silently undoing the mitigation
                         ih = np.flatnonzero(hot)
-                        off = (np.int64(n) * np.int64(0x9E3779B1)
-                               + (np.int64(ih[0]) if len(ih) else np.int64(0)))
+                        # fresh entropy per batch: a shape-derived offset
+                        # is CONSTANT across equally-shaped batches, so a
+                        # hot key arriving one-row-per-block collapsed
+                        # onto one sub-bucket; placement doesn't affect
+                        # results, so randomness is safe here
+                        off = np.int64(np.random.default_rng()
+                                       .integers(0, n_salts))
                         b[ih] = (num_buckets + posc[ih] * n_salts
                                  + (np.arange(len(ih), dtype=np.int64) + off)
                                  % n_salts)

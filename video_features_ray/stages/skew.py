@@ -137,15 +137,10 @@ def split_giant_sequences(
 
 
 def _flat(col):
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    values = col.values.to_numpy(zero_copy_only=False)
-    start = offsets[0]
-    if start != 0:
-        offsets = offsets - start
-        values = values[start:]
-    return values, offsets
+    # shared extraction (sliced-offset normalization lives ONCE)
+    from .windows import _list_to_flat
+
+    return _list_to_flat(col)
 
 
 def windows_with_offset(batch: pa.Table, spec: EncoderSpec) -> pa.Table:

@@ -46,6 +46,14 @@ import pyarrow as pa
 from ..specs import EncoderSpec, VOCAB_SIZE
 
 
+def _vggish_n_inner(m: np.ndarray, spec: "EncoderSpec") -> np.ndarray:
+    """Inner-frame count per row for the vggish two-level framing — ONE
+    definition shared by window_counts and the slide gather (a drift
+    between the two would mis-offset every gathered row)."""
+    n_inner = np.maximum((m - spec.inner_win) // spec.inner_hop + 1, 0)
+    return np.where(m >= spec.inner_win, n_inner, 0)
+
+
 def _list_to_flat(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """list<int32> column → (flat int32 values, int64 row offsets), zero-copy."""
     if isinstance(col, pa.ChunkedArray):
@@ -118,8 +126,7 @@ def window_counts(m: np.ndarray, spec: EncoderSpec) -> np.ndarray:
     elif spec.kind == "flow":
         c = m - 1
     elif spec.kind == "vggish":
-        n_inner = np.maximum((m - spec.inner_win) // spec.inner_hop + 1, 0)
-        n_inner = np.where(m >= spec.inner_win, n_inner, 0)
+        n_inner = _vggish_n_inner(m, spec)
         c = (n_inner - spec.stack) // spec.step + 1
     else:  # pragma: no cover
         raise ValueError(spec.kind)
@@ -191,7 +198,7 @@ def slide_windows(batch: pa.Table, spec: EncoderSpec) -> pa.Table:
 
     if spec.kind == "vggish":
         # level 1: inner frame sums (the deterministic log-mel stand-in)
-        n_inner = np.where(m >= spec.inner_win, np.maximum((m - spec.inner_win) // spec.inner_hop + 1, 0), 0)
+        n_inner = _vggish_n_inner(m, spec)
         total_inner = int(n_inner.sum())
         row_of_i = np.repeat(np.arange(len(n), dtype=np.int64), n_inner)
         i_off = np.concatenate(([0], np.cumsum(n_inner)))

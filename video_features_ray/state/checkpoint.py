@@ -49,9 +49,22 @@ class Partition:
 def plan_partitions(input_files: list[str], target_rows: int = 250_000) -> list[Partition]:
     """Cut each parquet file into contiguous row-group ranges of ~target_rows."""
     parts = []
+    # two inputs sharing a basename (a/part-0.parquet, b/part-0.parquet)
+    # would collide in both the manifest and the output dirs — the
+    # second run would rmtree the first's committed output and resume
+    # would skip one file's data as "done"; disambiguate with a short
+    # full-path hash, only when needed (ids stay stable otherwise)
+    import hashlib
+
+    base_counts: dict[str, int] = {}
+    for path in input_files:
+        b = os.path.splitext(os.path.basename(path))[0]
+        base_counts[b] = base_counts.get(b, 0) + 1
     for path in input_files:
         md = pq.ParquetFile(path).metadata
         stem = os.path.splitext(os.path.basename(path))[0]
+        if base_counts[stem] > 1:
+            stem = f"{stem}-{hashlib.md5(path.encode()).hexdigest()[:6]}"
         rgs, start_row, rows = [], 0, 0
         row_cursor = 0
         for g in range(md.num_row_groups):
