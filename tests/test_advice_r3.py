@@ -263,3 +263,56 @@ def test_checkpoint_duplicate_basenames_get_distinct_ids(tmp_path):
                              str(tmp_path / "b" / "part-0.parquet")])
     ids = [p.partition_id for p in parts]
     assert len(ids) == len(set(ids)), ids
+
+
+# --- fourth review batch (sources/bpe/training-data/multimodal) ---
+
+def test_tokenize_documents_empty_batch_schema_stable():
+    import pyarrow as pa
+
+    from video_features_ray.sources.sequences import tokenize_documents
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+    out = tokenize_documents(empty)
+    assert out.schema.field("source").type == pa.string()
+
+
+def test_skip_existing_requires_complete_triple(tmp_path):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from video_features_ray.sources.sinks import skip_existing
+
+    out = str(tmp_path)
+    # complete triple for doc "a"; HALF-written doc "b" (crash between
+    # the three np.save calls) must NOT be skipped
+    for stem, complete in (("a", True), ("b", False)):
+        np.save(f"{out}/{stem}_feature.npy", np.zeros(2))
+        if complete:
+            np.save(f"{out}/{stem}_timestamps_ms.npy", np.zeros(2))
+            np.save(f"{out}/{stem}_fps.npy", np.array(0.0))
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": ["a", "b", "c"]}))
+    kept = skip_existing(ds, out).to_pandas()["doc_id"].tolist()
+    assert sorted(kept) == ["b", "c"]
+
+
+def test_write_entity_files_slash_ids(tmp_path):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from video_features_ray.sources.sinks import write_entity_files
+
+    df = pd.DataFrame({
+        "doc_id": ["web/2024/doc1", "web/2024/doc1", "plain"],
+        "window_id": [0, 1, 0],
+        "feature": [np.zeros(4, np.float32)] * 3,
+        "ts_ms": [0.0, 1.0, 0.0],
+    })
+    n = write_entity_files(ray.data.from_pandas(df), str(tmp_path))
+    assert n == 2
+    import os
+    files = os.listdir(tmp_path)
+    assert any(f.startswith("web%2F2024%2Fdoc1_") for f in files)

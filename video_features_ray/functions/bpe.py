@@ -221,8 +221,9 @@ class BpeTokenizer:
         return out
 
     def decode(self, ids: list[int]) -> str:
-        rev = {v: k for k, v in self._symbols.items()}
-        toks = [rev.get(i, "") for i in ids]
+        if not hasattr(self, "_rev"):  # vocab is pinned — build once
+            self._rev = {v: k for k, v in self._symbols.items()}
+        toks = [self._rev.get(i, "") for i in ids]
         return "".join(toks).replace(EOW, " ").strip()
 
     @property
@@ -253,8 +254,9 @@ class BpeEncodeStage:
             "doc_id": batch["doc_id"].cast(pa.string()),
             "tokens": tokens,
             "n_tok": pa.array(np.diff(offs).astype(np.int32)),
-            "source": batch["source"] if "source" in batch.column_names
-                      else pa.array(["doc"] * len(batch)),
+            "source": (batch["source"] if "source" in batch.column_names
+                       else pa.array(["doc"] * len(batch),
+                                     type=pa.string())),
         })
 
 

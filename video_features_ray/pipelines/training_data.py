@@ -34,6 +34,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Optional
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import ray
@@ -122,18 +124,33 @@ def run_training_data_pipeline(
     target_rows: int = 250_000,
 ) -> dict:
     """Checkpointed end-to-end run. Returns the checkpoint summary."""
-    from ..state.checkpoint import run_checkpointed
+    from ..state.checkpoint import Manifest, plan_partitions, run_checkpointed
+
+    # skip the expensive dedup side-inputs entirely when every
+    # partition is already committed — a pure resume used to pay the
+    # whole-corpus hash shuffle + MinHash/verify/clustering first
+    parts = plan_partitions(input_files, target_rows)
+    done = Manifest(out_dir).committed() if os.path.isdir(out_dir) else {}
+    pending = [p for p in parts if p.partition_id not in done]
 
     winner_refs = None
     neardup_losers_ref = None
-    if cfg.dedup:
-        docs = ray.data.read_parquet(input_files, columns=["doc_id", "text"])
-        winner_refs = _winner_block_refs(docs)
-    if cfg.near_dedup:
+
+    def _quality_docs():
+        # winners/losers are chosen among QUALITY SURVIVORS: picking a
+        # winner that quality later rejects would delete the whole
+        # cluster's content even when another member passed
+        d = ray.data.read_parquet(input_files, columns=["doc_id", "text"])
+        return d.map_batches(
+            lambda b: _quality_filter(b, cfg.min_chars, cfg.max_punct_ratio),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    if cfg.dedup and pending:
+        winner_refs = _winner_block_refs(_quality_docs())
+    if cfg.near_dedup and pending:
         from ..stages.dedup import neardup_dedup
 
-        docs = ray.data.read_parquet(input_files, columns=["doc_id", "text"])
-        docs = docs.map_batches(
+        docs = _quality_docs().map_batches(
             lambda b: pa.table({"doc_id": b["doc_id"].cast(pa.string()),
                                 "text": b["text"]}),
             batch_format="pyarrow")

@@ -94,7 +94,10 @@ def tokenize_documents(batch: pa.Table) -> pa.Table:
     )
     n_tok = pa.array(np.diff(offsets).astype(np.int32), type=pa.int32())
     doc_id = batch["doc_id"].cast(pa.string())
-    source = batch["source"] if "source" in batch.column_names else pa.array(["doc"] * len(batch))
+    # explicit string type: an EMPTY batch would otherwise infer a
+    # null-typed column and clash with string blocks at schema union
+    source = (batch["source"] if "source" in batch.column_names
+              else pa.array(["doc"] * len(batch), type=pa.string()))
     return pa.table(
         {"doc_id": doc_id, "tokens": tokens, "n_tok": n_tok, "source": source}
     )
@@ -123,7 +126,8 @@ def synthetic_sequences_table(
     First rows pin the boundary behaviors: n_tok == 0, n_tok < stack,
     n_tok == stack, n_tok = k*step+stack ± 1, one giant doc at
     ``max_n_tok``; the rest are log-normal lengths with a hot "web"
-    source (~70%) for skew tests.
+    source (~70%) for skew tests.  The 7 edge rows are always emitted
+    (FIXTURES.md requires them), so the table has max(n_docs, 7) rows.
     """
     rng = np.random.default_rng(seed)
     edge_lengths = [

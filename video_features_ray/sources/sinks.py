@@ -27,6 +27,13 @@ def namespaced_dir(root: str, feature_type: str, model_name: str | None = None) 
     return os.path.join(*parts)
 
 
+def _safe_stem(doc_id: str) -> str:
+    """Collision-free filename stem: escape '%' then path separators —
+    a doc_id like 'web/2024/doc1' must neither create subdirs nor
+    collide with a literal 'web_2024_doc1'."""
+    return doc_id.replace("%", "%25").replace("/", "%2F").replace("\\", "%5C")
+
+
 def write_entity_files(
     ds: "ray.data.Dataset",
     out_dir: str,
@@ -46,7 +53,7 @@ def write_entity_files(
 
     def _write_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("window_id", kind="mergesort")
-        doc = str(g[key_col].iloc[0])
+        doc = _safe_stem(str(g[key_col].iloc[0]))
         feats = np.stack([np.asarray(v, dtype=np.float32) for v in g[feature_col]])
         ts = g[ts_col].to_numpy(dtype=np.float64)
         fps = float(g["fps"].iloc[0]) if "fps" in g.columns else 0.0
@@ -77,13 +84,27 @@ def skip_existing(
 
     ext = ".npy" if fmt == "npy" else ".pkl"
     suffix = f"_{feature_col}{ext}"
-    existing = frozenset(
-        f[: -len(suffix)] for f in os.listdir(out_dir) if f.endswith(suffix)
-    ) if os.path.isdir(out_dir) else frozenset()
+    if os.path.isdir(out_dir):
+        files = set(os.listdir(out_dir))
+        # an entity is DONE only when every file of its npy triple
+        # exists — a crash between the three np.save calls must not
+        # skip the entity forever with half its outputs missing
+        def _complete(stem: str) -> bool:
+            if fmt != "npy":
+                return True  # pickle writes one file
+            return (f"{stem}_timestamps_ms.npy" in files
+                    and f"{stem}_fps.npy" in files)
+
+        existing = frozenset(
+            f[: -len(suffix)] for f in files
+            if f.endswith(suffix) and _complete(f[: -len(suffix)]))
+    else:
+        existing = frozenset()
     ref = ray.put(existing)
 
     def _filter(batch: pd.DataFrame) -> pd.DataFrame:
         done = ray.get(ref)
-        return batch[~batch[key_col].astype(str).isin(done)]
+        stems = batch[key_col].astype(str).map(_safe_stem)
+        return batch[~stems.isin(done)]
 
     return ds.map_batches(_filter, batch_format="pandas")

@@ -300,7 +300,8 @@ class MediaDecoder:
 
 
 def decode_pipeline(ds: "ray.data.Dataset", concurrency: int = 4,
-                    batch_bytes: int = 32 << 20, est_row_bytes: int = 4096,
+                    batch_bytes: int = 32 << 20,
+                    est_row_bytes: int | None = None,
                     fake_decode: bool = False,
                     return_deadletters: bool = False):
     """Media dataset → per-frame feature rows via the decode actor pool.
@@ -316,11 +317,25 @@ def decode_pipeline(ds: "ray.data.Dataset", concurrency: int = 4,
     """
     from .deadletter import split_deadletters
 
+    if est_row_bytes is None:
+        # size from OBSERVED payloads (a fixed guess under real media
+        # blows the byte budget 4x+); one tiny prefix read
+        sample = ds.limit(16).to_pandas()
+        if len(sample) and "payload" in sample.columns:
+            est_row_bytes = int(max(
+                4096, sample["payload"].map(len).mean()))
+        else:
+            est_row_bytes = 4096
     rows = max(1, batch_bytes // max(est_row_bytes, 1))
     out = ds.map_batches(
         MediaDecoder, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=rows, concurrency=concurrency,
         fn_constructor_kwargs=dict(fake_decode=fake_decode),
     )
-    good, dead = split_deadletters(out)
-    return (good, dead) if return_deadletters else good
+    if return_deadletters:
+        # split consumes `out` twice — pin the decoded blocks or every
+        # payload is decoded once for `good` and again for `dead`
+        out = out.materialize()
+        return split_deadletters(out)
+    good, _dead = split_deadletters(out)
+    return good
