@@ -40,6 +40,7 @@ from .events import stable_bucket
 # worker frame still needs sys.path). Module-level names are pickled
 # with the function's globals instead.
 from .windows import (
+    _list_to_flat,
     resample_indices,
     slide_windows,
     window_counts,
@@ -136,11 +137,11 @@ def split_giant_sequences(
     return ds.map_batches(_split, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _flat(col):
-    # shared extraction (sliced-offset normalization lives ONCE)
-    from .windows import _list_to_flat
-
-    return _list_to_flat(col)
+# shared extraction (sliced-offset normalization lives ONCE in
+# windows.py); MODULE-level import — a function-level relative import
+# inside a by-value-pickled worker kernel cannot resolve the package
+# on a hostile driver's workers (tests/test_hostile_driver.py)
+_flat = _list_to_flat
 
 
 def windows_with_offset(batch: pa.Table, spec: EncoderSpec) -> pa.Table:
