@@ -51,6 +51,20 @@ def _parse(argv):
     return p.parse_args(argv)
 
 
+def _count_parquet_rows(out_dir: str) -> int:
+    """Row count from parquet FOOTERS under a dir (recursive) — counting
+    the lazy dataset would re-execute the whole pipeline."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    rows = 0
+    for root, _dirs, fnames in os.walk(out_dir):
+        rows += sum(pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                    for f in fnames if f.endswith(".parquet"))
+    return rows
+
+
 def main(argv=None) -> int:
     args = _parse(argv if argv is not None else sys.argv[1:])
 
@@ -94,19 +108,20 @@ def main(argv=None) -> int:
         if args.cmd == "features":
             import os
 
-            import pyarrow.parquet as pq
-
             from .pipelines.feature_store import events_feature_table
 
+            # same reused-dir refusal as extract: write_parquet appends
+            # UUID-named files, so a second run would MIX two feature
+            # tables and inflate the row count
+            if os.path.isdir(args.out) and _count_parquet_rows(args.out) > 0:
+                print(f"output dir {args.out} already contains parquet "
+                      "files; use a fresh dir", file=sys.stderr)
+                return 2
             out = events_feature_table(files, num_buckets=args.num_buckets,
                                        span_us=args.span_us)
             out.write_parquet(args.out, partition_cols=["split"])
-            rows = 0
-            for root, _dirs, fnames in os.walk(args.out):
-                rows += sum(
-                    pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
-                    for f in fnames if f.endswith(".parquet"))
-            print(json.dumps({"out": args.out, "rows": rows}))
+            print(json.dumps({"out": args.out,
+                              "rows": _count_parquet_rows(args.out)}))
             return 0
         spec = get_spec(args.spec)
         if args.checkpoint:
@@ -138,13 +153,8 @@ def main(argv=None) -> int:
 
             out = extract(read_sequences(files), spec)
             out.write_parquet(args.out)
-            # count from the written footers — calling .count() on the lazy
-            # dataset would re-execute the whole pipeline
-            import pyarrow.parquet as pq
-
-            rows = sum(pq.ParquetFile(os.path.join(args.out, f)).metadata.num_rows
-                       for f in os.listdir(args.out) if f.endswith(".parquet"))
-            print(json.dumps({"out": args.out, "rows": rows}))
+            print(json.dumps({"out": args.out,
+                              "rows": _count_parquet_rows(args.out)}))
         return 0
     finally:
         ray.shutdown()

@@ -22,11 +22,19 @@ _SEGMENTS = [(15, (255, 0, 0), (255, 255, 0)),   # RY
 
 
 def make_colorwheel() -> np.ndarray:
-    """(55, 3) uint8 wheel."""
+    """(55, 3) uint8 wheel, ramp-exact vs the reference
+    (``255 - floor(255*k/n)`` on descending channels — a float lerp's
+    ``floor(255*(1-k/n))`` is one LESS wherever 255k/n is fractional,
+    17 of 55 entries)."""
     rows = []
     for n, a, b in _SEGMENTS:
-        t = np.arange(n)[:, None] / n
-        rows.append(np.floor(np.array(a)[None, :] * (1 - t) + np.array(b)[None, :] * t))
+        k = np.arange(n)[:, None]
+        a_arr = np.array(a)[None, :]
+        b_arr = np.array(b)[None, :]
+        ramp = np.floor(255 * k / n)
+        seg = np.where(b_arr > a_arr, a_arr + ramp,
+                       np.where(b_arr < a_arr, a_arr - ramp, a_arr))
+        rows.append(seg)
     return np.concatenate(rows).astype(np.uint8)
 
 

@@ -54,10 +54,21 @@ def extract(
         # starve the rest of the pipeline (actor pools reserve their CPUs)
         import ray
 
-        total = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        # cap at total-1: a pool reserving every CPU starves the upstream
-        # read/window tasks and the stream deadlocks
-        encoder_concurrency = max(1, min(total - 1, (total * 3) // 4))
+        if ray.is_initialized():
+            total = int(ray.cluster_resources().get("CPU", 4))
+            # cap at total-1: a pool reserving every CPU starves the
+            # upstream read/window tasks and the stream deadlocks; on a
+            # 1-2 CPU cluster an ELASTIC (1, n) pool keeps min one
+            # actor while leaving room for the task stages
+            if total <= 2:
+                encoder_concurrency = (1, max(1, total - 1))
+            else:
+                encoder_concurrency = max(1, min(total - 1, (total * 3) // 4))
+        else:
+            # cluster size unknown at plan-build time (auto-init later):
+            # a fixed guess could reserve every CPU of a smaller real
+            # cluster — an elastic pool scales to what exists
+            encoder_concurrency = (1, 4)
     return windows.map_batches(
         Encoder,
         batch_format="pyarrow",

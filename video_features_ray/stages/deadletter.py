@@ -27,8 +27,14 @@ DEADLETTER_SCHEMA = pa.schema(
 
 
 def _empty_like(fn, batch: pa.Table) -> pa.Table:
-    """Schema-stable empty output for an all-bad batch."""
-    return fn(batch.slice(0, 0))
+    """Schema-stable empty output for an all-bad batch.  If ``fn``
+    itself cannot handle a zero-row table, fall back to the INPUT
+    schema — an exception here would fail the whole block, the exact
+    outcome this stage exists to prevent."""
+    try:
+        return fn(batch.slice(0, 0))
+    except Exception:
+        return batch.slice(0, 0)
 
 
 def isolating(fn: Callable[[pa.Table], pa.Table], stage_name: str | None = None,
@@ -78,10 +84,17 @@ def isolating(fn: Callable[[pa.Table], pa.Table], stage_name: str | None = None,
     return _wrapped
 
 
-def split_deadletters(ds):
-    """(good rows without _error col, dead-letter rows) — two lazy datasets."""
+def split_deadletters(ds, materialize: bool = True):
+    """(good rows without _error col, dead-letter rows).
+
+    ``materialize=True`` (default) pins the upstream blocks first —
+    the two returned datasets both consume ``ds``, and two lazy
+    branches would re-execute the whole upstream pipeline (including
+    the failing fn and its bisection) once per side."""
     import pyarrow.compute as pc
 
+    if materialize:
+        ds = ds.materialize()
     good = ds.map_batches(
         lambda b: b.filter(pc.is_null(b["_error"])).drop_columns(["_error"]),
         batch_format="pyarrow",

@@ -333,9 +333,7 @@ def decode_pipeline(ds: "ray.data.Dataset", concurrency: int = 4,
         fn_constructor_kwargs=dict(fake_decode=fake_decode),
     )
     if return_deadletters:
-        # split consumes `out` twice — pin the decoded blocks or every
-        # payload is decoded once for `good` and again for `dead`
-        out = out.materialize()
+        # split materializes internally — both sides consume `out`
         return split_deadletters(out)
-    good, _dead = split_deadletters(out)
+    good, _dead = split_deadletters(out, materialize=False)
     return good
