@@ -85,6 +85,32 @@ def _w(sf_dir: str, *tables: str) -> int:
     return shuffle_width(table_bytes(sf_dir, *tables))
 
 
+def table_rows(sf_dir: str, table: str) -> int:
+    """Row count from the parquet footer — metadata only, never data."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+
+
+def _skinny_w(sf_dir: str, table: str, bytes_per_row: int,
+              min_bucket_bytes: int = 1 << 20) -> int:
+    """Bucket count for shuffles whose payload is a SKINNY derivative of
+    a table — LSH band rows, minhash signatures, (id, hash) pairs — not
+    the table's own (text-dominated) bytes.  Sizing the width from
+    ``table_bytes`` over-splits these: at sf0.1 the band shuffle is
+    ~2 MB, and 64 near-empty ``map_groups`` buckets each pay Ray's
+    ~45 ms/block sort tax (the r3 ``minhash_neardup`` 3.3× regression).
+
+    width = max(data term bytes/256 MB, floor 8), additionally capped so
+    no bucket drops below ``min_bucket_bytes`` — the cluster term only
+    engages once the data can actually feed 2×CPU buckets."""
+    payload = table_rows(sf_dir, table) * int(bytes_per_row)
+    cluster_w = shuffle_width(payload)
+    tiny_cap = max(8, -(-payload // int(min_bucket_bytes)))
+    return max(min(cluster_w, tiny_cap),
+               -(-payload // TARGET_BUCKET_BYTES))
+
+
 # window-query specs (small geometry so the ~500-char docs emit windows)
 Q_W1 = EncoderSpec("q_w1_32_16", "w1", 32, 16, 8)
 Q_W2 = EncoderSpec("q_w2_16_8", "w2", 16, 8, 8)
@@ -540,9 +566,12 @@ def q_minhash_neardup(sf_dir: str):
     sf0.01)."""
     from ..stages.dedup import minhash_lsh_candidates
 
+    # the wide op here shuffles (id, band_id, band_hash) rows — ~48 B ×
+    # bands per doc, NOT document text — so size buckets from that
     cand = minhash_lsh_candidates(_planted_docs(sf_dir), num_perm=32, bands=8,
                                   concurrency=(1, 8),
-                                  num_buckets=_w(sf_dir, "documents"))
+                                  num_buckets=_skinny_w(sf_dir, "documents",
+                                                        8 * 48))
     return _planted_pairs_only(cand)
 
 
@@ -562,9 +591,12 @@ def q_simhash(sf_dir: str):
     a recall check, not arbitrary volume."""
     from ..stages.dedup import simhash_neardup_candidates
 
+    # shuffled payload = (id, band, key, simhash) rows, ~48 B × 8 bands
     pairs = simhash_neardup_candidates(_planted_docs(sf_dir), bands=8,
                                        hamming_max=7,
-                                       num_buckets=_w(sf_dir, "documents"))
+                                       num_buckets=_skinny_w(sf_dir,
+                                                             "documents",
+                                                             8 * 48))
     return _planted_pairs_only(pairs)
 
 

@@ -456,13 +456,19 @@ def jaccard_verify_joined(
     id_col: str = "doc_id", text_col: str = "text",
     shingle_k: int = 5, threshold: float = 0.5,
     num_buckets: int = 16,
+    pairs_schema: "pa.Schema | None" = None,
 ) -> "ray.data.Dataset":
     """Fully-distributed exact-Jaccard verify: candidate pairs are
     hash-JOINED with their texts (one shuffle per side), then verified
     per batch — neither the pair set nor any text lookup ever touches
     the driver. This is the 100 TB shape the broadcast-lookup
     :func:`jaccard_verify_stage` documents as its scale-up path (use
-    the broadcast variant when candidates ≪ corpus; this one always)."""
+    the broadcast variant when candidates ≪ corpus; this one always).
+
+    ``pairs_schema``: the candidate set's Arrow schema when the caller
+    knows it — the docs sides' schemas are fixed (string id + text), so
+    with it neither join ever calls ``Dataset.schema()`` (which can
+    execute the upstream pipeline's first block just for inference)."""
     from .joins import hash_join
 
     def _side(col_id: str, col_text: str):
@@ -473,8 +479,23 @@ def jaccard_verify_joined(
 
     docs_a = docs.map_batches(_side("id_a", "text_a"), batch_format="pyarrow")
     docs_b = docs.map_batches(_side("id_b", "text_b"), batch_format="pyarrow")
-    j1 = hash_join(pairs, docs_a, on="id_a", num_buckets=num_buckets)
-    j2 = hash_join(j1, docs_b, on="id_b", num_buckets=num_buckets)
+    sch_a = pa.schema([("id_a", pa.string()), ("text_a", pa.string())])
+    sch_b = pa.schema([("id_b", pa.string()), ("text_b", pa.string())])
+    # j1's schema = pairs cols + text_a (hash_join appends right non-key
+    # cols; id_a is the key, so only text_a lands). pairs_schema may be
+    # a ray.data.Schema wrapper — consume it via .names/.types (all
+    # TaggedUnion reads) and skip the fix-up when any type isn't Arrow.
+    j1_schema = None
+    if pairs_schema is not None and all(
+            isinstance(t, pa.DataType) for t in pairs_schema.types):
+        j1_schema = pa.schema(
+            [pa.field(n, t) for n, t in zip(pairs_schema.names,
+                                            pairs_schema.types)]
+            + [pa.field("text_a", pa.string())])
+    j1 = hash_join(pairs, docs_a, on="id_a", num_buckets=num_buckets,
+                   schemas=(pairs_schema, sch_a))
+    j2 = hash_join(j1, docs_b, on="id_b", num_buckets=num_buckets,
+                   schemas=(j1_schema, sch_b))
 
     def _verify(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": pd.Series([], dtype=object),
@@ -677,7 +698,8 @@ def neardup_dedup(
     else:
         verified = jaccard_verify_joined(cand, ds, id_col=id_col,
                                          text_col=text_col, threshold=threshold,
-                                         num_buckets=num_buckets)
+                                         num_buckets=num_buckets,
+                                         pairs_schema=cand.schema())
     verified = verified.materialize()
     if verified.count() == 0:
         return ray.data.from_pandas(

@@ -72,13 +72,18 @@ def _key_indexer(idx: "pd.Index", batch: pa.Table, col: str) -> np.ndarray:
 def _fit_for_join(agg: "ray.data.Dataset", keys, renames: dict):
     """Project a fit table to key + reserved ``__fit_*`` stat names so
     a LEFT hash_join onto an arbitrary payload can never collide with
-    (and silently shadow) a payload column like ``n``."""
+    (and silently shadow) a payload column like ``n``.
+
+    MATERIALIZED: the fit is O(groups) and the downstream hash_join's
+    TaggedUnion needs its schema — a lazy fit would execute the whole
+    partial-agg shuffle once for ``Dataset.schema()`` and AGAIN for the
+    join itself (blocks stay in the object store, never the driver)."""
     cols = [*keys, *renames.keys()]
 
     def _r(df: pd.DataFrame) -> pd.DataFrame:
         return df[cols].rename(columns=renames)
 
-    return agg.map_batches(_r, batch_format="pandas")
+    return agg.map_batches(_r, batch_format="pandas").materialize()
 
 
 def grouped_variance(
@@ -141,6 +146,7 @@ def zscore_normalize(
     combine: str = "driver",
     via: str = "broadcast",
     fit_ds: "ray.data.Dataset | None" = None,
+    schema: "pa.Schema | None" = None,
 ) -> "ray.data.Dataset":
     """Per-group z-score feature: ``z = (x − mean) / stddev_samp``
     attached to every row.  Fit = one exact-moment `partial_agg`
@@ -184,8 +190,10 @@ def zscore_normalize(
         fit = _fit_for_join(agg, [group_col],
                             {"sum__x": "__fit_sx", "sum__xx": "__fit_sxx",
                              "n": "__fit_n"})
+        # schema: caller's payload schema — spares TaggedUnion a
+        # Dataset.schema() that executes the payload's first block
         joined = hash_join(ds, fit, group_col, num_buckets=num_buckets,
-                           how="left")
+                           how="left", schemas=(schema, fit.schema()))
 
         def _fin(df: pd.DataFrame) -> pd.DataFrame:
             # same float64 op order as the broadcast path — the sums
@@ -245,6 +253,7 @@ def minmax_normalize(
     num_buckets: int = 16,
     combine: str = "driver",
     via: str = "broadcast",
+    schema: "pa.Schema | None" = None,
 ) -> "ray.data.Dataset":
     """Per-group min-max scaling ``(x − min) / (max − min)`` attached
     to every row.  Same fit/transform shape as :func:`zscore_normalize`
@@ -263,7 +272,7 @@ def minmax_normalize(
         fit = _fit_for_join(agg, [group_col],
                             {lo_c: "__fit_lo", hi_c: "__fit_hi"})
         joined = hash_join(ds, fit, group_col, num_buckets=num_buckets,
-                           how="left")
+                           how="left", schemas=(schema, fit.schema()))
 
         def _fin(df: pd.DataFrame) -> pd.DataFrame:
             lo = df["__fit_lo"].to_numpy(dtype=np.float64)
@@ -310,6 +319,7 @@ def mean_target_encode(
     num_buckets: int = 16,
     combine: str = "driver",
     via: str = "broadcast",
+    schema: "pa.Schema | None" = None,
 ) -> "ray.data.Dataset":
     """Mean target encoding: replace/annotate a categorical with the
     corpus mean of an INTEGER-scaled target within that category —
@@ -335,7 +345,7 @@ def mean_target_encode(
         fit = _fit_for_join(agg, [cat_col],
                             {"sum__t": "__fit_st", "n": "__fit_n"})
         joined = hash_join(ds, fit, cat_col, num_buckets=num_buckets,
-                           how="left")
+                           how="left", schemas=(schema, fit.schema()))
 
         def _fin(df: pd.DataFrame) -> pd.DataFrame:
             st = df["__fit_st"].to_numpy(dtype=np.float64)
@@ -538,6 +548,7 @@ def count_encode(
     num_buckets: int = 16,
     combine: str = "driver",
     via: str = "broadcast",
+    schema: "pa.Schema | None" = None,
 ) -> "ray.data.Dataset":
     """Frequency (count) encoding: annotate each row with its
     category's corpus count — the cheapest high-signal categorical
@@ -555,7 +566,7 @@ def count_encode(
 
         fit = _fit_for_join(agg, [cat_col], {"n": "__fit_n"})
         joined = hash_join(ds, fit, cat_col, num_buckets=num_buckets,
-                           how="left")
+                           how="left", schemas=(schema, fit.schema()))
 
         def _fin(df: pd.DataFrame) -> pd.DataFrame:
             df[out_col] = (df["__fit_n"].fillna(0).astype(np.int64))
@@ -991,10 +1002,22 @@ def quantile_transform(
     counts = partial_agg(ds.select_columns([value_col]), [value_col],
                          count_col="n", num_buckets=num_buckets,
                          combine="distributed").to_pandas()
-    counts = counts.sort_values(value_col, kind="mergesort")
-    vals = counts[value_col].to_numpy()
-    cum = counts["n"].astype(np.int64).cumsum().to_numpy()
-    total = float(cum[-1]) if len(cum) else 0.0
+    if len(counts) == 0 or value_col not in counts.columns:
+        total = 0.0   # empty fit: the combine emitted no (value, n) rows
+    else:
+        counts = counts.sort_values(value_col, kind="mergesort")
+        vals = counts[value_col].to_numpy()
+        cum = counts["n"].astype(np.int64).cumsum().to_numpy()
+        total = float(cum[-1]) if len(cum) else 0.0
+    if total <= 0.0:
+        # nothing to fit an ECDF on (empty input): emit a typed all-NULL
+        # column instead of dividing by a 0.0 total downstream
+        def _null(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                out_col, pa.nulls(len(batch), type=pa.float64()))
+
+        return ds.map_batches(_null, batch_format="pyarrow",
+                              zero_copy_batch=True)
     ref = ray.put((vals, cum, total))
 
     class _Apply:

@@ -112,6 +112,15 @@ def hash_join(
         raise ValueError(
             f"hash_join supports inner/left/outer/semi/anti, got {how!r} "
             "(for right: flip the sides)")
+    if salt_hot is not None and how == "outer":
+        # salting REPLICATES each hot key's right rows into all n_salts
+        # sub-buckets; a sub-bucket with no matching left row would emit
+        # its replica as an unmatched right-outer row — n_salts× silent
+        # duplication. Replication is only sound for combiners where
+        # each LEFT row's output is independent (inner/left/semi/anti).
+        raise ValueError("salt_hot is invalid for how='outer' (replicated "
+                         "right rows would duplicate unmatched-right output); "
+                         "use inner/left/semi/anti, or chunk instead of salt")
     keys = [on] if isinstance(on, str) else list(on)
 
     if bloom_prefilter_left:
@@ -916,6 +925,13 @@ def grouped_ddsketch_quantile(
 
     def _bucket(batch: pa.Table) -> pa.Table:
         v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        # SQL quantile ignores NULLs: drop them BEFORE bucketing, else
+        # NaN rows (NaN > 0 is False) land in the non-positive sentinel
+        # bucket AND inflate n, skewing the estimate toward 0.0
+        keep = ~np.isnan(v)
+        if not keep.all():
+            batch = batch.filter(pa.array(keep))
+            v = v[keep]
         idx = np.zeros(len(v), dtype=np.int64)
         pos = v > 0
         idx[pos] = np.ceil(np.log(v[pos]) / log_gamma).astype(np.int64)

@@ -63,7 +63,15 @@ class TaggedUnion:
             hot_list, n_salts = salt_hot
             hot_arr = np.asarray(sorted(hot_list))
         if schemas is not None:
+            # either side may be None → fall back to Dataset.schema()
+            # for THAT side only (callers often know one side exactly —
+            # a projected fit table — while the payload side is the
+            # caller's problem to thread through)
             l_schema, r_schema = schemas
+            if l_schema is None:
+                l_schema = left.schema()
+            if r_schema is None:
+                r_schema = right.schema()
         else:
             l_schema, r_schema = left.schema(), right.schema()
         self.left_cols = l_schema.names
