@@ -86,9 +86,73 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # ORDERING CONTRACT: the external gate checks the FIRST 50 entries,
+    # so each round the entries that have never had a driver-side green
+    # row rotate to the front (round 3 verified the first 50 of the old
+    # order; round 4 fronts the 46 that were behind them plus the two
+    # newly-oracled ones). The in-repo parity suite always runs ALL of
+    # oracle_sql() regardless of this order.
     from video_features_ray.pipelines import queries as q
 
     return {
+        # --- round-4 front: never driver-checked before this round ---
+        # feature-engineering family (stages/features.py)
+        "stddev_value_per_type": q.q_stddev_value_per_type,
+        "zscore_value": q.q_zscore_value,
+        "minmax_value": q.q_minmax_value,
+        "target_encode_type": q.q_target_encode_type,
+        "lang_onehot_per_source": q.q_lang_onehot_per_source,
+        "value_histogram": q.q_value_histogram,
+        "multi_lag_value": q.q_multi_lag_value,
+        "cume_dist_events": q.q_cume_dist_events,
+        "price_qty_regression": q.q_price_qty_regression,
+        "daily_order_vs_ship": q.q_daily_order_vs_ship,
+        "robust_value_per_type": q.q_robust_value_per_type,
+        "count_encode_type": q.q_count_encode_type,
+        "lang_source_cross": q.q_lang_source_cross,
+        "lineitem_unpivot": q.q_lineitem_unpivot,
+        "quantile_bin_value": q.q_quantile_bin_value,
+        "train_test_split": q.q_train_test_split,
+        "winsorized_value": q.q_winsorized_value,
+        "ordered_te_value": q.q_ordered_te_value,
+        "running_peak_value": q.q_running_peak_value,
+        "impute_value": q.q_impute_value,
+        "ordinal_encode_type": q.q_ordinal_encode_type,
+        "rolling_1h_stats": q.q_rolling_1h_stats,
+        "feature_store_events": q.q_feature_store_events,
+        "skew_kurt_per_type": q.q_skew_kurt_per_type,
+        "value_percentile": q.q_value_percentile,
+        "profile_events": q.q_profile_events,
+        "kfold_users": q.q_kfold_users,
+        # relational wide plans
+        "local_supplier_revenue": q.q_local_supplier_revenue,
+        "revenue_rollup": q.q_revenue_rollup,
+        "revenue_cube": q.q_revenue_cube,
+        # event-stream tail added late in r3
+        "latest_event_per_user": q.q_latest_event_per_user,
+        "user_journey": q.q_user_journey,
+        "order_stats_per_status": q.q_order_stats_per_status,
+        "share_of_user_total": q.q_share_of_user_total,
+        "user_type_spend": q.q_user_type_spend,
+        "hourly_active_users": q.q_hourly_active_users,
+        "asof_click_within_1h": q.q_asof_click_within_1h,
+        "churned_customers": q.q_churned_customers,
+        "loyal_customers": q.q_loyal_customers,
+        "rolling_1h_sum": q.q_rolling_1h_sum,
+        "pct_rank_events": q.q_pct_rank_events,
+        "bfill_events": q.q_bfill_events,
+        "prev_same_type_event": q.q_prev_same_type_event,
+        # flagship paths (oracled; encoder/checkpoint layers in-path)
+        "flagship_features": q.q_flagship_features,
+        "checkpointed_extract": q.q_checkpointed_extract,
+        "ivf_topk": q.q_ivf_topk,
+        # newly oracled this round (were rows-only)
+        "ewma_value": q.q_ewma_value,
+        "p99_price_sketch": q.q_p99_price_sketch,
+        # --- round-4 additions land here (inside the first-50 window) ---
+        "asof_chunked_hot": q.q_asof_chunked_hot,
+        "salted_join_revenue": q.q_salted_join_revenue,
+        # --- driver-verified green in round 3 (CORRECTNESS_r03.json) ---
         # windowing (W1/W2/framewise/flow + S5/S6 resamplers)
         "w1_windows": q.q_w1_windows,
         "w2_windows": q.q_w2_windows,
@@ -144,54 +208,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": q.q_shipping_priority,
         "corr_qty_price": q.q_corr_qty_price,
         "p90_value_per_type": q.q_p90_value_per_type,
-        "latest_event_per_user": q.q_latest_event_per_user,
-        "user_journey": q.q_user_journey,
-        "order_stats_per_status": q.q_order_stats_per_status,
-        "share_of_user_total": q.q_share_of_user_total,
-        "user_type_spend": q.q_user_type_spend,
-        "hourly_active_users": q.q_hourly_active_users,
-        "asof_click_within_1h": q.q_asof_click_within_1h,
-        "churned_customers": q.q_churned_customers,
-        "loyal_customers": q.q_loyal_customers,
-        "rolling_1h_sum": q.q_rolling_1h_sum,
-        "pct_rank_events": q.q_pct_rank_events,
-        "bfill_events": q.q_bfill_events,
-        "prev_same_type_event": q.q_prev_same_type_event,
-        "local_supplier_revenue": q.q_local_supplier_revenue,
-        "revenue_rollup": q.q_revenue_rollup,
-        "revenue_cube": q.q_revenue_cube,
-        "ewma_value": q.q_ewma_value,
-        "p99_price_sketch": q.q_p99_price_sketch,
-        "pq_topk": q.q_pq_topk,
-        # feature-engineering family (stages/features.py)
-        "stddev_value_per_type": q.q_stddev_value_per_type,
-        "zscore_value": q.q_zscore_value,
-        "minmax_value": q.q_minmax_value,
-        "target_encode_type": q.q_target_encode_type,
-        "lang_onehot_per_source": q.q_lang_onehot_per_source,
-        "value_histogram": q.q_value_histogram,
-        "multi_lag_value": q.q_multi_lag_value,
-        "cume_dist_events": q.q_cume_dist_events,
-        "price_qty_regression": q.q_price_qty_regression,
-        "daily_order_vs_ship": q.q_daily_order_vs_ship,
-        "robust_value_per_type": q.q_robust_value_per_type,
-        "count_encode_type": q.q_count_encode_type,
-        "lang_source_cross": q.q_lang_source_cross,
-        "lineitem_unpivot": q.q_lineitem_unpivot,
-        "quantile_bin_value": q.q_quantile_bin_value,
-        "train_test_split": q.q_train_test_split,
-        "winsorized_value": q.q_winsorized_value,
-        "ordered_te_value": q.q_ordered_te_value,
-        "running_peak_value": q.q_running_peak_value,
-        "impute_value": q.q_impute_value,
-        "ordinal_encode_type": q.q_ordinal_encode_type,
-        "rolling_1h_stats": q.q_rolling_1h_stats,
-        "feature_store_events": q.q_feature_store_events,
-        "skew_kurt_per_type": q.q_skew_kurt_per_type,
-        "value_percentile": q.q_value_percentile,
-        "profile_events": q.q_profile_events,
-        "kfold_users": q.q_kfold_users,
         # non-SQL-expressible (rows-only checks)
+        "pq_topk": q.q_pq_topk,
         "pca_embeddings": q.q_pca_embeddings,
         "approx_distinct_users": q.q_approx_distinct_users,
         "approx_quantiles_price": q.q_approx_quantiles_price,
@@ -202,12 +220,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q.q_fingerprint,
         "embedding_neardup": q.q_embedding_neardup,
         "embedding_neardup_winners": q.q_embedding_neardup_winners,
-        "ivf_topk": q.q_ivf_topk,
         "kmeans_centroids": q.q_kmeans_centroids,
-        "flagship_features": q.q_flagship_features,
         "media_decode": q.q_media_decode,
         "media_deadletter": q.q_media_deadletter,
-        "checkpointed_extract": q.q_checkpointed_extract,
     }
 
 
@@ -757,6 +772,57 @@ def oracle_sql() -> dict[str, str]:
         # the allclose fixture tests, which SQL cannot express)
         "flagship_features": f"{_SEQ} {_W1_WINDOWS}",
         "checkpointed_extract": f"{_SEQ} {_W1_WINDOWS}",
+        # chunked hot-entity as-of: MUST equal the plain as-of join —
+        # same oracle as asof_purchase_click (chunking is physical only)
+        "asof_chunked_hot": (
+            "WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value "
+            "FROM events WHERE event_type = 'purchase'), "
+            "c AS (SELECT event_id AS c_event, user_id, epoch_us(ts) AS ts_us, "
+            "value AS c_value FROM events WHERE event_type = 'click') "
+            "SELECT p.event_id, p.user_id, p.ts_us, p.value, "
+            "CAST(COALESCE(c.c_event, -1) AS BIGINT) AS c_event_r, "
+            "COALESCE(c.c_value, -1.0) AS c_value_r "
+            "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us"
+        ),
+        # auto-detected + salted fact⨝dim join: salting is physical
+        # only — same oracle as revenue_per_nation
+        "salted_join_revenue": (
+            "SELECT n.n_name AS n_name, "
+            "SUM(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0) AS BIGINT)) / 10000.0 AS revenue, "
+            "CAST(COUNT(*) AS BIGINT) AS n_items "
+            "FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN nation n ON s.s_nationkey = n.n_nationkey GROUP BY n.n_name"
+        ),
+        # EWMA: adjusted closed form, per-user first-event anchor (the
+        # engine's epoch-anchored recurrence agrees to ~3e-12; both
+        # sides hash the 1e-4-rounded int — zero boundary hits at
+        # sf0.001/sf0.01, verified empirically)
+        "ewma_value": (
+            "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
+            "value FROM events), "
+            "c AS (SELECT user_id, ts_us, AVG(value) AS v FROM e "
+            "GROUP BY user_id, ts_us), "
+            "t0 AS (SELECT user_id, MIN(ts_us) AS t0 FROM c GROUP BY user_id), "
+            "m AS (SELECT c.user_id, c.ts_us, c.v, "
+            "pow(2.0, (CAST(c.ts_us AS DOUBLE) - CAST(t0.t0 AS DOUBLE)) "
+            "/ 3600000000.0) AS u FROM c JOIN t0 USING (user_id)), "
+            "w AS (SELECT user_id, ts_us, "
+            "SUM(v * u) OVER win / SUM(u) OVER win AS ewma FROM m "
+            "WINDOW win AS (PARTITION BY user_id ORDER BY ts_us "
+            "ROWS UNBOUNDED PRECEDING)) "
+            "SELECT e.event_id, e.user_id, e.ts_us, "
+            "CAST(round(w.ewma * 10000.0) AS BIGINT) AS ewma_r4 "
+            "FROM e JOIN w ON e.user_id = w.user_id AND e.ts_us = w.ts_us"
+        ),
+        # DDSketch p99: the sketch estimate can't be SQL-hashed (libm
+        # ulp at a log-bucket edge), so the query hashes the sketch's
+        # GUARANTEE — exact interpolated p99 + within_alpha assertion
+        "p99_price_sketch": (
+            "SELECT o_orderstatus, "
+            "quantile_cont(CAST(round(o_totalprice * 100.0) AS BIGINT), 0.99) "
+            "/ 100.0 AS p99_exact, TRUE AS within_alpha "
+            "FROM orders GROUP BY o_orderstatus"
+        ),
         # feature-engineering family — every finish expression mirrors
         # the Ray float64 op order over identical exact integer sums
         "stddev_value_per_type": (

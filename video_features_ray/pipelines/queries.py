@@ -1604,33 +1604,60 @@ def q_rolling_1h_sum(sf_dir: str):
 
 def q_ewma_value(sf_dir: str):
     """Per-user time-decayed EWMA of value (halflife 1 h) at every
-    event — feature-store freshness weighting. Inherently sequential
-    per key, so no SQL oracle: pinned by the property suite against
-    pandas ewm(times=) instead (rows-only at the driver)."""
+    event — feature-store freshness weighting. The engine's recurrence
+    is epoch-anchored (events.py ewma_feature); DuckDB can express the
+    adjusted CLOSED form (cumulative Σ v·2^((t−t0)/h) / Σ 2^((t−t0)/h)
+    anchored at each user's first event — exponents stay representable
+    while a key spans < 1024 halflives, true for this corpus). The two
+    op orders agree to ~3e-12 abs, so BOTH sides hash a 1e-4-rounded
+    int column (zero boundary hits measured at sf0.001 and sf0.01)."""
     from ..stages.events import ewma_feature
 
     ds = _events_us(sf_dir, ["event_id", "user_id", "ts", "value"])
     out = ewma_feature(ds, "user_id", "ts_us", "value",
                        halflife_us=float(HOUR_US),
                        num_buckets=_w(sf_dir, "events"))
-    return out.map_batches(
-        lambda df: df[["event_id", "user_id", "ts_us", "value_ewma"]],
-        batch_format="pandas")
+
+    def _r4(df: pd.DataFrame) -> pd.DataFrame:
+        df["ewma_r4"] = np.round(
+            df["value_ewma"].to_numpy(dtype=np.float64) * 1e4).astype(np.int64)
+        return df[["event_id", "user_id", "ts_us", "ewma_r4"]]
+
+    return out.map_batches(_r4, batch_format="pandas")
 
 
 def q_p99_price_sketch(sf_dir: str):
     """Approximate p99 totalprice per order status via the grouped
     DDSketch histogram (partials bounded by log-buckets, not distinct
-    prices — the quantile scale path). Rel-error ≤ 1% is pytest-pinned
-    (tests/test_grouped_ddsketch.py); rows-only at the driver since a
-    1-ulp libm difference at a bucket edge would break a SQL hash."""
-    from ..stages.joins import grouped_ddsketch_quantile
+    prices — the quantile scale path). The sketch estimate itself can't
+    be SQL-hashed (a 1-ulp libm difference at a log-bucket edge moves
+    it), so the query hashes the sketch's GUARANTEE instead: it also
+    computes the exact interpolated p99 (bit-matching quantile_cont on
+    the cents grid) and emits ``within_alpha = |est/exact − 1| ≤ α``.
+    The oracle asserts TRUE — a sketch bug (or broken merge) flips the
+    flag and fails the value hash."""
+    from ..stages.joins import grouped_ddsketch_quantile, grouped_quantile_cont
 
     ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                columns=["o_orderstatus", "o_totalprice"])
-    out = grouped_ddsketch_quantile(ds, "o_orderstatus", "o_totalprice",
+    est = grouped_ddsketch_quantile(ds, "o_orderstatus", "o_totalprice",
                                     q=0.99, alpha=0.01)
-    return out.rename(columns={"q0.99_approx": "p99_price"})
+
+    def _scale(batch: pa.Table) -> pa.Table:
+        v = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"o_orderstatus": batch["o_orderstatus"],
+                         "price_c": pa.array(
+                             np.round(v * 100.0).astype(np.int64))})
+
+    exact = grouped_quantile_cont(ds.map_batches(_scale,
+                                                 batch_format="pyarrow"),
+                                  "o_orderstatus", "price_c", q=0.99)
+    exact["p99_exact"] = exact["q0.99"] / 100.0
+    m = exact[["o_orderstatus", "p99_exact"]].merge(
+        est.rename(columns={"q0.99_approx": "_est"}), on="o_orderstatus")
+    m["within_alpha"] = (np.abs(m["_est"] / m["p99_exact"] - 1.0)
+                         <= 0.01 + 1e-9)
+    return m[["o_orderstatus", "p99_exact", "within_alpha"]]
 
 
 def q_prev_same_type_event(sf_dir: str):
@@ -2479,3 +2506,106 @@ def q_kfold_users(sf_dir: str):
     return out.map_batches(
         lambda df: df[["event_id", "user_id", "fold"]],
         batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# round-4 skew machinery (chunked as-of, auto-salted join)
+# ---------------------------------------------------------------------------
+
+def q_asof_chunked_hot(sf_dir: str):
+    """The purchase→click point-in-time join run through the HOT-ENTITY
+    CHUNKED as-of path: every user above 0.5% of click rows is treated
+    as hot and split into ~16-row time-range chunks with boundary-carry
+    halo rows (stages/asof.py asof_join_chunked). Output must be
+    bit-identical to the plain as-of — same oracle SQL as
+    ``asof_purchase_click`` — while no bucket task ever holds a hot
+    key's full history (the 100 TB skew case TaggedUnion refuses to
+    salt)."""
+    from ..stages.asof import asof_join_chunked, plan_hot_chunks
+    from ..stages.skew import detect_hot_keys
+
+    ev = _events_us(sf_dir, ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def _purchases(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["event_type"] == "purchase"]
+        return d[["event_id", "user_id", "ts_us", "value"]]
+
+    def _clicks(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["event_type"] == "click"].copy()
+        d = d.rename(columns={"event_id": "c_event", "value": "c_value"})
+        return d[["c_event", "user_id", "ts_us", "c_value"]]
+
+    purchases = ev.map_batches(_purchases, batch_format="pandas")
+    clicks = ev.map_batches(_clicks, batch_format="pandas")
+    hot = detect_hot_keys(clicks, "user_id", threshold_frac=0.005)
+    cuts = plan_hot_chunks(clicks, "user_id", "ts_us", hot,
+                           rows_per_chunk=16)
+    joined = asof_join_chunked(
+        purchases, clicks, key="user_id", left_ts="ts_us",
+        right_ts="ts_us", direction="backward", hot_cuts=cuts,
+        num_buckets=_w(sf_dir, "events"), coalesce_blocks=16,
+        schemas=(pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                            ("ts_us", pa.int64()), ("value", pa.float64())]),
+                 pa.schema([("c_event", pa.int64()), ("user_id", pa.int64()),
+                            ("ts_us", pa.int64()), ("c_value", pa.float64())])))
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["c_event_r"] = df["c_event_r"].fillna(-1).astype(np.int64)
+        df["c_value_r"] = df["c_value_r"].fillna(-1.0).astype(np.float64)
+        return df[["event_id", "user_id", "ts_us", "value",
+                   "c_event_r", "c_value_r"]]
+
+    return joined.map_batches(_finish, batch_format="pandas")
+
+
+def q_salted_join_revenue(sf_dir: str):
+    """revenue_per_nation routed through ``auto_join(salt_threshold=)``
+    — the bucketed fact⨝dim plan with AUTOMATIC hot-key detection and
+    salting composed inside one call (detect_hot_keys → salt_hot). At
+    sf each supplier carries ~1/#suppliers of lineitem, so the 0.4%
+    threshold flags real keys and the whole join runs salted; the
+    oracle (same SQL as revenue_per_nation) pins that salting never
+    changes output."""
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import auto_join
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    small = supp.merge(nat, left_on="s_nationkey",
+                       right_on="n_nationkey")[["s_suppkey", "n_name"]]
+    small = small.rename(columns={"s_suppkey": "l_suppkey"})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_suppkey", "l_extendedprice",
+                                        "l_discount"])
+
+    def _scale(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.round(price * (1.0 - disc) * 10000.0).astype(np.int64)
+        return pa.table({"l_suppkey": batch["l_suppkey"],
+                         "rev_s": pa.array(rev)})
+
+    left = ds.map_batches(_scale, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    joined = auto_join(
+        left, ray.data.from_pandas(small), on="l_suppkey", how="inner",
+        broadcast_limit=0,            # force the bucketed plan
+        salt_threshold=0.004, salt_n=4,
+        num_buckets=_w(sf_dir, "lineitem"), coalesce_blocks=16,
+        schemas=(pa.schema([("l_suppkey", pa.int64()),
+                            ("rev_s", pa.int64())]),
+                 pa.schema([("l_suppkey", pa.int64()),
+                            ("n_name", pa.string())])))
+    agg = partial_agg(joined, ["n_name"], sums=["rev_s"],
+                      count_col="n_items", combine="driver")
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = df["sum_rev_s"].astype(np.int64) / 10000.0
+        df["n_items"] = df["n_items"].astype(np.int64)
+        return df[["n_name", "revenue", "n_items"]]
+
+    return agg.map_batches(_finish, batch_format="pandas")

@@ -830,6 +830,8 @@ def auto_join(
     right_bytes: int | None = None,
     how: str = "inner",
     broadcast_limit: int = 64 << 20,
+    salt_threshold: float | None = None,
+    salt_n: int = 16,
     **hash_kw,
 ):
     """Equi-join with physical-plan selection by measured bytes — the
@@ -840,21 +842,43 @@ def auto_join(
     never from a guess.  Broadcast serves inner/left only (semi/anti
     existence checks go through the bucketed plan, whose right side is
     already reduced to keys).  ``hash_kw`` forwards to ``hash_join``.
+
+    ``salt_threshold``: opt-in skew rule — when the bucketed plan is
+    chosen, detect LEFT keys above this row fraction
+    (:func:`..skew.detect_hot_keys`, one skinny pass) and salt them
+    over ``salt_n`` sub-buckets automatically. Only engaged for hows
+    where replication is sound (inner/left/semi/anti — see
+    ``hash_join``) and single-column keys; output is unchanged, only
+    bucket balance. Costs one extra pass over ``left``, so reserve it
+    for joins whose left side is known skew-prone.
     """
     import ray.data as rd
+
+    def _salted_kw():
+        if (salt_threshold is None or how == "outer"
+                or not isinstance(on, str)
+                or hash_kw.get("salt_hot") is not None):
+            return hash_kw
+        from .skew import detect_hot_keys
+
+        hot = detect_hot_keys(left, on, threshold_frac=salt_threshold)
+        if not hot:
+            return hash_kw
+        return {**hash_kw, "salt_hot": (hot, salt_n)}
 
     if isinstance(right, pd.DataFrame):
         est = int(right.memory_usage(deep=True).sum())
         if how in ("inner", "left") and \
                 choose_join_plan(est, broadcast_limit) == "broadcast":
             return broadcast_join(left, right, on=on, how=how)
-        return hash_join(left, rd.from_pandas(right), on, how=how, **hash_kw)
+        return hash_join(left, rd.from_pandas(right), on, how=how,
+                         **_salted_kw())
     if how in ("inner", "left") and \
             choose_join_plan(right_bytes, broadcast_limit) == "broadcast":
         # caller proved the right side small via footer metadata —
         # materializing it here is bounded by right_bytes by contract
         return broadcast_join(left, right.to_pandas(), on=on, how=how)
-    return hash_join(left, right, on, how=how, **hash_kw)
+    return hash_join(left, right, on, how=how, **_salted_kw())
 
 
 def categorical_pivot_sum(
