@@ -823,6 +823,24 @@ def oracle_sql() -> dict[str, str]:
             "/ 100.0 AS p99_exact, TRUE AS within_alpha "
             "FROM orders GROUP BY o_orderstatus"
         ),
+        # same guarantee-flag scheme for the global DDSketch quantiles
+        # (exact interpolated quantile on the cents grid is bit-stable)
+        "approx_quantiles_price": (
+            "SELECT 0.5 AS q, "
+            "quantile_cont(CAST(round(o_totalprice * 100.0) AS BIGINT), 0.5)"
+            " / 100.0 AS exact_q, TRUE AS within_alpha FROM orders "
+            "UNION ALL SELECT 0.9, "
+            "quantile_cont(CAST(round(o_totalprice * 100.0) AS BIGINT), 0.9)"
+            " / 100.0, TRUE FROM orders "
+            "UNION ALL SELECT 0.99, "
+            "quantile_cont(CAST(round(o_totalprice * 100.0) AS BIGINT), 0.99)"
+            " / 100.0, TRUE FROM orders"
+        ),
+        # HLL distinct: exact COUNT(DISTINCT) + the 3-sigma rel-error flag
+        "approx_distinct_users": (
+            "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS "
+            "exact_distinct, TRUE AS within_rel FROM events"
+        ),
         # feature-engineering family — every finish expression mirrors
         # the Ray float64 op order over identical exact integer sums
         "stddev_value_per_type": (

@@ -66,6 +66,7 @@ def test_run_and_resume_noop(seq_file, tmp_path):
     pd.testing.assert_frame_equal(_read_all(out), full1)
 
 
+@pytest.mark.slow
 def test_kill_and_resume_identical(seq_file, tmp_path):
     out_a = str(tmp_path / "a")
     out_b = str(tmp_path / "b")
@@ -86,6 +87,7 @@ def test_kill_and_resume_identical(seq_file, tmp_path):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w))
 
 
+@pytest.mark.slow
 def test_waves_concurrent_and_identical(seq_file, tmp_path):
     """wave_size=3: ≥2 partition jobs genuinely in flight at once, and
     the committed output is byte-identical to a sequential run (modulo

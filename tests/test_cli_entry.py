@@ -56,6 +56,7 @@ def test_cli_specs_lists_registry():
     assert SPEC in r.stdout
 
 
+@pytest.mark.slow
 def test_cli_api_checkpoint_equivalence(seq_file, tmp_path):
     import ray.data
 
@@ -89,6 +90,7 @@ def test_cli_api_checkpoint_equivalence(seq_file, tmp_path):
                                        rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_cli_features_matches_library(tmp_path):
     """CLI `features` subcommand == library events_feature_table on the
     same input (the CLI-vs-API equivalence contract, feature edition)."""

@@ -4,6 +4,7 @@ union-find on arbitrary graphs, converge on long chains (multi-round),
 and survive an adversarial corpus where MOST docs are near-dups —
 without the driver ever holding the pair set."""
 
+import pytest
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -28,6 +29,7 @@ def _cc_maps_equal(pairs_df: pd.DataFrame):
     assert got_map == want_losers, (got_map, want_losers)
 
 
+@pytest.mark.slow
 def test_cc_random_graphs_match_union_find():
     rng = np.random.default_rng(17)
     for trial in range(3):
@@ -87,6 +89,7 @@ def _boilerplate_corpus(n_clusters=40, cluster_size=6, n_unique=20, seed=23):
     return pd.DataFrame({"doc_id": ids, "text": texts}), truth
 
 
+@pytest.mark.slow
 def test_adversarial_majority_neardup_corpus():
     """240 of 260 docs are near-dups (>50%): the composed pipeline must
     still collapse every cluster to its min id, entirely distributed."""

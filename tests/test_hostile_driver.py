@@ -12,6 +12,7 @@ stage (`windows_with_offset`) regressed exactly this way in round 3.
 """
 from __future__ import annotations
 
+import pytest
 import os
 import subprocess
 import sys
@@ -44,6 +45,7 @@ ray.shutdown()
 """
 
 
+@pytest.mark.slow
 def test_worker_kernels_survive_hostile_driver(tmp_path):
     # 40 docs, several longer than max_tokens_per_chunk=64 so the
     # split_giant_sequences -> windows_with_offset worker path runs

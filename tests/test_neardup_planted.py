@@ -15,6 +15,7 @@ of rows-only smoke:
   bucket larger than the cap still completes (chunk fallback).
 """
 
+import pytest
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -101,6 +102,7 @@ def test_jaccard_verify_precision_and_distributed_stage():
     assert got == got_local
 
 
+@pytest.mark.slow
 def test_neardup_dedup_end_to_end():
     """Candidates → verify → connected components → loser list: every
     planted dup maps to its pair's min id; untouched docs never appear."""
@@ -201,6 +203,7 @@ def test_embedding_neardup_degenerate_bucket_bounded():
     assert (out["cosine"] > 0.999).all()
 
 
+@pytest.mark.slow
 def test_neardup_family_works_with_int64_ids():
     """Regression: raw int64 doc_ids (the documents table's native
     dtype) previously produced ZERO matches in the joined verify —

@@ -3,6 +3,7 @@ family: each operator against a naive pandas reference on arbitrary
 small inputs, at varying partitionings — the engine property under
 test is batching/bucketing invariance of the fit/transform split."""
 
+import pytest
 import numpy as np
 import pandas as pd
 import ray.data
@@ -53,6 +54,7 @@ def test_grouped_variance_property(case):
 
 @given(keyed_ints(cols=("x",)))
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_zscore_property(case):
     df, parts, buckets = case
     got = (zscore_normalize(_ds(df, parts), "k", "x",
@@ -67,6 +69,7 @@ def test_zscore_property(case):
 
 @given(keyed_ints(cols=("x",)))
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_minmax_property(case):
     df, parts, buckets = case
     got = (minmax_normalize(_ds(df, parts), "k", "x",
@@ -81,6 +84,7 @@ def test_minmax_property(case):
 
 @given(keyed_ints(cols=("t",)))
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_target_encode_property(case):
     df, parts, buckets = case
     got = (mean_target_encode(_ds(df, parts), "k", "t",
@@ -93,6 +97,7 @@ def test_target_encode_property(case):
 
 @given(keyed_ints(cols=("x", "y")))
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_grouped_regression_property(case):
     df, parts, buckets = case
     got = (grouped_regression(_ds(df, parts), ["k"], "x", "y",
@@ -127,6 +132,7 @@ def test_multi_lag_property(case):
 
 @given(keyed_ints(cols=("x",)))
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_winsorize_bounds_property(case):
     df, parts, buckets = case
     got = (winsorize(_ds(df, parts), "k", "x", lo_q=0.1, hi_q=0.9,

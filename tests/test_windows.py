@@ -96,6 +96,7 @@ def test_batch_size_invariance(spec, batch_rows):
 
 
 @pytest.mark.parametrize("spec", TEST_SPECS, ids=lambda s: s.name)
+@pytest.mark.slow
 def test_ray_pipeline_matches_oracle(spec):
     import ray.data
 

@@ -22,32 +22,72 @@ import json
 import sys
 
 
+def _yaml_defaults(argv):
+    """Reference-style YAML + CLI merge (``main.py:9-10`` builds its
+    config as ``OmegaConf.merge(load(yml), from_cli())``): a ``--config
+    file.yml`` provides DEFAULTS; explicit CLI flags override them. Two
+    argparse passes — the first finds --config, its values become
+    ``set_defaults`` for the second, so precedence falls out of
+    argparse itself (explicit flag > YAML > built-in default)."""
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--config", default=None)
+    ns, rest = pre.parse_known_args(argv)
+    if ns.config is None:
+        return {}, argv
+    import yaml
+
+    with open(ns.config) as f:
+        cfg = yaml.safe_load(f) or {}
+    if not isinstance(cfg, dict):
+        raise SystemExit(f"--config {ns.config}: top level must be a mapping")
+    # YAML keys use the flag spelling (num-cpus) or the dest (num_cpus)
+    cfg = {k.replace("-", "_"): v for k, v in cfg.items()}
+    # required= args satisfied via YAML must not trip argparse's check
+    return cfg, rest
+
+
 def _parse(argv):
+    yaml_cfg, argv = _yaml_defaults(argv)
     p = argparse.ArgumentParser(prog="video_features_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
     ex = sub.add_parser("extract", help="sequences parquet -> windowed features parquet")
-    ex.add_argument("--input", required=True, nargs="+",
+    ex.add_argument("--input", required="input" not in yaml_cfg, nargs="+",
                     help="input parquet file(s)/glob(s) with (doc_id, tokens, n_tok, source)")
-    ex.add_argument("--out", required=True, help="output directory")
-    ex.add_argument("--spec", required=True, help="spec name (see `specs`)")
+    ex.add_argument("--out", required="out" not in yaml_cfg,
+                    help="output directory")
+    ex.add_argument("--spec", required="spec" not in yaml_cfg,
+                    help="spec name (see `specs`)")
     ex.add_argument("--checkpoint", action="store_true",
                     help="per-partition lineage checkpointing + resume")
     ex.add_argument("--target-rows", type=int, default=250_000)
     ex.add_argument("--wave-size", type=int, default=2)
     ex.add_argument("--num-cpus", type=int, default=None)
+    ex.add_argument("--num-gpus", type=float, default=None,
+                    help="GPUs reserved PER encoder actor (1 = whole "
+                         "device, 0.5 = two actors share one); omit for "
+                         "the CPU-only pool")
+    ex.add_argument("--encoder-num-cpus", type=float, default=None,
+                    help="CPUs reserved per encoder actor (scheduler "
+                         "default: 1)")
     sub.add_parser("specs", help="list registered encoder specs")
     fe = sub.add_parser("features",
                         help="events parquet -> per-event training feature "
                              "table (lags/lead/rolling/extrema/z-score/split), "
                              "partitioned by split")
-    fe.add_argument("--input", required=True, nargs="+",
+    fe.add_argument("--input", required="input" not in yaml_cfg, nargs="+",
                     help="event parquet file(s)/glob(s) with "
                          "(event_id, user_id, ts, event_type, value)")
-    fe.add_argument("--out", required=True, help="output directory")
+    fe.add_argument("--out", required="out" not in yaml_cfg,
+                    help="output directory")
     fe.add_argument("--span-us", type=int, default=3_600_000_000,
                     help="rolling-window span in microseconds (default 1h)")
     fe.add_argument("--num-buckets", type=int, default=64)
     fe.add_argument("--num-cpus", type=int, default=None)
+    if yaml_cfg:
+        if isinstance(yaml_cfg.get("input"), str):
+            yaml_cfg["input"] = [yaml_cfg["input"]]
+        ex.set_defaults(**yaml_cfg)
+        fe.set_defaults(**yaml_cfg)
     return p.parse_args(argv)
 
 
@@ -129,7 +169,10 @@ def main(argv=None) -> int:
             from .state.checkpoint import run_checkpointed
 
             summary = run_checkpointed(
-                files, lambda ds: extract(ds, spec), args.out,
+                files,
+                lambda ds: extract(ds, spec, num_gpus=args.num_gpus,
+                                   num_cpus=args.encoder_num_cpus),
+                args.out,
                 target_rows=args.target_rows, wave_size=args.wave_size,
             )
             print(json.dumps(summary))
@@ -151,7 +194,9 @@ def main(argv=None) -> int:
                 return 2
             from .sources.sequences import read_sequences
 
-            out = extract(read_sequences(files), spec)
+            out = extract(read_sequences(files), spec,
+                          num_gpus=args.num_gpus,
+                          num_cpus=args.encoder_num_cpus)
             out.write_parquet(args.out)
             print(json.dumps({"out": args.out,
                               "rows": _count_parquet_rows(args.out)}))

@@ -35,13 +35,45 @@ def _window_batch_rows(spec: EncoderSpec) -> int:
     return max(512, min(16384, (4 << 20) // max(bytes_per_row, 1)))
 
 
+def encoder_remote_args(
+    num_gpus: Optional[float] = None,
+    num_cpus: Optional[float] = None,
+    resources: Optional[dict] = None,
+) -> dict:
+    """Per-actor resource kwargs for the encoder ``map_batches`` call.
+
+    Mirrors the reference's device placement (one extraction process
+    per GPU, model moved to its device — ``models/i3d/extract_i3d.py``
+    171-209, ``README.md`` 70-84) in Ray Data terms: ``num_gpus=1``
+    reserves a whole device per encoder actor, fractions share one.
+    Only explicitly-set keys are emitted so the CPU default stays the
+    scheduler's (1 CPU per actor) and a resource-free pool is the
+    no-GPU fallback."""
+    kw: dict = {}
+    if num_gpus is not None:
+        kw["num_gpus"] = num_gpus
+    if num_cpus is not None:
+        kw["num_cpus"] = num_cpus
+    if resources:
+        kw["resources"] = dict(resources)
+    return kw
+
+
 def extract(
     sequences: "ray.data.Dataset",
     spec: EncoderSpec | str,
     encoder_concurrency: Optional[int] = None,
     with_features: bool = True,
+    num_gpus: Optional[float] = None,
+    num_cpus: Optional[float] = None,
+    resources: Optional[dict] = None,
 ) -> "ray.data.Dataset":
-    """sequences → window rows (+ deterministic features). Lazy."""
+    """sequences → window rows (+ deterministic features). Lazy.
+
+    ``num_gpus`` / ``num_cpus`` / ``resources`` size EACH encoder
+    actor (see :func:`encoder_remote_args`); when ``num_gpus`` is set
+    and no concurrency is given, the pool is sized from the cluster's
+    GPU count instead of its CPUs."""
     if isinstance(spec, str):
         spec = get_spec(spec)
     windows = sequences.map_batches(
@@ -49,6 +81,17 @@ def extract(
     )
     if not with_features:
         return windows
+    if encoder_concurrency is None and num_gpus:
+        # GPU pool: one actor per reserved device share; elastic floor
+        # of 1 so a partially-busy cluster still makes progress
+        import ray
+
+        if ray.is_initialized():
+            n_gpu = int(ray.cluster_resources().get("GPU", 0))
+            encoder_concurrency = (1, max(1, int(n_gpu / num_gpus))) \
+                if n_gpu else (1, 1)
+        else:
+            encoder_concurrency = (1, 1)
     if encoder_concurrency is None:
         # leave headroom for the read + window stages so the pool doesn't
         # starve the rest of the pipeline (actor pools reserve their CPUs)
@@ -76,4 +119,5 @@ def extract(
         batch_size=_window_batch_rows(spec),
         fn_constructor_args=(spec,),
         concurrency=encoder_concurrency,
+        **encoder_remote_args(num_gpus, num_cpus, resources),
     )

@@ -1221,22 +1221,61 @@ def q_term_df_topk(sf_dir: str):
 
 
 def q_approx_quantiles_price(sf_dir: str):
-    """DDSketch order-price quantiles (rows-only; relative error ≤ 1%
-    asserted against exact DuckDB quantiles in tests)."""
+    """DDSketch order-price quantiles. The estimate itself can't be
+    SQL-hashed (log-bucket libm ulps), so — like ``p99_price_sketch`` —
+    the query hashes the sketch's GUARANTEE: it also computes the exact
+    interpolated quantile (bit-matching ``quantile_cont`` on the cents
+    grid) and emits ``within_alpha = |est/exact − 1| ≤ α``. The oracle
+    asserts TRUE per q; a sketch or merge bug flips the flag."""
     from ..functions.sketches import approx_quantile
+    from ..stages.joins import grouped_quantiles_cont
 
+    qs = [0.5, 0.9, 0.99]
     ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
-    got = approx_quantile(ds, "o_totalprice", qs=[0.5, 0.9, 0.99], alpha=0.01)
-    return pd.DataFrame({"q": list(got), "value": [got[k] for k in got]})
+    got = approx_quantile(ds, "o_totalprice", qs=qs, alpha=0.01)
+
+    def _scale(batch: pa.Table) -> pa.Table:
+        v = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"_g": pa.array(np.zeros(len(v), dtype=np.int32)),
+                         "price_c": pa.array(
+                             np.round(v * 100.0).astype(np.int64))})
+
+    exact = grouped_quantiles_cont(
+        ds.map_batches(_scale, batch_format="pyarrow"), "_g", "price_c",
+        qs)
+    out = pd.DataFrame({
+        "q": np.asarray(qs, dtype=np.float64),
+        "exact_q": [float(exact[f"q{q}"].iloc[0]) / 100.0 for q in qs],
+        "est": [got[q] for q in qs]})
+    out["within_alpha"] = (np.abs(out["est"] / out["exact_q"] - 1.0)
+                           <= 0.01 + 1e-9)
+    return out[["q", "exact_q", "within_alpha"]]
 
 
 def q_approx_distinct_users(sf_dir: str):
-    """HLL distinct user estimate (rows-only; approximate by design)."""
+    """HLL(p=12) distinct-user estimate, hash-checked via its GUARANTEE:
+    the exact distinct count runs beside it (value-bucketed exact
+    distinct, O(buckets) driver combine) and the query emits
+    ``within_rel = |est/exact − 1| ≤ 5%`` (3× the p=12 std error
+    1.04/√4096 ≈ 1.6%). The oracle asserts the exact count and TRUE."""
     from ..functions.sketches import approx_distinct
+    from ..stages.dedup import distinct_count_per_group
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
     est = approx_distinct(ds, "user_id", p=12)
-    return pd.DataFrame({"metric": ["approx_distinct_user_id"], "estimate": [est]})
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        return pa.table({"_g": pa.array(
+            np.zeros(len(batch), dtype=np.int32)),
+            "user_id": batch["user_id"]})
+
+    exact_df = distinct_count_per_group(
+        ds.map_batches(_tag, batch_format="pyarrow"), "_g", "user_id"
+    ).to_pandas()
+    exact = int(exact_df["n_distinct"].iloc[0])
+    return pd.DataFrame({
+        "exact_distinct": np.asarray([exact], dtype=np.int64),
+        "within_rel": [abs(est / exact - 1.0) <= 0.05]})
 
 
 def q_dense_rank_events(sf_dir: str):

@@ -202,6 +202,37 @@ class MediaDecoder:
         gray = img.astype(np.float32).mean(axis=2) / 255.0
         return resize_nearest(gray, self.hw, self.hw).mean(axis=0)
 
+    def _decode_video_cv2(self, payload: bytes):
+        """Compressed video via cv2.VideoCapture, sampling every
+        ``frame_step``-th frame (the reference reads frames from a FILE
+        path — ``utils/utils.py:194-223`` — so the payload is spilled to
+        a per-call tempfile; cv2 has no in-memory video API). Returns
+        None when cv2 can't open the container (falls through the
+        decoder chain), a row list otherwise."""
+        import os
+        import tempfile
+
+        fd, path = tempfile.mkstemp(suffix=".bin")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(payload)
+            cap = self.cv2.VideoCapture(path)
+            if not cap.isOpened():
+                cap.release()
+                return None
+            rows, i = [], 0
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                if i % self.step == 0:
+                    rows.append((i, self._image_feature(frame[:, :, ::-1])))
+                i += 1
+            cap.release()
+            return rows or None
+        finally:
+            os.unlink(path)
+
     def _decode_rows(self, payload: bytes, n_frames: int):
         """→ list of (frame_idx, feature[hw]) rows."""
         # native decoders are ATTEMPTS, never verdicts: a truncated PPM, an
@@ -233,6 +264,9 @@ class MediaDecoder:
             img = self.cv2.imdecode(buf, self.cv2.IMREAD_COLOR)
             if img is not None:
                 return [(0, self._image_feature(img[:, :, ::-1]))]
+            rows = self._decode_video_cv2(payload)
+            if rows is not None:
+                return rows
         if self.soundfile is not None:
             try:
                 x, sr = self.soundfile.read(io.BytesIO(payload), dtype="float32")
