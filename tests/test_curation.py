@@ -1,0 +1,193 @@
+"""Curation-family operator tests: planted recall, exactness edges, and
+scale-shape invariants (output identical under different partitioning).
+
+The SQL-vs-Ray parity for the five oracled queries lives in
+test_oracle_parity.py (auto-discovered); here we pin the behaviors SQL
+can't see: Bloom no-false-negatives, semantic-dedup planted recall,
+unknown-source fail-loud, budget boundary ties, and batch-boundary
+independence of the per-doc n-gram kernels.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+import ray.data
+
+from video_features_ray.stages.curation import (
+    bloom_new_docs,
+    collect_benchmark_ngrams,
+    contamination_check,
+    mixture_sample,
+    ngram_repetition,
+    semantic_dedup,
+    token_budget_select,
+)
+
+
+def _docs(texts, ids=None):
+    ids = list(range(len(texts))) if ids is None else ids
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+# ---------------------------------------------------------------- repetition
+
+def test_ngram_repetition_edges(ray_session):
+    texts = ["a b a b a",      # top2 'a b' x2 of 4; dup3: 'a b a' x2 of 3
+             "x y z",          # no repeats
+             "a",              # too short for any gram
+             "",               # split(' ') of '' is one empty word
+             "q q q q"]        # total repetition
+    out = (ngram_repetition(ray.data.from_arrow(_docs(texts)))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, "top2"] == 2 and out.loc[0, "n2"] == 4
+    assert out.loc[0, "dup3"] == 1 and out.loc[0, "n3"] == 3
+    assert out.loc[1, "dup3_frac"] == 0.0
+    # short docs: exact zeros, never NaN
+    assert (out.loc[2:3, ["n2", "n3", "top2_frac", "dup3_frac"]]
+            .to_numpy() == 0).all()
+    assert out.loc[4, "top2_frac"] == 1.0 and out.loc[4, "dup3_frac"] == 0.5
+
+
+def test_ngram_repetition_partition_independent(ray_session):
+    """Per-doc stats must not depend on how docs batch together (the
+    dictionary codes are per-batch; results must be batch-invariant)."""
+    rng = np.random.default_rng(11)
+    texts = [" ".join(rng.choice(list("abcdef"), size=rng.integers(1, 40)))
+             for _ in range(120)]
+    tbl = _docs(texts)
+    one = (ngram_repetition(ray.data.from_arrow(tbl))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    many = (ngram_repetition(ray.data.from_arrow(tbl).repartition(13))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(one, many)
+
+
+# ------------------------------------------------------------ contamination
+
+def test_contamination_planted(ray_session):
+    bench_texts = ["the quick brown fox jumps", "pack my box with jugs"]
+    bench = ray.data.from_arrow(_docs(bench_texts, ids=[0, 50]))
+    grams = collect_benchmark_ngrams(bench, n=3)
+    scored_texts = [
+        "the quick brown fox jumps",       # full copy -> frac 1.0
+        "alpha beta the quick brown fox",  # partial overlap
+        "totally different words here now",
+    ]
+    scored = ray.data.from_arrow(_docs(scored_texts, ids=[1, 2, 3]))
+    out = (contamination_check(scored, grams, n=3)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, "contam_frac"] == 1.0 and out.loc[0, "contaminated"] == 1
+    assert 0.0 < out.loc[1, "contam_frac"] < 1.0
+    assert out.loc[2, "n_hit"] == 0 and out.loc[2, "contaminated"] == 0
+
+
+def test_contamination_drops_gramless_docs(ray_session):
+    grams = frozenset({"a b c"})
+    out = contamination_check(
+        ray.data.from_arrow(_docs(["a b", "a b c d"])), grams, n=3
+    ).to_pandas()
+    assert set(out["doc_id"]) == {1}
+
+
+# ------------------------------------------------------------------- bloom
+
+def test_bloom_new_docs_exact_under_heavy_fp(ray_session):
+    """With a deliberately tiny filter (high false-positive rate) the
+    output must STILL be exact anti-join semantics — false positives
+    only cost shuffle, never correctness."""
+    rng = np.random.default_rng(5)
+    corpus_texts = [f"doc {i} " + " ".join(
+        rng.choice(list("xyz"), size=5)) for i in range(0, 100, 5)]
+    new_texts, new_ids, dup_ids = [], [], set()
+    for i in range(100):
+        if i % 5 == 0:
+            continue
+        if i % 7 == 0:  # planted exact duplicate of a corpus doc
+            new_texts.append(corpus_texts[(i // 5)])
+            dup_ids.add(i)
+        else:
+            new_texts.append(f"new {i} unique")
+        new_ids.append(i)
+    corpus = ray.data.from_arrow(
+        _docs(corpus_texts, ids=list(range(0, 100, 5))))
+    new = ray.data.from_arrow(_docs(new_texts, ids=new_ids))
+    out = bloom_new_docs(new, corpus, n_bits=64, num_buckets=4).to_pandas()
+    assert set(out["doc_id"]) == set(new_ids) - dup_ids
+
+
+# ------------------------------------------------------------ token budget
+
+def test_token_budget_boundary_and_ties(ray_session):
+    # five docs of 10 words each, budget 50% = 25 words -> exactly 2 docs
+    texts = [" ".join(["w"] * 10) for _ in range(5)]
+    out = (token_budget_select(ray.data.from_arrow(_docs(texts, ids=[3, 1, 4, 2, 5])),
+                               budget_frac=0.5)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # equal n_words -> doc_id ASC tie-break: ids 1 and 2 selected
+    assert list(out["doc_id"]) == [1, 2]
+    assert list(out["cum_words"]) == [10, 20]
+
+
+def test_token_budget_partition_independent(ray_session):
+    rng = np.random.default_rng(4)
+    texts = [" ".join(rng.choice(list("ab"), size=rng.integers(1, 30)))
+             for _ in range(200)]
+    tbl = _docs(texts, ids=list(range(1, 201)))
+    a = (token_budget_select(ray.data.from_arrow(tbl), 0.3)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (token_budget_select(ray.data.from_arrow(tbl).repartition(17), 0.3,
+                             num_id_buckets=5)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------------- mixture
+
+def test_mixture_sample_unknown_source_dropped(ray_session):
+    tbl = pa.table({"doc_id": pa.array(range(100), pa.int64()),
+                    "source": pa.array(["known"] * 50 + ["typo"] * 50)})
+    out = mixture_sample(ray.data.from_arrow(tbl),
+                         {"known": 10000}).to_pandas()
+    assert set(out["source"]) == {"known"} and len(out) == 50
+
+
+def test_mixture_sample_stability_under_repartition(ray_session):
+    tbl = pa.table({"doc_id": pa.array(range(500), pa.int64()),
+                    "source": pa.array([f"s{i % 3}" for i in range(500)])})
+    rates = {"s0": 2500, "s1": 5000, "s2": 7500}
+    a = set(mixture_sample(ray.data.from_arrow(tbl), rates)
+            .to_pandas()["doc_id"])
+    b = set(mixture_sample(ray.data.from_arrow(tbl).repartition(11), rates)
+            .to_pandas()["doc_id"])
+    assert a == b
+
+
+# ---------------------------------------------------------- semantic dedup
+
+def test_semantic_dedup_planted(ray_session):
+    rng = np.random.default_rng(0)
+    dim = 16
+    base = rng.standard_normal((40, dim)).astype(np.float32) * 5
+    rows, ids, losers = [], [], set()
+    vid = 0
+    for i, b in enumerate(base):
+        rows.append(b)
+        ids.append(vid)
+        vid += 1
+        if i % 4 == 0:  # plant 10 near-copies right after their source
+            rows.append(b + rng.standard_normal(dim).astype(np.float32) * .01)
+            losers.add(vid)
+            ids.append(vid)
+            vid += 1
+    tbl = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in rows],
+                              pa.list_(pa.float32()))})
+    surv = semantic_dedup(ray.data.from_arrow(tbl), dim=dim, n_clusters=4,
+                          tau=0.99).to_pandas()
+    assert set(ids) - set(surv["vec_id"]) == losers
+    # survivors keep their cluster assignment column
+    assert set(surv.columns) == {"vec_id", "cluster"}

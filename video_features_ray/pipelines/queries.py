@@ -2648,3 +2648,97 @@ def q_salted_join_revenue(sf_dir: str):
         return df[["n_name", "revenue", "n_items"]]
 
     return agg.map_batches(_finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# round 4: corpus-curation family (stages/curation.py)
+# ---------------------------------------------------------------------------
+
+def q_ngram_repetition(sf_dir: str):
+    """Gopher-style repetition quality stats per document (top-2-gram
+    fraction + duplicate-3-gram fraction), exact word-n-gram counts on
+    per-batch dictionary codes — bit-exact vs the SQL gram-grouping
+    oracle. Stateless map: streams at any scale."""
+    from ..stages.curation import ngram_repetition
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ngram_repetition(ds)
+
+
+def _docs_mod_filter(sf_dir: str, mod: int, want_eq: bool):
+    """documents rows with (doc_id % mod == 0) == want_eq, pruned read +
+    vectorized mask."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def _mask(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        m = (ids % mod == 0) == want_eq
+        return batch.filter(pa.array(m))
+
+    return ds.map_batches(_mask, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_contamination(sf_dir: str):
+    """GPT-3-style benchmark decontamination scoring: every 50th doc
+    plays the eval benchmark; the remaining corpus is scored by the
+    fraction of its DISTINCT word-3-grams that appear in the benchmark
+    gram set (broadcast once per actor). Flag at >= 1/5 overlap."""
+    from ..stages.curation import collect_benchmark_ngrams, contamination_check
+
+    bench = _docs_mod_filter(sf_dir, 50, True)
+    grams = collect_benchmark_ngrams(bench, n=3)
+    scored = _docs_mod_filter(sf_dir, 50, False)
+    return contamination_check(scored, grams, n=3)
+
+
+def q_bloom_new_docs(sf_dir: str):
+    """Incremental dedup of a new corpus slice against the existing
+    corpus: Bloom-miss rows ship straight through (provably new, zero
+    shuffle); only Bloom-hit candidates enter the exact bucketed ANTI
+    join. Output is bit-exact NOT EXISTS semantics."""
+    from ..stages.curation import bloom_new_docs
+
+    corpus = _docs_mod_filter(sf_dir, 5, True)
+    new = _docs_mod_filter(sf_dir, 5, False)
+    sch = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    return bloom_new_docs(new, corpus, num_buckets=_w(sf_dir, "documents"),
+                          schemas=(sch, sch))
+
+
+def q_token_budget(sf_dir: str):
+    """Token-budget selection: longest-docs-first (n_words DESC, doc_id)
+    until 50% of the corpus words — the distributed ordered prefix-sum
+    (pack_sequences' scan pattern over a composite order key)."""
+    from ..stages.curation import token_budget_select
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return token_budget_select(ds, budget_frac=0.5,
+                               n_docs=table_rows(sf_dir, "documents"))
+
+
+def q_mixture_sample(sf_dir: str):
+    """Deterministic domain-mixture downsampling: per-source keep rates
+    (src k -> (k%4+1)*25%) applied by the DuckDB-pinned hash of doc_id —
+    map-only, stable under repartitioning, native-SQL oracle."""
+    from ..stages.curation import mixture_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source"])
+    srcs = sorted(ds.unique("source"))     # O(sources) on the driver
+    rates = {s: (int(s[3:]) % 4 + 1) * 2500 for s in srcs}
+    return mixture_sample(ds, rates)
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup over the embeddings: k-means clusters -> within-cluster
+    cosine pairs -> distributed components -> keep min id. Rows-only
+    (iterative k-means isn't SQL); planted recall pinned in tests."""
+    from ..stages.curation import semantic_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return semantic_dedup(ds, dim=64, n_clusters=8, tau=0.95,
+                          num_buckets=_w(sf_dir, "embeddings"))

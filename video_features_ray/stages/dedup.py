@@ -589,6 +589,8 @@ def cluster_pairs_distributed(
 
     def _signature(state: "ray.data.Dataset") -> tuple:
         parts = state.map_batches(_sig_partial, batch_format="pandas").to_pandas()
+        if parts.empty:            # zero input pairs: no blocks ever emitted
+            return 0, 0
         with np.errstate(over="ignore"):
             s = np.uint64(parts["s"].to_numpy(dtype=np.uint64).sum(dtype=np.uint64))
         return int(parts["n"].sum()), int(s)
