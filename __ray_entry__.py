@@ -130,6 +130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_new_docs": q.q_bloom_new_docs,
         "token_budget": q.q_token_budget,
         "mixture_sample": q.q_mixture_sample,
+        "pivot_event_counts": q.q_pivot_event_counts,
+        "curation_pipeline": q.q_curation_pipeline,
         # relational wide plans
         "local_supplier_revenue": q.q_local_supplier_revenue,
         "revenue_rollup": q.q_revenue_rollup,
@@ -137,8 +139,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # event-stream tail added late in r3
         "latest_event_per_user": q.q_latest_event_per_user,
         "asof_click_within_1h": q.q_asof_click_within_1h,
-        "churned_customers": q.q_churned_customers,
-        "loyal_customers": q.q_loyal_customers,
         "rolling_1h_sum": q.q_rolling_1h_sum,
         "pct_rank_events": q.q_pct_rank_events,
         "bfill_events": q.q_bfill_events,
@@ -155,6 +155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salted_join_revenue": q.q_salted_join_revenue,
         # rotated below the driver's 50-query window this round (shapes
         # closest to already-green r3 rows; still oracle-checked in-repo)
+        "churned_customers": q.q_churned_customers,
+        "loyal_customers": q.q_loyal_customers,
         "user_journey": q.q_user_journey,
         "order_stats_per_status": q.q_order_stats_per_status,
         "share_of_user_total": q.q_share_of_user_total,
@@ -890,6 +892,48 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source FROM documents "
             "WHERE hash(doc_id) % 10000 < "
             "(CAST(substr(source, 4) AS INTEGER) % 4 + 1) * 2500"
+        ),
+        "pivot_event_counts": (
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_total, "
+            "CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) "
+            "AS n_click, "
+            "CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) "
+            "AS n_error, "
+            "CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) "
+            "AS n_purchase, "
+            "CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) "
+            "AS n_signup, "
+            "CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) "
+            "AS n_view "
+            "FROM events GROUP BY user_id"
+        ),
+        "curation_pipeline": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t, "
+            "len(string_split(text, ' ')) AS nt FROM documents), "
+            "g3 AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS gram "
+            "FROM (SELECT doc_id, t, unnest(generate_series(1, nt - 2)) AS i "
+            "FROM toks WHERE nt >= 3) x), "
+            "a3 AS (SELECT doc_id, COUNT(*) AS n3, COUNT(DISTINCT gram) AS d3 "
+            "FROM g3 GROUP BY 1), "
+            "bench AS (SELECT DISTINCT gram FROM g3 WHERE doc_id % 50 = 0), "
+            "dg AS (SELECT DISTINCT doc_id, gram FROM g3 "
+            "WHERE doc_id % 50 <> 0), "
+            "hit AS (SELECT dg.doc_id AS doc_id, COUNT(*) AS nd, "
+            "SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS nh "
+            "FROM dg LEFT JOIN bench b ON dg.gram = b.gram GROUP BY 1), "
+            "surv AS (SELECT k.doc_id AS doc_id, k.nt AS nw FROM toks k "
+            "LEFT JOIN a3 ON k.doc_id = a3.doc_id "
+            "LEFT JOIN hit h ON k.doc_id = h.doc_id "
+            "WHERE k.doc_id % 50 <> 0 AND k.nt >= 20 "
+            "AND COALESCE(a3.n3 - a3.d3, 0) <= COALESCE(a3.n3, 0) * 0.2 "
+            "AND (COALESCE(h.nh, 0) * 5 < COALESCE(h.nd, 0) * 1 "
+            "OR COALESCE(h.nd, 0) = 0)), "
+            "tot AS (SELECT SUM(nw) AS T FROM surv), "
+            "w AS (SELECT doc_id, nw, "
+            "SUM(nw) OVER (ORDER BY nw DESC, doc_id) AS cum FROM surv) "
+            "SELECT w.doc_id AS doc_id, CAST(w.nw AS BIGINT) AS n_words, "
+            "CAST(w.cum AS BIGINT) AS cum_words "
+            "FROM w, tot WHERE w.cum <= tot.T * 0.5"
         ),
         # GUARANTEE — exact interpolated p99 + within_alpha assertion
         "p99_price_sketch": (

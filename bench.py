@@ -270,6 +270,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "impute_value", "ordinal_encode_type", "rolling_1h_stats",
         "feature_store_events", "skew_kurt_per_type", "value_percentile",
         "profile_events", "kfold_users",
+        # round-4 curation family
+        "ngram_repetition", "contamination", "bloom_new_docs",
+        "token_budget", "mixture_sample", "semantic_dedup",
     ]
     qs = em.queries()
     for name in bench_queries:

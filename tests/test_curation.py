@@ -191,3 +191,69 @@ def test_semantic_dedup_planted(ray_session):
     assert set(ids) - set(surv["vec_id"]) == losers
     # survivors keep their cluster assignment column
     assert set(surv.columns) == {"vec_id", "cluster"}
+
+
+# ------------------------------------------------------------------- pivot
+
+def test_pivot_counts_frozen_vocab(ray_session):
+    from video_features_ray.stages.features import pivot_counts
+
+    tbl = pa.table({
+        "user_id": pa.array([1, 1, 2, 2, 2], pa.int64()),
+        "event_type": pa.array(["a", "b", "a", "zz", "a"])})
+    out = (pivot_counts(ray.data.from_arrow(tbl), "user_id", "event_type",
+                        ["a", "b", "c"], num_buckets=2)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    # frozen vocab: 'c' present as a zero column, unseen 'zz' ignored
+    # but still counted in n_total
+    assert list(out.columns) == ["user_id", "n_total", "n_a", "n_b", "n_c"]
+    assert out.loc[0].tolist() == [1, 2, 1, 1, 0]
+    assert out.loc[1].tolist() == [2, 3, 2, 0, 0]
+
+
+# ------------------------------------------------------ composed curation
+
+def test_curate_equals_component_composition(ray_session):
+    """The fused curation pipeline must be bit-equal to running the
+    component operators one after another."""
+    from video_features_ray.stages.curation import curate
+
+    rng = np.random.default_rng(21)
+    texts, ids = [], []
+    for i in range(150):
+        nw = int(rng.integers(5, 60))
+        texts.append(" ".join(rng.choice(list("abcdefgh"), size=nw)))
+        ids.append(i)
+    tbl = _docs(texts, ids=ids)
+    bench = ray.data.from_arrow(tbl).filter(lambda r: r["doc_id"] % 50 == 0)
+    grams = collect_benchmark_ngrams(bench, n=3)
+    scored_tbl = tbl.filter(
+        pa.array([i % 50 != 0 for i in ids]))
+    scored = ray.data.from_arrow(scored_tbl)
+
+    fused = (curate(scored, grams, min_words=20, max_dup3_frac=0.2,
+                    budget_frac=0.5, n_docs=150)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    # composition: repetition stats + contamination + budget select
+    rep = ngram_repetition(scored).to_pandas().set_index("doc_id")
+    con = (contamination_check(scored, grams, n=3)
+           .to_pandas().set_index("doc_id"))
+    keep_ids = []
+    for i in scored_tbl["doc_id"].to_pylist():
+        nw = len(scored_tbl["text"][
+            scored_tbl["doc_id"].to_pylist().index(i)].as_py().split(" "))
+        r = rep.loc[i]
+        ok = (nw >= 20 and float(r["dup3"]) <= float(r["n3"]) * 0.2)
+        if i in con.index:
+            c = con.loc[i]
+            ok = ok and (int(c["n_hit"]) * 5 < int(c["n_grams"]) * 1)
+        if ok:
+            keep_ids.append(i)
+    keep_tbl = scored_tbl.filter(
+        pa.array([i in set(keep_ids)
+                  for i in scored_tbl["doc_id"].to_pylist()]))
+    want = (token_budget_select(ray.data.from_arrow(keep_tbl), 0.5,
+                                n_docs=150)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(fused, want)

@@ -2742,3 +2742,32 @@ def q_semantic_dedup(sf_dir: str):
                                columns=["vec_id", "embedding"])
     return semantic_dedup(ds, dim=64, n_clusters=8, tau=0.95,
                           num_buckets=_w(sf_dir, "embeddings"))
+
+
+def q_pivot_event_counts(sf_dir: str):
+    """Long-to-wide pivot: per user, one count column per event type
+    (frozen 5-type vocabulary) — the inverse of lineitem_unpivot.
+    Per-batch indicator partials -> ONE bucketed skinny shuffle."""
+    from ..stages.features import pivot_counts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    return pivot_counts(ds, "user_id", "event_type",
+                        ["click", "error", "purchase", "signup", "view"],
+                        num_buckets=_w(sf_dir, "events"))
+
+
+def q_curation_pipeline(sf_dir: str):
+    """The composed curation flagship: quality filter (>= 20 words,
+    dup-3-gram fraction <= 0.2) -> decontaminate vs the every-50th-doc
+    benchmark (< 1/5 distinct-gram overlap) -> token-budget select 50%
+    of the survivors' words, longest-first. One fused read pass
+    computes all three per-doc signals; only skinny (doc_id, n_words)
+    rows enter the budget scan."""
+    from ..stages.curation import collect_benchmark_ngrams, curate
+
+    bench = _docs_mod_filter(sf_dir, 50, True)
+    grams = collect_benchmark_ngrams(bench, n=3)
+    scored = _docs_mod_filter(sf_dir, 50, False)
+    return curate(scored, grams, min_words=20, max_dup3_frac=0.2,
+                  budget_frac=0.5, n_docs=table_rows(sf_dir, "documents"))

@@ -606,3 +606,150 @@ def semantic_dedup(
                             ("cluster", pa.int64())]),
                  pa.schema([(id_col, pa.int64())])))
     return survivors
+
+
+# --------------------------------------------------------------------------
+# 7. composed curation pipeline (the curation flagship)
+# --------------------------------------------------------------------------
+
+def curate(
+    ds: "ray.data.Dataset",
+    bench_grams: frozenset,
+    min_words: int = 20,
+    max_dup3_frac: float = 0.2,
+    max_contam_num: int = 1,
+    max_contam_den: int = 5,
+    budget_frac: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_id_buckets: int = 16,
+    n_docs: int | None = None,
+) -> "ray.data.Dataset":
+    """The composed end-to-end curation pipeline a pretraining corpus
+    goes through, fused into ONE read pass + one skinny scan:
+
+      quality filter (n_words ≥ min, dup3_frac ≤ max)
+      → decontamination (distinct-3-gram benchmark overlap < num/den)
+      → token-budget selection (longest-first until budget_frac of the
+        SURVIVORS' words).
+
+    All three per-doc signals (word count, duplicate-3-gram fraction,
+    benchmark overlap) come out of the same single fused map over the
+    text — no join, no second read, no row ever leaves its batch until
+    the budget scan's skinny (doc_id, n_words) rows. The budget is a
+    fraction of the FILTERED corpus (the real curation semantics: you
+    budget what you'd actually train on).
+
+    Exactness contract matches the component operators: the contam
+    filter is the exact integer comparison ``n_hit·den < n_grams·num``
+    (docs with no 3-gram count as uncontaminated), dup3 the exact
+    ``dup3·1 ≤ n3·max_dup3_frac`` IEEE comparison on exact ints.
+    """
+    bench_ref = ray.put(bench_grams)
+    dup_thresh = float(max_dup3_frac)
+
+    class _Fused:
+        def __init__(self):
+            self.bench = pd.Index(ray.get(bench_ref))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            words, offsets = _word_table(batch, text_col)
+            codes = _word_codes(words)
+            n_rows = len(offsets) - 1
+            nw = np.diff(offsets).astype(np.int64)  # words per row
+            gid, row, start = _ngram_codes(codes, offsets, 3)
+            n3 = np.bincount(row, minlength=n_rows).astype(np.int64) \
+                if len(gid) else np.zeros(n_rows, np.int64)
+            d3 = np.zeros(n_rows, np.int64)
+            nh = np.zeros(n_rows, np.int64)
+            if len(gid):
+                ug, first = np.unique(gid, return_index=True)
+                rep = start[first]
+                parts = [words.take(pa.array(rep + k)) for k in range(3)]
+                gstr = pc.binary_join_element_wise(*parts, " ").to_pandas()
+                hit_of_gram = np.zeros(int(ug.max()) + 1, bool)
+                hit_of_gram[ug] = gstr.isin(self.bench).to_numpy()
+                key = _combine_exact(row, gid)
+                _, kfirst = np.unique(key, return_index=True)
+                urow = row[kfirst]
+                ugram = gid[kfirst]
+                d3 = np.bincount(urow, minlength=n_rows).astype(np.int64)
+                nh = np.bincount(urow[hit_of_gram[ugram]],
+                                 minlength=n_rows).astype(np.int64)
+            dup3 = n3 - d3
+            ok_len = nw >= np.int64(min_words)
+            # dup3/n3 <= thresh as exact-int vs IEEE product comparison
+            ok_dup = dup3.astype(np.float64) <= n3.astype(np.float64) * dup_thresh
+            ok_cont = (nh * np.int64(max_contam_den)
+                       < d3 * np.int64(max_contam_num)) | (d3 == 0)
+            keep = ok_len & ok_dup & ok_cont
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({id_col: pa.array(ids[keep]),
+                             "nw": pa.array(nw[keep])})
+
+    # fused single pass: read → per-doc signals → filter → skinny rows
+    ds_nw = ds.map_batches(_Fused, batch_format="pyarrow",
+                           zero_copy_batch=True, concurrency=(1, 8))
+
+    # budget scan over the survivors (same distributed-scan plan as
+    # token_budget_select, reusing its group/scan machinery on the
+    # already-computed counts)
+    if n_docs is None:
+        n_docs = ds.count()
+    range_size = max(1, -(-n_docs // num_id_buckets))
+
+    def _grp(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        nwv = batch["nw"].to_numpy(zero_copy_only=False)
+        g = nwv * np.int64(num_id_buckets + 1) + (ids // range_size)
+        return batch.append_column("_grp", pa.array(g))
+
+    counts = ds_nw.map_batches(_grp, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+
+    def _partials(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("_grp", sort=False)["nw"].sum().reset_index()
+        g["nw"] = g["nw"].astype(np.int64)
+        return g
+
+    pdf = counts.map_batches(_partials, batch_format="pandas").to_pandas()
+    if pdf.empty:
+        return counts.map_batches(
+            lambda df: pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                     "n_words": pd.Series([], dtype=np.int64),
+                                     "cum_words": pd.Series([], dtype=np.int64)}),
+            batch_format="pandas")
+    agg = pdf.groupby("_grp")["nw"].sum()
+    grp_keys = np.asarray(agg.index, np.int64)
+    grp_sums = agg.to_numpy(np.int64)
+    nw_of = grp_keys // np.int64(num_id_buckets + 1)
+    bk_of = grp_keys % np.int64(num_id_buckets + 1)
+    order = np.lexsort((bk_of, -nw_of))
+    base_sorted = np.concatenate(([0], np.cumsum(grp_sums[order])[:-1]))
+    total = int(grp_sums.sum())
+    budget = total * float(budget_frac)
+    base_of = dict(zip(grp_keys[order].tolist(), base_sorted.tolist()))
+    live = {k for k, b in base_of.items() if b <= budget}
+
+    def _select(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            id_col: pd.Series([], dtype=np.int64),
+            "n_words": pd.Series([], dtype=np.int64),
+            "cum_words": pd.Series([], dtype=np.int64)})
+        if df.empty:
+            return empty
+        key = int(df["_grp"].iloc[0])
+        if key not in live:
+            return empty
+        df = df.sort_values(id_col, kind="mergesort")
+        nwv = df["nw"].to_numpy(np.int64)
+        cum = base_of[key] + np.cumsum(nwv)
+        keep = cum <= budget
+        if not keep.any():
+            return empty
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64)[keep],
+            "n_words": nwv[keep],
+            "cum_words": cum[keep]})
+
+    return counts.groupby("_grp").map_groups(_select, batch_format="pandas")

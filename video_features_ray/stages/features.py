@@ -1058,3 +1058,51 @@ def kfold_assign(
 
     return ds.map_batches(_assign, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def pivot_counts(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    pivot_col: str,
+    categories: Sequence[str],
+    num_buckets: int = 16,
+    prefix: str = "n_",
+) -> "ray.data.Dataset":
+    """Long-to-wide pivot: one row per group, one count column per
+    category (the inverse of ``unpivot_columns``; SQL ``COUNT(*) FILTER
+    (WHERE pivot = c)``).
+
+    ``categories`` is the FROZEN output vocabulary (the one-hot rule:
+    stable schema at any scale, unseen categories are ignored and a
+    missing category still gets its zero column — schema never depends
+    on which values a partition happened to see). Physical plan: one
+    stateless pass derives the indicator columns, then the shared
+    :func:`~video_features_ray.stages.joins.partial_agg` combines —
+    per-batch partials first, ONE bucketed shuffle of O(groups) skinny
+    rows, never row-scale.
+    """
+    cats = list(categories)
+    cols = [f"{prefix}{c}" for c in cats]
+
+    def _indicators(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        out = {group_col: batch[group_col]}
+        for c, name in zip(cats, cols):
+            eq = pc.equal(batch[pivot_col], c)
+            eq = pc.fill_null(eq, False)
+            out[name] = pc.cast(eq, pa.int64())
+        return pa.table(out)
+
+    agg = partial_agg(ds.map_batches(_indicators, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      [group_col], sums=cols, count_col="n_total",
+                      num_buckets=num_buckets)
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        keep = {group_col: df[group_col],
+                "n_total": df["n_total"].astype(np.int64)}
+        for name in cols:
+            keep[name] = df[f"sum_{name}"].astype(np.int64)
+        return pd.DataFrame(keep)
+
+    return agg.map_batches(_finish, batch_format="pandas")
