@@ -132,6 +132,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": q.q_mixture_sample,
         "pivot_event_counts": q.q_pivot_event_counts,
         "curation_pipeline": q.q_curation_pipeline,
+        "chunk_dedup": q.q_chunk_dedup,
+        "oov_rate": q.q_oov_rate,
+        "balanced_docs": q.q_balanced_docs,
         # relational wide plans
         "local_supplier_revenue": q.q_local_supplier_revenue,
         "revenue_rollup": q.q_revenue_rollup,
@@ -139,22 +142,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # event-stream tail added late in r3
         "latest_event_per_user": q.q_latest_event_per_user,
         "asof_click_within_1h": q.q_asof_click_within_1h,
-        "rolling_1h_sum": q.q_rolling_1h_sum,
         "pct_rank_events": q.q_pct_rank_events,
-        "bfill_events": q.q_bfill_events,
         "prev_same_type_event": q.q_prev_same_type_event,
         # flagship paths (oracled; encoder/checkpoint layers in-path)
         "flagship_features": q.q_flagship_features,
         "checkpointed_extract": q.q_checkpointed_extract,
         "ivf_topk": q.q_ivf_topk,
         # newly oracled this round (were rows-only)
-        "ewma_value": q.q_ewma_value,
         "p99_price_sketch": q.q_p99_price_sketch,
         # --- round-4 additions land here (inside the first-50 window) ---
         "asof_chunked_hot": q.q_asof_chunked_hot,
         "salted_join_revenue": q.q_salted_join_revenue,
         # rotated below the driver's 50-query window this round (shapes
-        # closest to already-green r3 rows; still oracle-checked in-repo)
+        # closest to already-green r3 rows or to siblings still inside
+        # the window; still oracle-checked in-repo)
+        "rolling_1h_sum": q.q_rolling_1h_sum,
+        "bfill_events": q.q_bfill_events,
+        "ewma_value": q.q_ewma_value,
         "churned_customers": q.q_churned_customers,
         "loyal_customers": q.q_loyal_customers,
         "user_journey": q.q_user_journey,
@@ -934,6 +938,46 @@ def oracle_sql() -> dict[str, str]:
             "SELECT w.doc_id AS doc_id, CAST(w.nw AS BIGINT) AS n_words, "
             "CAST(w.cum AS BIGINT) AS cum_words "
             "FROM w, tot WHERE w.cum <= tot.T * 0.5"
+        ),
+        "chunk_dedup": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t "
+            "FROM documents), "
+            "ch AS (SELECT doc_id, i AS cidx, "
+            "array_to_string(t[(i*8+1):(i*8+8)], ' ') AS chunk "
+            "FROM (SELECT doc_id, t, "
+            "unnest(generate_series(0, CAST(ceil(len(t)/8.0) AS BIGINT)-1)) "
+            "AS i FROM toks WHERE len(t) > 0) x), "
+            "win AS (SELECT chunk, MIN(doc_id * 1048576 + cidx) AS wkey "
+            "FROM ch GROUP BY 1), "
+            "kept AS (SELECT c.doc_id, c.cidx, c.chunk FROM ch c "
+            "JOIN win w ON c.chunk = w.chunk "
+            "AND c.doc_id * 1048576 + c.cidx = w.wkey) "
+            "SELECT doc_id, string_agg(chunk, ' ' ORDER BY cidx) AS text, "
+            "CAST(COUNT(*) AS BIGINT) AS n_kept "
+            "FROM kept GROUP BY doc_id"
+        ),
+        "oov_rate": (
+            "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS w FROM documents), "
+            "tf AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY 1), "
+            "vocab AS (SELECT w FROM tf ORDER BY c DESC, w LIMIT 20), "
+            "per AS (SELECT t.doc_id AS doc_id, COUNT(*) AS n_words, "
+            "SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov "
+            "FROM toks t LEFT JOIN vocab v ON t.w = v.w GROUP BY 1) "
+            "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, "
+            "CAST(n_oov AS BIGINT) AS n_oov, "
+            "CAST(n_oov AS DOUBLE) / n_words AS oov_rate FROM per"
+        ),
+        "balanced_docs": (
+            "WITH c AS (SELECT lang, COUNT(*) AS n FROM documents "
+            "GROUP BY 1), "
+            "m AS (SELECT MIN(n) AS k FROM c), "
+            "r AS (SELECT lang, doc_id, row_number() OVER ("
+            "PARTITION BY lang "
+            "ORDER BY hash(CAST(doc_id AS BIGINT)), doc_id) AS rn "
+            "FROM documents) "
+            "SELECT lang, CAST(doc_id AS BIGINT) AS doc_id "
+            "FROM r, m WHERE rn <= m.k"
         ),
         # GUARANTEE — exact interpolated p99 + within_alpha assertion
         "p99_price_sketch": (

@@ -273,6 +273,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # round-4 curation family
         "ngram_repetition", "contamination", "bloom_new_docs",
         "token_budget", "mixture_sample", "semantic_dedup",
+        "curation_pipeline", "chunk_dedup", "oov_rate",
     ]
     qs = em.queries()
     for name in bench_queries:

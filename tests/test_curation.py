@@ -257,3 +257,92 @@ def test_curate_equals_component_composition(ray_session):
                                 n_docs=150)
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(fused, want)
+
+
+# ------------------------------------------------------------ chunk dedup
+
+def test_chunk_dedup_planted(ray_session):
+    """Shared chunks survive only at their first (doc_id, cidx)
+    occurrence; a fully-duplicated doc disappears; order is kept."""
+    from video_features_ray.stages.curation import chunk_dedup
+
+    boiler = "b0 b1 b2 b3"  # one full 4-word chunk
+    texts = [
+        boiler + " u0 u1 u2 u3",          # doc 0: boiler + unique
+        boiler + " v0 v1 v2 v3",          # doc 1: loses its boiler copy
+        boiler,                           # doc 2: fully duplicated → gone
+        "w0 w1 w2 w3 " + boiler,          # doc 3: boiler at cidx 1 → gone
+    ]
+    out = (chunk_dedup(ray.data.from_arrow(_docs(texts)), chunk_words=4,
+                       num_buckets=3)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [0, 1, 3]
+    assert out.loc[0, "text"] == boiler + " u0 u1 u2 u3"
+    assert out.loc[0, "n_kept"] == 2
+    assert out.loc[1, "text"] == "v0 v1 v2 v3"     # boiler removed
+    assert out.loc[2, "text"] == "w0 w1 w2 w3"     # trailing boiler removed
+
+
+def test_chunk_dedup_partition_invariant(ray_session):
+    """Same output at any batch/bucket partitioning (the local
+    pre-combine must not change winners)."""
+    from video_features_ray.stages.curation import chunk_dedup
+
+    rng = np.random.default_rng(3)
+    texts = [" ".join(rng.choice(list("abcd"), size=int(rng.integers(1, 20))))
+             for _ in range(60)]
+    tbl = _docs(texts)
+
+    def run(nblocks, nb):
+        ds = ray.data.from_arrow(tbl).repartition(nblocks)
+        return (chunk_dedup(ds, chunk_words=4, num_buckets=nb)
+                .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    pd.testing.assert_frame_equal(run(1, 2), run(7, 5))
+
+
+# ------------------------------------------------------- vocabulary / OOV
+
+def test_vocab_topv_tiebreak_and_oov(ray_session):
+    from video_features_ray.stages.text import fit_vocab_topv, oov_rate
+
+    # counts: a=3, b=3, c=2, d=1 → top-2 is {a, b} (tie c<b impossible;
+    # tie a/b at 3 broken word-ascending, both kept)
+    texts = ["a b a", "b a b c", "c d"]
+    ds = ray.data.from_arrow(_docs(texts))
+    vocab = fit_vocab_topv(ds, 2, num_buckets=3)
+    assert sorted(vocab) == ["a", "b"]
+
+    out = (oov_rate(ds, vocab).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["n_words"].tolist() == [3, 4, 2]
+    assert out["n_oov"].tolist() == [0, 1, 2]
+    assert out.loc[2, "oov_rate"] == 1.0
+
+
+def test_oov_rate_empty_vocab(ray_session):
+    import pandas as pd_
+    from video_features_ray.stages.text import oov_rate
+
+    ds = ray.data.from_arrow(_docs(["a b", "c"]))
+    out = (oov_rate(ds, pd_.Index([])).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["n_oov"].tolist() == out["n_words"].tolist()
+
+
+# ------------------------------------------------------- class balancing
+
+def test_balanced_sample_downsamples_to_min(ray_session):
+    from video_features_ray.functions.sketches import stratified_bottom_k
+    from video_features_ray.stages.joins import partial_agg
+
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(10)), pa.int64()),
+        "lang": pa.array(["en"] * 5 + ["de"] * 3 + ["fr"] * 2)})
+    ds = ray.data.from_arrow(tbl)
+    counts = partial_agg(ds, ["lang"], sums=(), count_col="n",
+                         num_buckets=2).to_pandas()
+    k = int(counts["n"].min())
+    assert k == 2
+    out = stratified_bottom_k(ds, "lang", "doc_id", k=k, num_buckets=3)
+    assert out.groupby("lang").size().tolist() == [2, 2, 2]

@@ -2771,3 +2771,46 @@ def q_curation_pipeline(sf_dir: str):
     scored = _docs_mod_filter(sf_dir, 50, False)
     return curate(scored, grams, min_words=20, max_dup3_frac=0.2,
                   budget_frac=0.5, n_docs=table_rows(sf_dir, "documents"))
+
+
+def q_chunk_dedup(sf_dir: str):
+    """C4-style paragraph dedup: 8-word chunks, keep each distinct
+    chunk string only at its first (doc_id, chunk_idx) occurrence,
+    reassemble the surviving chunks per document."""
+    from ..stages.curation import chunk_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return chunk_dedup(ds, chunk_words=8,
+                       num_buckets=_w(sf_dir, "documents"))
+
+
+def q_oov_rate(sf_dir: str):
+    """Vocabulary pruning: fit the global top-20 words by term
+    frequency (ties word-ascending), then score every document's
+    out-of-vocabulary word fraction against the broadcast vocabulary —
+    the tokenizer-coverage gate of a curation pipeline."""
+    from ..stages.text import fit_vocab_topv, oov_rate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    vocab = fit_vocab_topv(ds, 20, num_buckets=_w(sf_dir, "documents"))
+    return oov_rate(ds, vocab)
+
+
+def q_balanced_docs(sf_dir: str):
+    """Class balancing: downsample every language to the size of the
+    SMALLEST language class, deterministically (smallest DuckDB-hash
+    doc_ids win) — the class-equalization step before training."""
+    from ..functions.sketches import stratified_bottom_k
+    from ..stages.joins import partial_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang"])
+    counts = partial_agg(ds, ["lang"], sums=(), count_col="n",
+                         num_buckets=4).to_pandas()  # O(languages)
+    k = int(counts["n"].min())
+    out = stratified_bottom_k(ds, "lang", "doc_id", k=k,
+                              num_buckets=_w(sf_dir, "documents"))
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out[["lang", "doc_id"]]

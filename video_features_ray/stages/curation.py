@@ -753,3 +753,105 @@ def curate(
             "cum_words": cum[keep]})
 
     return counts.groupby("_grp").map_groups(_select, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# 8. chunk-level (paragraph) exact dedup with document reassembly
+# --------------------------------------------------------------------------
+
+_CHUNK_MULT = np.int64(1 << 20)  # chunk index space per doc (≤ 1M chunks/doc)
+
+
+def chunk_dedup(
+    ds: "ray.data.Dataset",
+    chunk_words: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """C4-style sub-document exact dedup: split every document into
+    consecutive non-overlapping ``chunk_words``-word chunks (the last
+    chunk may be short), keep each distinct chunk STRING only at its
+    FIRST occurrence in global ``(doc_id, chunk_idx)`` order, and
+    reassemble each document from its surviving chunks in original
+    order. Documents that lose every chunk disappear (the C4 rule).
+    The reference has no sub-record dedup (its unit is the whole clip,
+    ``utils/utils.py:91-92``); this is the paragraph-granularity
+    variant a 100 TB text corpus needs.
+
+    Scale shape: the chunking is one vectorized pass (ListArray
+    re-offsetting + ``pc.binary_join`` — no per-row Python); each batch
+    pre-combines to one row per distinct chunk (a boilerplate chunk in
+    50% of docs ships once per batch, not once per doc); winners are a
+    per-bucket idxmin over hash(chunk) buckets; reassembly is a second
+    skinny shuffle bucketed by doc. Both shuffles move chunk-scale
+    rows — unavoidable for EXACT string dedup (the payload IS the
+    text) — but never all-to-one.
+
+    Winner order is encoded as ``doc_id * 2^20 + chunk_idx`` (raises if
+    a doc exceeds 2^20 chunks or ids exceed 2^43 — re-key upstream
+    ids into a dense range before calling at that scale).
+    """
+    W = int(chunk_words)
+    nb = int(num_buckets)
+
+    def _chunks(batch: pa.Table) -> pd.DataFrame:
+        words, offsets = _word_table(batch, text_col)
+        nw = np.diff(offsets).astype(np.int64)
+        n_rows = len(nw)
+        nchunks = -(-nw // W)  # ceil; 0-word rows → 0 chunks
+        total = int(nchunks.sum())
+        if total == 0:
+            return pd.DataFrame({"chunk": pd.Series([], dtype=object),
+                                 "key": pd.Series([], dtype=np.int64),
+                                 "_bucket": pd.Series([], dtype=np.int32)})
+        row_of = np.repeat(np.arange(n_rows, dtype=np.int64), nchunks)
+        base = np.concatenate(([0], np.cumsum(nchunks)[:-1]))
+        cidx = np.arange(total, dtype=np.int64) - base[row_of]
+        starts = offsets[row_of] + cidx * W
+        # chunks tile the flat word stream: each chunk ends where the
+        # next begins (rows are adjacent in the stream), so one extra
+        # sentinel offset closes the list array
+        chunk_offsets = np.concatenate((starts, offsets[-1:]))
+        lists = pa.ListArray.from_arrays(
+            pa.array(chunk_offsets, pa.int32()), words)
+        chunk = pc.binary_join(lists, " ")
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and (int(ids.max()) >= (1 << 43) or
+                         int(nchunks.max()) >= (1 << 20)):
+            raise ValueError("chunk_dedup key overflow: doc ids must be "
+                             "< 2^43 and docs < 2^20 chunks")
+        key = ids[row_of] * _CHUNK_MULT + cidx
+        df = pd.DataFrame({"chunk": chunk.to_pandas(), "key": key})
+        # local pre-combine: first occurrence within the batch
+        g = df.groupby("chunk", sort=False)["key"].min().reset_index()
+        h = pd.util.hash_pandas_object(g["chunk"], index=False).to_numpy()
+        g["_bucket"] = (h % np.uint64(nb)).astype(np.int32)
+        return g
+
+    def _winners(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("chunk", sort=False)["key"].min().reset_index()
+        g["_doc_bucket"] = ((g["key"].to_numpy(np.int64) // _CHUNK_MULT)
+                            % nb).astype(np.int32)
+        return g
+
+    def _reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 text_col: pd.Series([], dtype=object),
+                                 "n_kept": pd.Series([], dtype=np.int64)})
+        key = df["key"].to_numpy(np.int64)
+        d = pd.DataFrame({id_col: key // _CHUNK_MULT,
+                          "_cidx": key % _CHUNK_MULT,
+                          "chunk": df["chunk"].to_numpy()})
+        d = d.sort_values([id_col, "_cidx"], kind="mergesort")
+        out = d.groupby(id_col, sort=False).agg(
+            **{text_col: ("chunk", " ".join), "n_kept": ("chunk", "size")})
+        out["n_kept"] = out["n_kept"].astype(np.int64)
+        return out.reset_index()
+
+    return (ds.map_batches(_chunks, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("_bucket").map_groups(_winners, batch_format="pandas")
+            .groupby("_doc_bucket").map_groups(_reassemble,
+                                               batch_format="pandas"))

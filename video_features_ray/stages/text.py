@@ -323,3 +323,114 @@ def term_df_topk(
     partials = ds.map_batches(_partial, batch_format="pandas")
     return partials.groupby("_bucket").map_groups(_per_bucket,
                                                   batch_format="pandas")
+
+
+def fit_vocab_topv(
+    ds: "ray.data.Dataset",
+    vocab_size: int,
+    text_col: str = "text",
+    num_buckets: int = 16,
+) -> "pd.Index":
+    """Global top-``vocab_size`` words by corpus term frequency, ties
+    broken word-ascending (= SQL ``ORDER BY c DESC, w LIMIT V``) — the
+    fit half of vocabulary pruning.
+
+    Scale shape: per-batch word counts on dictionary codes (one pandas
+    groupby of DISTINCT batch words, never per occurrence) → bucket by
+    hash(word) so each bucket owns ALL of a word's partials → exact
+    per-bucket totals + bucket-local top-V (a global top-V word is in
+    its own bucket's top-V) → driver merge of ≤ buckets × V skinny
+    rows. Driver memory is O(buckets · V), never O(vocabulary).
+    """
+    import pandas as pd
+    from .curation import _word_table, _word_codes
+
+    V = int(vocab_size)
+
+    def _partial(batch: pa.Table) -> pd.DataFrame:
+        words, offsets = _word_table(batch, text_col)
+        codes = _word_codes(words)
+        if len(codes) == 0:
+            return pd.DataFrame({"w": pd.Series([], dtype=object),
+                                 "c": pd.Series([], dtype=np.int64),
+                                 "_bucket": pd.Series([], dtype=np.int32)})
+        cnt = np.bincount(codes)
+        d = words.dictionary_encode().dictionary.to_pandas()
+        g = pd.DataFrame({"w": d, "c": cnt.astype(np.int64)})
+        h = pd.util.hash_pandas_object(g["w"], index=False).to_numpy()
+        g["_bucket"] = (h % np.uint64(num_buckets)).astype(np.int32)
+        return g
+
+    def _bucket_topv(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("w", sort=False)["c"].sum().reset_index()
+        g = g.sort_values(["c", "w"], ascending=[False, True],
+                          kind="mergesort")
+        return g.head(V)
+
+    cand = (ds.map_batches(_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("_bucket").map_groups(_bucket_topv,
+                                           batch_format="pandas")
+            .to_pandas())
+    cand = cand.sort_values(["c", "w"], ascending=[False, True],
+                            kind="mergesort").head(V)
+    return pd.Index(cand["w"])
+
+
+def oov_rate(
+    ds: "ray.data.Dataset",
+    vocab: "pd.Index",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Per-document out-of-vocabulary word fraction against a frozen
+    vocabulary (the transform half of vocabulary pruning; the score a
+    tokenizer-coverage gate filters on).
+
+    ``vocab`` is broadcast once via ``ray.put`` and read per actor;
+    membership is tested once per DISTINCT batch word (dictionary
+    codes), then scattered to rows with one bincount — no per-word
+    Python, no shuffle at all. ``oov_rate`` is ONE IEEE division of
+    exact int64 counts (bit-equal to SQL ``CAST(n_oov AS DOUBLE) /
+    n_words``).
+    """
+    import pandas as pd
+    import ray
+    from .curation import _word_table, _word_codes
+
+    vocab_ref = ray.put(np.sort(np.asarray(vocab, dtype=object)))
+
+    class _Score:
+        def __init__(self):
+            self.vocab = ray.get(vocab_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            words, offsets = _word_table(batch, text_col)
+            codes = _word_codes(words)
+            nw = np.diff(offsets).astype(np.int64)
+            n_rows = len(nw)
+            if len(codes) == 0:
+                n_oov = np.zeros(n_rows, np.int64)
+            else:
+                d = words.dictionary_encode().dictionary.to_pandas().to_numpy()
+                if len(self.vocab):
+                    idx = np.clip(np.searchsorted(self.vocab, d),
+                                  0, len(self.vocab) - 1)
+                    in_vocab = self.vocab[idx] == d
+                else:
+                    in_vocab = np.zeros(len(d), bool)
+                oov_word = ~in_vocab[codes]
+                row_of = np.repeat(np.arange(n_rows, dtype=np.int64), nw)
+                n_oov = np.bincount(row_of[oov_word],
+                                    minlength=n_rows).astype(np.int64)
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                id_col: pa.array(ids),
+                "n_words": pa.array(nw),
+                "n_oov": pa.array(n_oov),
+                "oov_rate": pa.array(n_oov.astype(np.float64)
+                                     / nw.astype(np.float64)),
+            })
+
+    return ds.map_batches(_Score, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=(1, 8))
