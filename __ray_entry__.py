@@ -103,8 +103,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "target_encode_type": q.q_target_encode_type,
         "lang_onehot_per_source": q.q_lang_onehot_per_source,
         "value_histogram": q.q_value_histogram,
-        "multi_lag_value": q.q_multi_lag_value,
-        "cume_dist_events": q.q_cume_dist_events,
         "price_qty_regression": q.q_price_qty_regression,
         "daily_order_vs_ship": q.q_daily_order_vs_ship,
         "robust_value_per_type": q.q_robust_value_per_type,
@@ -135,6 +133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_dedup": q.q_chunk_dedup,
         "oov_rate": q.q_oov_rate,
         "balanced_docs": q.q_balanced_docs,
+        "chunk_dedup_local": q.q_chunk_dedup_local,
+        "temperature_sample": q.q_temperature_sample,
         # relational wide plans
         "local_supplier_revenue": q.q_local_supplier_revenue,
         "revenue_rollup": q.q_revenue_rollup,
@@ -159,6 +159,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_1h_sum": q.q_rolling_1h_sum,
         "bfill_events": q.q_bfill_events,
         "ewma_value": q.q_ewma_value,
+        "multi_lag_value": q.q_multi_lag_value,
+        "cume_dist_events": q.q_cume_dist_events,
         "churned_customers": q.q_churned_customers,
         "loyal_customers": q.q_loyal_customers,
         "user_journey": q.q_user_journey,
@@ -978,6 +980,33 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) "
             "SELECT lang, CAST(doc_id AS BIGINT) AS doc_id "
             "FROM r, m WHERE rn <= m.k"
+        ),
+        "chunk_dedup_local": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t "
+            "FROM documents), "
+            "ch AS (SELECT doc_id, i AS cidx, "
+            "array_to_string(t[(i*8+1):(i*8+8)], ' ') AS chunk "
+            "FROM (SELECT doc_id, t, "
+            "unnest(generate_series(0, CAST(ceil(len(t)/8.0) AS BIGINT)-1)) "
+            "AS i FROM toks WHERE len(t) > 0) x), "
+            "k AS (SELECT doc_id, cidx, chunk, row_number() OVER ("
+            "PARTITION BY doc_id, chunk ORDER BY cidx) AS rn FROM ch) "
+            "SELECT doc_id, string_agg(chunk, ' ' ORDER BY cidx) AS text, "
+            "CAST(COUNT(*) AS BIGINT) AS n_kept "
+            "FROM k WHERE rn = 1 GROUP BY doc_id"
+        ),
+        "temperature_sample": (
+            "WITH c AS (SELECT lang, COUNT(*) AS n FROM documents "
+            "GROUP BY 1), "
+            "k AS (SELECT lang, "
+            "LEAST(n, CAST(ceil(pow(n, 0.5) * 4.0) AS BIGINT)) AS k "
+            "FROM c), "
+            "r AS (SELECT lang, doc_id, row_number() OVER ("
+            "PARTITION BY lang "
+            "ORDER BY hash(CAST(doc_id AS BIGINT)), doc_id) AS rn "
+            "FROM documents) "
+            "SELECT r.lang, CAST(r.doc_id AS BIGINT) AS doc_id "
+            "FROM r JOIN k USING(lang) WHERE rn <= k.k"
         ),
         # GUARANTEE — exact interpolated p99 + within_alpha assertion
         "p99_price_sketch": (

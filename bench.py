@@ -274,6 +274,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "ngram_repetition", "contamination", "bloom_new_docs",
         "token_budget", "mixture_sample", "semantic_dedup",
         "curation_pipeline", "chunk_dedup", "oov_rate",
+        "chunk_dedup_local", "temperature_sample",
     ]
     qs = em.queries()
     for name in bench_queries:

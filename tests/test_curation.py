@@ -346,3 +346,41 @@ def test_balanced_sample_downsamples_to_min(ray_session):
     assert k == 2
     out = stratified_bottom_k(ds, "lang", "doc_id", k=k, num_buckets=3)
     assert out.groupby("lang").size().tolist() == [2, 2, 2]
+
+
+def test_chunk_dedup_local_within_doc_only(ray_session):
+    """Intra-doc dedup removes repeats inside one doc but NEVER across
+    docs (that's chunk_dedup's job)."""
+    from video_features_ray.stages.curation import chunk_dedup_local
+
+    rep = "r0 r1 r2 r3"
+    texts = [rep + " " + rep + " u0 u1 u2 u3",  # doc 0: internal repeat
+             rep]                                # doc 1: same chunk, kept
+    out = (chunk_dedup_local(ray.data.from_arrow(_docs(texts)),
+                             chunk_words=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, "text"] == rep + " u0 u1 u2 u3"
+    assert out.loc[0, "n_kept"] == 2
+    assert out.loc[1, "text"] == rep          # cross-doc copy untouched
+    assert out.loc[1, "n_kept"] == 1
+
+
+def test_temperature_sample_flattens(ray_session):
+    """alpha=0.5 keeps sqrt-scaled class sizes: the head class is cut
+    hard, the tail class survives whole; partition-invariant."""
+    from video_features_ray.stages.curation import temperature_sample
+
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(120)), pa.int64()),
+        "lang": pa.array(["en"] * 100 + ["de"] * 16 + ["fr"] * 4)})
+
+    def run(nblocks):
+        ds = ray.data.from_arrow(tbl).repartition(nblocks)
+        return temperature_sample(ds, "lang", "doc_id", alpha=0.5,
+                                  scale=1.0, num_buckets=3)
+
+    out = run(1)
+    sizes = out.groupby("lang").size().to_dict()
+    assert sizes == {"en": 10, "de": 4, "fr": 2}  # ceil(sqrt(n))
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), run(6).reset_index(drop=True))

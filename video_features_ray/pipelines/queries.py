@@ -2814,3 +2814,27 @@ def q_balanced_docs(sf_dir: str):
                               num_buckets=_w(sf_dir, "documents"))
     out["doc_id"] = out["doc_id"].astype(np.int64)
     return out[["lang", "doc_id"]]
+
+
+def q_chunk_dedup_local(sf_dir: str):
+    """Intra-document chunk dedup: drop repeated 8-word chunks within
+    the SAME document (keep first), reassemble — zero-shuffle map."""
+    from ..stages.curation import chunk_dedup_local
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return chunk_dedup_local(ds, chunk_words=8)
+
+
+def q_temperature_sample(sf_dir: str):
+    """Temperature-flattened language sampling (alpha = 0.5): keep
+    min(n, ceil(sqrt(n) * 4)) docs per language, smallest-hash-first —
+    the multilingual head-flattening rule."""
+    from ..stages.curation import temperature_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang"])
+    out = temperature_sample(ds, "lang", "doc_id", alpha=0.5, scale=4.0,
+                             num_buckets=_w(sf_dir, "documents"))
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out[["lang", "doc_id"]]

@@ -855,3 +855,115 @@ def chunk_dedup(
             .groupby("_bucket").map_groups(_winners, batch_format="pandas")
             .groupby("_doc_bucket").map_groups(_reassemble,
                                                batch_format="pandas"))
+
+
+def chunk_dedup_local(
+    ds: "ray.data.Dataset",
+    chunk_words: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """WITHIN-document chunk dedup: drop repeated ``chunk_words``-word
+    chunks inside the SAME document (keep the first occurrence),
+    reassembling in place — the intra-doc half of C4's repeated-span
+    rule, complementing the corpus-wide :func:`chunk_dedup`.
+
+    Scale shape: a document never needs data from any other document,
+    so this is a pure stateless map — zero shuffle, zero driver state,
+    linear in corpus bytes at any cluster size. The chunking reuses the
+    vectorized ListArray re-offsetting; the within-row first-occurrence
+    mask is one pandas ``duplicated`` over (row, chunk).
+    """
+    W = int(chunk_words)
+
+    def _local(batch: pa.Table) -> pa.Table:
+        words, offsets = _word_table(batch, text_col)
+        nw = np.diff(offsets).astype(np.int64)
+        n_rows = len(nw)
+        nchunks = -(-nw // W)
+        total = int(nchunks.sum())
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if total == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             text_col: pa.array([], pa.string()),
+                             "n_kept": pa.array([], pa.int64())})
+        row_of = np.repeat(np.arange(n_rows, dtype=np.int64), nchunks)
+        base = np.concatenate(([0], np.cumsum(nchunks)[:-1]))
+        cidx = np.arange(total, dtype=np.int64) - base[row_of]
+        starts = offsets[row_of] + cidx * W
+        chunk_offsets = np.concatenate((starts, offsets[-1:]))
+        lists = pa.ListArray.from_arrays(
+            pa.array(chunk_offsets, pa.int32()), words)
+        chunk = pc.binary_join(lists, " ").to_pandas()
+        keep = ~pd.DataFrame({"r": row_of, "c": chunk}).duplicated().to_numpy()
+        d = pd.DataFrame({"r": row_of[keep], "chunk": chunk[keep]})
+        agg = d.groupby("r", sort=True).agg(
+            text=("chunk", " ".join), n_kept=("chunk", "size"))
+        surviving_rows = agg.index.to_numpy()
+        return pa.table({
+            id_col: pa.array(ids[surviving_rows]),
+            text_col: pa.array(agg["text"].to_numpy(), pa.string()),
+            "n_kept": pa.array(agg["n_kept"].to_numpy(np.int64))})
+
+    return ds.map_batches(_local, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# 9. temperature-flattened class sampling (multilingual alpha-sampling)
+# --------------------------------------------------------------------------
+
+def temperature_sample(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    scale: float = 4.0,
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """Temperature-flattened per-class sampling: keep
+    ``min(n_g, ceil(n_g^alpha * scale))`` rows of each class ``g``,
+    deterministically (smallest DuckDB-hash keys win) — the
+    multinomial alpha-sampling rule multilingual LLM corpora use to
+    flatten head languages without starving the tail (alpha=1 keeps
+    natural proportions, alpha=0 equalizes classes).
+
+    Exactness: ``n^alpha`` is one IEEE ``pow`` of an exact int64 count
+    — bit-identical to SQL's, so the per-class k and therefore the row
+    set match the oracle exactly. Scale shape: one O(classes) count
+    pass (partial_agg), per-class k on the driver (O(classes) floats),
+    then the same bucketed per-class bottom-k as
+    :func:`~video_features_ray.functions.sketches.stratified_bottom_k`
+    with a per-class k — driver never holds row-scale data.
+    """
+    from ..functions.sketches import duckdb_hash_int64
+    from ..stages.joins import partial_agg
+
+    counts = partial_agg(ds, [group_col], sums=(), count_col="n",
+                         num_buckets=min(4, num_buckets)).to_pandas()
+    n = counts["n"].to_numpy(np.int64)
+    k = np.minimum(n, np.ceil(np.power(n.astype(np.float64), float(alpha))
+                              * float(scale)).astype(np.int64))
+    k_of = dict(zip(counts[group_col], k.tolist()))
+    k_ref = ray.put(k_of)
+
+    def _bottomk(df: pd.DataFrame, drop_bucket: bool = False) -> pd.DataFrame:
+        ks = ray.get(k_ref)
+        if "_h" not in df.columns:
+            df = df.assign(_h=duckdb_hash_int64(df[key_col].to_numpy()))
+        df = df.sort_values(["_h", key_col], kind="mergesort")
+        rank = df.groupby(group_col, sort=False).cumcount()
+        kcol = df[group_col].map(ks).fillna(0).to_numpy(np.int64)
+        out = df[rank.to_numpy() < kcol]
+        if drop_bucket:
+            return out.drop(columns=["_bucket"])
+        hg = pd.util.hash_pandas_object(out[group_col], index=False).to_numpy()
+        return out.assign(_bucket=(hg % np.uint64(num_buckets)).astype(np.int32))
+
+    parts = (ds.map_batches(_bottomk, batch_format="pandas")
+             .groupby("_bucket")
+             .map_groups(lambda df: _bottomk(df, drop_bucket=True),
+                         batch_format="pandas"))
+    out = parts.to_pandas().sort_values([group_col, "_h", key_col],
+                                        kind="mergesort")
+    return out.drop(columns=["_h"]).reset_index(drop=True)
