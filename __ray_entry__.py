@@ -135,15 +135,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "balanced_docs": q.q_balanced_docs,
         "chunk_dedup_local": q.q_chunk_dedup_local,
         "temperature_sample": q.q_temperature_sample,
+        "ngram_novelty": q.q_ngram_novelty,
+        "funnel_stages": q.q_funnel_stages,
+        "throttle_events": q.q_throttle_events,
         # relational wide plans
         "local_supplier_revenue": q.q_local_supplier_revenue,
         "revenue_rollup": q.q_revenue_rollup,
         "revenue_cube": q.q_revenue_cube,
         # event-stream tail added late in r3
-        "latest_event_per_user": q.q_latest_event_per_user,
         "asof_click_within_1h": q.q_asof_click_within_1h,
-        "pct_rank_events": q.q_pct_rank_events,
-        "prev_same_type_event": q.q_prev_same_type_event,
         # flagship paths (oracled; encoder/checkpoint layers in-path)
         "flagship_features": q.q_flagship_features,
         "checkpointed_extract": q.q_checkpointed_extract,
@@ -161,6 +161,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma_value": q.q_ewma_value,
         "multi_lag_value": q.q_multi_lag_value,
         "cume_dist_events": q.q_cume_dist_events,
+        "latest_event_per_user": q.q_latest_event_per_user,
+        "pct_rank_events": q.q_pct_rank_events,
+        "prev_same_type_event": q.q_prev_same_type_event,
         "churned_customers": q.q_churned_customers,
         "loyal_customers": q.q_loyal_customers,
         "user_journey": q.q_user_journey,
@@ -1007,6 +1010,45 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) "
             "SELECT r.lang, CAST(r.doc_id AS BIGINT) AS doc_id "
             "FROM r JOIN k USING(lang) WHERE rn <= k.k"
+        ),
+        "ngram_novelty": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t, "
+            "len(string_split(text, ' ')) AS nt FROM documents), "
+            "g3 AS (SELECT DISTINCT doc_id, "
+            "array_to_string(t[i:i+2], ' ') AS gram "
+            "FROM (SELECT doc_id, t, unnest(generate_series(1, nt - 2)) "
+            "AS i FROM toks WHERE nt >= 3) x), "
+            "f AS (SELECT gram, MIN(doc_id) AS owner FROM g3 GROUP BY 1) "
+            "SELECT g.doc_id AS doc_id, "
+            "CAST(COUNT(*) AS BIGINT) AS n_grams, "
+            "CAST(SUM(CASE WHEN f.owner = g.doc_id THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_novel, "
+            "CAST(SUM(CASE WHEN f.owner = g.doc_id THEN 1 ELSE 0 END) "
+            "AS DOUBLE) / COUNT(*) AS novelty "
+            "FROM g3 g JOIN f USING(gram) GROUP BY 1"
+        ),
+        "funnel_stages": (
+            "WITH s AS (SELECT user_id, MIN(ts) AS t1 FROM events "
+            "WHERE event_type = 'signup' GROUP BY 1), "
+            "c AS (SELECT e.user_id AS user_id, MIN(e.ts) AS t2 "
+            "FROM events e JOIN s USING(user_id) "
+            "WHERE e.event_type = 'click' AND e.ts > s.t1 GROUP BY 1), "
+            "p AS (SELECT e.user_id AS user_id, MIN(e.ts) AS t3 "
+            "FROM events e JOIN c USING(user_id) "
+            "WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1) "
+            "SELECT s.user_id AS user_id, "
+            "CAST(1 + (c.user_id IS NOT NULL)::INT "
+            "+ (p.user_id IS NOT NULL)::INT AS BIGINT) AS funnel_stage, "
+            "s.t1 AS signup_ts, c.t2 AS click_ts, p.t3 AS purchase_ts "
+            "FROM s LEFT JOIN c ON s.user_id = c.user_id "
+            "LEFT JOIN p ON s.user_id = p.user_id"
+        ),
+        "throttle_events": (
+            "WITH l AS (SELECT event_id, user_id, event_type, ts, "
+            "lag(ts) OVER (PARTITION BY user_id, event_type "
+            "ORDER BY ts, event_id) AS pts FROM events) "
+            "SELECT event_id, user_id, event_type, ts FROM l "
+            "WHERE pts IS NULL OR epoch_us(ts) - epoch_us(pts) > 3600000000"
         ),
         # GUARANTEE — exact interpolated p99 + within_alpha assertion
         "p99_price_sketch": (

@@ -275,6 +275,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "token_budget", "mixture_sample", "semantic_dedup",
         "curation_pipeline", "chunk_dedup", "oov_rate",
         "chunk_dedup_local", "temperature_sample",
+        "ngram_novelty", "funnel_stages", "throttle_events",
     ]
     qs = em.queries()
     for name in bench_queries:

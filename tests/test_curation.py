@@ -384,3 +384,22 @@ def test_temperature_sample_flattens(ray_session):
     assert sizes == {"en": 10, "de": 4, "fr": 2}  # ceil(sqrt(n))
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), run(6).reset_index(drop=True))
+
+
+# ------------------------------------------------------------ n-gram novelty
+
+def test_ngram_novelty_planted(ray_session):
+    """Doc 0 owns every gram it has; doc 1 copies doc 0 (novelty 0);
+    doc 2 is half copy, half fresh."""
+    from video_features_ray.stages.curation import ngram_novelty
+
+    texts = ["a b c d",            # grams: abc, bcd → owner 0
+             "a b c d",            # same grams → novelty 0
+             "a b c x y z",        # abc(owned by 0), bcx, cxy, xyz → 3/4
+             "q"]                  # no 3-grams → no row
+    out = (ngram_novelty(ray.data.from_arrow(_docs(texts)), n=3,
+                         num_buckets=3)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [0, 1, 2]
+    assert out["novelty"].tolist() == [1.0, 0.0, 0.75]
+    assert out["n_grams"].tolist() == [2, 2, 4]

@@ -145,3 +145,54 @@ def test_rolling_time_moments_matches_pandas():
             assert np.allclose(got["roll_std"].to_numpy(), w.std(ddof=1))
         else:
             assert got["roll_std"].isna().all()
+
+
+# --------------------------------------------------------------- funnel
+
+def test_funnel_cascade_strict_order(ray_session):
+    """A purchase BEFORE the first post-signup click must not count;
+    the chain requires strictly increasing timestamps."""
+    import pyarrow as pa
+    from video_features_ray.stages.events import funnel_stages
+
+    def t(s):
+        return np.datetime64(f"2024-01-01T00:00:{s:02d}", "us")
+
+    tbl = pa.table({
+        "event_id": pa.array(range(8), pa.int64()),
+        "user_id": pa.array([1, 1, 1, 2, 2, 2, 3, 3], pa.int64()),
+        "event_type": pa.array(["signup", "click", "purchase",
+                                "purchase", "signup", "click",
+                                "click", "signup"]),
+        "ts": pa.array([t(1), t(2), t(3),
+                        t(1), t(2), t(3),
+                        t(1), t(2)], pa.timestamp("us"))})
+    out = (funnel_stages(ray.data.from_arrow(tbl),
+                         ["signup", "click", "purchase"], num_buckets=2)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    # user 1: full chain; user 2: purchase precedes signup → stage 2;
+    # user 3: click precedes signup → stage 1
+    assert out["user_id"].tolist() == [1, 2, 3]
+    assert out["funnel_stage"].tolist() == [3, 2, 1]
+    assert pd.isna(out.loc[2, "click_ts"])
+
+
+def test_throttle_keeps_first_and_spaced(ray_session):
+    import pyarrow as pa
+    from video_features_ray.stages.events import throttle_events
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    us = np.timedelta64(1, "us")
+    tbl = pa.table({
+        "event_id": pa.array(range(5), pa.int64()),
+        "user_id": pa.array([1] * 5, pa.int64()),
+        "event_type": pa.array(["click"] * 4 + ["view"]),
+        "ts": pa.array([base, base + 50 * us, base + 200 * us,
+                        base + 301 * us, base + 60 * us],
+                       pa.timestamp("us"))})
+    out = (throttle_events(ray.data.from_arrow(tbl), 100, num_buckets=2)
+           .to_pandas().sort_values("event_id"))
+    # clicks at +0 (first), +50 (dropped, gap 50), +200 (kept, gap 150
+    # from +50 — lag semantics, not last-kept), +301 (kept, gap 101);
+    # the view stream is independent (first → kept)
+    assert out["event_id"].tolist() == [0, 2, 3, 4]

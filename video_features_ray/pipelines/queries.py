@@ -2838,3 +2838,38 @@ def q_temperature_sample(sf_dir: str):
                              num_buckets=_w(sf_dir, "documents"))
     out["doc_id"] = out["doc_id"].astype(np.int64)
     return out[["lang", "doc_id"]]
+
+
+def q_funnel_stages(sf_dir: str):
+    """Ordered conversion funnel signup -> click -> purchase: per user
+    the earliest strictly-increasing timestamp chain and the stage
+    reached. ONE user-bucketed shuffle, vectorized cascade."""
+    from ..stages.events import funnel_stages
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id",
+                                        "event_type", "ts"])
+    return funnel_stages(ds, ["signup", "click", "purchase"],
+                         num_buckets=_w(sf_dir, "events"))
+
+
+def q_throttle_events(sf_dir: str):
+    """Debounce: drop events within 1 hour of the previous event of the
+    same (user, type) stream (lag semantics, deterministic ties)."""
+    from ..stages.events import throttle_events
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id",
+                                        "event_type", "ts"])
+    return throttle_events(ds, 3_600_000_000,
+                           num_buckets=_w(sf_dir, "events"))
+
+
+def q_ngram_novelty(sf_dir: str):
+    """Per-doc novelty: fraction of the doc's distinct 3-grams whose
+    global first owner (min doc_id) is the doc itself."""
+    from ..stages.curation import ngram_novelty
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ngram_novelty(ds, n=3, num_buckets=_w(sf_dir, "documents"))

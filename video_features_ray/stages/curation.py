@@ -967,3 +967,81 @@ def temperature_sample(
     out = parts.to_pandas().sort_values([group_col, "_h", key_col],
                                         kind="mergesort")
     return out.drop(columns=["_h"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# 10. n-gram novelty (per-doc contribution scoring)
+# --------------------------------------------------------------------------
+
+def ngram_novelty(
+    ds: "ray.data.Dataset",
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Per-document novelty: the fraction of a document's DISTINCT
+    word-``n``-grams whose global FIRST owner (minimum doc id over all
+    docs containing the gram) is the document itself — a contribution
+    score that separates originals from recombinations of earlier text.
+
+    Scale shape: distinct (doc, gram) pairs are computed per batch on
+    dictionary codes and shipped ONCE through a hash(gram)-bucketed
+    shuffle (each gram's pairs land in exactly one bucket, so the
+    per-bucket min-doc owner is globally exact — same invariant as
+    :func:`~video_features_ray.stages.dedup.distinct_count_per_group`);
+    each bucket credits its pairs back to docs as skinny
+    (doc, n_grams, n_novel) partials, and a second O(docs)-row shuffle
+    sums them. The driver never sees a gram.
+    """
+    nb = int(num_buckets)
+    N = int(n)
+
+    def _pairs(batch: pa.Table) -> pd.DataFrame:
+        words, offsets = _word_table(batch, text_col)
+        codes = _word_codes(words)
+        gid, row, start = _ngram_codes(codes, offsets, N)
+        empty = pd.DataFrame({"gram": pd.Series([], dtype=object),
+                              id_col: pd.Series([], dtype=np.int64),
+                              "_bucket": pd.Series([], dtype=np.int32)})
+        if len(gid) == 0:
+            return empty
+        key = _combine_exact(row, gid)
+        _, kfirst = np.unique(key, return_index=True)
+        urow, ustart = row[kfirst], start[kfirst]
+        parts = [words.take(pa.array(ustart + k)) for k in range(N)]
+        gstr = pc.binary_join_element_wise(*parts, " ").to_pandas()
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pd.DataFrame({"gram": gstr, id_col: ids[urow]})
+        h = pd.util.hash_pandas_object(g["gram"], index=False).to_numpy()
+        g["_bucket"] = (h % np.uint64(nb)).astype(np.int32)
+        return g
+
+    def _credit(df: pd.DataFrame) -> pd.DataFrame:
+        # bucket owns all of each gram's pairs → exact global owner
+        owner = df.groupby("gram", sort=False)[id_col].transform("min")
+        novel = (owner.to_numpy() == df[id_col].to_numpy())
+        out = (df.assign(_novel=novel.astype(np.int64))
+               .groupby(id_col, sort=False)
+               .agg(n_grams=("gram", "size"), n_novel=("_novel", "sum"))
+               .reset_index())
+        out["_doc_bucket"] = (
+            pd.util.hash_pandas_object(out[id_col], index=False).to_numpy()
+            % np.uint64(nb)).astype(np.int32)
+        return out
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(id_col, sort=False)
+               .agg(n_grams=("n_grams", "sum"), n_novel=("n_novel", "sum"))
+               .reset_index())
+        out["n_grams"] = out["n_grams"].astype(np.int64)
+        out["n_novel"] = out["n_novel"].astype(np.int64)
+        out["novelty"] = (out["n_novel"].to_numpy(np.float64)
+                          / out["n_grams"].to_numpy(np.float64))
+        return out
+
+    return (ds.map_batches(_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("_bucket").map_groups(_credit, batch_format="pandas")
+            .groupby("_doc_bucket").map_groups(_final,
+                                               batch_format="pandas"))

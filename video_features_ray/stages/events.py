@@ -658,3 +658,88 @@ def rolling_time_moments(
         return df
 
     return transform_buckets(ds, key, [ts], _fn, num_buckets)
+
+
+def funnel_stages(
+    ds: "ray.data.Dataset",
+    steps: Sequence[str],
+    key: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Ordered funnel analysis: for each entity that performed
+    ``steps[0]``, the earliest strictly-increasing timestamp chain
+    through ``steps`` (first step-0 → first step-1 AFTER it → …) and
+    the stage reached — the conversion query of product analytics.
+    The reference has no cross-event sequencing; this generalizes its
+    per-stream ordering guarantee (``utils/io.py:109-154``) to a
+    multi-event temporal pattern.
+
+    Scale shape: ONE hash shuffle by entity (``transform_buckets``);
+    the cascade inside a bucket is ``len(steps)`` vectorized pandas
+    groupby-mins, never a per-entity Python loop. Ties on ``ts`` break
+    by ``id_col`` implicitly via the min over strictly-later rows.
+    Output: one row per step-0 entity — ``key``, ``funnel_stage``
+    (1..len(steps)), and one ``<step>_ts`` column per step (NaT once
+    the chain breaks).
+    """
+    steps = list(steps)
+
+    def _cascade(df: pd.DataFrame) -> pd.DataFrame:
+        prev = (df[df["event_type"] == steps[0]]
+                .groupby(key, sort=False)[ts].min())
+        out = prev.rename(f"{steps[0]}_ts").reset_index()
+        reached = None
+        for s in steps[1:]:
+            cur = df["event_type"] == s
+            later = df[ts] > df[key].map(prev)  # NaT-compare → False
+            t = (df[cur & later].groupby(key, sort=False)[ts].min())
+            out[f"{s}_ts"] = out[key].map(t)
+            prev = t
+        stage = np.ones(len(out), np.int64)
+        for s in steps[1:]:
+            stage += out[f"{s}_ts"].notna().to_numpy()
+        out.insert(1, "funnel_stage", stage)
+        return out
+
+    return transform_buckets(ds, key, [ts, id_col], _cascade,
+                             num_buckets=num_buckets)
+
+
+def throttle_events(
+    ds: "ray.data.Dataset",
+    min_gap_us: int,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Debounce/throttle: keep an event only if it is the first of its
+    (entity, type) stream or arrives more than ``min_gap_us``
+    microseconds after the PREVIOUS event of the same stream (lag
+    semantics — SQL's ``lag(ts) OVER (PARTITION BY key, type)``) —
+    the duplicate-burst suppressor in front of an event warehouse.
+
+    ONE hash shuffle by entity; the lag is a sorted shift with a
+    stream-boundary mask (no per-row Python). Tie timestamps order by
+    ``id_col`` so the kept set is deterministic.
+    """
+    gap = np.int64(min_gap_us)
+
+    def _keep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, type_col, ts, id_col], kind="mergesort")
+        t = df[ts].to_numpy().astype("datetime64[us]").view(np.int64)
+        same = np.zeros(len(df), bool)
+        if len(df) > 1:
+            same[1:] = ((df[key].to_numpy()[1:] == df[key].to_numpy()[:-1])
+                        & (df[type_col].to_numpy()[1:]
+                           == df[type_col].to_numpy()[:-1]))
+        prev = np.empty(len(df), np.int64)
+        prev[1:] = t[:-1]
+        keep = ~same | (t - prev > gap)
+        return df.loc[keep, [id_col, key, type_col, ts]]
+
+    return transform_buckets(ds, key, [type_col, ts, id_col], _keep,
+                             num_buckets=num_buckets)
