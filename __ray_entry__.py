@@ -115,7 +115,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ordered_te_value": q.q_ordered_te_value,
         "running_peak_value": q.q_running_peak_value,
         "impute_value": q.q_impute_value,
-        "ordinal_encode_type": q.q_ordinal_encode_type,
         "rolling_1h_stats": q.q_rolling_1h_stats,
         "feature_store_events": q.q_feature_store_events,
         "skew_kurt_per_type": q.q_skew_kurt_per_type,
@@ -138,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_novelty": q.q_ngram_novelty,
         "funnel_stages": q.q_funnel_stages,
         "throttle_events": q.q_throttle_events,
+        "cohort_retention": q.q_cohort_retention,
         # relational wide plans
         "local_supplier_revenue": q.q_local_supplier_revenue,
         "revenue_rollup": q.q_revenue_rollup,
@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma_value": q.q_ewma_value,
         "multi_lag_value": q.q_multi_lag_value,
         "cume_dist_events": q.q_cume_dist_events,
+        "ordinal_encode_type": q.q_ordinal_encode_type,
         "latest_event_per_user": q.q_latest_event_per_user,
         "pct_rank_events": q.q_pct_rank_events,
         "prev_same_type_event": q.q_prev_same_type_event,
@@ -1049,6 +1050,19 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id) AS pts FROM events) "
             "SELECT event_id, user_id, event_type, ts FROM l "
             "WHERE pts IS NULL OR epoch_us(ts) - epoch_us(pts) > 3600000000"
+        ),
+        "cohort_retention": (
+            "WITH f AS (SELECT user_id, MIN(date_trunc('day', ts)) "
+            "AS cohort FROM events GROUP BY 1), "
+            "a AS (SELECT DISTINCT f.cohort AS cohort, "
+            "datediff('day', f.cohort, date_trunc('day', e.ts)) "
+            "AS offset_days, e.user_id AS user_id "
+            "FROM events e JOIN f USING(user_id)) "
+            "SELECT CAST(datediff('day', TIMESTAMP '1970-01-01', cohort) "
+            "AS BIGINT) AS cohort_day, "
+            "CAST(offset_days AS BIGINT) AS offset_days, "
+            "CAST(COUNT(*) AS BIGINT) AS n_users "
+            "FROM a GROUP BY 1, 2"
         ),
         # GUARANTEE — exact interpolated p99 + within_alpha assertion
         "p99_price_sketch": (

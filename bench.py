@@ -276,6 +276,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "curation_pipeline", "chunk_dedup", "oov_rate",
         "chunk_dedup_local", "temperature_sample",
         "ngram_novelty", "funnel_stages", "throttle_events",
+        "cohort_retention",
     ]
     qs = em.queries()
     for name in bench_queries:

@@ -196,3 +196,26 @@ def test_throttle_keeps_first_and_spaced(ray_session):
     # from +50 — lag semantics, not last-kept), +301 (kept, gap 101);
     # the view stream is independent (first → kept)
     assert out["event_id"].tolist() == [0, 2, 3, 4]
+
+
+def test_cohort_retention_matrix(ray_session):
+    import pyarrow as pa
+    from video_features_ray.stages.events import cohort_retention
+
+    def d(day, h=0):
+        return np.datetime64(f"2024-01-{day:02d}T{h:02d}:00:00", "us")
+
+    # user 1: first day 1, active days 1,1,2 (dup same-day collapses)
+    # user 2: first day 1, active days 1,3
+    # user 3: first day 2, active day 2
+    tbl = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "ts": pa.array([d(1), d(1, 5), d(2), d(1), d(3), d(2)],
+                       pa.timestamp("us"))})
+    out = (cohort_retention(ray.data.from_arrow(tbl), num_buckets=2)
+           .to_pandas())
+    day1 = int(np.datetime64("2024-01-01").astype("datetime64[D]")
+               .astype(np.int64))
+    got = {(r.cohort_day - day1, r.offset_days): r.n_users
+           for r in out.itertuples()}
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (1, 0): 1}

@@ -2873,3 +2873,14 @@ def q_ngram_novelty(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     return ngram_novelty(ds, n=3, num_buckets=_w(sf_dir, "documents"))
+
+
+def q_cohort_retention(sf_dir: str):
+    """Retention triangle: distinct users per (first-activity cohort
+    day, day offset) — per-batch (user, day) distinct pre-combine,
+    one user-bucketed shuffle, O(cohorts x offsets) combine."""
+    from ..stages.events import cohort_retention
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    return cohort_retention(ds, num_buckets=_w(sf_dir, "events"))

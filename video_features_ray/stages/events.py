@@ -743,3 +743,54 @@ def throttle_events(
 
     return transform_buckets(ds, key, [type_col, ts, id_col], _keep,
                              num_buckets=num_buckets)
+
+
+def cohort_retention(
+    ds: "ray.data.Dataset",
+    key: str = "user_id",
+    ts: str = "ts",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Cohort retention matrix: users cohorted by FIRST-activity day;
+    for every (cohort_day, offset_days) cell, the number of distinct
+    cohort users active that many days later — the retention triangle
+    of product analytics.
+
+    Scale shape: each batch pre-dedups to distinct (user, day) pairs
+    (the only rows that can affect the answer), then ONE user-bucketed
+    shuffle. A user's pairs all land in one bucket, so the per-bucket
+    cohort (min day) and per-user distinct offsets are globally exact;
+    buckets emit O(cohorts × offsets) count partials and the final
+    combine is over that tiny matrix, never row-scale. Days are int64
+    day numbers (us-timestamp // 86.4e9) = SQL ``date_trunc('day')``
+    day arithmetic, exactly.
+    """
+    _US_PER_DAY = np.int64(86_400_000_000)
+
+    def _pairs(batch: pa.Table) -> pd.DataFrame:
+        t = batch[ts].to_numpy(zero_copy_only=False)
+        day = t.astype("datetime64[us]").view(np.int64) // _US_PER_DAY
+        df = pd.DataFrame({key: batch[key].to_numpy(zero_copy_only=False),
+                           "_day": day}).drop_duplicates()
+        b = stable_bucket(df[key].to_numpy(), num_buckets)
+        return df.assign(_bucket=b)
+
+    def _cells(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates([key, "_day"])
+        cohort = df.groupby(key, sort=False)["_day"].transform("min")
+        cells = pd.DataFrame({
+            "cohort_day": cohort.to_numpy(np.int64),
+            "offset_days": df["_day"].to_numpy(np.int64)
+            - cohort.to_numpy(np.int64)})
+        out = (cells.groupby(["cohort_day", "offset_days"], sort=False)
+               .size().rename("n_users").reset_index())
+        return out
+
+    parts = (ds.map_batches(_pairs, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("_bucket").map_groups(_cells, batch_format="pandas"))
+    # partials are O(cohorts × offsets) per bucket — one tiny combine
+    out = (parts.to_pandas()
+           .groupby(["cohort_day", "offset_days"], sort=True)["n_users"]
+           .sum().astype(np.int64).reset_index())
+    return ray.data.from_pandas(out)
