@@ -59,6 +59,27 @@ _SEQ = (
     "length(text) AS n FROM documents)"
 )
 
+# PII patterns are single-sourced from the engine so the oracle SQL can
+# never drift from what the pyarrow kernels match (both are RE2).
+from video_features_ray.stages.pii import PII_PATTERNS as _PII_PATTERNS  # noqa: E402
+
+_PII_E = _PII_PATTERNS["email"]
+_PII_I = _PII_PATTERNS["ipv4"]
+_PII_P = _PII_PATTERNS["phone"]
+#: documents → deterministic synthetic-PII augmentation, mirroring
+#: video_features_ray.stages.pii.augment_with_pii string-for-string
+_PII_AUG = (
+    "SELECT doc_id, source, coalesce(text, '') "
+    "|| CASE WHEN doc_id % 3 = 0 THEN ' reach user' "
+    "|| CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END "
+    "|| CASE WHEN doc_id % 4 = 0 THEN ' from 192.168.' "
+    "|| CAST(doc_id % 256 AS VARCHAR) || '.' "
+    "|| CAST((doc_id * 3) % 256 AS VARCHAR) ELSE '' END "
+    "|| CASE WHEN doc_id % 5 = 0 THEN ' call 415-555-' "
+    "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END "
+    "AS text FROM documents"
+)
+
 _W1_WINDOWS = (
     "SELECT s.doc_id, CAST(s.wid AS BIGINT) AS window_id, "
     "(s.wid * 16 + 31) / 25.0 * 1000.0 AS ts_ms, "
@@ -153,6 +174,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-4 additions land here (inside the first-50 window) ---
         "asof_chunked_hot": q.q_asof_chunked_hot,
         "salted_join_revenue": q.q_salted_join_revenue,
+        # PII scrub family (round 4; first two fill entries 51+ and
+        # rotate into the window next round)
+        "redact_pii": q.q_redact_pii,
+        "pii_per_source": q.q_pii_per_source,
         # rotated below the driver's 50-query window this round (shapes
         # closest to already-green r3 rows or to siblings still inside
         # the window; still oracle-checked in-repo)
@@ -1383,4 +1408,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, "
             "CAST((hash(user_id) % 10000) % 5 AS BIGINT) AS fold FROM events"
         ),
+        # PII scrub: DuckDB regexp_* run the same RE2 engine as the
+        # pyarrow kernels, and the patterns are imported verbatim from
+        # stages/pii.py — counts and redacted text are bit-identical.
+        "redact_pii": f"""WITH aug AS ({_PII_AUG})
+            SELECT doc_id,
+            CAST(length(regexp_extract_all(text, '{_PII_E}')) AS BIGINT) AS n_email,
+            CAST(length(regexp_extract_all(text, '{_PII_I}')) AS BIGINT) AS n_ipv4,
+            CAST(length(regexp_extract_all(text, '{_PII_P}')) AS BIGINT) AS n_phone,
+            regexp_replace(regexp_replace(regexp_replace(text,
+                '{_PII_E}', '<EMAIL>', 'g'),
+                '{_PII_I}', '<IP>', 'g'),
+                '{_PII_P}', '<PHONE>', 'g') AS text_redacted
+            FROM aug""",
+        "pii_per_source": f"""WITH aug AS ({_PII_AUG}),
+            c AS (SELECT source,
+              CAST(length(regexp_extract_all(text, '{_PII_E}')) AS BIGINT) AS n_email,
+              CAST(length(regexp_extract_all(text, '{_PII_I}')) AS BIGINT) AS n_ipv4,
+              CAST(length(regexp_extract_all(text, '{_PII_P}')) AS BIGINT) AS n_phone
+              FROM aug)
+            SELECT source, CAST(SUM(n_email) AS BIGINT) AS sum_n_email,
+            CAST(SUM(n_ipv4) AS BIGINT) AS sum_n_ipv4,
+            CAST(SUM(n_phone) AS BIGINT) AS sum_n_phone,
+            CAST(SUM(CASE WHEN n_email + n_ipv4 + n_phone > 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS sum_pii_docs,
+            CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM c GROUP BY source""",
     }

@@ -2884,3 +2884,57 @@ def q_cohort_retention(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts"])
     return cohort_retention(ds, num_buckets=_w(sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# round 4: PII detection / redaction (stages/pii.py)
+# ---------------------------------------------------------------------------
+
+def q_redact_pii(sf_dir: str):
+    """Compliance scrub: deterministic synthetic-PII augmentation (so
+    the fixture corpus has REAL matches), then per-row RE2 counts +
+    sequential redaction. Two stateless zero-copy Arrow maps — no
+    shuffle, no state; bit-identical to the DuckDB RE2 oracle."""
+    from ..stages.pii import augment_with_pii, redact_pii
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return (ds
+            .map_batches(augment_with_pii, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .map_batches(redact_pii, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
+def q_pii_per_source(sf_dir: str):
+    """Per-source PII prevalence rollup: augmented detection flags ->
+    per-batch partial sums -> O(sources) driver combine. The routing
+    report a redaction job emits alongside the scrubbed corpus."""
+    import pyarrow.compute as pc
+
+    from ..stages.pii import augment_with_pii, pii_flags
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "source"])
+    aug = ds.map_batches(augment_with_pii, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    def _flags(batch: pa.Table) -> pa.Table:
+        t = pii_flags(batch, id_col="source")
+        return t.set_column(t.schema.get_field_index("has_pii"),
+                            "pii_docs", pc.cast(t["has_pii"], pa.int64()))
+
+    flat = aug.map_batches(_flags, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    agg = partial_agg(flat, ["source"],
+                      sums=["n_email", "n_ipv4", "n_phone", "pii_docs"],
+                      count_col="n_docs", combine="driver")
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ["sum_n_email", "sum_n_ipv4", "sum_n_phone",
+                  "sum_pii_docs", "n_docs"]:
+            df[c] = df[c].astype(np.int64)
+        return df[["source", "sum_n_email", "sum_n_ipv4", "sum_n_phone",
+                   "sum_pii_docs", "n_docs"]]
+
+    return agg.map_batches(_finish, batch_format="pandas")
