@@ -178,6 +178,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotate into the window next round)
         "redact_pii": q.q_redact_pii,
         "pii_per_source": q.q_pii_per_source,
+        # round-4 late additions (rotate into the window next round)
+        "lm_familiarity": q.q_lm_familiarity,
+        "weighted_sample_docs": q.q_weighted_sample_docs,
+        "orders_per_customer_dist": q.q_orders_per_customer_dist,
+        "large_orders": q.q_large_orders,
+        "rolling_median_value": q.q_rolling_median_value,
         # rotated below the driver's 50-query window this round (shapes
         # closest to already-green r3 rows or to siblings still inside
         # the window; still oracle-checked in-repo)
@@ -1434,4 +1440,54 @@ def oracle_sql() -> dict[str, str]:
                  AS BIGINT) AS sum_pii_docs,
             CAST(COUNT(*) AS BIGINT) AS n_docs
             FROM c GROUP BY source""",
+        # count-weighted bigram familiarity: integer fields exact; the
+        # familiarity ratio is ONE division of exact ints on both sides
+        "lm_familiarity": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t, "
+            "len(string_split(text, ' ')) AS nt FROM documents), "
+            "b AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram "
+            "FROM (SELECT doc_id, t, unnest(generate_series(1, nt - 1)) "
+            "AS i FROM toks WHERE nt >= 2) x), "
+            "g AS (SELECT gram, COUNT(*) AS c FROM b GROUP BY 1) "
+            "SELECT b.doc_id AS doc_id, "
+            "CAST(COUNT(*) AS BIGINT) AS n_grams, "
+            "CAST(SUM(g.c) AS BIGINT) AS sum_count, "
+            "CAST(SUM(CASE WHEN g.c = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_hapax, "
+            "CAST(SUM(g.c) AS DOUBLE) / COUNT(*) AS familiarity "
+            "FROM b JOIN g USING(gram) GROUP BY b.doc_id"
+        ),
+        # hash % 2^53 keeps the priority inside double's exact-integer
+        # range, so the numpy and DuckDB priorities are bit-identical
+        "weighted_sample_docs": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(n_chars AS BIGINT) AS n_chars FROM documents "
+            "WHERE n_chars > 0 "
+            "ORDER BY CAST(hash(doc_id) % 9007199254740992 AS DOUBLE) "
+            "/ n_chars, doc_id LIMIT 20"
+        ),
+        "orders_per_customer_dist": (
+            "SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM ("
+            "SELECT c.c_custkey, CAST(COUNT(o.o_custkey) AS BIGINT) "
+            "AS c_count FROM customer c LEFT JOIN orders o "
+            "ON c.c_custkey = o.o_custkey GROUP BY c.c_custkey) "
+            "GROUP BY c_count"
+        ),
+        "large_orders": (
+            "WITH s AS (SELECT l_orderkey AS orderkey, "
+            "SUM(l_quantity) AS sq FROM lineitem GROUP BY 1 "
+            "HAVING SUM(l_quantity) > 250) "
+            "SELECT o.o_orderkey AS orderkey, o.o_custkey, c.c_name, "
+            "o.o_totalprice, CAST(round(s.sq) AS BIGINT) AS sum_qty "
+            "FROM orders o JOIN s ON o.o_orderkey = s.orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "ORDER BY o.o_totalprice DESC, orderkey LIMIT 100"
+        ),
+        "rolling_median_value": (
+            "SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
+            "median(CAST(round(value * 100.0) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) / 100.0 "
+            "AS roll5_median FROM events"
+        ),
     }

@@ -277,6 +277,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "chunk_dedup_local", "temperature_sample",
         "ngram_novelty", "funnel_stages", "throttle_events",
         "cohort_retention",
+        # round-4 late additions
+        "redact_pii", "pii_per_source", "lm_familiarity",
+        "weighted_sample_docs", "orders_per_customer_dist",
+        "large_orders", "rolling_median_value",
     ]
     qs = em.queries()
     for name in bench_queries:

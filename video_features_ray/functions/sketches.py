@@ -177,6 +177,44 @@ def bottom_k_sample(ds: "ray.data.Dataset", key_col: str, k: int) -> pd.DataFram
     return parts.drop(columns=["_h"]).reset_index(drop=True)
 
 
+#: priorities use hash % 2^53 so the uint64 -> double cast is EXACT on
+#: both the numpy and the DuckDB side (beyond 2^53 the two would round)
+_PRI_BASIS = 1 << 53
+
+
+def weighted_bottom_k_sample(ds: "ray.data.Dataset", key_col: str,
+                             weight_col: str, k: int) -> pd.DataFrame:
+    """Deterministic weight-proportional sample: k rows with smallest
+    priority ``(hash(key) % 2^53) / weight`` — heavier rows draw
+    smaller priorities more often, so selection probability rises with
+    weight, and the draw is a pure function of the key (consistent
+    across runs and partitionings, like :func:`bottom_k_sample`).
+
+    Exactness: the modulo keeps the hash inside double's exact-integer
+    range and the single IEEE division is correctly rounded, so the
+    priority is bit-identical to DuckDB's
+    ``CAST(hash(key) % 9007199254740992 AS DOUBLE) / weight``.
+    Rows with NULL or non-positive weight are excluded (mirror with
+    ``WHERE weight > 0`` in SQL). Per-batch partial bottom-k, driver
+    merges k × #blocks candidate rows.
+    """
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = np.isfinite(w) & (w > 0)
+        h = duckdb_hash_int64(keys) % np.uint64(_PRI_BASIS)
+        pri = np.where(ok, h.astype(np.float64) / w, np.inf)
+        order = np.lexsort((keys, pri))
+        order = order[ok[order]][:k]
+        out = batch.take(pa.array(order))
+        return out.append_column("_pri", pa.array(pri[order], pa.float64()))
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["_pri", key_col], kind="mergesort").head(k)
+    return parts.drop(columns=["_pri"]).reset_index(drop=True)
+
+
 class DDSketch:
     """DDSketch-style mergeable quantile sketch (public algorithm:
     Masson, Rim & Lee, VLDB'19): log-spaced buckets with index

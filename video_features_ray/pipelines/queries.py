@@ -2938,3 +2938,161 @@ def q_pii_per_source(sf_dir: str):
                    "sum_pii_docs", "n_docs"]]
 
     return agg.map_batches(_finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# round 4: LM familiarity, weighted sampling, Q13/Q18 shapes, rolling median
+# ---------------------------------------------------------------------------
+
+def q_lm_familiarity(sf_dir: str):
+    """Count-weighted bigram familiarity per document (n-gram LM
+    cross-entropy stand-in with exact-integer fields)."""
+    from ..stages.curation import lm_familiarity
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return lm_familiarity(ds, n=2, num_buckets=_w(sf_dir, "documents"))
+
+
+def q_weighted_sample_docs(sf_dir: str):
+    """Deterministic weight-proportional sample: 20 docs by smallest
+    hash/n_chars priority (longer docs more likely). Per-batch partial
+    bottom-k, O(k x blocks) driver merge."""
+    from ..functions.sketches import weighted_bottom_k_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+    out = weighted_bottom_k_sample(ds, "doc_id", "n_chars", k=20)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_chars"] = out["n_chars"].astype(np.int64)
+    return out[["doc_id", "n_chars"]]
+
+
+def q_orders_per_customer_dist(sf_dir: str):
+    """TPC-H Q13 shape: order count per customer INCLUDING zero-order
+    customers (the left-outer wrinkle), then the count-of-counts
+    distribution. Plan: distributed per-customer order counts (exact
+    partials, one bucketed combine) -> large x large LEFT hash join
+    against the customer key column -> O(distinct counts) driver
+    combine. Customers never broadcast; both fact scans are pruned to
+    the key columns."""
+    from ..stages.joins import hash_join, partial_agg
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(lambda b: pa.table({"custkey": b["c_custkey"]}),
+                  batch_format="pyarrow")
+
+    oc = partial_agg(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey"]),
+        ["o_custkey"], count_col="c_count", combine="distributed",
+        num_buckets=_w(sf_dir, "orders"),
+    ).map_batches(
+        lambda df: df.rename(columns={"o_custkey": "custkey"}),
+        batch_format="pandas")
+
+    joined = hash_join(
+        cust, oc, on="custkey", how="left",
+        num_buckets=_w(sf_dir, "customer", "orders"),
+        schemas=(pa.schema([("custkey", pa.int64())]),
+                 pa.schema([("custkey", pa.int64()),
+                            ("c_count", pa.int64())])),
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {"c_count": df["c_count"].fillna(0).astype(np.int64)}),
+        batch_format="pandas")
+
+    dist = partial_agg(joined, ["c_count"], count_col="custdist",
+                       combine="driver")
+    return dist.map_batches(
+        lambda df: df.assign(custdist=df["custdist"].astype(np.int64))[
+            ["c_count", "custdist"]],
+        batch_format="pandas")
+
+
+def q_large_orders(sf_dir: str):
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds
+    250, enriched with the customer name, top-100 by price. Plan:
+    distributed per-order quantity sums (quantities are integer-valued,
+    so double partials are exact in any order) -> HAVING filter ->
+    large x large inner hash join with orders -> distributed
+    sort+limit(100) -> the <=100 survivors fetch their customer rows
+    via a pushed-down point-filter read (top-k BEFORE the dimension
+    join: the customer table never shuffles)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import hash_join, partial_agg
+
+    qty = partial_agg(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_quantity"]),
+        ["l_orderkey"], sums=["l_quantity"], combine="distributed",
+        num_buckets=_w(sf_dir, "lineitem"),
+    ).map_batches(
+        lambda df: df.loc[df["sum_l_quantity"] > 250.0,
+                          ["l_orderkey", "sum_l_quantity"]]
+        .rename(columns={"l_orderkey": "orderkey"}),
+        batch_format="pandas")
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(
+        lambda b: pa.table({"orderkey": b["o_orderkey"],
+                            "o_custkey": b["o_custkey"],
+                            "o_totalprice": b["o_totalprice"]}),
+        batch_format="pyarrow")
+
+    top = hash_join(
+        orders, qty, on="orderkey", how="inner",
+        num_buckets=_w(sf_dir, "orders", "lineitem"),
+        schemas=(pa.schema([("orderkey", pa.int64()),
+                            ("o_custkey", pa.int64()),
+                            ("o_totalprice", pa.float64())]),
+                 pa.schema([("orderkey", pa.int64()),
+                            ("sum_l_quantity", pa.float64())])),
+    ).map_batches(
+        lambda df: df.assign(_negp=-df["o_totalprice"].to_numpy()),
+        batch_format="pandas",
+    ).sort(["_negp", "orderkey"]).limit(100).to_pandas()
+
+    keys = sorted(top["o_custkey"].unique().tolist())
+    names = pq.read_table(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_name"],
+                          filters=[("c_custkey", "in", keys)]).to_pandas()
+    out = top.merge(names, left_on="o_custkey", right_on="c_custkey")
+    out["sum_qty"] = np.round(out["sum_l_quantity"]).astype(np.int64)
+    out = out.sort_values(["_negp", "orderkey"],
+                          kind="mergesort").reset_index(drop=True)
+    return out[["orderkey", "o_custkey", "c_name", "o_totalprice",
+                "sum_qty"]]
+
+
+def q_rolling_median_value(sf_dir: str):
+    """Per-user rolling 5-row MEDIAN of value (order-statistics moving
+    window — a different kernel class from the algebraic rolling sum).
+    Cent-scaled ints keep the two-middle-values average bit-stable vs
+    SQL median() OVER."""
+    from ..stages.events import rolling_agg
+
+    ds = _events_us(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def _scale(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_id": batch["event_id"],
+                         "user_id": batch["user_id"],
+                         "ts_us": batch["ts_us"],
+                         "value_c": pa.array(
+                             np.round(v * 100.0).astype(np.int64))})
+
+    out = rolling_agg(ds.map_batches(_scale, batch_format="pyarrow"),
+                      "user_id", "ts_us", "value_c", window_rows=5,
+                      num_buckets=_w(sf_dir, "events"),
+                      tie_cols=["event_id"], agg="median")
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["roll5_median"] = df["value_c_rollmedian5"] / 100.0
+        return df[["event_id", "user_id", "ts_us", "roll5_median"]]
+
+    return out.map_batches(_finish, batch_format="pandas")

@@ -1045,3 +1045,89 @@ def ngram_novelty(
             .groupby("_bucket").map_groups(_credit, batch_format="pandas")
             .groupby("_doc_bucket").map_groups(_final,
                                                batch_format="pandas"))
+
+
+# --------------------------------------------------------------------------
+# 12. Count-weighted n-gram LM familiarity
+# --------------------------------------------------------------------------
+
+def lm_familiarity(
+    ds: "ray.data.Dataset",
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Per-document n-gram language-model familiarity: for every
+    n-gram occurrence in a document, look up its GLOBAL corpus count
+    and report exact-integer summaries — ``n_grams`` (occurrences),
+    ``sum_count`` (Σ global count over occurrences), ``n_hapax``
+    (occurrences whose gram appears exactly once corpus-wide) — plus
+    ``familiarity = sum_count / n_grams`` (one IEEE division of exact
+    ints, so it hash-compares bit-stably). High familiarity ≈ text made
+    of common constructions (the count-based stand-in for an n-gram LM
+    cross-entropy quality filter); high hapax share ≈ novel or noisy.
+
+    Scale shape (same invariants as :func:`ngram_novelty`, but
+    count-weighted and NON-distinct): per-batch (doc, gram) occurrence
+    counts ``m`` ship once through a hash(gram)-bucketed shuffle — the
+    bucket owns each gram globally, so ``c(gram) = Σ m`` inside one
+    bucket is exact; buckets credit ``(doc, n_grams, sum_count,
+    n_hapax)`` partials back through a second O(docs)-row shuffle. The
+    driver never sees a gram, and a doc's payload text never moves.
+    """
+    nb = int(num_buckets)
+    N = int(n)
+
+    def _pairs(batch: pa.Table) -> pd.DataFrame:
+        words, offsets = _word_table(batch, text_col)
+        codes = _word_codes(words)
+        gid, row, start = _ngram_codes(codes, offsets, N)
+        empty = pd.DataFrame({"gram": pd.Series([], dtype=object),
+                              id_col: pd.Series([], dtype=np.int64),
+                              "m": pd.Series([], dtype=np.int64),
+                              "_bucket": pd.Series([], dtype=np.int32)})
+        if len(gid) == 0:
+            return empty
+        key = _combine_exact(row, gid)
+        _, kfirst, m = np.unique(key, return_index=True, return_counts=True)
+        urow, ustart = row[kfirst], start[kfirst]
+        parts = [words.take(pa.array(ustart + k)) for k in range(N)]
+        gstr = pc.binary_join_element_wise(*parts, " ").to_pandas()
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pd.DataFrame({"gram": gstr, id_col: ids[urow],
+                          "m": m.astype(np.int64)})
+        h = pd.util.hash_pandas_object(g["gram"], index=False).to_numpy()
+        g["_bucket"] = (h % np.uint64(nb)).astype(np.int32)
+        return g
+
+    def _credit(df: pd.DataFrame) -> pd.DataFrame:
+        # bucket owns every occurrence of each gram → exact global count
+        c = df.groupby("gram", sort=False)["m"].transform("sum").to_numpy()
+        m = df["m"].to_numpy()
+        out = (df.assign(_wc=m * c, _hx=np.where(c == 1, m, 0))
+               .groupby(id_col, sort=False)
+               .agg(n_grams=("m", "sum"), sum_count=("_wc", "sum"),
+                    n_hapax=("_hx", "sum"))
+               .reset_index())
+        out["_doc_bucket"] = (
+            pd.util.hash_pandas_object(out[id_col], index=False).to_numpy()
+            % np.uint64(nb)).astype(np.int32)
+        return out
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(id_col, sort=False)
+               .agg(n_grams=("n_grams", "sum"), sum_count=("sum_count", "sum"),
+                    n_hapax=("n_hapax", "sum"))
+               .reset_index())
+        for col in ("n_grams", "sum_count", "n_hapax"):
+            out[col] = out[col].astype(np.int64)
+        out["familiarity"] = (out["sum_count"].to_numpy(np.float64)
+                              / out["n_grams"].to_numpy(np.float64))
+        return out
+
+    return (ds.map_batches(_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("_bucket").map_groups(_credit, batch_format="pandas")
+            .groupby("_doc_bucket").map_groups(_final,
+                                               batch_format="pandas"))

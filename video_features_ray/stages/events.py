@@ -255,19 +255,27 @@ def rolling_agg(
     num_buckets: int = 64,
     tie_cols: Sequence[str] = (),
     out_col: str | None = None,
+    agg: str = "sum",
 ) -> "ray.data.Dataset":
-    """Per-entity rolling sum over the last ``window_rows`` rows
-    (inclusive, ``min_periods=1``) — the moving-average feature family.
-    SQL equivalent: ``SUM(v) OVER (PARTITION BY key ORDER BY ts, tie
+    """Per-entity rolling aggregate over the last ``window_rows`` rows
+    (inclusive, ``min_periods=1``) — the moving-window feature family.
+    SQL equivalent: ``<AGG>(v) OVER (PARTITION BY key ORDER BY ts, tie
     ROWS BETWEEN window_rows-1 PRECEDING AND CURRENT ROW)``. One hash
     shuffle; the rolling kernel is pandas' vectorized window over the
-    whole bucket."""
-    out_col = out_col or f"{value}_rollsum{window_rows}"
+    whole bucket.
+
+    ``agg``: ``sum`` / ``median`` / ``min`` / ``max``. ``median``
+    matches SQL ``median()`` exactly on integer inputs: both sides
+    average the two middle values with one IEEE ``(a+b)/2``, so
+    cent-scaled int64 values stay bit-stable."""
+    if agg not in ("sum", "median", "min", "max"):
+        raise ValueError(f"unsupported rolling agg {agg!r}")
+    out_col = out_col or f"{value}_roll{agg}{window_rows}"
 
     def _fn(df: pd.DataFrame) -> pd.DataFrame:
-        s = (df.groupby(key, sort=False)[value]
-             .rolling(window_rows, min_periods=1).sum()
-             .reset_index(level=0, drop=True))
+        r = (df.groupby(key, sort=False)[value]
+             .rolling(window_rows, min_periods=1))
+        s = getattr(r, agg)().reset_index(level=0, drop=True)
         df[out_col] = s
         return df
 
