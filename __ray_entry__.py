@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_per_customer_dist": q.q_orders_per_customer_dist,
         "large_orders": q.q_large_orders,
         "rolling_median_value": q.q_rolling_median_value,
+        "event_transitions": q.q_event_transitions,
         # rotated below the driver's 50-query window this round (shapes
         # closest to already-green r3 rows or to siblings still inside
         # the window; still oracle-checked in-repo)
@@ -1489,5 +1490,17 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) / 100.0 "
             "AS roll5_median FROM events"
+        ),
+        # Markov transitions: exact int counts; p is ONE division of
+        # exact int64s on both sides (n / per-from total)
+        "event_transitions": (
+            "WITH s AS (SELECT event_type, lead(event_type) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS nxt "
+            "FROM events) "
+            "SELECT event_type AS from_type, nxt AS to_type, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER ("
+            "PARTITION BY event_type) AS p "
+            "FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2"
         ),
     }

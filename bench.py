@@ -280,7 +280,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # round-4 late additions
         "redact_pii", "pii_per_source", "lm_familiarity",
         "weighted_sample_docs", "orders_per_customer_dist",
-        "large_orders", "rolling_median_value",
+        "large_orders", "rolling_median_value", "event_transitions",
     ]
     qs = em.queries()
     for name in bench_queries:

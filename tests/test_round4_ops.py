@@ -135,3 +135,23 @@ def test_q13_includes_zero_order_customers(tmp_path):
     # customers 2 and 4 have zero orders; 3 has one; 1 has two
     assert out["c_count"].tolist() == [0, 1, 2]
     assert out["custdist"].tolist() == [2, 1, 1]
+
+
+def test_event_transitions_hand_stream():
+    from video_features_ray.stages.events import event_transitions
+
+    # user 1: a -> b -> a ; user 2: a -> b ; singleton user 3: a
+    df = pd.DataFrame({
+        "user_id": np.array([1, 1, 1, 2, 2, 3], dtype=np.int64),
+        "ts_us": np.array([1, 2, 3, 1, 2, 1], dtype=np.int64),
+        "event_id": np.arange(6, dtype=np.int64),
+        "event_type": ["a", "b", "a", "a", "b", "a"],
+    })
+    out = event_transitions(ray.data.from_pandas(df).repartition(3),
+                            "user_id", "event_type",
+                            ["ts_us", "event_id"], num_buckets=2)
+    out = out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+    assert out[["from_type", "to_type"]].values.tolist() == [
+        ["a", "b"], ["b", "a"]]
+    assert out["n"].tolist() == [2, 1]
+    np.testing.assert_allclose(out["p"].to_numpy(), [1.0, 1.0])

@@ -3096,3 +3096,16 @@ def q_rolling_median_value(sf_dir: str):
         return df[["event_id", "user_id", "ts_us", "roll5_median"]]
 
     return out.map_batches(_finish, batch_format="pandas")
+
+
+def q_event_transitions(sf_dir: str):
+    """Markov transition matrix of event types over each user's ordered
+    stream: exact (from, to) adjacency counts + conditional probability.
+    ONE user-bucketed shuffle; O(types^2) partials to the driver."""
+    from ..stages.events import event_transitions
+
+    ds = _events_us(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+    out = event_transitions(ds, "user_id", "event_type",
+                            ["ts_us", "event_id"],
+                            num_buckets=_w(sf_dir, "events"))
+    return out[["from_type", "to_type", "n", "p"]]

@@ -802,3 +802,48 @@ def cohort_retention(
            .groupby(["cohort_day", "offset_days"], sort=True)["n_users"]
            .sum().astype(np.int64).reset_index())
     return ray.data.from_pandas(out)
+
+
+def event_transitions(
+    ds: "ray.data.Dataset",
+    key: str,
+    type_col: str,
+    sort_keys: Sequence[str],
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Global Markov transition matrix of ``type_col`` over each
+    entity's ordered event stream: exact counts of (from_type,
+    to_type) adjacent pairs plus the conditional transition
+    probability ``p = n / Σ n over from_type`` (one IEEE division of
+    exact int64 counts, bit-stable vs SQL). The sequence-mining sibling
+    of the text bigram operators — same per-partition ordering contract
+    as every window stage (SURVEY §2.3).
+
+    Scale: ONE hash shuffle by ``key``; each bucket emits O(types²)
+    partial counts, the driver combines O(types² × buckets) rows —
+    entity streams never leave their bucket.
+    """
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"from_type": pd.Series([], dtype=object),
+                                 "to_type": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        k = df[key].to_numpy()
+        last = np.ones(len(df), dtype=bool)
+        last[:-1] = k[:-1] != k[1:]
+        t = df[type_col].to_numpy()
+        frm, to = t[:-1][~last[:-1]], t[1:][~last[:-1]]
+        out = (pd.DataFrame({"from_type": frm, "to_type": to})
+               .groupby(["from_type", "to_type"], sort=False)
+               .size().rename("n").reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    parts = transform_buckets(ds, key, list(sort_keys), _pairs,
+                              num_buckets).to_pandas()
+    out = (parts.groupby(["from_type", "to_type"], sort=True)["n"]
+           .sum().astype(np.int64).reset_index())
+    tot = out.groupby("from_type", sort=False)["n"].transform("sum")
+    out["p"] = out["n"].to_numpy(np.float64) / tot.to_numpy(np.float64)
+    return out
