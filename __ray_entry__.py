@@ -185,6 +185,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_orders": q.q_large_orders,
         "rolling_median_value": q.q_rolling_median_value,
         "event_transitions": q.q_event_transitions,
+        "corpus_diff": q.q_corpus_diff,
+        "link_pagerank": q.q_link_pagerank,  # rows-only (iterative float)
         # rotated below the driver's 50-query window this round (shapes
         # closest to already-green r3 rows or to siblings still inside
         # the window; still oracle-checked in-repo)
@@ -1502,5 +1504,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER ("
             "PARTITION BY event_type) AS p "
             "FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2"
+        ),
+        # snapshot diff: md5-equality in the engine == text equality
+        # here (same contract as exact_dedup's md5 oracle)
+        "corpus_diff": (
+            "WITH old AS (SELECT doc_id, text FROM documents "
+            "WHERE doc_id % 10 != 7), "
+            "new AS (SELECT doc_id, CASE WHEN doc_id % 6 = 0 "
+            "THEN text || ' v2' ELSE text END AS text FROM documents "
+            "WHERE doc_id % 10 != 4) "
+            "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, "
+            "CASE WHEN o.doc_id IS NULL THEN 'added' "
+            "WHEN n.doc_id IS NULL THEN 'removed' "
+            "WHEN o.text = n.text THEN 'unchanged' "
+            "ELSE 'changed' END AS status "
+            "FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id"
         ),
     }

@@ -3109,3 +3109,59 @@ def q_event_transitions(sf_dir: str):
                             ["ts_us", "event_id"],
                             num_buckets=_w(sf_dir, "events"))
     return out[["from_type", "to_type", "n", "p"]]
+
+
+def q_corpus_diff(sf_dir: str):
+    """Snapshot diff between two deterministic corpus versions (old
+    drops doc_id%10==7, new drops %10==4 and rewrites %6==0 docs):
+    added/removed/changed/unchanged per id via skinny md5 rows + ONE
+    FULL OUTER hash join — text never shuffles."""
+    import pyarrow.compute as pc
+
+    from ..stages.curation import corpus_diff
+
+    def _read():
+        return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+
+    def _old(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 10 != 7))
+
+    def _new(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        b = batch.filter(pa.array(ids % 10 != 4))
+        ids2 = b["doc_id"].to_numpy(zero_copy_only=False)
+        changed = pa.array(ids2 % 6 == 0)
+        txt = pc.if_else(changed,
+                         pc.binary_join_element_wise(b["text"], " v2", ""),
+                         b["text"])
+        return pa.table({"doc_id": b["doc_id"], "text": txt})
+
+    old = _read().map_batches(_old, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    new = _read().map_batches(_new, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return corpus_diff(old, new, num_buckets=_w(sf_dir, "documents"))
+
+
+def q_link_pagerank(sf_dir: str):
+    """PageRank over a deterministic synthetic citation graph (doc i ->
+    (7i+3) mod N and (3i+1) mod N): join-based iterations, rank table
+    never broadcast or collected. Rows-only driver check (iterative
+    float algorithm); numpy-parity + invariants in tests/test_graph.py."""
+    from ..stages.graph import pagerank
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    n = ds.count()
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        s = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([s, s])
+        dst = np.concatenate([(s * 7 + 3) % n, (s * 3 + 1) % n])
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    edges = ds.map_batches(_edges, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return pagerank(edges, iters=3, num_buckets=_w(sf_dir, "documents"))

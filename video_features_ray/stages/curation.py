@@ -1131,3 +1131,57 @@ def lm_familiarity(
             .groupby("_bucket").map_groups(_credit, batch_format="pandas")
             .groupby("_doc_bucket").map_groups(_final,
                                                batch_format="pandas"))
+
+
+# --------------------------------------------------------------------------
+# 13. Corpus snapshot diff
+# --------------------------------------------------------------------------
+
+def corpus_diff(
+    old: "ray.data.Dataset",
+    new: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Snapshot diff between two corpus versions: per id, ``status`` in
+    ``{'added','removed','changed','unchanged'}`` — the incremental-
+    curation primitive (what changed since the last crawl / last
+    training-set build).
+
+    Scale shape: each side maps to skinny ``(id, md5(text))`` rows —
+    the payload text NEVER enters the shuffle — then ONE bucketed FULL
+    OUTER hash join on id decides status per row. md5 equality stands
+    in for text equality (matches DuckDB ``md5`` byte-for-byte, same
+    contract as :func:`~video_features_ray.stages.dedup.exact_dedup`).
+    """
+    from .dedup import _md5_hex
+    from .joins import hash_join
+
+    def _skinny(name):
+        def _m(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                id_col: batch[id_col],
+                name: pa.array(_md5_hex(batch[text_col].to_pylist()),
+                               pa.string())})
+        return _m
+
+    o = old.map_batches(_skinny("h_old"), batch_format="pyarrow",
+                        zero_copy_batch=True)
+    nw = new.map_batches(_skinny("h_new"), batch_format="pyarrow",
+                         zero_copy_batch=True)
+    sch_o = pa.schema([(id_col, pa.int64()), ("h_old", pa.string())])
+    sch_n = pa.schema([(id_col, pa.int64()), ("h_new", pa.string())])
+    j = hash_join(o, nw, on=id_col, how="outer",
+                  num_buckets=num_buckets, schemas=(sch_o, sch_n))
+
+    def _status(df: pd.DataFrame) -> pd.DataFrame:
+        ho, hn = df["h_old"], df["h_new"]
+        status = np.where(ho.isna(), "added",
+                          np.where(hn.isna(), "removed",
+                                   np.where(ho.to_numpy() == hn.to_numpy(),
+                                            "unchanged", "changed")))
+        return pd.DataFrame({id_col: df[id_col].astype(np.int64),
+                             "status": status})
+
+    return j.map_batches(_status, batch_format="pandas")

@@ -1,0 +1,164 @@
+"""Iterative graph algorithms over edge tables — PageRank.
+
+Web-scale curation pipelines use link-graph centrality as a document
+quality prior (the CommonCrawl lineage of harmonic/PageRank
+filtering); the connected-components winners in ``dedup.py`` cover
+the union-find side, this covers the iterative-scoring side.
+
+Scale design (the part that matters at 10^12 edges): the rank vector
+is O(nodes) — too big to broadcast — so every iteration is expressed
+as TABLE operations: rank ⨝ edges on ``src`` (one bucketed hash
+shuffle), per-``dst`` partial sums (one more), then a LEFT join back
+onto the node table so zero-in-degree nodes keep the teleport term.
+The driver only ever holds scalars (N, dangling mass). Each
+iteration's rank table is ``materialize()``-ed — the standard
+iterative-algorithm checkpoint that keeps lineage from re-running all
+prior iterations (Ray spills blocks to the object store; the table is
+O(nodes), never collected).
+
+Dangling nodes (no out-edges) redistribute their mass uniformly, so
+``Σ rank == 1`` holds at every iteration (asserted in tests).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from .joins import hash_join, partial_agg
+
+
+def _distinct_nodes(edges: "ray.data.Dataset", num_buckets: int
+                    ) -> "ray.data.Dataset":
+    """Distinct node ids over src ∪ dst: per-batch distinct partials,
+    one bucketed distinct combine (same invariant as
+    ``distinct_count_per_group`` — a node lands in exactly one
+    bucket)."""
+
+    def _both(batch: pa.Table) -> pd.DataFrame:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        u = np.unique(np.concatenate([s, d]))
+        h = pd.util.hash_array(u).astype(np.uint64)
+        return pd.DataFrame({
+            "node": u.astype(np.int64),
+            "_bucket": (h % np.uint64(num_buckets)).astype(np.int32)})
+
+    def _dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.drop_duplicates("node")[["node"]]
+                .reset_index(drop=True))
+
+    return (edges.map_batches(_both, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .groupby("_bucket").map_groups(_dedup, batch_format="pandas"))
+
+
+def pagerank(
+    edges: "ray.data.Dataset",
+    damping: float = 0.85,
+    iters: int = 3,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Join-based distributed PageRank over an ``(src:int64,
+    dst:int64)`` edge table; returns ``(node, rank)`` after ``iters``
+    synchronous iterations from the uniform start.
+
+    Per iteration: 2 bucketed shuffles (rank⨝edges on src, contrib
+    sums on dst) + 1 LEFT join onto the node table. Node/rank tables
+    never leave the cluster; the driver reduces only the scalar
+    dangling mass (exact partial sums).
+    """
+    nb = int(num_buckets)
+
+    # out-degree per src (exact count partials)
+    outdeg = partial_agg(edges, ["src"], count_col="outdeg",
+                         combine="distributed", num_buckets=nb)
+
+    nodes = _distinct_nodes(edges, nb).materialize()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        # typed empty Arrow table: from_pandas on a 0-row frame drops
+        # the schema through to_pandas
+        return ray.data.from_arrow(pa.table(
+            {"node": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.float64())}))
+
+    # fold outdeg into the edge table ONCE (edges with it are reused
+    # every iteration; dangling srcs never appear in edges by def.)
+    e_sch = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    o_sch = pa.schema([("src", pa.int64()), ("outdeg", pa.int64())])
+    edges_w = hash_join(edges, outdeg, on="src", num_buckets=nb,
+                        schemas=(e_sch, o_sch)).materialize()
+
+    # fold the (static) dangling flag into the rank table ONCE: nodes
+    # with no out-edges never gain any, so per-iteration dangling mass
+    # is a map-only scan instead of an anti join
+    n_sch = pa.schema([("node", pa.int64())])
+    od_by_node = outdeg.map_batches(
+        lambda df: df.rename(columns={"src": "node"}),
+        batch_format="pandas")
+    od_sch = pa.schema([("node", pa.int64()), ("outdeg", pa.int64())])
+
+    def _rank0(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": df["node"].astype(np.int64),
+            "rank": np.full(len(df), 1.0 / n_nodes),
+            "dang": df["outdeg"].isna().to_numpy()})
+
+    rank = hash_join(nodes, od_by_node, on="node", how="left",
+                     num_buckets=nb, schemas=(n_sch, od_sch)
+                     ).map_batches(_rank0,
+                                   batch_format="pandas").materialize()
+    r_sch = pa.schema([("node", pa.int64()), ("rank", pa.float64()),
+                       ("dang", pa.bool_())])
+
+    for _ in range(int(iters)):
+        # scalar dangling mass: streaming map-only reduction
+        d_mass = float(sum(
+            b.loc[b["dang"], "rank"].sum() for b in rank.iter_batches(
+                batch_format="pandas", batch_size=65536)) or 0.0)
+
+        # contributions: rank/outdeg shipped along edges, summed per dst
+        contrib_in = hash_join(
+            edges_w.map_batches(
+                lambda df: df.rename(columns={"src": "node"}),
+                batch_format="pandas"),
+            rank, on="node", num_buckets=nb, coalesce_blocks=nb,
+            schemas=(pa.schema([("node", pa.int64()), ("dst", pa.int64()),
+                                ("outdeg", pa.int64())]), r_sch),
+        ).map_batches(
+            lambda df: pd.DataFrame(
+                {"dst": df["dst"],
+                 "c": df["rank"].to_numpy() / df["outdeg"].to_numpy()}),
+            batch_format="pandas")
+        contrib = partial_agg(contrib_in, ["dst"], sums=["c"],
+                              combine="distributed", num_buckets=nb,
+                              count_col="_n").map_batches(
+            lambda df: df.rename(columns={"dst": "node"})[
+                ["node", "sum_c"]],
+            batch_format="pandas")
+
+        base = (1.0 - damping) / n_nodes + damping * d_mass / n_nodes
+
+        # coalesce: without it each iteration's join multiplies block
+        # count (96 -> 224 -> 480 measured) and per-block scheduling
+        # overhead swamps the compute
+        joined = hash_join(
+            rank, contrib, on="node", how="left", num_buckets=nb,
+            coalesce_blocks=nb,
+            schemas=(r_sch, pa.schema([("node", pa.int64()),
+                                       ("sum_c", pa.float64())])))
+
+        def _update(df: pd.DataFrame, _base=base) -> pd.DataFrame:
+            c = df["sum_c"].fillna(0.0).to_numpy(np.float64)
+            return pd.DataFrame({"node": df["node"].astype(np.int64),
+                                 "rank": _base + damping * c,
+                                 "dang": df["dang"].to_numpy()})
+
+        rank = joined.map_batches(_update,
+                                  batch_format="pandas").materialize()
+
+    return rank.map_batches(lambda df: df[["node", "rank"]],
+                            batch_format="pandas")
