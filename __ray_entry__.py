@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": q.q_event_transitions,
         "corpus_diff": q.q_corpus_diff,
         "link_pagerank": q.q_link_pagerank,  # rows-only (iterative float)
+        "mad_value_per_type": q.q_mad_value_per_type,
         # rotated below the driver's 50-query window this round (shapes
         # closest to already-green r3 rows or to siblings still inside
         # the window; still oracle-checked in-repo)
@@ -1519,5 +1520,16 @@ def oracle_sql() -> dict[str, str]:
             "WHEN o.text = n.text THEN 'unchanged' "
             "ELSE 'changed' END AS status "
             "FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id"
+        ),
+        # MAD: engine works on the doubled cent grid (2*median always
+        # integral) so both medians are the pinned quantile_cont walk
+        "mad_value_per_type": (
+            "WITH v AS (SELECT event_type, "
+            "CAST(round(value * 100.0) AS BIGINT) AS vc FROM events), "
+            "m AS (SELECT event_type, quantile_cont(vc, 0.5) AS med "
+            "FROM v GROUP BY 1) "
+            "SELECT v.event_type, m.med / 100.0 AS median_value, "
+            "quantile_cont(abs(v.vc - m.med), 0.5) / 100.0 AS mad_value "
+            "FROM v JOIN m USING(event_type) GROUP BY v.event_type, m.med"
         ),
     }

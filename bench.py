@@ -281,7 +281,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "redact_pii", "pii_per_source", "lm_familiarity",
         "weighted_sample_docs", "orders_per_customer_dist",
         "large_orders", "rolling_median_value", "event_transitions",
-        "corpus_diff", "link_pagerank",
+        "corpus_diff", "link_pagerank", "mad_value_per_type",
     ]
     qs = em.queries()
     for name in bench_queries:

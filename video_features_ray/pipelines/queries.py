@@ -3165,3 +3165,53 @@ def q_link_pagerank(sf_dir: str):
     edges = ds.map_batches(_edges, batch_format="pyarrow",
                            zero_copy_batch=True)
     return pagerank(edges, iters=3, num_buckets=_w(sf_dir, "documents"))
+
+
+def q_mad_value_per_type(sf_dir: str):
+    """Median absolute deviation per group — the robust dispersion
+    stat (two chained quantile fits: grouped median -> broadcast ->
+    grouped median of |x - med|). Exactness: deviations are computed
+    on the DOUBLED cent grid (2*median is always integral), so the
+    second CDF walk stays integer and the final *0.5/100 rescale is
+    exact — bit-stable vs quantile_cont(abs(...)) in SQL."""
+    import pyarrow.compute as pc
+
+    from ..stages.joins import grouped_quantile_cont
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def _scale(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": batch["event_type"],
+                         "value_c": pa.array(
+                             np.round(v * 100.0).astype(np.int64))})
+
+    scaled = ds.map_batches(_scale, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    med = grouped_quantile_cont(scaled, "event_type", "value_c", 0.5,
+                                num_buckets=_w(sf_dir, "events"))
+    qcol = [c for c in med.columns if c.startswith("q")][0]
+    med2 = {t: np.int64(round(2.0 * m))
+            for t, m in zip(med["event_type"], med[qcol])}
+    types = sorted(med2)
+    m2_arr = np.array([med2[t] for t in types], dtype=np.int64)
+
+    def _dev(batch: pa.Table) -> pa.Table:
+        codes = pc.index_in(batch["event_type"],
+                            pa.array(types)).to_numpy(zero_copy_only=False)
+        v = batch["value_c"].to_numpy(zero_copy_only=False)
+        d2 = np.abs(2 * v - m2_arr[codes.astype(np.int64)])
+        return pa.table({"event_type": batch["event_type"],
+                         "d2": pa.array(d2.astype(np.int64))})
+
+    dev = scaled.map_batches(_dev, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    mad = grouped_quantile_cont(dev, "event_type", "d2", 0.5,
+                                num_buckets=_w(sf_dir, "events"))
+    qcol2 = [c for c in mad.columns if c.startswith("q")][0]
+    out = (med.rename(columns={qcol: "_med_c"})
+           .merge(mad.rename(columns={qcol2: "_mad_c2"}), on="event_type"))
+    out["median_value"] = out["_med_c"] / 100.0
+    out["mad_value"] = (out["_mad_c2"] * 0.5) / 100.0
+    return out[["event_type", "median_value", "mad_value"]]
