@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_diff": q.q_corpus_diff,
         "link_pagerank": q.q_link_pagerank,  # rows-only (iterative float)
         "mad_value_per_type": q.q_mad_value_per_type,
+        "ab_test_value": q.q_ab_test_value,
         # rotated below the driver's 50-query window this round (shapes
         # closest to already-green r3 rows or to siblings still inside
         # the window; still oracle-checked in-repo)
@@ -1531,5 +1532,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT v.event_type, m.med / 100.0 AS median_value, "
             "quantile_cont(abs(v.vc - m.med), 0.5) / 100.0 AS mad_value "
             "FROM v JOIN m USING(event_type) GROUP BY v.event_type, m.med"
+        ),
+        # Welch t-test: exact int moments; the float expression tree is
+        # mirrored token-for-token with the engine's driver combine
+        "ab_test_value": (
+            "WITH m AS (SELECT event_type, hash(user_id) % 2 AS cohort, "
+            "CAST(COUNT(*) AS DOUBLE) AS n, "
+            "CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) AS s, "
+            "CAST(SUM(CAST(round(value * 100.0) AS BIGINT) * "
+            "CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) AS ss "
+            "FROM events GROUP BY 1, 2), "
+            "a AS (SELECT * FROM m WHERE cohort = 0), "
+            "b AS (SELECT * FROM m WHERE cohort = 1) "
+            "SELECT a.event_type, "
+            "CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b, "
+            "(a.s / a.n) / 100.0 AS mean_a, (b.s / b.n) / 100.0 AS mean_b, "
+            "((a.s / a.n) - (b.s / b.n)) / sqrt("
+            "((a.ss - a.s * a.s / a.n) / (a.n - 1.0)) / a.n + "
+            "((b.ss - b.s * b.s / b.n) / (b.n - 1.0)) / b.n) AS t_stat "
+            "FROM a JOIN b USING(event_type)"
         ),
     }

@@ -282,6 +282,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "weighted_sample_docs", "orders_per_customer_dist",
         "large_orders", "rolling_median_value", "event_transitions",
         "corpus_diff", "link_pagerank", "mad_value_per_type",
+        "ab_test_value",
     ]
     qs = em.queries()
     for name in bench_queries:

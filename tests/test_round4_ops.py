@@ -155,3 +155,41 @@ def test_event_transitions_hand_stream():
         ["a", "b"], ["b", "a"]]
     assert out["n"].tolist() == [2, 1]
     np.testing.assert_allclose(out["p"].to_numpy(), [1.0, 1.0])
+
+
+def test_compact_parquet_row_identical_and_resumable(tmp_path):
+    import pyarrow.parquet as pq
+
+    from video_features_ray.sources.sinks import (
+        compact_parquet,
+        plan_compaction,
+    )
+
+    src = tmp_path / "small"
+    src.mkdir()
+    total = []
+    for i in range(17):
+        t = pa.table({"id": pa.array(range(i * 10, i * 10 + 10), pa.int64()),
+                      "v": pa.array([float(i)] * 10)})
+        pq.write_table(t, str(src / f"part-{i:03d}.parquet"))
+        total.append(t)
+    want = pa.concat_tables(total).sort_by("id")
+
+    out = tmp_path / "compact"
+    # tiny target -> several groups; every file in exactly one group
+    groups = plan_compaction(str(src), target_bytes=3000)
+    assert sum(len(g) for g in groups) == 17
+    n = compact_parquet(str(src), str(out), target_bytes=3000)
+    files = sorted(out.glob("*.parquet"))
+    assert len(files) == n and n > 1
+    got = pa.concat_tables([pq.read_table(str(f)) for f in files]).sort_by("id")
+    assert got.equals(want)
+    # resume: delete one output, re-run — only that group is rebuilt,
+    # rows still identical
+    files[0].unlink()
+    compact_parquet(str(src), str(out), target_bytes=3000)
+    files2 = sorted(out.glob("*.parquet"))
+    assert len(files2) == n
+    got2 = pa.concat_tables([pq.read_table(str(f))
+                             for f in files2]).sort_by("id")
+    assert got2.equals(want)

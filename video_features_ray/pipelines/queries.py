@@ -3215,3 +3215,51 @@ def q_mad_value_per_type(sf_dir: str):
     out["median_value"] = out["_med_c"] / 100.0
     out["mad_value"] = (out["_mad_c2"] * 0.5) / 100.0
     return out[["event_type", "median_value", "mad_value"]]
+
+
+def q_ab_test_value(sf_dir: str):
+    """Welch two-sample t-test per event_type between two user cohorts
+    (leakage-safe DuckDB-hash split, the train_test_split sibling) —
+    the experimentation-analytics op. One pass of exact int64 moment
+    partials (n, Σx, Σx²) per (type, cohort); the driver evaluates the
+    t statistic with an expression tree mirrored token-for-token in
+    the oracle SQL, so the float result is bit-stable."""
+    from ..functions.sketches import duckdb_hash_int64
+    from ..stages.joins import partial_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id", "value"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        v = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        cohort = (duckdb_hash_int64(u) % np.uint64(2)).astype(np.int64)
+        return pa.table({"event_type": batch["event_type"],
+                         "cohort": pa.array(cohort),
+                         "v": pa.array(v), "vv": pa.array(v * v)})
+
+    moments = partial_agg(ds.map_batches(_prep, batch_format="pyarrow",
+                                         zero_copy_batch=True),
+                          ["event_type", "cohort"], sums=["v", "vv"],
+                          count_col="n", combine="driver").to_pandas()
+
+    # driver-side: O(types) rows; expression tree mirrored in the SQL
+    a = moments[moments["cohort"] == 0].set_index("event_type")
+    b = moments[moments["cohort"] == 1].set_index("event_type")
+    types = sorted(set(a.index) & set(b.index))
+    rows = []
+    for t in types:
+        n1, s1, ss1 = (float(a.loc[t, "n"]), float(a.loc[t, "sum_v"]),
+                       float(a.loc[t, "sum_vv"]))
+        n2, s2, ss2 = (float(b.loc[t, "n"]), float(b.loc[t, "sum_v"]),
+                       float(b.loc[t, "sum_vv"]))
+        m1, m2 = s1 / n1, s2 / n2
+        var1 = (ss1 - s1 * s1 / n1) / (n1 - 1.0)
+        var2 = (ss2 - s2 * s2 / n2) / (n2 - 1.0)
+        se = np.sqrt(var1 / n1 + var2 / n2)
+        rows.append({"event_type": t,
+                     "n_a": np.int64(n1), "n_b": np.int64(n2),
+                     "mean_a": m1 / 100.0, "mean_b": m2 / 100.0,
+                     "t_stat": (m1 - m2) / se})
+    return pd.DataFrame(rows)
