@@ -189,6 +189,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_pagerank": q.q_link_pagerank,  # rows-only (iterative float)
         "mad_value_per_type": q.q_mad_value_per_type,
         "ab_test_value": q.q_ab_test_value,
+        "lang_source_independence": q.q_lang_source_independence,
+        "longest_streak": q.q_longest_streak,
+        "rfm_segments": q.q_rfm_segments,
         # rotated below the driver's 50-query window this round (shapes
         # closest to already-green r3 rows or to siblings still inside
         # the window; still oracle-checked in-repo)
@@ -1551,5 +1554,54 @@ def oracle_sql() -> dict[str, str]:
             "((a.ss - a.s * a.s / a.n) / (a.n - 1.0)) / a.n + "
             "((b.ss - b.s * b.s / b.n) / (b.n - 1.0)) / b.n) AS t_stat "
             "FROM a JOIN b USING(event_type)"
+        ),
+        # chi-square cells: full cross product incl. zero-observed
+        # cells; per-cell contributions avoid an order-dependent sum
+        "lang_source_independence": (
+            "WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) "
+            "AS n FROM documents GROUP BY 1, 2), "
+            "x AS (SELECT l.lang, s.source, COALESCE(c.n, 0) AS n "
+            "FROM (SELECT DISTINCT lang FROM c) l "
+            "CROSS JOIN (SELECT DISTINCT source FROM c) s "
+            "LEFT JOIN c USING(lang, source)), "
+            "m AS (SELECT *, CAST(SUM(n) OVER (PARTITION BY lang) "
+            "AS DOUBLE) AS rn, CAST(SUM(n) OVER (PARTITION BY source) "
+            "AS DOUBLE) AS sn, CAST(SUM(n) OVER () AS DOUBLE) AS tn "
+            "FROM x) "
+            "SELECT lang, source, n, rn * sn / tn AS expected, "
+            "(CAST(n AS DOUBLE) - rn * sn / tn) * "
+            "(CAST(n AS DOUBLE) - rn * sn / tn) / (rn * sn / tn) "
+            "AS contrib FROM m"
+        ),
+        # gaps-and-islands: day − row_number island key, max run
+        "longest_streak": (
+            "WITH d AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) // 86400000000 AS day FROM events), "
+            "g AS (SELECT user_id, day, day - row_number() OVER ("
+            "PARTITION BY user_id ORDER BY day) AS isl FROM d), "
+            "r AS (SELECT user_id, isl, COUNT(*) AS run FROM g "
+            "GROUP BY 1, 2) "
+            "SELECT user_id, CAST(MAX(run) AS BIGINT) AS longest_streak "
+            "FROM r GROUP BY user_id"
+        ),
+        # RFM: exact ints everywhere except monetary's single /100
+        "rfm_segments": (
+            "WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS "
+            "frequency, CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) "
+            "AS BIGINT) AS monetary_c, "
+            "MAX(epoch_us(ts) // 86400000000) AS last_day "
+            "FROM events GROUP BY 1), "
+            "g AS (SELECT MAX(last_day) AS gday FROM u), "
+            "q AS (SELECT quantile_disc(monetary_c, 0.2) AS q20, "
+            "quantile_disc(monetary_c, 0.4) AS q40, "
+            "quantile_disc(monetary_c, 0.6) AS q60, "
+            "quantile_disc(monetary_c, 0.8) AS q80 FROM u) "
+            "SELECT u.user_id, CAST(g.gday - u.last_day AS BIGINT) AS "
+            "recency_days, u.frequency, u.monetary_c / 100.0 AS monetary, "
+            "CAST(1 + CAST(u.monetary_c > q.q20 AS INT) + "
+            "CAST(u.monetary_c > q.q40 AS INT) + "
+            "CAST(u.monetary_c > q.q60 AS INT) + "
+            "CAST(u.monetary_c > q.q80 AS INT) AS BIGINT) AS m_code "
+            "FROM u, g, q"
         ),
     }

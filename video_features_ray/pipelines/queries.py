@@ -3263,3 +3263,105 @@ def q_ab_test_value(sf_dir: str):
                      "mean_a": m1 / 100.0, "mean_b": m2 / 100.0,
                      "t_stat": (m1 - m2) / se})
     return pd.DataFrame(rows)
+
+
+def q_lang_source_independence(sf_dir: str):
+    """Chi-square independence cells for lang x source: observed count,
+    expected count and the chi2 contribution per cell INCLUDING
+    zero-observed cells (the full cross product). One (lang, source)
+    count pass; marginals and the float expression evaluate on the
+    driver over O(langs x sources) rows, mirrored token-for-token in
+    the SQL — per-cell outputs avoid the order-dependent global sum."""
+    from ..stages.joins import partial_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "source"])
+    c = partial_agg(ds, ["lang", "source"], count_col="n",
+                    combine="driver").to_pandas()
+    c["n"] = c["n"].astype(np.int64)
+    langs = sorted(c["lang"].unique())
+    sources = sorted(c["source"].unique())
+    full = pd.MultiIndex.from_product(
+        [langs, sources], names=["lang", "source"]).to_frame(index=False)
+    full = full.merge(c, on=["lang", "source"], how="left")
+    full["n"] = full["n"].fillna(0).astype(np.int64)
+    rn = full.groupby("lang")["n"].transform("sum").to_numpy(np.float64)
+    sn = full.groupby("source")["n"].transform("sum").to_numpy(np.float64)
+    tn = float(full["n"].sum())
+    e = rn * sn / tn
+    n = full["n"].to_numpy(np.float64)
+    full["expected"] = e
+    full["contrib"] = (n - e) * (n - e) / e
+    return full[["lang", "source", "n", "expected", "contrib"]]
+
+
+def q_longest_streak(sf_dir: str):
+    """Longest consecutive-active-day run per user (gaps-and-islands):
+    per-batch distinct (user, day) pre-combine, one user-bucketed
+    shuffle, vectorized island keys."""
+    from ..stages.events import longest_streak
+
+    ds = _events_us(sf_dir, ["user_id", "ts"])
+    return longest_streak(ds, "user_id", "ts_us",
+                          num_buckets=_w(sf_dir, "events"))
+
+
+def q_rfm_segments(sf_dir: str):
+    """RFM (recency / frequency / monetary) customer segmentation:
+    per-user last-active day, event count and cent-exact spend from ONE
+    distributed moment pass, plus the monetary quintile code from
+    exact quantile_disc boundaries (rank ceil(n*q) over the per-user
+    spend distribution — O(distinct spends) driver CDF walk, the same
+    exact-fit contract as winsorize/quantile-bin; broadcast apply)."""
+    import math
+
+    from ..stages.joins import partial_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "value"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        v = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        day = (batch["ts"].cast(pa.int64()).to_numpy()
+               // 86_400_000_000).astype(np.int64)
+        return pa.table({"user_id": batch["user_id"],
+                         "v": pa.array(v), "day": pa.array(day)})
+
+    users = partial_agg(ds.map_batches(_prep, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                        ["user_id"], sums=["v"], maxs=["day"],
+                        count_col="frequency", combine="distributed",
+                        num_buckets=_w(sf_dir, "events"))
+
+    # boundaries + global max day from skinny per-batch partials
+    def _bparts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("sum_v", sort=False).size().rename("n").reset_index()
+        g["gday"] = df["max_day"].max()
+        return g
+
+    parts = users.map_batches(_bparts, batch_format="pandas").to_pandas()
+    gday = int(parts["gday"].max())
+    cdf = (parts.groupby("sum_v", sort=True)["n"].sum()
+           .reset_index().sort_values("sum_v"))
+    vals = cdf["sum_v"].to_numpy(np.int64)
+    cum = cdf["n"].to_numpy(np.int64).cumsum()
+    n_users = int(cum[-1])
+    # quantile_disc: 1-based rank ceil(n*q)
+    bounds = [int(vals[np.searchsorted(cum, math.ceil(n_users * q))])
+              for q in (0.2, 0.4, 0.6, 0.8)]
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["sum_v"].to_numpy(np.int64)
+        code = np.ones(len(df), dtype=np.int64)
+        for b in bounds:
+            code += (m > b).astype(np.int64)
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype(np.int64),
+            "recency_days": (gday - df["max_day"].to_numpy(np.int64)
+                             ).astype(np.int64),
+            "frequency": df["frequency"].astype(np.int64),
+            "monetary": m / 100.0,
+            "m_code": code})
+
+    return users.map_batches(_finish, batch_format="pandas")

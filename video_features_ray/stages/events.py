@@ -847,3 +847,50 @@ def event_transitions(
     tot = out.groupby("from_type", sort=False)["n"].transform("sum")
     out["p"] = out["n"].to_numpy(np.float64) / tot.to_numpy(np.float64)
     return out
+
+
+def longest_streak(
+    ds: "ray.data.Dataset",
+    key: str,
+    ts_us: str,
+    num_buckets: int = 64,
+    day_us: int = 86_400_000_000,
+) -> "ray.data.Dataset":
+    """Longest run of CONSECUTIVE active days per entity — the
+    gaps-and-islands pattern (SQL: day_number − row_number() island
+    key, then max island size). Returns ``(key, longest_streak)``.
+
+    Scale shape: per-batch distinct (entity, day) pre-combine shrinks
+    the shuffle to at most one row per entity-day; ONE hash shuffle by
+    entity; inside each bucket the island key and run lengths are
+    computed vectorized over the sorted frame (no Python loop)."""
+
+    def _days(batch: pa.Table) -> pd.DataFrame:
+        k = batch[key].to_numpy(zero_copy_only=False)
+        d = batch[ts_us].to_numpy(zero_copy_only=False) // day_us
+        df = pd.DataFrame({key: k, "_day": d}).drop_duplicates()
+        return df
+
+    def _streak(df: pd.DataFrame) -> pd.DataFrame:
+        # pre-combine may leave dup (entity, day) pairs across batches
+        df = df.drop_duplicates([key, "_day"])
+        df = df.sort_values([key, "_day"], kind="mergesort")
+        k = df[key].to_numpy()
+        d = df["_day"].to_numpy()
+        # island id: day minus per-entity running row index
+        chg = np.ones(len(df), dtype=bool)
+        chg[1:] = k[1:] != k[:-1]
+        starts = np.maximum.accumulate(np.where(chg, np.arange(len(df)), 0))
+        rown = np.arange(len(df)) - starts
+        island = d - rown
+        out = (pd.DataFrame({key: k, "_isl": island})
+               .groupby([key, "_isl"], sort=False).size()
+               .rename("run").reset_index()
+               .groupby(key, sort=False)["run"].max()
+               .rename("longest_streak").reset_index())
+        out["longest_streak"] = out["longest_streak"].astype(np.int64)
+        return out
+
+    return transform_buckets(ds.map_batches(_days, batch_format="pyarrow",
+                                            zero_copy_batch=True),
+                             key, ["_day"], _streak, num_buckets)
