@@ -192,6 +192,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_independence": q.q_lang_source_independence,
         "longest_streak": q.q_longest_streak,
         "rfm_segments": q.q_rfm_segments,
+        # TPC-H join-shape batch 2 (Q7/Q10/Q14/Q19/Q4 fitted to columns)
+        "volume_shipping": q.q_volume_shipping,
+        "returned_top20": q.q_returned_top20,
+        "promo_revenue": q.q_promo_revenue,
+        "disjunctive_revenue": q.q_disjunctive_revenue,
+        "late_order_priority": q.q_late_order_priority,
         # rotated below the driver's 50-query window this round (shapes
         # closest to already-green r3 rows or to siblings still inside
         # the window; still oracle-checked in-repo)
@@ -1603,5 +1609,75 @@ def oracle_sql() -> dict[str, str]:
             "CAST(u.monetary_c > q.q60 AS INT) + "
             "CAST(u.monetary_c > q.q80 AS INT) AS BIGINT) AS m_code "
             "FROM u, g, q"
+        ),
+        # TPC-H Q7 shape: cross-nation shipping volume by year
+        "volume_shipping": (
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year, "
+            "SUM(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) "
+            "* 10000.0) AS BIGINT)) / 10000.0 AS revenue "
+            "FROM lineitem l "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN nation n1 ON s.s_nationkey = n1.n_nationkey "
+            "JOIN nation n2 ON c.c_nationkey = n2.n_nationkey "
+            "WHERE s.s_nationkey <> c.c_nationkey "
+            "AND l.l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l.l_shipdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY 1, 2, 3"
+        ),
+        # TPC-H Q10 shape: top-20 customers by returned-item revenue
+        "returned_top20": (
+            "SELECT c.c_custkey, c.c_name, "
+            "SUM(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) "
+            "* 10000.0) AS BIGINT)) / 10000.0 AS revenue, "
+            "c.c_acctbal, n.n_name "
+            "FROM lineitem l "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "WHERE l.l_returnflag = 'R' "
+            "AND o.o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o.o_orderdate < TIMESTAMP '1996-04-01' "
+            "GROUP BY 1, 2, 4, 5 "
+            "ORDER BY revenue DESC, c.c_custkey LIMIT 20"
+        ),
+        # TPC-H Q14 shape: promo revenue share per ship-month of 1996
+        "promo_revenue": (
+            "WITH j AS (SELECT CAST(EXTRACT(month FROM l.l_shipdate) "
+            "AS BIGINT) AS l_month, "
+            "CAST(round(l.l_extendedprice * (1.0 - l.l_discount) "
+            "* 10000.0) AS BIGINT) AS rev_s, "
+            "CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END AS promo "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l.l_shipdate < TIMESTAMP '1997-01-01') "
+            "SELECT l_month, SUM(promo * rev_s) / 10000.0 AS promo_revenue, "
+            "SUM(rev_s) / 10000.0 AS total_revenue, "
+            "100.0 * CAST(SUM(promo * rev_s) AS DOUBLE) / "
+            "CAST(SUM(rev_s) AS DOUBLE) AS promo_share "
+            "FROM j GROUP BY 1"
+        ),
+        # TPC-H Q19 shape: disjunctive brand/size/qty predicate revenue
+        "disjunctive_revenue": (
+            "SELECT SUM(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) "
+            "* 10000.0) AS BIGINT)) / 10000.0 AS revenue "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 5 "
+            "AND l.l_quantity BETWEEN 1 AND 11) "
+            "OR (p.p_brand = 'Brand#2' AND p.p_size <= 10 "
+            "AND l.l_quantity BETWEEN 10 AND 20) "
+            "OR (p.p_brand = 'Brand#3' AND p.p_size <= 15 "
+            "AND l.l_quantity BETWEEN 20 AND 30)"
+        ),
+        # TPC-H Q4 shape: orders with any lineitem shipped >90d late
+        "late_order_priority": (
+            "SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late "
+            "FROM orders o WHERE EXISTS (SELECT 1 FROM lineitem l "
+            "WHERE l.l_orderkey = o.o_orderkey "
+            "AND epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate) "
+            "+ 7776000000000) "
+            "GROUP BY 1"
         ),
     }

@@ -3365,3 +3365,308 @@ def q_rfm_segments(sf_dir: str):
             "m_code": code})
 
     return users.map_batches(_finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H join-shape batch 2 (Q4/Q7/Q10/Q14/Q19 fitted to available columns)
+# ---------------------------------------------------------------------------
+
+def _rev_items(sf_dir: str, extra_cols=(), date_lo=None, date_hi=None):
+    """lineitem → (orderkey, rev_s [, extras]) with the scaled-integer
+    revenue round(price*(1-disc)*10000) and an optional shipdate
+    row-filter applied AT the read-projection stage (only the needed
+    columns ever leave the parquet reader)."""
+    import pyarrow.compute as pc
+
+    cols = ["l_orderkey", "l_extendedprice", "l_discount", *extra_cols]
+    if date_lo is not None:
+        cols.append("l_shipdate")
+
+    def _proj(b: pa.Table) -> pa.Table:
+        if date_lo is not None:
+            d = b["l_shipdate"]
+            m = pc.and_(pc.greater_equal(d, pa.scalar(pd.Timestamp(date_lo))),
+                        pc.less(d, pa.scalar(pd.Timestamp(date_hi))))
+            b = b.filter(m)
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.round(price * (1.0 - disc) * 10000.0).astype(np.int64)
+        out = {"orderkey": b["l_orderkey"], "rev_s": pa.array(rev)}
+        for c in extra_cols:
+            out[c] = b[c]
+        if date_lo is not None:
+            out["l_shipdate"] = b["l_shipdate"]
+        return pa.table(out)
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=cols
+    ).map_batches(_proj, batch_format="pyarrow")
+
+
+def q_volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape — cross-nation shipping volume by year (supplier
+    nation ≠ customer nation): supplier nation via broadcast dim,
+    customer nation via the orders×customer hash join (fact×fact
+    shuffle), the cross-nation filter applied vectorized after the
+    lineitem×orders join, final agg driver-combined (≤ nations² × years
+    groups at any SF)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import broadcast_join, hash_join
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    items = _rev_items(sf_dir, extra_cols=["l_suppkey"],
+                       date_lo="1996-01-01", date_hi="1998-01-01")
+
+    def _year(b: pa.Table) -> pa.Table:
+        y = pc.year(b["l_shipdate"]).cast(pa.int64())
+        return pa.table({"orderkey": b["orderkey"], "rev_s": b["rev_s"],
+                         "suppkey": b["l_suppkey"], "l_year": y})
+
+    items = items.map_batches(_year, batch_format="pyarrow")
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = pd.DataFrame({"suppkey": supp["s_suppkey"].astype(np.int64),
+                         "s_nat": supp["s_nationkey"].astype(np.int64)})
+    items = broadcast_join(items, supp, on="suppkey")
+
+    def _cust(b: pa.Table) -> pa.Table:
+        return pa.table({"custkey": b["c_custkey"],
+                         "c_nat": b["c_nationkey"].cast(pa.int64())})
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(_cust, batch_format="pyarrow")
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(lambda b: pa.table({"custkey": b["o_custkey"],
+                                      "orderkey": b["o_orderkey"]}),
+                  batch_format="pyarrow")
+    o_cust = hash_join(
+        orders, cust, on="custkey",
+        num_buckets=_w(sf_dir, "orders", "customer"), coalesce_blocks=16,
+        schemas=(pa.schema([("custkey", pa.int64()), ("orderkey", pa.int64())]),
+                 pa.schema([("custkey", pa.int64()), ("c_nat", pa.int64())])),
+    ).map_batches(lambda df: df[["orderkey", "c_nat"]], batch_format="pandas")
+
+    j = hash_join(
+        items.map_batches(lambda df: df[["orderkey", "rev_s", "l_year", "s_nat"]],
+                          batch_format="pandas"),
+        o_cust, on="orderkey",
+        num_buckets=_w(sf_dir, "lineitem", "orders"), coalesce_blocks=16,
+        schemas=(pa.schema([("orderkey", pa.int64()), ("rev_s", pa.int64()),
+                            ("l_year", pa.int64()), ("s_nat", pa.int64())]),
+                 pa.schema([("orderkey", pa.int64()), ("c_nat", pa.int64())])))
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["s_nat"].to_numpy() != df["c_nat"].to_numpy()
+        return df.loc[keep, ["s_nat", "c_nat", "l_year", "rev_s"]]
+
+    agg = partial_agg(j.map_batches(_pairs, batch_format="pandas"),
+                      ["s_nat", "c_nat", "l_year"], sums=["rev_s"],
+                      combine="driver").to_pandas()
+    agg["supp_nation"] = agg["s_nat"].astype(int).map(name_of)
+    agg["cust_nation"] = agg["c_nat"].astype(int).map(name_of)
+    agg["revenue"] = agg["sum_rev_s"].astype(np.int64) / 10000.0
+    agg["l_year"] = agg["l_year"].astype(np.int64)
+    return agg[["supp_nation", "cust_nation", "l_year", "revenue"]]
+
+
+def q_returned_top20(sf_dir: str):
+    """TPC-H Q10 shape — top-20 customers by revenue from RETURNED
+    items in a 3-month order window: two projected fact streams, one
+    hash join, distributed per-customer agg, native sort().limit(20)
+    (a top-k, never a global materialize), then the 20 winners pick up
+    customer attributes via broadcast semi-lookup against the customer
+    table (the big side streams; the 20-row side ships)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import broadcast_join, hash_join
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    def _ret(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["l_returnflag"], pa.scalar("R")))
+
+    items = _rev_items(sf_dir, extra_cols=["l_returnflag"])
+    items = items.map_batches(_ret, batch_format="pyarrow").map_batches(
+        lambda df: df[["orderkey", "rev_s"]], batch_format="pandas")
+
+    def _orders(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"]
+        m = pc.and_(pc.greater_equal(d, pa.scalar(pd.Timestamp("1996-01-01"))),
+                    pc.less(d, pa.scalar(pd.Timestamp("1996-04-01"))))
+        f = b.filter(m)
+        return pa.table({"orderkey": f["o_orderkey"], "custkey": f["o_custkey"]})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(_orders, batch_format="pyarrow")
+
+    j = hash_join(
+        items, orders, on="orderkey",
+        num_buckets=_w(sf_dir, "lineitem", "orders"), coalesce_blocks=16,
+        schemas=(pa.schema([("orderkey", pa.int64()), ("rev_s", pa.int64())]),
+                 pa.schema([("orderkey", pa.int64()), ("custkey", pa.int64())])))
+
+    agg = partial_agg(j, ["custkey"], sums=["rev_s"],
+                      num_buckets=_w(sf_dir, "orders"))
+    top = (agg.map_batches(lambda df: df[["custkey", "sum_rev_s"]],
+                           batch_format="pandas")
+           .sort(["sum_rev_s", "custkey"], descending=[True, False])
+           .limit(20).to_pandas())
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+
+    def _proj(b: pa.Table) -> pa.Table:
+        return pa.table({"custkey": b["c_custkey"], "c_name": b["c_name"],
+                         "c_acctbal": b["c_acctbal"],
+                         "c_nat": b["c_nationkey"].cast(pa.int64())})
+
+    hit = broadcast_join(cust.map_batches(_proj, batch_format="pyarrow"),
+                         top, on="custkey").to_pandas()
+    hit["revenue"] = hit["sum_rev_s"].astype(np.int64) / 10000.0
+    hit["n_name"] = hit["c_nat"].astype(int).map(name_of)
+    hit = hit.rename(columns={"custkey": "c_custkey"})
+    return hit[["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]]
+
+
+def q_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape — promo revenue share per shipmonth of 1996:
+    the part dim ships ONCE via broadcast (partkey → is-promo flag),
+    then a single scaled-int two-sum pass; the share is a pure float
+    expression over exact int sums (summation-order immune)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import broadcast_join
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"]).to_pandas()
+    part = pd.DataFrame({
+        "partkey": part["p_partkey"].astype(np.int64),
+        "promo": (part["p_type"] == "PROMO").astype(np.int64)})
+
+    items = _rev_items(sf_dir, extra_cols=["l_partkey"],
+                       date_lo="1996-01-01", date_hi="1997-01-01")
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table({"partkey": b["l_partkey"].cast(pa.int64()),
+                         "rev_s": b["rev_s"],
+                         "l_month": pc.month(b["l_shipdate"]).cast(pa.int64())})
+
+    items = items.map_batches(_prep, batch_format="pyarrow")
+    j = broadcast_join(items, part, on="partkey")
+
+    def _two_sums(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["l_month", "rev_s"]].copy()
+        out["promo_rev_s"] = df["rev_s"].to_numpy(np.int64) * df["promo"].to_numpy(np.int64)
+        return out
+
+    agg = partial_agg(j.map_batches(_two_sums, batch_format="pandas"),
+                      ["l_month"], sums=["rev_s", "promo_rev_s"],
+                      combine="driver").to_pandas()
+    agg = agg.sort_values("l_month")
+    tot = agg["sum_rev_s"].astype(np.int64)
+    pro = agg["sum_promo_rev_s"].astype(np.int64)
+    return pd.DataFrame({
+        "l_month": agg["l_month"].astype(np.int64),
+        "promo_revenue": pro / 10000.0,
+        "total_revenue": tot / 10000.0,
+        "promo_share": 100.0 * pro.to_numpy(np.float64) / tot.to_numpy(np.float64)})
+
+
+def q_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape — revenue under three OR'd (brand, size,
+    quantity-range) predicate arms: part attrs broadcast once, the
+    disjunction evaluated as one vectorized mask, exact int partial
+    sums reduced by Dataset.sum (single scalar leaves the cluster)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import broadcast_join
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"]).to_pandas()
+    part = pd.DataFrame({"partkey": part["p_partkey"].astype(np.int64),
+                         "brand": part["p_brand"],
+                         "size": part["p_size"].astype(np.int64)})
+
+    items = _rev_items(sf_dir, extra_cols=["l_partkey", "l_quantity"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        q = b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"partkey": b["l_partkey"].cast(pa.int64()),
+                         "rev_s": b["rev_s"], "qty": pa.array(q)})
+
+    j = broadcast_join(items.map_batches(_prep, batch_format="pyarrow"),
+                       part, on="partkey")
+
+    def _mask(df: pd.DataFrame) -> pd.DataFrame:
+        br, sz, q = df["brand"].to_numpy(), df["size"].to_numpy(np.int64), df["qty"].to_numpy(np.int64)
+        keep = (((br == "Brand#1") & (sz <= 5) & (q >= 1) & (q <= 11))
+                | ((br == "Brand#2") & (sz <= 10) & (q >= 10) & (q <= 20))
+                | ((br == "Brand#3") & (sz <= 15) & (q >= 20) & (q <= 30)))
+        return df.loc[keep, ["rev_s"]]
+
+    total = j.map_batches(_mask, batch_format="pandas").sum("rev_s")
+    return pd.DataFrame({"revenue": [int(total) / 10000.0]})
+
+
+def q_late_order_priority(sf_dir: str):
+    """TPC-H Q4 shape (EXISTS fitted to available columns) — count of
+    orders per priority where ANY lineitem shipped >90 days after the
+    order date: one fact×fact hash join, vectorized lateness filter,
+    bucketed DISTINCT on (orderkey, priority) so the exists-dedup never
+    builds a driver set, tiny driver-combined priority count."""
+    from ..stages.joins import hash_join
+
+    items = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(
+        lambda b: pa.table({"orderkey": b["l_orderkey"],
+                            "ship_us": b["l_shipdate"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda b: pa.table({"orderkey": b["o_orderkey"],
+                            "odate_us": b["o_orderdate"].cast(pa.int64()),
+                            "o_orderpriority": b["o_orderpriority"]}),
+        batch_format="pyarrow")
+
+    j = hash_join(
+        items, orders, on="orderkey",
+        num_buckets=_w(sf_dir, "lineitem", "orders"), coalesce_blocks=16,
+        schemas=(pa.schema([("orderkey", pa.int64()), ("ship_us", pa.int64())]),
+                 pa.schema([("orderkey", pa.int64()), ("odate_us", pa.int64()),
+                            ("o_orderpriority", pa.string())])))
+
+    LATE_US = 90 * 86_400_000_000
+
+    def _late(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["ship_us"].to_numpy(np.int64) > df["odate_us"].to_numpy(np.int64) + LATE_US
+        return df.loc[keep, ["orderkey", "o_orderpriority"]]
+
+    distinct = partial_agg(j.map_batches(_late, batch_format="pandas"),
+                           ["orderkey", "o_orderpriority"],
+                           num_buckets=_w(sf_dir, "orders"))
+    counts = partial_agg(
+        distinct.map_batches(lambda df: df[["o_orderpriority"]],
+                             batch_format="pandas"),
+        ["o_orderpriority"], count_col="n_late", combine="driver").to_pandas()
+    counts["n_late"] = counts["n_late"].astype(np.int64)
+    return counts[["o_orderpriority", "n_late"]]

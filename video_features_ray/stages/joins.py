@@ -326,8 +326,14 @@ def partial_agg(
     if combine == "driver":
         import ray.data as rd
 
-        pdf = partials.to_pandas().drop(columns=["_bucket"])
-        return rd.from_pandas(_final(pdf))
+        pdf = partials.to_pandas()
+        if pdf.empty and "_bucket" not in pdf.columns:
+            # fully-empty input: to_pandas() loses the schema entirely,
+            # so rebuild the (0-row) output frame by hand
+            pdf = pd.DataFrame(
+                columns=[*keys, *sum_cols, count_col, *min_cols, *max_cols])
+        return rd.from_pandas(_final(pdf.drop(columns=["_bucket"],
+                                              errors="ignore")))
     return partials.groupby("_bucket").map_groups(_final, batch_format="pandas")
 
 
