@@ -198,6 +198,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": q.q_promo_revenue,
         "disjunctive_revenue": q.q_disjunctive_revenue,
         "late_order_priority": q.q_late_order_priority,
+        "market_share": q.q_market_share,
+        "profit_by_nation_year": q.q_profit_by_nation_year,
+        "top_supplier": q.q_top_supplier,
+        "small_qty_revenue": q.q_small_qty_revenue,
+        "idle_rich_customers": q.q_idle_rich_customers,
         # rotated below the driver's 50-query window this round (shapes
         # closest to already-green r3 rows or to siblings still inside
         # the window; still oracle-checked in-repo)
@@ -1678,6 +1683,83 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l.l_orderkey = o.o_orderkey "
             "AND epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate) "
             "+ 7776000000000) "
+            "GROUP BY 1"
+        ),
+        # TPC-H Q8 shape: target-nation market share by order year
+        "market_share": (
+            "WITH j AS (SELECT CAST(EXTRACT(year FROM o.o_orderdate) "
+            "AS BIGINT) AS o_year, "
+            "CAST(round(l.l_extendedprice * (1.0 - l.l_discount) "
+            "* 10000.0) AS BIGINT) AS rev_s, "
+            "CASE WHEN s.s_nationkey = 3 THEN 1 ELSE 0 END AS tgt "
+            "FROM lineitem l "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN part p ON l.l_partkey = p.p_partkey "
+            "WHERE n.n_regionkey = 0 AND p.p_type = 'ECONOMY' "
+            "AND o.o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o.o_orderdate < TIMESTAMP '1998-01-01') "
+            "SELECT o_year, SUM(tgt * rev_s) / 10000.0 AS nation_revenue, "
+            "SUM(rev_s) / 10000.0 AS total_revenue, "
+            "CAST(SUM(tgt * rev_s) AS DOUBLE) / CAST(SUM(rev_s) AS DOUBLE) "
+            "AS mkt_share FROM j GROUP BY 1"
+        ),
+        # TPC-H Q9 shape: PROMO revenue by supplier nation x ship year
+        "profit_by_nation_year": (
+            "SELECT n.n_name, CAST(EXTRACT(year FROM l.l_shipdate) "
+            "AS BIGINT) AS l_year, "
+            "SUM(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) "
+            "* 10000.0) AS BIGINT)) / 10000.0 AS revenue "
+            "FROM lineitem l "
+            "JOIN part p ON l.l_partkey = p.p_partkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "WHERE p.p_type = 'PROMO' GROUP BY 1, 2"
+        ),
+        # TPC-H Q15 shape: max-revenue supplier(s) of 1996Q1
+        "top_supplier": (
+            "WITH r AS (SELECT l_suppkey, "
+            "SUM(CAST(round(l_extendedprice * (1.0 - l_discount) "
+            "* 10000.0) AS BIGINT)) AS rev_s FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1) "
+            "SELECT s.s_suppkey, s.s_name, r.rev_s / 10000.0 AS "
+            "total_revenue FROM r JOIN supplier s "
+            "ON r.l_suppkey = s.s_suppkey "
+            "WHERE r.rev_s = (SELECT MAX(rev_s) FROM r)"
+        ),
+        # TPC-H Q17 shape: small-quantity (qty < 0.2*avg per part)
+        # revenue for two brands; 5*qty*n < sum_qty keeps it exact-int
+        "small_qty_revenue": (
+            "WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS "
+            "qty, CAST(round(l_extendedprice * 100.0) AS BIGINT) AS "
+            "price_c FROM lineitem), "
+            "pt AS (SELECT p_partkey, p_brand FROM part "
+            "WHERE p_brand IN ('Brand#1', 'Brand#2')), "
+            "st AS (SELECT l_partkey, SUM(qty) AS sq, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM li "
+            "JOIN pt ON li.l_partkey = pt.p_partkey GROUP BY 1) "
+            "SELECT pt.p_brand, SUM(li.price_c) / 700.0 AS avg_yearly "
+            "FROM li JOIN pt ON li.l_partkey = pt.p_partkey "
+            "JOIN st ON li.l_partkey = st.l_partkey "
+            "WHERE 5 * li.qty * st.n < st.sq GROUP BY 1"
+        ),
+        # TPC-H Q22 shape: above-avg-balance customers with no orders,
+        # per nation; bal*n > sum keeps the avg comparison exact-int
+        "idle_rich_customers": (
+            "WITH b AS (SELECT c_custkey, c_nationkey, "
+            "CAST(round(c_acctbal * 100.0) AS BIGINT) AS bal_c "
+            "FROM customer), "
+            "a AS (SELECT SUM(bal_c) AS s, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM b WHERE bal_c > 0), "
+            "r AS (SELECT b.* FROM b, a WHERE b.bal_c * a.n > a.s "
+            "AND NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = b.c_custkey)) "
+            "SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_cust, "
+            "SUM(r.bal_c) / 100.0 AS total_acctbal "
+            "FROM r JOIN nation n ON r.c_nationkey = n.n_nationkey "
             "GROUP BY 1"
         ),
     }

@@ -3670,3 +3670,301 @@ def q_late_order_priority(sf_dir: str):
         ["o_orderpriority"], count_col="n_late", combine="driver").to_pandas()
     counts["n_late"] = counts["n_late"].astype(np.int64)
     return counts[["o_orderpriority", "n_late"]]
+
+
+def q_market_share(sf_dir: str):
+    """TPC-H Q8 shape — target-nation market share of ECONOMY-part
+    revenue among region-0 customers, by order year: the part filter
+    and supplier-nation flag ship once as broadcast dims, customer
+    region resolves through the orders×customer hash join, and the
+    share is a float expression over exact int sums."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import broadcast_join, hash_join
+
+    TARGET_NAT, REGION = 3, 0
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    region_nats = nat.loc[nat["n_regionkey"] == REGION,
+                          "n_nationkey"].astype(np.int64).tolist()
+
+    def _orders(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"]
+        m = pc.and_(pc.greater_equal(d, pa.scalar(pd.Timestamp("1996-01-01"))),
+                    pc.less(d, pa.scalar(pd.Timestamp("1998-01-01"))))
+        f = b.filter(m)
+        return pa.table({"orderkey": f["o_orderkey"], "custkey": f["o_custkey"],
+                         "o_year": pc.year(f["o_orderdate"]).cast(pa.int64())})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(_orders, batch_format="pyarrow")
+
+    def _cust(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b["c_nationkey"].cast(pa.int64()),
+                     pa.array(region_nats, pa.int64()))
+        f = b.filter(m)
+        return pa.table({"custkey": f["c_custkey"]})
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(_cust, batch_format="pyarrow")
+
+    o_cust = hash_join(
+        orders, cust, on="custkey", how="semi",
+        num_buckets=_w(sf_dir, "orders", "customer"), coalesce_blocks=16,
+        schemas=(pa.schema([("custkey", pa.int64()), ("orderkey", pa.int64()),
+                            ("o_year", pa.int64())]),
+                 pa.schema([("custkey", pa.int64())])),
+    ).map_batches(lambda df: df[["orderkey", "o_year"]], batch_format="pandas")
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"]).to_pandas()
+    econ = pd.DataFrame({"partkey": part.loc[part["p_type"] == "ECONOMY",
+                                             "p_partkey"].astype(np.int64)})
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = pd.DataFrame({"suppkey": supp["s_suppkey"].astype(np.int64),
+                         "tgt": (supp["s_nationkey"] == TARGET_NAT
+                                 ).astype(np.int64)})
+
+    items = _rev_items(sf_dir, extra_cols=["l_partkey", "l_suppkey"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table({"orderkey": b["orderkey"], "rev_s": b["rev_s"],
+                         "partkey": b["l_partkey"].cast(pa.int64()),
+                         "suppkey": b["l_suppkey"].cast(pa.int64())})
+
+    items = items.map_batches(_prep, batch_format="pyarrow")
+    items = broadcast_join(items, econ, on="partkey")   # semi: ECONOMY parts
+    items = broadcast_join(items, supp, on="suppkey")
+
+    j = hash_join(
+        items.map_batches(lambda df: df[["orderkey", "rev_s", "tgt"]],
+                          batch_format="pandas"),
+        o_cust, on="orderkey",
+        num_buckets=_w(sf_dir, "lineitem", "orders"), coalesce_blocks=16,
+        schemas=(pa.schema([("orderkey", pa.int64()), ("rev_s", pa.int64()),
+                            ("tgt", pa.int64())]),
+                 pa.schema([("orderkey", pa.int64()), ("o_year", pa.int64())])))
+
+    def _sums(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["o_year", "rev_s"]].copy()
+        out["tgt_rev_s"] = df["rev_s"].to_numpy(np.int64) * df["tgt"].to_numpy(np.int64)
+        return out
+
+    agg = partial_agg(j.map_batches(_sums, batch_format="pandas"),
+                      ["o_year"], sums=["rev_s", "tgt_rev_s"],
+                      combine="driver").to_pandas()
+    tot = agg["sum_rev_s"].astype(np.int64)
+    tgt = agg["sum_tgt_rev_s"].astype(np.int64)
+    return pd.DataFrame({
+        "o_year": agg["o_year"].astype(np.int64),
+        "nation_revenue": tgt / 10000.0,
+        "total_revenue": tot / 10000.0,
+        "mkt_share": tgt.to_numpy(np.float64) / tot.to_numpy(np.float64)})
+
+
+def q_profit_by_nation_year(sf_dir: str):
+    """TPC-H Q9 shape (no partsupp in this corpus, so revenue stands in
+    for profit) — PROMO-part revenue by supplier nation × ship year:
+    both part filter and supplier nation are broadcast dims over ONE
+    streaming pass of lineitem; the agg is driver-combined (≤ nations ×
+    years groups)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import broadcast_join
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"]).to_pandas()
+    promo = pd.DataFrame({"partkey": part.loc[part["p_type"] == "PROMO",
+                                              "p_partkey"].astype(np.int64)})
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = pd.DataFrame({"suppkey": supp["s_suppkey"].astype(np.int64),
+                         "s_nat": supp["s_nationkey"].astype(np.int64)})
+
+    items = _rev_items(sf_dir, extra_cols=["l_partkey", "l_suppkey"],
+                       date_lo="1995-01-01", date_hi="2002-01-01")
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table({"rev_s": b["rev_s"],
+                         "partkey": b["l_partkey"].cast(pa.int64()),
+                         "suppkey": b["l_suppkey"].cast(pa.int64()),
+                         "l_year": pc.year(b["l_shipdate"]).cast(pa.int64())})
+
+    items = items.map_batches(_prep, batch_format="pyarrow")
+    items = broadcast_join(items, promo, on="partkey")
+    items = broadcast_join(items, supp, on="suppkey")
+
+    agg = partial_agg(items.map_batches(
+        lambda df: df[["s_nat", "l_year", "rev_s"]], batch_format="pandas"),
+        ["s_nat", "l_year"], sums=["rev_s"], combine="driver").to_pandas()
+    agg["n_name"] = agg["s_nat"].astype(int).map(name_of)
+    agg["revenue"] = agg["sum_rev_s"].astype(np.int64) / 10000.0
+    agg["l_year"] = agg["l_year"].astype(np.int64)
+    return agg[["n_name", "l_year", "revenue"]]
+
+
+def q_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape — the supplier(s) with maximum revenue in
+    1996Q1: distributed per-supplier agg, the global max reduced by
+    Dataset.max (one scalar leaves the cluster), winners filtered
+    vectorized and dressed with supplier attributes via the broadcast
+    lookup (supplier table streams, the winner set ships)."""
+    from ..stages.joins import broadcast_join
+
+    items = _rev_items(sf_dir, extra_cols=["l_suppkey"],
+                       date_lo="1996-01-01", date_hi="1996-04-01")
+    items = items.map_batches(
+        lambda b: pa.table({"suppkey": b["l_suppkey"].cast(pa.int64()),
+                            "rev_s": b["rev_s"]}), batch_format="pyarrow")
+
+    agg = partial_agg(items, ["suppkey"], sums=["rev_s"],
+                      num_buckets=_w(sf_dir, "lineitem"))
+    best = int(agg.max("sum_rev_s"))
+
+    winners = agg.map_batches(
+        lambda df: df.loc[df["sum_rev_s"].to_numpy(np.int64) == best,
+                          ["suppkey", "sum_rev_s"]],
+        batch_format="pandas").to_pandas()
+
+    supp = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                 columns=["s_suppkey", "s_name"])
+    hit = broadcast_join(
+        supp.map_batches(lambda b: pa.table({"suppkey": b["s_suppkey"],
+                                             "s_name": b["s_name"]}),
+                         batch_format="pyarrow"),
+        winners, on="suppkey").to_pandas()
+    hit["total_revenue"] = hit["sum_rev_s"].astype(np.int64) / 10000.0
+    hit = hit.rename(columns={"suppkey": "s_suppkey"})
+    return hit[["s_suppkey", "s_name", "total_revenue"]]
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape — average yearly revenue from small-quantity
+    orders (qty < 0.2 × the part's mean qty) for two brands: the brand
+    filter broadcasts, the per-part mean comes from ONE distributed
+    partial_agg, the fit joins back by partkey (skinny stats side),
+    and the 0.2·avg comparison cross-multiplies to stay in exact ints:
+    5·qty·n < sum_qty."""
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import broadcast_join, hash_join
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"]).to_pandas()
+    part = part[part["p_brand"].isin(["Brand#1", "Brand#2"])]
+    brands = pd.DataFrame({"partkey": part["p_partkey"].astype(np.int64),
+                           "p_brand": part["p_brand"]})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pc_ = np.round(b["l_extendedprice"].to_numpy(zero_copy_only=False)
+                       * 100.0).astype(np.int64)
+        return pa.table({"partkey": b["l_partkey"].cast(pa.int64()),
+                         "qty": pa.array(qty), "price_c": pa.array(pc_)})
+
+    li = broadcast_join(li.map_batches(_prep, batch_format="pyarrow"),
+                        brands, on="partkey")
+
+    stats = partial_agg(
+        li.map_batches(lambda df: df[["partkey", "qty"]],
+                       batch_format="pandas"),
+        ["partkey"], sums=["qty"], count_col="n_li",
+        num_buckets=_w(sf_dir, "lineitem"))
+
+    j = hash_join(
+        li.map_batches(lambda df: df[["partkey", "qty", "price_c", "p_brand"]],
+                       batch_format="pandas"),
+        stats, on="partkey",
+        num_buckets=_w(sf_dir, "lineitem"), coalesce_blocks=16,
+        schemas=(pa.schema([("partkey", pa.int64()), ("qty", pa.int64()),
+                            ("price_c", pa.int64()), ("p_brand", pa.string())]),
+                 pa.schema([("partkey", pa.int64()), ("sum_qty", pa.int64()),
+                            ("n_li", pa.int64())])))
+
+    def _small(df: pd.DataFrame) -> pd.DataFrame:
+        keep = (5 * df["qty"].to_numpy(np.int64) * df["n_li"].to_numpy(np.int64)
+                < df["sum_qty"].to_numpy(np.int64))
+        return df.loc[keep, ["p_brand", "price_c"]]
+
+    agg = partial_agg(j.map_batches(_small, batch_format="pandas"),
+                      ["p_brand"], sums=["price_c"],
+                      combine="driver").to_pandas()
+    agg["avg_yearly"] = agg["sum_price_c"].astype(np.int64) / 700.0
+    return agg[["p_brand", "avg_yearly"]]
+
+
+def q_idle_rich_customers(sf_dir: str):
+    """TPC-H Q22 shape — per-nation count and balance of customers
+    with above-average positive balance and NO orders: the global
+    average reduces from per-batch int partials (two scalars on the
+    driver), the above-average test cross-multiplies (bal·n > sum) to
+    stay exact, and the no-orders condition is the bucketed ANTI hash
+    join against the orders fact."""
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import hash_join
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_acctbal", "c_nationkey"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        bal = np.round(b["c_acctbal"].to_numpy(zero_copy_only=False)
+                       * 100.0).astype(np.int64)
+        return pa.table({"custkey": b["c_custkey"], "bal_c": pa.array(bal),
+                         "c_nat": b["c_nationkey"].cast(pa.int64())})
+
+    cust = cust.map_batches(_prep, batch_format="pyarrow")
+
+    def _pos_partial(df: pd.DataFrame) -> pd.DataFrame:
+        pos = df["bal_c"].to_numpy(np.int64)
+        pos = pos[pos > 0]
+        return pd.DataFrame({"s": [int(pos.sum())], "n": [len(pos)]})
+
+    parts = cust.map_batches(_pos_partial, batch_format="pandas").to_pandas()
+    s_pos, n_pos = int(parts["s"].sum()), int(parts["n"].sum())
+
+    rich = cust.map_batches(
+        lambda df: df.loc[df["bal_c"].to_numpy(np.int64) * n_pos > s_pos],
+        batch_format="pandas")
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey"]).map_batches(
+        lambda b: pa.table({"custkey": b["o_custkey"]}),
+        batch_format="pyarrow")
+
+    idle = hash_join(
+        rich, orders, on="custkey", how="anti",
+        num_buckets=_w(sf_dir, "customer", "orders"), coalesce_blocks=16,
+        schemas=(pa.schema([("custkey", pa.int64()), ("bal_c", pa.int64()),
+                            ("c_nat", pa.int64())]),
+                 pa.schema([("custkey", pa.int64())])))
+
+    agg = partial_agg(idle.map_batches(lambda df: df[["c_nat", "bal_c"]],
+                                       batch_format="pandas"),
+                      ["c_nat"], sums=["bal_c"], count_col="n_cust",
+                      combine="driver").to_pandas()
+    if agg.empty:  # 0-row to_pandas loses the schema entirely
+        agg = pd.DataFrame(columns=["c_nat", "sum_bal_c", "n_cust"])
+    agg["n_name"] = agg["c_nat"].astype(int).map(name_of)
+    agg["n_cust"] = agg["n_cust"].astype(np.int64)
+    agg["total_acctbal"] = agg["sum_bal_c"].astype(np.int64) / 100.0
+    return agg[["n_name", "n_cust", "total_acctbal"]]
