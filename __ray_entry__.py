@@ -203,6 +203,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier": q.q_top_supplier,
         "small_qty_revenue": q.q_small_qty_revenue,
         "idle_rich_customers": q.q_idle_rich_customers,
+        # distribution / dependence analytics
+        "benford_totalprice": q.q_benford_totalprice,
+        "gini_user_spend": q.q_gini_user_spend,
+        "source_lang_entropy": q.q_source_lang_entropy,
+        "autocorr_value_lag1": q.q_autocorr_value_lag1,
         # rotated below the driver's 50-query window this round (shapes
         # closest to already-green r3 rows or to siblings still inside
         # the window; still oracle-checked in-repo)
@@ -1761,5 +1766,49 @@ def oracle_sql() -> dict[str, str]:
             "SUM(r.bal_c) / 100.0 AS total_acctbal "
             "FROM r JOIN nation n ON r.c_nationkey = n.n_nationkey "
             "GROUP BY 1"
+        ),
+        # Benford: leading digit of the cent-exact integer total
+        "benford_totalprice": (
+            "WITH d AS (SELECT CAST(substr(CAST(abs(CAST(round("
+            "o_totalprice * 100.0) AS BIGINT)) AS VARCHAR), 1, 1) "
+            "AS BIGINT) AS digit FROM orders) "
+            "SELECT digit, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM d) AS share "
+            "FROM d GROUP BY 1"
+        ),
+        # Gini over per-user cent spend; Σi·x exact in BIGINT
+        "gini_user_spend": (
+            "WITH u AS (SELECT user_id, SUM(CAST(round(value * 100.0) "
+            "AS BIGINT)) AS x FROM events GROUP BY 1), "
+            "r AS (SELECT x, row_number() OVER (ORDER BY x) AS i FROM u) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_users, "
+            "(2.0 * SUM(i * x) - (COUNT(*) + 1.0) * SUM(x)) / "
+            "(CAST(COUNT(*) AS DOUBLE) * SUM(x)) AS gini FROM r"
+        ),
+        # per-cell entropy contributions (no order-dependent sum)
+        "source_lang_entropy": (
+            "WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) "
+            "AS n FROM documents GROUP BY 1, 2), "
+            "m AS (SELECT *, CAST(SUM(n) OVER (PARTITION BY source) "
+            "AS DOUBLE) AS sn FROM c) "
+            "SELECT source, lang, n, CAST(n AS DOUBLE) / sn AS p, "
+            "round(-(CAST(n AS DOUBLE) / sn) * ln(CAST(n AS DOUBLE) / sn)"
+            ", 12) AS contrib FROM m"
+        ),
+        # lag-1 Pearson autocorrelation from exact int pair moments
+        "autocorr_value_lag1": (
+            "WITH v AS (SELECT event_type, event_id, ts, "
+            "CAST(round(value * 100.0) AS BIGINT) AS v FROM events), "
+            "p AS (SELECT event_type, lag(v) OVER (PARTITION BY "
+            "event_type ORDER BY ts, event_id) AS x, v AS y FROM v), "
+            "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx, "
+            "SUM(y * y) AS syy, SUM(x * y) AS sxy FROM p "
+            "WHERE x IS NOT NULL GROUP BY 1) "
+            "SELECT event_type, n AS n_pairs, "
+            "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / "
+            "(sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * "
+            "sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) "
+            "AS corr_lag1 FROM m"
         ),
     }

@@ -3968,3 +3968,110 @@ def q_idle_rich_customers(sf_dir: str):
     agg["n_cust"] = agg["n_cust"].astype(np.int64)
     agg["total_acctbal"] = agg["sum_bal_c"].astype(np.int64) / 100.0
     return agg[["n_name", "n_cust", "total_acctbal"]]
+
+
+# ---------------------------------------------------------------------------
+# distribution / dependence analytics batch
+# ---------------------------------------------------------------------------
+
+def q_benford_totalprice(sf_dir: str):
+    """Benford first-digit distribution of order totals: the leading
+    digit extracted by pure-int repeated division (≤ 19 vectorized
+    halving passes, no float log), counts driver-combined (9 groups),
+    share as a float expression over exact counts."""
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_totalprice"])
+
+    def _digit(b: pa.Table) -> pd.DataFrame:
+        n = np.round(b["o_totalprice"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        v = np.abs(n)
+        while (v >= 10).any():
+            big = v >= 10
+            v[big] //= 10
+        return pd.DataFrame({"digit": v})
+
+    agg = partial_agg(ds.map_batches(_digit, batch_format="pyarrow"),
+                      ["digit"], combine="driver").to_pandas()
+    total = int(agg["n"].sum())
+    return pd.DataFrame({"digit": agg["digit"].astype(np.int64),
+                         "n": agg["n"].astype(np.int64),
+                         "share": agg["n"].to_numpy(np.float64) / total})
+
+
+def q_gini_user_spend(sf_dir: str):
+    """Gini coefficient of per-user total spend: distributed per-user
+    cent sums, then the exact distribution-sketch Gini (driver holds
+    O(distinct spend values), Σi·x in arbitrary-precision ints)."""
+    from ..stages.features import gini_exact
+    from ..stages.joins import partial_agg as _pagg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "value"])
+
+    def _cents(b: pa.Table) -> pa.Table:
+        v = np.round(b["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        return pa.table({"user_id": b["user_id"], "v": pa.array(v)})
+
+    users = _pagg(ds.map_batches(_cents, batch_format="pyarrow",
+                                 zero_copy_batch=True),
+                  ["user_id"], sums=["v"],
+                  num_buckets=_w(sf_dir, "events"))
+    n, gini = gini_exact(
+        users.map_batches(lambda df: df[["sum_v"]], batch_format="pandas"),
+        "sum_v")
+    return pd.DataFrame({"n_users": [np.int64(n)], "gini": [gini]})
+
+
+def q_source_lang_entropy(sf_dir: str):
+    """Shannon-entropy cells of the lang distribution inside each
+    source: per-(source, lang) counts (one pre-combined pass), p and
+    the −p·ln p contribution emitted PER CELL so no order-dependent
+    float sum exists on either side (same trick as the chi-square
+    query). The contribution is rounded to 12 decimals on BOTH sides:
+    numpy's and DuckDB's ln disagree in the last ulp, and the hash
+    compare is bit-exact — p itself stays exact (one division)."""
+    from ..stages.joins import partial_agg as _pagg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "lang"])
+    c = _pagg(ds, ["source", "lang"], combine="driver").to_pandas()
+    c["n"] = c["n"].astype(np.int64)
+    sn = c.groupby("source")["n"].transform("sum").to_numpy(np.float64)
+    p = c["n"].to_numpy(np.float64) / sn
+    return pd.DataFrame({"source": c["source"], "lang": c["lang"],
+                         "n": c["n"], "p": p,
+                         "contrib": np.round(-(p * np.log(p)), 12)})
+
+
+def q_autocorr_value_lag1(sf_dir: str):
+    """Lag-1 autocorrelation of event value per type: six exact int64
+    pair moments per type from ONE bucketed shuffle (series ordered by
+    ts with event_id tiebreak), Pearson r as a float expression over
+    them — bit-identical to the SQL lag() formulation."""
+    from ..stages.events import grouped_lag1_moments
+
+    ds = _events_us(sf_dir, ["event_id", "event_type", "ts", "value"])
+
+    def _cents(b: pa.Table) -> pa.Table:
+        v = np.round(b["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        return pa.table({"event_type": b["event_type"],
+                         "event_id": b["event_id"], "ts_us": b["ts_us"],
+                         "v": pa.array(v)})
+
+    m = grouped_lag1_moments(
+        ds.map_batches(_cents, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type", "ts_us", "v", tie_col="event_id",
+        num_buckets=_w(sf_dir, "events")).to_pandas()
+    n = m["n_pairs"].to_numpy(np.float64)
+    sx, sy = m["sx"].to_numpy(np.float64), m["sy"].to_numpy(np.float64)
+    sxx = m["sxx"].to_numpy(np.float64)
+    syy = m["syy"].to_numpy(np.float64)
+    sxy = m["sxy"].to_numpy(np.float64)
+    r = (n * sxy - sx * sy) / (np.sqrt(n * sxx - sx * sx)
+                               * np.sqrt(n * syy - sy * sy))
+    return pd.DataFrame({"event_type": m["event_type"],
+                         "n_pairs": m["n_pairs"].astype(np.int64),
+                         "corr_lag1": r})

@@ -894,3 +894,43 @@ def longest_streak(
     return transform_buckets(ds.map_batches(_days, batch_format="pyarrow",
                                             zero_copy_batch=True),
                              key, ["_day"], _streak, num_buckets)
+
+
+def grouped_lag1_moments(
+    ds: "ray.data.Dataset",
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tie_col: str,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Exact lag-1 pair moments per group: for each group's series
+    ordered by ``(ts_col, tie_col)``, the six integer sufficient
+    statistics of the (prev, cur) pairs — n, Σx, Σy, Σx², Σy², Σxy —
+    from which Pearson autocorrelation is a pure float expression.
+
+    ONE hash shuffle by ``key``; a group's rows co-locate in one bucket
+    (the same contract as every per-group ordered op here), pairs are
+    formed vectorized with a group-boundary mask, and the outputs are
+    O(groups) rows of int64 — summation order can never perturb them."""
+
+    def _moments(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[key].to_numpy()
+        v = df[value_col].to_numpy(np.int64)
+        same = np.zeros(len(df), dtype=bool)
+        if len(df) > 1:
+            same[1:] = k[1:] == k[:-1]   # row i pairs with row i-1
+        x = v[np.flatnonzero(same) - 1]
+        y = v[same]
+        g = pd.DataFrame({key: k[same], "x": x, "y": y,
+                          "xx": x * x, "yy": y * y, "xy": x * y})
+        out = (g.groupby(key, sort=False)
+               .agg(n_pairs=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+                    sxx=("xx", "sum"), syy=("yy", "sum"), sxy=("xy", "sum"))
+               .reset_index())
+        for c in ("n_pairs", "sx", "sy", "sxx", "syy", "sxy"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return transform_buckets(ds, key, [ts_col, tie_col], _moments,
+                             num_buckets)
