@@ -203,6 +203,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier": q.q_top_supplier,
         "small_qty_revenue": q.q_small_qty_revenue,
         "idle_rich_customers": q.q_idle_rich_customers,
+        # sketch-pruned and time-weighted event features
+        "heavy_hitters": q.q_heavy_hitters,
+        "interarrival_stats": q.q_interarrival_stats,
+        "time_weighted_value": q.q_time_weighted_value,
         # distribution / dependence analytics
         "benford_totalprice": q.q_benford_totalprice,
         "source_lang_entropy": q.q_source_lang_entropy,
@@ -1814,5 +1818,38 @@ def oracle_sql() -> dict[str, str]:
             "(sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * "
             "sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) "
             "AS corr_lag1 FROM m"
+        ),
+        # exact result; the engine prunes the shuffle with a CMS
+        "heavy_hitters": (
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events "
+            "GROUP BY 1 HAVING COUNT(*) >= 70"
+        ),
+        # per-user inter-arrival gap moments (whole seconds, exact)
+        "interarrival_stats": (
+            "WITH p AS (SELECT user_id, (epoch_us(ts) - lag(epoch_us(ts))"
+            " OVER (PARTITION BY user_id ORDER BY ts, event_id)) "
+            "// 1000000 AS gap FROM events), "
+            "m AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps, "
+            "CAST(SUM(gap) AS BIGINT) AS sum_gap_s, "
+            "CAST(SUM(gap * gap) AS BIGINT) AS sum_gap2_s FROM p "
+            "WHERE gap IS NOT NULL GROUP BY 1) "
+            "SELECT user_id, n_gaps, sum_gap_s, sum_gap2_s, "
+            "CAST(sum_gap_s AS DOUBLE) / CAST(n_gaps AS DOUBLE) "
+            "AS mean_gap_s FROM m"
+        ),
+        # left-constant step integral: value holds until next event
+        "time_weighted_value": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS t, "
+            "CAST(round(value * 100.0) AS BIGINT) AS v, event_id "
+            "FROM events), "
+            "p AS (SELECT user_id, v, (lead(t) OVER (PARTITION BY "
+            "user_id ORDER BY t, event_id) - t) // 1000000 AS gap "
+            "FROM e), "
+            "m AS (SELECT user_id, CAST(SUM(gap) AS BIGINT) AS t_sum, "
+            "CAST(SUM(v * gap) AS BIGINT) AS w_sum FROM p "
+            "WHERE gap IS NOT NULL GROUP BY 1) "
+            "SELECT user_id, t_sum, w_sum, (CAST(w_sum AS DOUBLE) / "
+            "CAST(t_sum AS DOUBLE)) / 100.0 AS twa FROM m "
+            "WHERE t_sum > 0"
         ),
     }

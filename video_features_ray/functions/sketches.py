@@ -28,7 +28,7 @@ import ray.data
 
 from ..sources.sequences import _codepoints_batch
 from ..specs import VOCAB_SIZE
-from ..stages.dedup import _POLY_B, _mix64
+from ..stages.dedup import _GOLD, _POLY_B, _mix64
 
 
 class HyperLogLog:
@@ -327,8 +327,10 @@ class CountMinSketch:
         self.n = 0
 
     def _rows(self, h: np.ndarray) -> np.ndarray:
-        from ..stages.dedup import _GOLD, _mix64
-
+        # NOTE: no lazy imports here — this method runs inside Ray
+        # workers, where the package is shipped by-value (a worker
+        # process can't re-import video_features_ray when the driver
+        # launched from a foreign cwd)
         with np.errstate(over="ignore"):
             return np.stack([
                 (_mix64(h + np.uint64(d) * _GOLD) % np.uint64(self.width)).astype(np.int64)
@@ -389,8 +391,7 @@ class BloomFilter:
         self.words = np.zeros(n_bits // 64, dtype=np.uint64)
 
     def _positions(self, h: np.ndarray) -> np.ndarray:
-        from ..stages.dedup import _mix64
-
+        # no lazy imports: runs inside Ray workers (see _rows above)
         h1 = h
         h2 = _mix64(h) | np.uint64(1)
         with np.errstate(over="ignore"):

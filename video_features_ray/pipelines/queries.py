@@ -4075,3 +4075,97 @@ def q_autocorr_value_lag1(sf_dir: str):
     return pd.DataFrame({"event_type": m["event_type"],
                          "n_pairs": m["n_pairs"].astype(np.int64),
                          "corr_lag1": r})
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Heavy hitters (users with ≥ 70 events) by CMS-pruned two-pass:
+    pass 1 builds a mergeable count-min sketch (driver holds depth×width
+    ints, never keys); pass 2 broadcasts it and keeps only rows whose
+    key CMS-estimate clears the threshold — no false negatives by CMS
+    over-count — so the exact shuffle that follows touches a fraction
+    of the stream; a final exact filter removes the false positives.
+    Result is EXACT (hash-matches plain GROUP BY/HAVING) but the wide
+    exchange is pruned by the sketch."""
+    from ..functions.sketches import CountMinSketch, _hash_values, cms_counts
+
+    TAU = 70
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+    cms = cms_counts(ds, "user_id")
+    ref = ray.put(cms.counts)
+    width, depth = cms.counts.shape[1], cms.counts.shape[0]
+
+    class _Prune:
+        def __init__(self):
+            c = ray.get(ref)
+            self.cms = CountMinSketch(width, depth)
+            self.cms.counts = c
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            h, valid = _hash_values(b["user_id"], with_valid=True)
+            est = self.cms.estimate_hashes(h)
+            return b.filter(pa.array(valid & (est >= TAU)))
+
+    survivors = ds.map_batches(_Prune, batch_format="pyarrow",
+                               concurrency=(1, 8))
+    agg = partial_agg(survivors, ["user_id"], count_col="n",
+                      num_buckets=_w(sf_dir, "events"))
+    return agg.map_batches(
+        lambda df: df.loc[df["n"].to_numpy(np.int64) >= TAU]
+        .astype({"user_id": np.int64, "n": np.int64}),
+        batch_format="pandas")
+
+
+def q_interarrival_stats(sf_dir: str):
+    """Per-user inter-arrival statistics: exact int64 gap moments from
+    ONE bucketed shuffle, mean as a float expression — bit-identical to
+    the SQL lag() formulation."""
+    from ..stages.events import grouped_gap_stats
+
+    ds = _events_us(sf_dir, ["event_id", "user_id", "ts"])
+    m = grouped_gap_stats(ds, "user_id", "ts_us", tie_col="event_id",
+                          num_buckets=_w(sf_dir, "events"))
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_gaps"].to_numpy(np.int64)
+        s = df["sum_gap_s"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype(np.int64),
+            "n_gaps": n, "sum_gap_s": s,
+            "sum_gap2_s": df["sum_gap2_s"].astype(np.int64),
+            "mean_gap_s": s.astype(np.float64) / n.astype(np.float64)})
+
+    return m.map_batches(_finish, batch_format="pandas")
+
+
+def q_time_weighted_value(sf_dir: str):
+    """Time-weighted average event value per user (each value holds
+    until the user's next event — the left-constant step integral):
+    exact int64 numerator Σ value_cents·gap_s and denominator Σ gap_s
+    from one bucketed shuffle; the average is one float division."""
+    from ..stages.events import grouped_gap_stats
+
+    ds = _events_us(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def _cents(b: pa.Table) -> pa.Table:
+        v = np.round(b["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        return pa.table({"event_id": b["event_id"], "user_id": b["user_id"],
+                         "ts_us": b["ts_us"], "v": pa.array(v)})
+
+    m = grouped_gap_stats(
+        ds.map_batches(_cents, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id", "ts_us", tie_col="event_id", value_col="v",
+        num_buckets=_w(sf_dir, "events"))
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["sum_gap_s"].to_numpy(np.int64)
+        w = df["w_sum"].to_numpy(np.int64)
+        keep = t > 0
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64)[keep],
+            "t_sum": t[keep], "w_sum": w[keep],
+            "twa": (w[keep].astype(np.float64)
+                    / t[keep].astype(np.float64)) / 100.0})
+
+    return m.map_batches(_finish, batch_format="pandas")

@@ -934,3 +934,44 @@ def grouped_lag1_moments(
 
     return transform_buckets(ds, key, [ts_col, tie_col], _moments,
                              num_buckets)
+
+
+def grouped_gap_stats(
+    ds: "ray.data.Dataset",
+    key: str,
+    ts_us: str,
+    tie_col: str,
+    value_col: str | None = None,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Inter-arrival statistics per entity from ONE bucketed shuffle:
+    consecutive-event gaps (ordered by ``(ts_us, tie_col)``), emitted
+    as exact int64 sufficient statistics — ``n_gaps``, ``sum_gap_s``,
+    ``sum_gap2_s`` (gaps floored to whole seconds so squares can't
+    overflow int64 at realistic horizons) and, when ``value_col`` is
+    given, the time-weighted numerator ``w_sum = Σ value·gap_s`` where
+    each value holds until the NEXT event (left-constant step
+    function). Entities with fewer than two events emit nothing."""
+
+    def _gaps(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[key].to_numpy()
+        t = df[ts_us].to_numpy(np.int64)
+        same = np.zeros(len(df), dtype=bool)
+        if len(df) > 1:
+            same[1:] = k[1:] == k[:-1]
+        idx = np.flatnonzero(same)
+        gap_s = (t[idx] - t[idx - 1]) // 1_000_000
+        g = pd.DataFrame({key: k[idx], "gap": gap_s, "gap2": gap_s * gap_s})
+        aggs = {"n_gaps": (key, "size"), "sum_gap_s": ("gap", "sum"),
+                "sum_gap2_s": ("gap2", "sum")}
+        if value_col is not None:
+            v = df[value_col].to_numpy(np.int64)
+            g["w"] = v[idx - 1] * gap_s     # value holds until next event
+            aggs["w_sum"] = ("w", "sum")
+        out = g.groupby(key, sort=False).agg(**aggs).reset_index()
+        for c in out.columns:
+            if c != key:
+                out[c] = out[c].astype(np.int64)
+        return out
+
+    return transform_buckets(ds, key, [ts_us, tie_col], _gaps, num_buckets)
