@@ -307,6 +307,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": q.q_media_decode,
         "media_deadletter": q.q_media_deadletter,
         "semantic_dedup": q.q_semantic_dedup,
+        "discount_revenue": q.q_discount_revenue,
+        "cheapest_supplier": q.q_cheapest_supplier,
+        "important_parts": q.q_important_parts,
+        "late_ship_priority": q.q_late_ship_priority,
+        "supplier_part_counts": q.q_supplier_part_counts,
+        "dominant_suppliers": q.q_dominant_suppliers,
+        "waiting_suppliers": q.q_waiting_suppliers,
     }
 
 
@@ -1851,5 +1858,99 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, t_sum, w_sum, (CAST(w_sum AS DOUBLE) / "
             "CAST(t_sum AS DOUBLE)) / 100.0 AS twa FROM m "
             "WHERE t_sum > 0"
+        ),
+        # TPC-H Q6 shape: discount-window revenue, scaled-int filter
+        "discount_revenue": (
+            "SELECT COALESCE(SUM(CAST(round(l_extendedprice * l_discount "
+            "* 10000.0) AS BIGINT)), 0) / 10000.0 AS revenue "
+            "FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND CAST(round(l_discount * 100.0) AS BIGINT) BETWEEN 5 AND 7 "
+            "AND l_quantity < 24"
+        ),
+        # TPC-H Q2 shape: cheapest region-0 supplier per size-25 part
+        "cheapest_supplier": (
+            "WITH li AS (SELECT l.l_partkey AS partkey, "
+            "l.l_suppkey AS suppkey, "
+            "CAST(round(l.l_extendedprice * 100.0) AS BIGINT) AS price_c "
+            "FROM lineitem l "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "JOIN part p ON l.l_partkey = p.p_partkey "
+            "WHERE n.n_regionkey = 0 AND p.p_size = 25), "
+            "m AS (SELECT partkey, MIN(price_c) AS min_c FROM li "
+            "GROUP BY 1), "
+            "w AS (SELECT li.partkey, MIN(li.suppkey) AS suppkey, m.min_c "
+            "FROM li JOIN m ON li.partkey = m.partkey "
+            "AND li.price_c = m.min_c GROUP BY 1, 3) "
+            "SELECT w.partkey AS p_partkey, w.suppkey AS s_suppkey, "
+            "s.s_name, w.min_c / 100.0 AS min_price "
+            "FROM w JOIN supplier s ON w.suppkey = s.s_suppkey"
+        ),
+        # TPC-H Q11 shape: parts with revenue > 1.5x the mean part
+        # revenue (scale-free exact-int cut: 2*s*n > 3*total)
+        "important_parts": (
+            "WITH r AS (SELECT l_partkey AS p_partkey, "
+            "SUM(CAST(round(l_extendedprice * (1.0 - l_discount) "
+            "* 10000.0) AS BIGINT)) AS s FROM lineitem GROUP BY 1) "
+            "SELECT p_partkey, s / 10000.0 AS value FROM r "
+            "WHERE 2 * s * (SELECT COUNT(*) FROM r) "
+            "> 3 * (SELECT SUM(s) FROM r)"
+        ),
+        # TPC-H Q12 shape: urgent-vs-other counts of >60d-late lines
+        "late_ship_priority": (
+            "SELECT l.l_linestatus, "
+            "CAST(SUM(CASE WHEN o.o_orderpriority IN "
+            "('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS high_n, "
+            "CAST(SUM(CASE WHEN o.o_orderpriority IN "
+            "('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) "
+            "AS low_n "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "WHERE epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate) "
+            "+ 5184000000000 GROUP BY 1"
+        ),
+        # TPC-H Q16 shape: distinct suppliers per (brand, size)
+        "supplier_part_counts": (
+            "SELECT p.p_brand, CAST(p.p_size AS BIGINT) AS p_size, "
+            "CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt "
+            "FROM lineitem l "
+            "JOIN part p ON l.l_partkey = p.p_partkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "WHERE p.p_brand <> 'Brand#1' AND s.s_acctbal >= 1000.0 "
+            "GROUP BY 1, 2"
+        ),
+        # TPC-H Q20 shape: suppliers with >50% of a large-part's 1997
+        # volume (2*pair > part keeps the share test exact-int)
+        "dominant_suppliers": (
+            "WITH li AS (SELECT l.l_partkey AS partkey, "
+            "l.l_suppkey AS suppkey, CAST(l.l_quantity AS BIGINT) AS qty "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "WHERE p.p_name LIKE 'large%' "
+            "AND l.l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l.l_shipdate < TIMESTAMP '1998-01-01'), "
+            "pair AS (SELECT partkey, suppkey, SUM(qty) AS q FROM li "
+            "GROUP BY 1, 2), "
+            "tot AS (SELECT partkey, SUM(qty) AS q FROM li GROUP BY 1) "
+            "SELECT DISTINCT s.s_suppkey, s.s_name "
+            "FROM pair JOIN tot ON pair.partkey = tot.partkey "
+            "JOIN supplier s ON pair.suppkey = s.s_suppkey "
+            "WHERE 2 * pair.q > tot.q"
+        ),
+        # TPC-H Q21 shape: sole-latest shipper of multi-supplier orders
+        "waiting_suppliers": (
+            "WITH pairs AS (SELECT l_orderkey, l_suppkey, "
+            "MAX(epoch_us(l_shipdate)) AS mx FROM lineitem GROUP BY 1, 2), "
+            "o AS (SELECT l_orderkey, MAX(mx) AS omx, "
+            "CAST(COUNT(*) AS BIGINT) AS ns FROM pairs GROUP BY 1), "
+            "a AS (SELECT p.l_orderkey, MIN(p.l_suppkey) AS only_s, "
+            "CAST(COUNT(*) AS BIGINT) AS natmax, MIN(o.ns) AS ns "
+            "FROM pairs p JOIN o ON p.l_orderkey = o.l_orderkey "
+            "WHERE p.mx = o.omx GROUP BY 1) "
+            "SELECT s.s_suppkey, s.s_name, "
+            "CAST(COUNT(*) AS BIGINT) AS numwait "
+            "FROM a JOIN supplier s ON a.only_s = s.s_suppkey "
+            "WHERE a.natmax = 1 AND a.ns >= 2 GROUP BY 1, 2"
         ),
     }

@@ -4169,3 +4169,376 @@ def q_time_weighted_value(sf_dir: str):
                     / t[keep].astype(np.float64)) / 100.0})
 
     return m.map_batches(_finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes batch 3: Q2/Q6/Q11/Q12/Q16/Q20/Q21 adapted to this corpus
+# (no partsupp table; no shipmode/commitdate columns — each query keeps
+# the REFERENCE query's distributed shape on the columns that exist)
+# ---------------------------------------------------------------------------
+
+
+def q_discount_revenue(sf_dir: str):
+    """TPC-H Q6 shape — revenue gain from discount removal: pure
+    streaming filter+sum over ONE projected lineitem pass, per-batch
+    int partials, two scalars on the driver. The discount window
+    compares scaled ints (round(disc·100) ∈ [5,7]) so float literal
+    representation cannot perturb the row set."""
+    import pyarrow.compute as pc
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+
+    def _partial(b: pa.Table) -> pd.DataFrame:
+        d = b["l_shipdate"]
+        m = pc.and_(pc.greater_equal(d, pa.scalar(pd.Timestamp("1996-01-01"))),
+                    pc.less(d, pa.scalar(pd.Timestamp("1997-01-01"))))
+        f = b.filter(m)
+        disc = f["l_discount"].to_numpy(zero_copy_only=False)
+        disc_i = np.round(disc * 100.0).astype(np.int64)
+        qty = f["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = (disc_i >= 5) & (disc_i <= 7) & (qty < 24)
+        price = f["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        rev = np.round(price * disc[keep] * 10000.0).astype(np.int64)
+        return pd.DataFrame({"s": [int(rev.sum())]})
+
+    parts = li.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({"revenue": [int(parts["s"].sum()) / 10000.0]})
+
+
+def q_cheapest_supplier(sf_dir: str):
+    """TPC-H Q2 shape (lineitem stands in for partsupp) — for each
+    size-25 part, the region-0 supplier that sold it cheapest: part
+    and supplier filters broadcast as skinny dims, the per-part MIN is
+    one distributed partial_agg, the argmin joins back by partkey
+    (skinny stats side), ties break to the smallest suppkey via a
+    second O(parts) partial_agg."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import broadcast_join, hash_join
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    region_nats = set(nat.loc[nat["n_regionkey"] == 0, "n_nationkey"]
+                      .astype(int).tolist())
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey", "s_name"]
+                         ).to_pandas()
+    name_of = dict(zip(supp["s_suppkey"].astype(int), supp["s_name"]))
+    r0 = pd.DataFrame({"suppkey": supp.loc[
+        supp["s_nationkey"].astype(int).isin(region_nats),
+        "s_suppkey"].astype(np.int64)})
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_size"]).to_pandas()
+    sz = pd.DataFrame({"partkey": part.loc[part["p_size"] == 25,
+                                           "p_partkey"].astype(np.int64)})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        price_c = np.round(b["l_extendedprice"].to_numpy(zero_copy_only=False)
+                           * 100.0).astype(np.int64)
+        return pa.table({"partkey": b["l_partkey"].cast(pa.int64()),
+                         "suppkey": b["l_suppkey"].cast(pa.int64()),
+                         "price_c": pa.array(price_c)})
+
+    li = li.map_batches(_prep, batch_format="pyarrow")
+    li = broadcast_join(li, sz, on="partkey")
+    li = broadcast_join(li, r0, on="suppkey")
+
+    m = partial_agg(li, ["partkey"], mins=["price_c"],
+                    num_buckets=_w(sf_dir, "lineitem"))
+    j = hash_join(
+        li, m, on="partkey",
+        num_buckets=_w(sf_dir, "lineitem"), coalesce_blocks=16,
+        schemas=(pa.schema([("partkey", pa.int64()), ("suppkey", pa.int64()),
+                            ("price_c", pa.int64())]),
+                 pa.schema([("partkey", pa.int64()),
+                            ("min_price_c", pa.int64())])))
+
+    def _hits(df: pd.DataFrame) -> pd.DataFrame:
+        keep = (df["price_c"].to_numpy(np.int64)
+                == df["min_price_c"].to_numpy(np.int64))
+        return df.loc[keep, ["partkey", "suppkey", "min_price_c"]]
+
+    w = partial_agg(j.map_batches(_hits, batch_format="pandas"),
+                    ["partkey"], mins=["suppkey", "min_price_c"],
+                    combine="distributed",
+                    num_buckets=_w(sf_dir, "part")).to_pandas()
+    if w.empty:
+        return pd.DataFrame({"p_partkey": pd.Series([], dtype=np.int64),
+                             "s_suppkey": pd.Series([], dtype=np.int64),
+                             "s_name": pd.Series([], dtype=str),
+                             "min_price": pd.Series([], dtype=np.float64)})
+    sk = w["min_suppkey"].astype(np.int64)
+    return pd.DataFrame({"p_partkey": w["partkey"].astype(np.int64),
+                         "s_suppkey": sk,
+                         "s_name": sk.map(name_of),
+                         "min_price": w["min_min_price_c"].astype(np.int64)
+                         / 100.0})
+
+
+def q_important_parts(sf_dir: str):
+    """TPC-H Q11 shape — parts whose revenue exceeds 1.5× the mean
+    part revenue (TPC-H's fixed 0.01%/SF fraction is scale-bound; a
+    mean-relative cut keeps the result non-trivial at every sf): one
+    distributed per-part partial_agg materialized once (O(parts)
+    rows), total+count reduced to TWO driver scalars, the share test
+    cross-multiplied (2·part_rev·n_parts > 3·total) so it stays
+    exact-int."""
+    items = _rev_items(sf_dir, extra_cols=["l_partkey"])
+    items = items.map_batches(
+        lambda b: pa.table({"partkey": b["l_partkey"].cast(pa.int64()),
+                            "rev_s": b["rev_s"]}), batch_format="pyarrow")
+    agg = partial_agg(items, ["partkey"], sums=["rev_s"],
+                      num_buckets=_w(sf_dir, "lineitem")).materialize()
+    total = int(agg.sum("sum_rev_s") or 0)
+    n_parts = int(agg.count())
+
+    def _keep(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["sum_rev_s"].to_numpy(np.int64)
+        out = df.loc[2 * s * n_parts > 3 * total, ["partkey", "sum_rev_s"]]
+        return pd.DataFrame({"p_partkey": out["partkey"].to_numpy(np.int64),
+                             "value": out["sum_rev_s"].to_numpy(np.int64)
+                             / 10000.0})
+
+    return agg.map_batches(_keep, batch_format="pandas")
+
+
+def q_late_ship_priority(sf_dir: str):
+    """TPC-H Q12 shape (linestatus stands in for shipmode) — for lines
+    shipped >60 days after the order date, urgent-vs-other order
+    counts per linestatus: ONE fact×fact hash shuffle
+    (lineitem×orders on orderkey), the lateness test vectorized on µs
+    ints inside the bucket, final agg driver-combined (2 groups)."""
+    from ..stages.joins import hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_linestatus"]).map_batches(
+        lambda b: pa.table({"orderkey": b["l_orderkey"],
+                            "ship_us": b["l_shipdate"].cast(pa.int64()),
+                            "l_linestatus": b["l_linestatus"]}),
+        batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"]).map_batches(
+        lambda b: pa.table({"orderkey": b["o_orderkey"],
+                            "odate_us": b["o_orderdate"].cast(pa.int64()),
+                            "prio": b["o_orderpriority"]}),
+        batch_format="pyarrow")
+
+    j = hash_join(
+        li, orders, on="orderkey",
+        num_buckets=_w(sf_dir, "lineitem", "orders"), coalesce_blocks=16,
+        schemas=(pa.schema([("orderkey", pa.int64()), ("ship_us", pa.int64()),
+                            ("l_linestatus", pa.string())]),
+                 pa.schema([("orderkey", pa.int64()), ("odate_us", pa.int64()),
+                            ("prio", pa.string())])))
+
+    LATE_US = 60 * 86400 * 1_000_000
+
+    def _flags(df: pd.DataFrame) -> pd.DataFrame:
+        late = (df["ship_us"].to_numpy(np.int64)
+                > df["odate_us"].to_numpy(np.int64) + LATE_US)
+        d = df.loc[late, ["l_linestatus", "prio"]]
+        hi = d["prio"].isin(["1-URGENT", "2-HIGH"]).to_numpy()
+        return pd.DataFrame({"l_linestatus": d["l_linestatus"],
+                             "hi": hi.astype(np.int64),
+                             "lo": (~hi).astype(np.int64)})
+
+    agg = partial_agg(j.map_batches(_flags, batch_format="pandas"),
+                      ["l_linestatus"], sums=["hi", "lo"],
+                      combine="driver").to_pandas()
+    return pd.DataFrame({"l_linestatus": agg["l_linestatus"],
+                         "high_n": agg["sum_hi"].astype(np.int64),
+                         "low_n": agg["sum_lo"].astype(np.int64)})
+
+
+def q_supplier_part_counts(sf_dir: str):
+    """TPC-H Q16 shape — distinct suppliers per (brand, size),
+    excluding one brand and low-balance suppliers: both part attrs and
+    the supplier exclusion broadcast as skinny dims over ONE lineitem
+    pass; COUNT(DISTINCT) is the two-level exact plan — dedupe the
+    (brand, size, suppkey) triple with a distributed partial_agg, then
+    count per (brand, size) driver-side (≤ brands × sizes groups)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import broadcast_join
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"]
+                         ).to_pandas()
+    part = part[part["p_brand"] != "Brand#1"]
+    dims = pd.DataFrame({"partkey": part["p_partkey"].astype(np.int64),
+                         "p_brand": part["p_brand"],
+                         "p_size": part["p_size"].astype(np.int64)})
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_acctbal"]).to_pandas()
+    ok = pd.DataFrame({"suppkey": supp.loc[supp["s_acctbal"] >= 1000.0,
+                                           "s_suppkey"].astype(np.int64)})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey"]).map_batches(
+        lambda b: pa.table({"partkey": b["l_partkey"].cast(pa.int64()),
+                            "suppkey": b["l_suppkey"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    li = broadcast_join(li, ok, on="suppkey")
+    li = broadcast_join(li, dims, on="partkey")
+
+    triples = partial_agg(
+        li.map_batches(lambda df: df[["p_brand", "p_size", "suppkey"]],
+                       batch_format="pandas"),
+        ["p_brand", "p_size", "suppkey"],
+        num_buckets=_w(sf_dir, "lineitem"))
+
+    agg = partial_agg(
+        triples.map_batches(lambda df: df[["p_brand", "p_size"]],
+                            batch_format="pandas"),
+        ["p_brand", "p_size"], count_col="supplier_cnt",
+        combine="driver").to_pandas()
+    agg["p_size"] = agg["p_size"].astype(np.int64)
+    agg["supplier_cnt"] = agg["supplier_cnt"].astype(np.int64)
+    return agg[["p_brand", "p_size", "supplier_cnt"]]
+
+
+def q_dominant_suppliers(sf_dir: str):
+    """TPC-H Q20 shape (lineitem qty share stands in for availqty) —
+    suppliers providing >50% of a 'large…' part's 1997 volume: the
+    part-name filter broadcasts, per-(part, supplier) and per-part
+    volumes come from two partial_aggs over the SAME filtered pass,
+    the share test cross-multiplies (2·pair > part), and the distinct
+    winner set reduces to O(suppliers)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import broadcast_join, hash_join
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"]).to_pandas()
+    pt = pd.DataFrame({"partkey": part.loc[
+        part["p_name"].str.startswith("large"),
+        "p_partkey"].astype(np.int64)})
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"]).to_pandas()
+    name_of = dict(zip(supp["s_suppkey"].astype(int), supp["s_name"]))
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        d = b["l_shipdate"]
+        m = pc.and_(pc.greater_equal(d, pa.scalar(pd.Timestamp("1997-01-01"))),
+                    pc.less(d, pa.scalar(pd.Timestamp("1998-01-01"))))
+        f = b.filter(m)
+        qty = f["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"partkey": f["l_partkey"].cast(pa.int64()),
+                         "suppkey": f["l_suppkey"].cast(pa.int64()),
+                         "qty": pa.array(qty)})
+
+    li = broadcast_join(li.map_batches(_prep, batch_format="pyarrow"),
+                        pt, on="partkey")
+
+    pair = partial_agg(li, ["partkey", "suppkey"], sums=["qty"],
+                       num_buckets=_w(sf_dir, "lineitem"))
+    tot = partial_agg(
+        li.map_batches(lambda df: df[["partkey", "qty"]],
+                       batch_format="pandas"),
+        ["partkey"], sums=["qty"], num_buckets=_w(sf_dir, "lineitem"))
+
+    j = hash_join(
+        pair, tot, on="partkey", suffix="_t",
+        num_buckets=_w(sf_dir, "lineitem"), coalesce_blocks=16,
+        schemas=(pa.schema([("partkey", pa.int64()), ("suppkey", pa.int64()),
+                            ("sum_qty", pa.int64()), ("n", pa.int64())]),
+                 pa.schema([("partkey", pa.int64()), ("sum_qty", pa.int64()),
+                            ("n", pa.int64())])))
+
+    def _dom(df: pd.DataFrame) -> pd.DataFrame:
+        keep = (2 * df["sum_qty"].to_numpy(np.int64)
+                > df["sum_qty_t"].to_numpy(np.int64))
+        return df.loc[keep, ["suppkey"]]
+
+    winners = partial_agg(j.map_batches(_dom, batch_format="pandas"),
+                          ["suppkey"], combine="driver").to_pandas()
+    if winners.empty:
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype=np.int64),
+                             "s_name": pd.Series([], dtype=str)})
+    sk = winners["suppkey"].astype(np.int64)
+    return pd.DataFrame({"s_suppkey": sk, "s_name": sk.map(name_of)})
+
+
+def q_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 shape (latest shipper stands in for late receipt) —
+    per supplier, the number of multi-supplier orders where it was the
+    SOLE latest shipper: per-(order, supplier) max shipdate dedupes in
+    one distributed partial_agg, the per-order max + distinct-supplier
+    count in a second (over the already-skinny pairs), the sole-latest
+    test is one hash join back + O(orders) partial_agg — no window
+    function, no per-order Python loop."""
+    from ..stages.joins import hash_join
+
+    import pyarrow.parquet as pq
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"]).to_pandas()
+    name_of = dict(zip(supp["s_suppkey"].astype(int), supp["s_name"]))
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"]).map_batches(
+        lambda b: pa.table({"orderkey": b["l_orderkey"],
+                            "suppkey": b["l_suppkey"].cast(pa.int64()),
+                            "ship_us": b["l_shipdate"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+    pairs = partial_agg(li, ["orderkey", "suppkey"], maxs=["ship_us"],
+                        num_buckets=_w(sf_dir, "lineitem"))
+    omax = partial_agg(
+        pairs.map_batches(lambda df: df[["orderkey", "max_ship_us"]],
+                          batch_format="pandas"),
+        ["orderkey"], maxs=["max_ship_us"], count_col="ns",
+        num_buckets=_w(sf_dir, "lineitem"))
+
+    j = hash_join(
+        pairs, omax, on="orderkey", suffix="_o",
+        num_buckets=_w(sf_dir, "lineitem"), coalesce_blocks=16,
+        schemas=(pa.schema([("orderkey", pa.int64()), ("suppkey", pa.int64()),
+                            ("max_ship_us", pa.int64()), ("n", pa.int64())]),
+                 pa.schema([("orderkey", pa.int64()),
+                            ("max_max_ship_us", pa.int64()),
+                            ("ns", pa.int64())])))
+
+    def _achievers(df: pd.DataFrame) -> pd.DataFrame:
+        keep = (df["max_ship_us"].to_numpy(np.int64)
+                == df["max_max_ship_us"].to_numpy(np.int64))
+        return df.loc[keep, ["orderkey", "suppkey", "ns"]]
+
+    per_order = partial_agg(
+        j.map_batches(_achievers, batch_format="pandas"),
+        ["orderkey"], mins=["suppkey", "ns"], count_col="natmax",
+        num_buckets=_w(sf_dir, "orders"))
+
+    def _sole(df: pd.DataFrame) -> pd.DataFrame:
+        keep = ((df["natmax"].to_numpy(np.int64) == 1)
+                & (df["min_ns"].to_numpy(np.int64) >= 2))
+        return pd.DataFrame(
+            {"suppkey": df.loc[keep, "min_suppkey"].to_numpy(np.int64)})
+
+    counts = partial_agg(per_order.map_batches(_sole, batch_format="pandas"),
+                         ["suppkey"], count_col="numwait",
+                         combine="driver").to_pandas()
+    if counts.empty:
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype=np.int64),
+                             "s_name": pd.Series([], dtype=str),
+                             "numwait": pd.Series([], dtype=np.int64)})
+    sk = counts["suppkey"].astype(np.int64)
+    return pd.DataFrame({"s_suppkey": sk, "s_name": sk.map(name_of),
+                         "numwait": counts["numwait"].astype(np.int64)})
