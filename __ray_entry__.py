@@ -314,6 +314,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_part_counts": q.q_supplier_part_counts,
         "dominant_suppliers": q.q_dominant_suppliers,
         "waiting_suppliers": q.q_waiting_suppliers,
+        "filtered_topk": q.q_filtered_topk,
+        "incremental_agg": q.q_incremental_agg,
     }
 
 
@@ -1952,5 +1954,26 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS numwait "
             "FROM a JOIN supplier s ON a.only_s = s.s_suppkey "
             "WHERE a.natmax = 1 AND a.ns >= 2 GROUP BY 1, 2"
+        ),
+        # metadata-filtered ANN: top-10 cosine among label-1 vectors
+        "filtered_topk": (
+            "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe "
+            "FROM embeddings WHERE vec_id = 0), "
+            "sims AS (SELECT e.vec_id, "
+            "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) "
+            "AS sim FROM embeddings e, q WHERE e.label = 1) "
+            "SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+            "CAST(rank AS BIGINT) AS rank "
+            "FROM (SELECT vec_id, row_number() OVER "
+            "(ORDER BY sim DESC, vec_id) AS rank FROM sims) "
+            "WHERE rank <= 10"
+        ),
+        # incremental refresh == full recompute (algebraic merge proof)
+        "incremental_agg": (
+            "SELECT event_type, "
+            "SUM(CAST(round(value * 10000.0) AS BIGINT)) / 10000.0 "
+            "AS total, CAST(COUNT(*) AS BIGINT) AS n, "
+            "MAX(CAST(round(value * 10000.0) AS BIGINT)) / 10000.0 "
+            "AS max_value FROM events GROUP BY 1"
         ),
     }

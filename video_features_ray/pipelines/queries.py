@@ -4542,3 +4542,97 @@ def q_waiting_suppliers(sf_dir: str):
     sk = counts["suppkey"].astype(np.int64)
     return pd.DataFrame({"s_suppkey": sk, "s_name": sk.map(name_of),
                          "numwait": counts["numwait"].astype(np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# round-4 batch: filtered ANN + incremental aggregate refresh
+# ---------------------------------------------------------------------------
+
+
+def q_filtered_topk(sf_dir: str):
+    """Metadata-filtered ANN — top-10 cosine neighbours of vec 0 AMONG
+    label-1 vectors only (the hybrid attribute-filter + vector search
+    every retrieval pipeline runs): the label predicate pushes down to
+    the parquet scan (rows are pruned BEFORE any distance math or
+    object-store transfer; the filter column itself is not even
+    projected), then the same per-batch partial top-k merge as
+    similarity_topk."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "=", 0)])
+    qvec = np.asarray(qtab["embedding"][0].as_py(), dtype=np.float64)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"],
+                               filter=pads.field("label") == 1)
+    top = cosine_topk(ds, qvec, k=10)
+    top["vec_id"] = top["vec_id"].astype(np.int64)
+    return top[["vec_id", "rank"]]
+
+
+def q_incremental_agg(sf_dir: str):
+    """Incremental aggregate refresh — the nightly-batch pattern: an
+    O(groups) aggregate-state parquet stands in for yesterday's
+    materialized rollup; today's refresh scans ONLY the new slice
+    (read-time ts pushdown) and merges partials. sum/count/min/max are
+    algebraic (merge = the SAME op over partials), so the merge is one
+    more distributed partial_agg over state ∪ new-partials — the old
+    raw rows are never re-read, and nothing row-scale ever reaches the
+    driver. The oracle is the full recompute over ALL rows, proving
+    the refresh bit-exact."""
+    import os
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    CUT = pd.Timestamp("2024-01-16")
+
+    def _slice(flt):
+        ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_type", "value"],
+                                   filter=flt)
+
+        def _prep(b: pa.Table) -> pa.Table:
+            v = np.round(b["value"].to_numpy(zero_copy_only=False)
+                         * 10000.0).astype(np.int64)
+            return pa.table({"event_type": b["event_type"],
+                             "value_s": pa.array(v)})
+
+        return ds.map_batches(_prep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    # --- bootstrap: yesterday's state (built once, then persisted) ---
+    old = partial_agg(_slice(pads.field("ts") < CUT), ["event_type"],
+                      sums=["value_s"], maxs=["value_s"],
+                      combine="driver").to_pandas()
+    state_path = os.path.join(
+        "/tmp", f"vfr_incr_state_{os.path.basename(os.path.normpath(sf_dir))}"
+        ".parquet")
+    pq.write_table(pa.Table.from_pandas(old, preserve_index=False),
+                   state_path)
+
+    # --- refresh: new slice only + distributed algebraic merge ---
+    state = ray.data.read_parquet(state_path)
+    new = partial_agg(_slice(pads.field("ts") >= CUT), ["event_type"],
+                      sums=["value_s"], maxs=["value_s"],
+                      combine="driver")
+
+    def _as_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "value_s": df["sum_value_s"].astype(np.int64),
+            "mx": df["max_value_s"].astype(np.int64),
+            "rows": df["n"].astype(np.int64)})
+
+    merged = partial_agg(
+        state.union(new).map_batches(_as_partial, batch_format="pandas"),
+        ["event_type"], sums=["value_s", "rows"], maxs=["mx"],
+        combine="driver").to_pandas()
+    return pd.DataFrame({
+        "event_type": merged["event_type"],
+        "total": merged["sum_value_s"].astype(np.int64) / 10000.0,
+        "n": merged["sum_rows"].astype(np.int64),
+        "max_value": merged["max_mx"].astype(np.int64) / 10000.0,
+    })
