@@ -316,6 +316,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "waiting_suppliers": q.q_waiting_suppliers,
         "filtered_topk": q.q_filtered_topk,
         "incremental_agg": q.q_incremental_agg,
+        "ntile_value": q.q_ntile_value,
+        "user_event_paths": q.q_user_event_paths,
+        "type_cooccurrence": q.q_type_cooccurrence,
+        "source_jaccard": q.q_source_jaccard,
+        "source_top_terms": q.q_source_top_terms,
+        "cumulative_new_users": q.q_cumulative_new_users,
     }
 
 
@@ -1975,5 +1981,63 @@ def oracle_sql() -> dict[str, str]:
             "AS total, CAST(COUNT(*) AS BIGINT) AS n, "
             "MAX(CAST(round(value * 10000.0) AS BIGINT)) / 10000.0 "
             "AS max_value FROM events GROUP BY 1"
+        ),
+        # per-user NTILE(4) quartile bucket, total order via event_id
+        "ntile_value": (
+            "SELECT event_id, user_id, CAST(NTILE(4) OVER ("
+            "PARTITION BY user_id ORDER BY value, event_id) AS BIGINT) "
+            "AS tile FROM events"
+        ),
+        # per-user ordered event-type path
+        "user_event_paths": (
+            "SELECT user_id, string_agg(event_type, ',' "
+            "ORDER BY ts, event_id) AS path FROM events GROUP BY user_id"
+        ),
+        # unordered event-type pair → distinct-user support counts
+        "type_cooccurrence": (
+            "WITH d AS (SELECT DISTINCT user_id, event_type FROM events) "
+            "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+            "CAST(COUNT(*) AS BIGINT) AS n_users "
+            "FROM d a JOIN d b ON a.user_id = b.user_id "
+            "AND a.event_type < b.event_type GROUP BY 1, 2"
+        ),
+        # pairwise distinct-term Jaccard between sources
+        "source_jaccard": (
+            "WITH w AS (SELECT DISTINCT source, "
+            "unnest(string_split(COALESCE(text, ''), ' ')) AS term "
+            "FROM documents), "
+            "sz AS (SELECT source, COUNT(*) AS n FROM w GROUP BY 1), "
+            "i AS (SELECT a.source AS source_a, b.source AS source_b, "
+            "COUNT(*) AS n_inter FROM w a JOIN w b ON a.term = b.term "
+            "AND a.source < b.source GROUP BY 1, 2) "
+            "SELECT i.source_a, i.source_b, "
+            "CAST(i.n_inter AS BIGINT) AS n_inter, "
+            "CAST(sa.n + sb.n - i.n_inter AS BIGINT) AS n_union, "
+            "CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) "
+            "AS jaccard "
+            "FROM i JOIN sz sa ON i.source_a = sa.source "
+            "JOIN sz sb ON i.source_b = sb.source"
+        ),
+        # per-source top-3 terms by document frequency
+        "source_top_terms": (
+            "WITH w AS (SELECT DISTINCT source, doc_id, "
+            "unnest(string_split(COALESCE(text, ''), ' ')) AS term "
+            "FROM documents), "
+            "dfq AS (SELECT source, term, COUNT(*) AS df "
+            "FROM w GROUP BY 1, 2), "
+            "r AS (SELECT source, term, df, row_number() OVER ("
+            "PARTITION BY source ORDER BY df DESC, term) AS rn FROM dfq) "
+            "SELECT source, term, CAST(df AS BIGINT) AS df "
+            "FROM r WHERE rn <= 3"
+        ),
+        # audience growth: first-seen day per user → running sum
+        "cumulative_new_users": (
+            "WITH f AS (SELECT user_id, "
+            "MIN(epoch_us(ts) // 86400000000) AS day "
+            "FROM events GROUP BY 1), "
+            "c AS (SELECT day, COUNT(*) AS new_users FROM f GROUP BY 1) "
+            "SELECT day, CAST(new_users AS BIGINT) AS new_users, "
+            "CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) "
+            "AS cum_users FROM c"
         ),
     }

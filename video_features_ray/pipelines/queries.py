@@ -4636,3 +4636,131 @@ def q_incremental_agg(sf_dir: str):
         "n": merged["sum_rows"].astype(np.int64),
         "max_value": merged["max_mx"].astype(np.int64) / 10000.0,
     })
+
+
+# ---------------------------------------------------------------------------
+# round-4 batch: corpus profiling + per-entity sequence features
+# ---------------------------------------------------------------------------
+
+
+def q_ntile_value(sf_dir: str):
+    """Per-user NTILE(4) of events by value (the within-entity quartile
+    bucket feature) — tie-broken by event_id for a total order; one
+    bucketed shuffle via the shared transform_buckets plan."""
+    from ..stages.events import ntile
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "value"])
+    out = ntile(ds, "user_id", ["value", "event_id"], n=4,
+                num_buckets=_w(sf_dir, "events"))
+    return out.map_batches(lambda df: df[["event_id", "user_id", "tile"]],
+                           batch_format="pandas")
+
+
+def q_user_event_paths(sf_dir: str):
+    """Per-user ordered event-type path (comma-joined, by ts then
+    event_id) — the clickstream-sequence feature string.  ONE bucketed
+    shuffle; the join happens inside each bucket's vectorized pandas
+    groupby, so no row-scale state ever reaches the driver."""
+    from ..stages.events import transform_buckets
+
+    ds = _events_us(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def _paths(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("user_id", sort=False)["event_type"]
+             .agg(",".join).rename("path").reset_index())
+        g["user_id"] = g["user_id"].astype(np.int64)
+        return g
+
+    return transform_buckets(ds, "user_id", ["ts_us", "event_id"], _paths,
+                             num_buckets=_w(sf_dir, "events"))
+
+
+def q_type_cooccurrence(sf_dir: str):
+    """Event-type co-occurrence matrix — for every unordered type pair,
+    how many users emitted BOTH (market-basket support counts).  Plan:
+    per-batch distinct (user, type) rows → ONE user-bucketed shuffle
+    (cross-batch dupes land together) → per-bucket dedupe + vectorized
+    self-merge into pair partials (≤ types² per user, types is small)
+    → driver sums O(types²) rows.  The events table itself never
+    re-shuffles and the driver never sees row-scale data."""
+    from ..stages.events import stable_bucket
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    nb = _w(sf_dir, "events")
+
+    def _distinct(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["user_id", "event_type"]).copy()
+        d["_bucket"] = stable_bucket(d["user_id"].to_numpy(np.int64), nb)
+        return d
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["user_id", "event_type"])[
+            ["user_id", "event_type"]]
+        p = d.merge(d, on="user_id", suffixes=("_a", "_b"))
+        p = p[p["event_type_a"] < p["event_type_b"]]
+        out = (p.groupby(["event_type_a", "event_type_b"], sort=False)
+               .size().rename("n_users").reset_index())
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    parts = (ds.map_batches(_distinct, batch_format="pandas")
+             .groupby("_bucket").map_groups(_pairs, batch_format="pandas")
+             .to_pandas())
+    out = (parts.groupby(["event_type_a", "event_type_b"], sort=False)
+           ["n_users"].sum().astype(np.int64).reset_index()
+           .rename(columns={"event_type_a": "type_a",
+                            "event_type_b": "type_b"}))
+    return out.sort_values(["type_a", "type_b"],
+                           kind="mergesort").reset_index(drop=True)
+
+
+def q_source_jaccard(sf_dir: str):
+    """Pairwise distinct-term Jaccard between sources (the corpus
+    overlap matrix) — see stages.text.source_jaccard for the plan."""
+    from ..stages.text import source_jaccard
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+    return source_jaccard(ds, num_buckets=_w(sf_dir, "documents"))
+
+
+def q_source_top_terms(sf_dir: str):
+    """Per-source top-3 terms by document frequency (corpus profiling)
+    — see stages.text.source_top_terms for the plan."""
+    from ..stages.text import source_top_terms
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+    return source_top_terms(ds, k=3, num_buckets=_w(sf_dir, "documents"))
+
+
+def q_cumulative_new_users(sf_dir: str):
+    """Cumulative distinct users by day — the audience-growth curve,
+    computed without any COUNT(DISTINCT) shuffle: first-seen day per
+    user is one distributed min partial_agg (O(users) skinny rows),
+    new-users-per-day one O(days) driver combine, and the running sum
+    an O(days) driver cumsum."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def _day(batch: pa.Table) -> pa.Table:
+        d = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": batch["user_id"],
+                         "day": pa.array(d // DAY_US)})
+
+    first = partial_agg(ds.map_batches(_day, batch_format="pyarrow"),
+                        ["user_id"], mins=["day"],
+                        num_buckets=_w(sf_dir, "events"))
+    per_day = partial_agg(
+        first.map_batches(
+            lambda df: pd.DataFrame({"day": df["min_day"].astype(np.int64)}),
+            batch_format="pandas"),
+        ["day"], count_col="new_users", combine="driver").to_pandas()
+    per_day = per_day.sort_values("day", kind="mergesort").reset_index(drop=True)
+    return pd.DataFrame({
+        "day": per_day["day"].astype(np.int64),
+        "new_users": per_day["new_users"].astype(np.int64),
+        "cum_users": per_day["new_users"].astype(np.int64).cumsum(),
+    })

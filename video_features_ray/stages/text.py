@@ -434,3 +434,135 @@ def oov_rate(
 
     return ds.map_batches(_Score, batch_format="pyarrow",
                           zero_copy_batch=True, concurrency=(1, 8))
+
+
+def source_top_terms(
+    ds: "ray.data.Dataset",
+    k: int = 3,
+    source_col: str = "source",
+    text_col: str = "text",
+    num_buckets: int = 16,
+) -> "pd.DataFrame":
+    """Per-SOURCE top-``k`` terms by document frequency — the corpus
+    profiling cut of :func:`term_df_topk` (which is per-doc): which
+    words dominate each crawl/source, ranked by how many of the
+    source's documents contain them.
+
+    Scale shape: each batch splits its docs once and emits the
+    per-batch distinct ``(source, term) → n_docs`` partials (exact —
+    a doc lives in one batch), hash-bucketed on the (source, term)
+    pair; each bucket owns its pairs outright and sums them, then
+    trims to its local per-source top-k (each pair lives in exactly
+    ONE bucket, so the trim provably retains every global top-k
+    member); the driver merges ≤ k × sources × buckets rows.  The
+    corpus text is never shuffled — only O(vocab × sources) skinny
+    count rows move.
+    """
+    import pandas as pd
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = pd.DataFrame({
+            "source": df[source_col].fillna(""),
+            "doc": np.arange(len(df), dtype=np.int64),
+            "term": df[text_col].fillna("").str.split(" "),
+        })
+        e = s.explode("term").drop_duplicates(["source", "doc", "term"])
+        out = (e.groupby(["source", "term"], sort=False).size()
+               .rename("df").reset_index())
+        out["df"] = out["df"].astype(np.int64)
+        h = (pd.util.hash_pandas_object(out["source"], index=False).to_numpy()
+             ^ pd.util.hash_pandas_object(out["term"], index=False).to_numpy())
+        out["_bucket"] = (h % np.uint64(num_buckets)).astype(np.int32)
+        return out
+
+    def _per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["source", "term"], sort=False)["df"].sum()
+             .astype(np.int64).reset_index())
+        g = g.sort_values(["source", "df", "term"],
+                          ascending=[True, False, True], kind="mergesort")
+        return g.groupby("source", sort=False).head(k)
+
+    trimmed = (ds.map_batches(_partial, batch_format="pandas")
+               .groupby("_bucket").map_groups(_per_bucket,
+                                              batch_format="pandas"))
+    merged = trimmed.to_pandas()
+    merged = merged.sort_values(["source", "df", "term"],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+    return (merged.groupby("source", sort=False).head(k)
+            .reset_index(drop=True))
+
+
+def source_jaccard(
+    ds: "ray.data.Dataset",
+    source_col: str = "source",
+    text_col: str = "text",
+    num_buckets: int = 16,
+) -> "pd.DataFrame":
+    """Pairwise Jaccard similarity of the DISTINCT-TERM sets of every
+    source pair — the corpus-overlap matrix a curation run reads before
+    deciding which crawls to merge or drop.
+
+    Scale shape: per-batch distinct ``(source, term)`` rows are
+    hash-bucketed BY TERM; each bucket re-dedupes (cross-batch dupes
+    land in the same bucket), then one vectorized self-merge per bucket
+    turns each term's source list into (source_a < source_b) pair
+    counts, plus per-source distinct-term counts — both O(sources²)
+    partials summed on the driver. Intersection / union stay exact
+    int64; the Jaccard is ONE IEEE division per pair, bit-equal to
+    SQL. The text itself never shuffles; the widest payload is
+    O(vocab × sources) skinny rows.
+    """
+    import pandas as pd
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = pd.DataFrame({
+            "source": df[source_col].fillna(""),
+            "term": df[text_col].fillna("").str.split(" "),
+        })
+        e = (s.explode("term").drop_duplicates(["source", "term"])
+             [["source", "term"]])
+        h = pd.util.hash_pandas_object(e["term"], index=False).to_numpy()
+        e["_bucket"] = (h % np.uint64(num_buckets)).astype(np.int32)
+        return e
+
+    def _per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["source", "term"])[["source", "term"]]
+        pairs = d.merge(d, on="term", suffixes=("_a", "_b"))
+        pairs = pairs[pairs["source_a"] < pairs["source_b"]]
+        inter = (pairs.groupby(["source_a", "source_b"], sort=False)
+                 .size().rename("n_inter").reset_index())
+        sizes = (d.groupby("source", sort=False).size()
+                 .rename("n_terms").reset_index())
+        inter["n_terms"] = np.int64(-1)
+        sizes["source_a"] = sizes.pop("source")
+        sizes["source_b"] = ""
+        sizes["n_inter"] = np.int64(-1)
+        out = pd.concat([inter, sizes], ignore_index=True)
+        out["n_inter"] = out["n_inter"].astype(np.int64)
+        out["n_terms"] = out["n_terms"].astype(np.int64)
+        return out[["source_a", "source_b", "n_inter", "n_terms"]]
+
+    parts = (ds.map_batches(_partial, batch_format="pandas")
+             .groupby("_bucket").map_groups(_per_bucket,
+                                            batch_format="pandas")
+             .to_pandas())
+    sizes = (parts[parts["n_inter"] < 0]
+             .groupby("source_a", sort=False)["n_terms"].sum())
+    inter = (parts[parts["n_inter"] >= 0]
+             .groupby(["source_a", "source_b"], sort=False)["n_inter"]
+             .sum().reset_index())
+    na = inter["source_a"].map(sizes).astype(np.int64)
+    nb = inter["source_b"].map(sizes).astype(np.int64)
+    n_inter = inter["n_inter"].astype(np.int64)
+    n_union = na + nb - n_inter
+    out = pd.DataFrame({
+        "source_a": inter["source_a"],
+        "source_b": inter["source_b"],
+        "n_inter": n_inter,
+        "n_union": n_union,
+        "jaccard": n_inter.to_numpy(np.int64)
+        / n_union.to_numpy(np.int64).astype(np.float64),
+    })
+    return (out.sort_values(["source_a", "source_b"], kind="mergesort")
+            .reset_index(drop=True))
