@@ -322,6 +322,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_jaccard": q.q_source_jaccard,
         "source_top_terms": q.q_source_top_terms,
         "cumulative_new_users": q.q_cumulative_new_users,
+        "bigram_topk": q.q_bigram_topk,
+        "copurchase_pairs": q.q_copurchase_pairs,
+        "events_per_user_hist": q.q_events_per_user_hist,
+        "hapax_ratio": q.q_hapax_ratio,
+        "hourly_profile": q.q_hourly_profile,
+        "ship_delay_median": q.q_ship_delay_median,
     }
 
 
@@ -2039,5 +2045,67 @@ def oracle_sql() -> dict[str, str]:
             "SELECT day, CAST(new_users AS BIGINT) AS new_users, "
             "CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) "
             "AS cum_users FROM c"
+        ),
+        # global top-20 word bigrams (ties by bigram asc)
+        "bigram_topk": (
+            "WITH s AS (SELECT string_split(COALESCE(text, ''), ' ') AS l "
+            "FROM documents), "
+            "x AS (SELECT l, unnest(range(1, len(l))) AS i FROM s), "
+            "b AS (SELECT l[i] || ' ' || l[i+1] AS bigram FROM x), "
+            "c AS (SELECT bigram, COUNT(*) AS n FROM b GROUP BY 1), "
+            "r AS (SELECT bigram, n, row_number() OVER ("
+            "ORDER BY n DESC, bigram) AS rn FROM c) "
+            "SELECT bigram, CAST(n AS BIGINT) AS n FROM r WHERE rn <= 20"
+        ),
+        # top-20 part pairs co-ordered (ties by part keys asc)
+        "copurchase_pairs": (
+            "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey "
+            "FROM lineitem), "
+            "p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+            "COUNT(*) AS n FROM d a JOIN d b ON "
+            "a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+            "GROUP BY 1, 2), "
+            "r AS (SELECT part_a, part_b, n, row_number() OVER ("
+            "ORDER BY n DESC, part_a, part_b) AS rn FROM p) "
+            "SELECT CAST(part_a AS BIGINT) AS part_a, "
+            "CAST(part_b AS BIGINT) AS part_b, "
+            "CAST(n AS BIGINT) AS n_orders FROM r WHERE rn <= 20"
+        ),
+        # power-law engagement histogram
+        "events_per_user_hist": (
+            "WITH c AS (SELECT user_id, COUNT(*) AS n FROM events "
+            "GROUP BY 1) "
+            "SELECT n AS events_per_user, "
+            "CAST(COUNT(*) AS BIGINT) AS n_users FROM c GROUP BY 1"
+        ),
+        # per-source hapax-legomena vocabulary share
+        "hapax_ratio": (
+            "WITH w AS (SELECT DISTINCT source, doc_id, "
+            "unnest(string_split(COALESCE(text, ''), ' ')) AS term "
+            "FROM documents), "
+            "dfq AS (SELECT source, term, COUNT(*) AS df "
+            "FROM w GROUP BY 1, 2) "
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms, "
+            "CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_hapax, "
+            "CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+            "/ COUNT(*) AS hapax_ratio FROM dfq GROUP BY source"
+        ),
+        # diurnal average-value heat-map per event type
+        "hourly_profile": (
+            "SELECT event_type, "
+            "(epoch_us(ts) // 3600000000) % 24 AS hour, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "SUM(CAST(round(value * 10000.0) AS BIGINT)) "
+            "/ (COUNT(*) * 10000.0) AS avg_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        # exact median order→ship delay per priority
+        "ship_delay_median": (
+            "SELECT o_orderpriority AS priority, "
+            "CAST(quantile_disc((epoch_us(l_shipdate) "
+            "- epoch_us(o_orderdate)) // 86400000000, 0.5) AS BIGINT) "
+            "AS median_delay_days FROM orders "
+            "JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1"
         ),
     }

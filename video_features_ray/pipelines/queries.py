@@ -4764,3 +4764,235 @@ def q_cumulative_new_users(sf_dir: str):
         "new_users": per_day["new_users"].astype(np.int64),
         "cum_users": per_day["new_users"].astype(np.int64).cumsum(),
     })
+
+
+def q_bigram_topk(sf_dir: str):
+    """Global top-20 word bigrams across the corpus (the n-gram LM
+    profiling pass).  Per-batch the text splits ONCE into a flat term
+    array; bigrams are one vectorized string concat of the array with
+    its own shift, masked at doc boundaries — no per-row Python.  Only
+    (bigram, count) partials shuffle; the global top-k runs through the
+    bucketed trim plan (each bigram in exactly one bucket, so the
+    per-block head-k provably keeps every global top-k member)."""
+    from ..stages.joins import grouped_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        lists = df["text"].fillna("").str.split(" ")
+        lens = lists.str.len().to_numpy(np.int64)
+        flat = np.concatenate([np.asarray(l, dtype=object)
+                               for l in lists]) if len(lists) else \
+            np.array([], dtype=object)
+        if len(flat) == 0:
+            return pd.DataFrame({"bigram": pd.Series([], dtype=str),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        # last term of each doc cannot start a bigram
+        ends = np.cumsum(lens) - 1
+        valid = np.ones(len(flat), dtype=bool)
+        valid[ends] = False
+        left = flat[:-1][valid[:-1]]
+        right = flat[1:][valid[:-1]]
+        bg = pd.Series(left).str.cat(pd.Series(right), sep=" ")
+        c = bg.value_counts()
+        return pd.DataFrame({"bigram": c.index,
+                             "cnt": c.to_numpy(np.int64)})
+
+    parts = ds.map_batches(_partial, batch_format="pandas")
+    top = grouped_topk(parts, ["bigram"], sums=["cnt"],
+                       sort_col="sum_cnt", k=20,
+                       num_buckets=_w(sf_dir, "documents"))
+    return pd.DataFrame({"bigram": top["bigram"],
+                         "n": top["sum_cnt"].astype(np.int64)})
+
+
+def q_copurchase_pairs(sf_dir: str):
+    """Top-20 part pairs most often ordered together (market-basket
+    co-purchase).  The lineitem fact self-joins WITHIN each order:
+    one orderkey-bucketed shuffle, a vectorized per-bucket self-merge
+    (orders hold a handful of parts, so pairs/order is tiny), then
+    only (part_a, part_b, count) partials feed the bucketed top-k
+    trim — the driver sees O(k x buckets) rows, never a pair table."""
+    from ..stages.events import stable_bucket
+    from ..stages.joins import grouped_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+    nb = _w(sf_dir, "lineitem")
+
+    def _distinct(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"]).copy()
+        d["_bucket"] = stable_bucket(d["l_orderkey"].to_numpy(np.int64), nb)
+        return d
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])[
+            ["l_orderkey", "l_partkey"]]
+        p = d.merge(d, on="l_orderkey", suffixes=("_a", "_b"))
+        p = p[p["l_partkey_a"] < p["l_partkey_b"]]
+        out = (p.groupby(["l_partkey_a", "l_partkey_b"], sort=False)
+               .size().rename("cnt").reset_index())
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out.rename(columns={"l_partkey_a": "part_a",
+                                   "l_partkey_b": "part_b"})
+
+    parts = (ds.map_batches(_distinct, batch_format="pandas")
+             .groupby("_bucket").map_groups(_pairs, batch_format="pandas"))
+    top = grouped_topk(parts, ["part_a", "part_b"], sums=["cnt"],
+                       sort_col="sum_cnt", k=20, num_buckets=nb)
+    return pd.DataFrame({"part_a": top["part_a"].astype(np.int64),
+                         "part_b": top["part_b"].astype(np.int64),
+                         "n_orders": top["sum_cnt"].astype(np.int64)})
+
+
+def q_events_per_user_hist(sf_dir: str):
+    """Histogram of events-per-user (the power-law engagement curve):
+    one distributed per-user count, then an O(distinct counts) driver
+    combine over the count-of-counts — COUNT(DISTINCT)-free and the
+    driver never holds O(users) rows."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+    per_user = partial_agg(ds, ["user_id"], count_col="n",
+                           num_buckets=_w(sf_dir, "events"))
+    hist = partial_agg(
+        per_user.map_batches(
+            lambda df: pd.DataFrame(
+                {"events_per_user": df["n"].astype(np.int64)}),
+            batch_format="pandas"),
+        ["events_per_user"], count_col="n_users",
+        combine="driver").to_pandas()
+    hist = hist.sort_values("events_per_user",
+                            kind="mergesort").reset_index(drop=True)
+    return pd.DataFrame({
+        "events_per_user": hist["events_per_user"].astype(np.int64),
+        "n_users": hist["n_users"].astype(np.int64)})
+
+
+def q_hapax_ratio(sf_dir: str):
+    """Per-source hapax-legomena ratio — the share of the source's
+    distinct vocabulary that appears in exactly ONE of its documents
+    (a lexical-diversity / boilerplate signal).  Document frequency is
+    the same skinny (source, term)-bucketed combine as the other term
+    queries; each bucket then emits only per-source (n_terms, n_hapax)
+    partials, and the ratio is ONE IEEE division of exact int64 sums."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+    nb = _w(sf_dir, "documents")
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = pd.DataFrame({
+            "source": df["source"].fillna(""),
+            "doc": np.arange(len(df), dtype=np.int64),
+            "term": df["text"].fillna("").str.split(" "),
+        })
+        e = s.explode("term").drop_duplicates(["source", "doc", "term"])
+        out = (e.groupby(["source", "term"], sort=False).size()
+               .rename("df").reset_index())
+        out["df"] = out["df"].astype(np.int64)
+        h = (pd.util.hash_pandas_object(out["source"], index=False).to_numpy()
+             ^ pd.util.hash_pandas_object(out["term"], index=False).to_numpy())
+        out["_bucket"] = (h % np.uint64(nb)).astype(np.int32)
+        return out
+
+    def _per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["source", "term"], sort=False)["df"].sum()
+             .reset_index())
+        agg = g.groupby("source", sort=False).agg(
+            n_terms=("df", "size"),
+            n_hapax=("df", lambda s: int((s == 1).sum())))
+        return agg.reset_index()
+
+    parts = (ds.map_batches(_partial, batch_format="pandas")
+             .groupby("_bucket").map_groups(_per_bucket,
+                                            batch_format="pandas")
+             .to_pandas())
+    tot = (parts.groupby("source", sort=False)[["n_terms", "n_hapax"]]
+           .sum().reset_index())
+    return pd.DataFrame({
+        "source": tot["source"],
+        "n_terms": tot["n_terms"].astype(np.int64),
+        "n_hapax": tot["n_hapax"].astype(np.int64),
+        "hapax_ratio": tot["n_hapax"].to_numpy(np.int64)
+        / tot["n_terms"].to_numpy(np.int64).astype(np.float64),
+    }).sort_values("source", kind="mergesort").reset_index(drop=True)
+
+
+def q_hourly_profile(sf_dir: str):
+    """Seasonal profile: average value per (event_type, hour-of-day) —
+    the 20x24 diurnal heat-map behind time features.  Pure map + one
+    O(groups) driver combine; sums stay scaled int64 so the average is
+    a single division, bit-equal to SQL."""
+    HOUR_US = 3_600_000_000
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "value"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        t = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                     * 10000.0).astype(np.int64)
+        return pa.table({"event_type": batch["event_type"],
+                         "hour": pa.array((t // HOUR_US) % 24),
+                         "v": pa.array(v)})
+
+    agg = partial_agg(ds.map_batches(_prep, batch_format="pyarrow"),
+                      ["event_type", "hour"], sums=["v"],
+                      combine="driver").to_pandas()
+    return pd.DataFrame({
+        "event_type": agg["event_type"],
+        "hour": agg["hour"].astype(np.int64),
+        "n": agg["n"].astype(np.int64),
+        "avg_value": agg["sum_v"].astype(np.int64)
+        / (agg["n"].astype(np.int64).to_numpy() * 10000.0),
+    })
+
+
+def q_ship_delay_median(sf_dir: str):
+    """Exact median order→ship delay in days per order priority — a
+    fact x fact join (orders ⋈ lineitem on orderkey) followed by the
+    CDF-walk quantile: only (priority, delay_days) frequency partials
+    leave the join, so the quantile state is O(priorities x distinct
+    days), never row-scale."""
+    from ..stages.joins import grouped_quantile_disc, hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_shipdate"])
+
+    def _o(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "orderkey": batch["o_orderkey"],
+            "odate": batch["o_orderdate"].cast(pa.int64()),
+            "priority": batch["o_orderpriority"]})
+
+    def _l(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "orderkey": batch["l_orderkey"],
+            "sdate": batch["l_shipdate"].cast(pa.int64())})
+
+    j = hash_join(
+        li.map_batches(_l, batch_format="pyarrow"),
+        orders.map_batches(_o, batch_format="pyarrow"),
+        on="orderkey", num_buckets=_w(sf_dir, "lineitem"),
+        coalesce_blocks=16,
+        schemas=(pa.schema([("orderkey", pa.int64()),
+                            ("sdate", pa.int64())]),
+                 pa.schema([("orderkey", pa.int64()),
+                            ("odate", pa.int64()),
+                            ("priority", pa.string())])))
+
+    def _delay(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "priority": df["priority"],
+            "delay_days": ((df["sdate"].to_numpy(np.int64)
+                            - df["odate"].to_numpy(np.int64))
+                           // DAY_US).astype(np.int64)})
+
+    out = grouped_quantile_disc(
+        j.map_batches(_delay, batch_format="pandas"),
+        "priority", "delay_days", q=0.5,
+        num_buckets=_w(sf_dir, "orders"))
+    return pd.DataFrame({"priority": out["priority"],
+                         "median_delay_days": out["q0.5"].astype(np.int64)})
