@@ -328,6 +328,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hapax_ratio": q.q_hapax_ratio,
         "hourly_profile": q.q_hourly_profile,
         "ship_delay_median": q.q_ship_delay_median,
+        "spend_decile": q.q_spend_decile,
+        "stratified_sample": q.q_stratified_sample,
+        "distinct_users_6h": q.q_distinct_users_6h,
+        "prefix_dup_groups": q.q_prefix_dup_groups,
     }
 
 
@@ -2107,5 +2111,35 @@ def oracle_sql() -> dict[str, str]:
             "- epoch_us(o_orderdate)) // 86400000000, 0.5) AS BIGINT) "
             "AS median_delay_days FROM orders "
             "JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1"
+        ),
+        # corpus-global NTILE(10) of per-user total spend
+        "spend_decile": (
+            "WITH t AS (SELECT user_id, "
+            "SUM(CAST(round(value * 10000.0) AS BIGINT)) AS total_s "
+            "FROM events GROUP BY 1) "
+            "SELECT user_id, total_s / 10000.0 AS total, "
+            "CAST(NTILE(10) OVER (ORDER BY total_s, user_id) AS BIGINT) "
+            "AS decile FROM t"
+        ),
+        # deterministic 10-per-source sample (Knuth multiplicative hash)
+        "stratified_sample": (
+            "WITH r AS (SELECT source, doc_id, row_number() OVER ("
+            "PARTITION BY source ORDER BY "
+            "(doc_id * 2654435761) % 4294967296, doc_id) AS rn "
+            "FROM documents) "
+            "SELECT source, doc_id FROM r WHERE rn <= 10"
+        ),
+        # distinct active users per 6-hour tumbling window
+        "distinct_users_6h": (
+            "SELECT epoch_us(ts) // 21600000000 AS win, "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events GROUP BY 1"
+        ),
+        # docs sharing a 64-char text prefix (boilerplate groups)
+        "prefix_dup_groups": (
+            "WITH p AS (SELECT substr(COALESCE(text, ''), 1, 64) "
+            "AS prefix FROM documents) "
+            "SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_docs "
+            "FROM p GROUP BY 1 HAVING COUNT(*) > 1"
         ),
     }

@@ -4996,3 +4996,118 @@ def q_ship_delay_median(sf_dir: str):
         num_buckets=_w(sf_dir, "orders"))
     return pd.DataFrame({"priority": out["priority"],
                          "median_delay_days": out["q0.5"].astype(np.int64)})
+
+
+def q_spend_decile(sf_dir: str):
+    """Corpus-GLOBAL spend deciles: every user's total event value →
+    NTILE(10) over ALL users ordered by (total, user_id) — the global
+    order statistic (no partition key), computed by the distributed
+    counting-sort scan in stages.rank: range-bucket by value, driver
+    exclusive-scans O(buckets) counts, ONE shuffle, closed-form tile
+    from the global rank.  Totals stay scaled int64 so the order (and
+    the tile) is exact."""
+    from ..stages.rank import global_ntile
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "value"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        v = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                     * 10000.0).astype(np.int64)
+        return pa.table({"user_id": batch["user_id"], "v": pa.array(v)})
+
+    totals = partial_agg(ds.map_batches(_prep, batch_format="pyarrow"),
+                         ["user_id"], sums=["v"],
+                         num_buckets=_w(sf_dir, "events"))
+    skinny = totals.map_batches(
+        lambda df: pd.DataFrame({
+            "user_id": df["user_id"].astype(np.int64),
+            "total_s": df["sum_v"].astype(np.int64)}),
+        batch_format="pandas")
+    out = global_ntile(skinny, "total_s", "user_id", n=10,
+                       num_buckets=shuffle_width())
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype(np.int64),
+            "total": df["total_s"].astype(np.int64) / 10000.0,
+            "decile": df["tile"].astype(np.int64)})
+
+    return out.map_batches(_finish, batch_format="pandas")
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample — 10 docs per source, picked by
+    a multiplicative-hash pseudo-random order the ORACLE can replay
+    ((doc_id * 2654435761) % 2^32, Knuth's constant): per-block trim to
+    10/source (a doc lives in one block, so the trim keeps every global
+    candidate), one tiny per-source combine.  The text column is never
+    read, let alone moved."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source"])
+    K = 10
+
+    def _trim(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "source": df["source"].fillna(""),
+            "doc_id": df["doc_id"].astype(np.int64)})
+        d["sk"] = (d["doc_id"].to_numpy(np.int64)
+                   * 2654435761) % 4294967296
+        d = d.sort_values(["source", "sk", "doc_id"], kind="mergesort")
+        return d.groupby("source", sort=False).head(K)
+
+    trimmed = ds.map_batches(_trim, batch_format="pandas").to_pandas()
+    trimmed = trimmed.sort_values(["source", "sk", "doc_id"],
+                                  kind="mergesort")
+    out = trimmed.groupby("source", sort=False).head(K)
+    return (out[["source", "doc_id"]]
+            .sort_values(["source", "doc_id"], kind="mergesort")
+            .reset_index(drop=True))
+
+
+def q_distinct_users_6h(sf_dir: str):
+    """Distinct active users per 6-hour tumbling window WITHOUT a
+    COUNT(DISTINCT) shuffle: dedupe (window, user) pairs in one
+    distributed partial_agg (exact — the pair is the key), then an
+    O(windows) driver count."""
+    WIN_US = 6 * 3_600_000_000
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def _win(batch: pa.Table) -> pa.Table:
+        t = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"win": pa.array(t // WIN_US),
+                         "user_id": batch["user_id"]})
+
+    pairs = partial_agg(ds.map_batches(_win, batch_format="pyarrow"),
+                        ["win", "user_id"],
+                        num_buckets=_w(sf_dir, "events"))
+    counts = partial_agg(
+        pairs.map_batches(
+            lambda df: pd.DataFrame({"win": df["win"].astype(np.int64)}),
+            batch_format="pandas"),
+        ["win"], count_col="n_users", combine="driver").to_pandas()
+    counts = counts.sort_values("win", kind="mergesort").reset_index(drop=True)
+    return pd.DataFrame({"win": counts["win"].astype(np.int64),
+                         "n_users": counts["n_users"].astype(np.int64)})
+
+
+def q_prefix_dup_groups(sf_dir: str):
+    """Boilerplate detector: groups of documents sharing the same
+    64-char text prefix (the cheap exact-prefix cut of near-dup).  Maps
+    each doc to its prefix, one distributed count, keeps groups with
+    more than one member — only (prefix, count) rows ever shuffle."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def _prefix(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"prefix": df["text"].fillna("").str.slice(0, 64)})
+
+    counts = partial_agg(ds.map_batches(_prefix, batch_format="pandas"),
+                         ["prefix"], count_col="n_docs",
+                         num_buckets=_w(sf_dir, "documents"))
+    dups = counts.map_batches(
+        lambda df: df[df["n_docs"] > 1][["prefix", "n_docs"]],
+        batch_format="pandas").to_pandas()
+    dups["n_docs"] = dups["n_docs"].astype(np.int64)
+    return dups.sort_values("prefix", kind="mergesort").reset_index(drop=True)
