@@ -332,6 +332,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q.q_stratified_sample,
         "distinct_users_6h": q.q_distinct_users_6h,
         "prefix_dup_groups": q.q_prefix_dup_groups,
+        "per_user_top_type": q.q_per_user_top_type,
+        "session_duration_decile": q.q_session_duration_decile,
     }
 
 
@@ -2141,5 +2143,32 @@ def oracle_sql() -> dict[str, str]:
             "AS prefix FROM documents) "
             "SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_docs "
             "FROM p GROUP BY 1 HAVING COUNT(*) > 1"
+        ),
+        # per-user modal event type (grouped argmax, ties by type asc)
+        "per_user_top_type": (
+            "WITH c AS (SELECT user_id, event_type, COUNT(*) AS n "
+            "FROM events GROUP BY 1, 2), "
+            "r AS (SELECT user_id, event_type, n, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY n DESC, event_type) AS rn "
+            "FROM c) "
+            "SELECT user_id, event_type AS top_type, "
+            "CAST(n AS BIGINT) AS n FROM r WHERE rn = 1"
+        ),
+        # sessionize → span → corpus-global duration deciles
+        "session_duration_decile": (
+            "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t "
+            "FROM events), "
+            "m AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL "
+            "OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS new "
+            "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), "
+            "lab AS (SELECT user_id, t, SUM(new) OVER ("
+            "PARTITION BY user_id ORDER BY t, event_id "
+            "ROWS UNBOUNDED PRECEDING) - 1 AS session_id FROM m), "
+            "s AS (SELECT user_id, session_id, "
+            "MAX(t) - MIN(t) AS duration_us FROM lab GROUP BY 1, 2) "
+            "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
+            "CAST(duration_us AS BIGINT) AS duration_us, "
+            "CAST(NTILE(10) OVER (ORDER BY duration_us, "
+            "user_id * 1000000 + session_id) AS BIGINT) AS decile FROM s"
         ),
     }

@@ -5111,3 +5111,68 @@ def q_prefix_dup_groups(sf_dir: str):
         batch_format="pandas").to_pandas()
     dups["n_docs"] = dups["n_docs"].astype(np.int64)
     return dups.sort_values("prefix", kind="mergesort").reset_index(drop=True)
+
+
+def q_per_user_top_type(sf_dir: str):
+    """Per-user modal event type (the grouped argmax at USER
+    cardinality — ``mode_event_type`` is the global version): counts
+    per (user, type) come from one distributed partial_agg; a second
+    user-bucketed pass takes each user's (count desc, type asc) head —
+    both shuffles move only skinny count rows."""
+    from ..stages.events import transform_buckets
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    counts = partial_agg(ds, ["user_id", "event_type"], count_col="cnt",
+                         num_buckets=_w(sf_dir, "events"))
+
+    def _head1(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", sort=False).head(1)
+        return pd.DataFrame({
+            "user_id": g["user_id"].astype(np.int64),
+            "top_type": g["event_type"],
+            "n": g["cnt"].astype(np.int64)})
+
+    return transform_buckets(counts, "user_id", ["cnt", "event_type"],
+                             _head1, num_buckets=_w(sf_dir, "events"),
+                             ascending=[False, True])
+
+
+def q_session_duration_decile(sf_dir: str):
+    """Pipeline composition showcase: gap-sessionize the event stream
+    (30-min gap), aggregate each session's span, then rank EVERY
+    session into corpus-global duration deciles with the counting-sort
+    NTILE — three operators, three skinny shuffles, no row-scale driver
+    state anywhere."""
+    from ..stages.events import sessionize
+    from ..stages.rank import global_ntile
+
+    ds = _events_us(sf_dir, ["event_id", "user_id", "ts"])
+    sess = sessionize(ds, "user_id", "ts_us", gap=1_800_000_000.0,
+                      num_buckets=_w(sf_dir, "events"),
+                      tie_cols=["event_id"])
+    spans = partial_agg(sess, ["user_id", "session_id"],
+                        mins=["ts_us"], maxs=["ts_us"],
+                        num_buckets=_w(sf_dir, "events"))
+
+    def _dur(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].astype(np.int64)
+        sid = df["session_id"].astype(np.int64)
+        return pd.DataFrame({
+            "sess_key": uid * 1_000_000 + sid,
+            "duration_us": (df["max_ts_us"].astype(np.int64)
+                            - df["min_ts_us"].astype(np.int64))})
+
+    skinny = spans.map_batches(_dur, batch_format="pandas")
+    out = global_ntile(skinny, "duration_us", "sess_key", n=10,
+                       num_buckets=shuffle_width())
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["sess_key"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "user_id": k // 1_000_000,
+            "session_id": k % 1_000_000,
+            "duration_us": df["duration_us"].astype(np.int64),
+            "decile": df["tile"].astype(np.int64)})
+
+    return out.map_batches(_finish, batch_format="pandas")
