@@ -334,6 +334,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_dup_groups": q.q_prefix_dup_groups,
         "per_user_top_type": q.q_per_user_top_type,
         "session_duration_decile": q.q_session_duration_decile,
+        "props_k_stats": q.q_props_k_stats,
+        "cum_distinct_types": q.q_cum_distinct_types,
+        "monthly_revenue_growth": q.q_monthly_revenue_growth,
+        "dup_rate_by_source": q.q_dup_rate_by_source,
     }
 
 
@@ -2170,5 +2174,46 @@ def oracle_sql() -> dict[str, str]:
             "CAST(duration_us AS BIGINT) AS duration_us, "
             "CAST(NTILE(10) OVER (ORDER BY duration_us, "
             "user_id * 1000000 + session_id) AS BIGINT) AS decile FROM s"
+        ),
+        # JSON k extraction → per-type stats (RE2-replayable regex)
+        "props_k_stats": (
+            "WITH x AS (SELECT event_type, COALESCE(TRY_CAST("
+            "regexp_extract(COALESCE(props, ''), '\"k\": (\\d+)', 1) "
+            "AS BIGINT), -1) AS k FROM events) "
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(k) AS BIGINT) AS sum_k, "
+            "CAST(MAX(k) AS BIGINT) AS max_k, "
+            "CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k "
+            "FROM x GROUP BY 1"
+        ),
+        # running distinct-type breadth per user
+        "cum_distinct_types": (
+            "WITH e AS (SELECT event_id, user_id, event_type, "
+            "epoch_us(ts) AS t FROM events), "
+            "f AS (SELECT event_id, user_id, t, CASE WHEN row_number() "
+            "OVER (PARTITION BY user_id, event_type ORDER BY t, event_id) "
+            "= 1 THEN 1 ELSE 0 END AS first FROM e) "
+            "SELECT event_id, user_id, CAST(SUM(first) OVER ("
+            "PARTITION BY user_id ORDER BY t, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_types_seen FROM f"
+        ),
+        # month-over-month revenue (cent-exact, -1 sentinel first month)
+        "monthly_revenue_growth": (
+            "WITH m AS (SELECT year(o_orderdate) * 12 "
+            "+ (month(o_orderdate) - 1) AS month_id, "
+            "SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS c "
+            "FROM orders GROUP BY 1) "
+            "SELECT month_id, c / 100.0 AS revenue, "
+            "COALESCE(lag(c) OVER (ORDER BY month_id), -1) / 100.0 "
+            "AS prev_revenue, "
+            "(c - COALESCE(lag(c) OVER (ORDER BY month_id), c)) / 100.0 "
+            "AS delta FROM m"
+        ),
+        # per-source exact-duplicate pressure
+        "dup_rate_by_source": (
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique, "
+            "CAST(COUNT(*) - COUNT(DISTINCT text) AS DOUBLE) / COUNT(*) "
+            "AS dup_rate FROM documents GROUP BY 1"
         ),
     }

@@ -283,6 +283,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "large_orders", "rolling_median_value", "event_transitions",
         "corpus_diff", "link_pagerank", "mad_value_per_type",
         "ab_test_value",
+        # round-4 profiling / rank / sampling additions
+        "ntile_value", "user_event_paths", "type_cooccurrence",
+        "source_jaccard", "source_top_terms", "cumulative_new_users",
+        "bigram_topk", "copurchase_pairs", "events_per_user_hist",
+        "hapax_ratio", "hourly_profile", "ship_delay_median",
+        "spend_decile", "stratified_sample", "distinct_users_6h",
+        "prefix_dup_groups", "per_user_top_type",
+        "session_duration_decile", "props_k_stats",
+        "cum_distinct_types", "monthly_revenue_growth",
+        "dup_rate_by_source",
     ]
     qs = em.queries()
     for name in bench_queries:

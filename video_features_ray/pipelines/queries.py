@@ -5176,3 +5176,115 @@ def q_session_duration_decile(sf_dir: str):
             "decile": df["tile"].astype(np.int64)})
 
     return out.map_batches(_finish, batch_format="pandas")
+
+
+def q_props_k_stats(sf_dir: str):
+    """Semi-structured ETL: pull the integer ``k`` out of the JSON
+    ``props`` string with ONE vectorized regex per batch (compiled
+    once, RE2-compatible so the oracle replays it), then a per-type
+    O(groups) aggregate — n, sum, max, and a single-division mean."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "props"])
+
+    def _extract(df: pd.DataFrame) -> pd.DataFrame:
+        k = pd.to_numeric(
+            df["props"].fillna("").str.extract(r'"k": (\d+)', expand=False),
+            errors="coerce").fillna(-1).astype(np.int64)
+        return pd.DataFrame({"event_type": df["event_type"], "k": k})
+
+    agg = partial_agg(ds.map_batches(_extract, batch_format="pandas"),
+                      ["event_type"], sums=["k"], maxs=["k"],
+                      combine="driver").to_pandas()
+    return pd.DataFrame({
+        "event_type": agg["event_type"],
+        "n": agg["n"].astype(np.int64),
+        "sum_k": agg["sum_k"].astype(np.int64),
+        "max_k": agg["max_k"].astype(np.int64),
+        "avg_k": agg["sum_k"].astype(np.int64)
+        / agg["n"].astype(np.int64).astype(np.float64),
+    })
+
+
+def q_cum_distinct_types(sf_dir: str):
+    """Running count of DISTINCT event types each user has touched as
+    of each event — the exploration-breadth feature.  One bucketed
+    shuffle; inside each sorted bucket the first occurrence of a
+    (user, type) pair is a vectorized ``duplicated()`` flag and the
+    running count is a per-user cumsum."""
+    from ..stages.events import transform_buckets
+
+    ds = _events_us(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def _cum(df: pd.DataFrame) -> pd.DataFrame:
+        first = (~df.duplicated(["user_id", "event_type"])).astype(np.int64)
+        cum = first.groupby(df["user_id"], sort=False).cumsum()
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype(np.int64),
+            "user_id": df["user_id"].astype(np.int64),
+            "n_types_seen": cum.astype(np.int64)})
+
+    return transform_buckets(ds, "user_id", ["ts_us", "event_id"], _cum,
+                             num_buckets=_w(sf_dir, "events"))
+
+
+def q_monthly_revenue_growth(sf_dir: str):
+    """Month-over-month revenue report: cent-exact monthly sums from
+    one O(months) partial_agg, the lag/delta computed on the driver's
+    tiny month vector — the classic time-series rollup without a
+    window shuffle."""
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderdate", "o_totalprice"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        t = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        days = t // DAY_US
+        # calendar month id: days since epoch → (year, month) ordinal.
+        # 1970-01-01 is day 0; use pandas vectorized conversion.
+        m = pd.to_datetime(days, unit="D")
+        month_id = (m.year.to_numpy(np.int64) * 12
+                    + (m.month.to_numpy(np.int64) - 1))
+        cents = np.round(batch["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        return pa.table({"month_id": pa.array(month_id),
+                         "cents": pa.array(cents)})
+
+    agg = partial_agg(ds.map_batches(_prep, batch_format="pyarrow"),
+                      ["month_id"], sums=["cents"],
+                      combine="driver").to_pandas()
+    agg = agg.sort_values("month_id", kind="mergesort").reset_index(drop=True)
+    rev = agg["sum_cents"].astype(np.int64)
+    prev = rev.shift(1).fillna(-1).astype(np.int64)
+    return pd.DataFrame({
+        "month_id": agg["month_id"].astype(np.int64),
+        "revenue": rev / 100.0,
+        "prev_revenue": prev.to_numpy(np.int64) / 100.0,
+        "delta": (rev - prev.where(prev >= 0, rev)).astype(np.int64) / 100.0,
+    })
+
+
+def q_dup_rate_by_source(sf_dir: str):
+    """Per-source exact-duplicate pressure: total docs vs distinct
+    texts, and the dup share as one IEEE division.  The distinct pass
+    is a (source, text)-keyed partial_agg — the text moves exactly
+    once (what SQL's COUNT(DISTINCT text) also must do), then only
+    O(sources) count rows remain."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+    totals = partial_agg(
+        ds.map_batches(lambda df: df[["source"]], batch_format="pandas"),
+        ["source"], count_col="n_docs", combine="driver").to_pandas()
+    uniq = partial_agg(ds, ["source", "text"],
+                       num_buckets=_w(sf_dir, "documents"))
+    nuniq = partial_agg(
+        uniq.map_batches(lambda df: df[["source"]], batch_format="pandas"),
+        ["source"], count_col="n_unique", combine="driver").to_pandas()
+    out = totals.merge(nuniq, on="source")
+    nd = out["n_docs"].astype(np.int64)
+    nu = out["n_unique"].astype(np.int64)
+    return pd.DataFrame({
+        "source": out["source"],
+        "n_docs": nd,
+        "n_unique": nu,
+        "dup_rate": (nd - nu).to_numpy(np.int64)
+        / nd.to_numpy(np.int64).astype(np.float64),
+    }).sort_values("source", kind="mergesort").reset_index(drop=True)
