@@ -338,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cum_distinct_types": q.q_cum_distinct_types,
         "monthly_revenue_growth": q.q_monthly_revenue_growth,
         "dup_rate_by_source": q.q_dup_rate_by_source,
+        "zonemap_prune": q.q_zonemap_prune,
     }
 
 
@@ -2215,5 +2216,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique, "
             "CAST(COUNT(*) - COUNT(DISTINCT text) AS DOUBLE) / COUNT(*) "
             "AS dup_rate FROM documents GROUP BY 1"
+        ),
+        # zone-map pruned 3-day range read == raw-table recompute
+        "zonemap_prune": (
+            "WITH x AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+            "CAST(round(value * 10000.0) AS BIGINT) AS v_s FROM events "
+            "WHERE epoch_us(ts) >= 19727 * 86400000000 "
+            "AND epoch_us(ts) < 19730 * 86400000000) "
+            "SELECT day, CAST(COUNT(*) AS BIGINT) AS n, "
+            "SUM(v_s) / 10000.0 AS total FROM x GROUP BY 1"
         ),
     }

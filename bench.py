@@ -292,7 +292,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "prefix_dup_groups", "per_user_top_type",
         "session_duration_decile", "props_k_stats",
         "cum_distinct_types", "monthly_revenue_growth",
-        "dup_rate_by_source",
+        "dup_rate_by_source", "zonemap_prune",
     ]
     qs = em.queries()
     for name in bench_queries:

@@ -24,3 +24,19 @@ def ray_session():
     ctx.execution_options.verbose_progress = False
     yield
     ray.shutdown()
+
+
+@pytest.fixture(autouse=True)
+def _release_dataset_actors():
+    """Collect finished Datasets' executors after every test.
+
+    A Dataset whose actor pool hasn't been GC'd yet keeps its actors'
+    CPU reservations alive; on the 4-CPU test cluster a stray 0.25-CPU
+    actor from the previous test can leave the next pipeline's read
+    task unschedulable (observed: a leaked MapBatches(_Apply) actor
+    wedging the flagship stream for 18 min). One gc.collect per test
+    releases them deterministically."""
+    yield
+    import gc
+
+    gc.collect()

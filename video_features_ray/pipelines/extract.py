@@ -106,7 +106,15 @@ def extract(
             if total <= 2:
                 encoder_concurrency = (1, max(1, total - 1))
             else:
-                encoder_concurrency = max(1, min(total - 1, (total * 3) // 4))
+                # ELASTIC (1, cap), not a fixed pool: a fixed size-3
+                # pool on a 4-CPU cluster reserves 3.0 CPUs up front,
+                # and any stray fraction held elsewhere (another
+                # dataset's pool mid-teardown) leaves <1 CPU for the
+                # ReadParquet task — observed wedging the whole stream.
+                # With min=1 the pool holds one actor and scales up
+                # only when the scheduler can actually place more.
+                encoder_concurrency = (
+                    1, max(1, min(total - 1, (total * 3) // 4)))
         else:
             # cluster size unknown at plan-build time (auto-init later):
             # a fixed guess could reserve every CPU of a smaller real

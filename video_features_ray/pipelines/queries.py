@@ -5288,3 +5288,51 @@ def q_dup_rate_by_source(sf_dir: str):
         "dup_rate": (nd - nu).to_numpy(np.int64)
         / nd.to_numpy(np.int64).astype(np.float64),
     }).sort_values("source", kind="mergesort").reset_index(drop=True)
+
+
+def q_zonemap_prune(sf_dir: str):
+    """Data-skipping end-to-end: write the event stream as zone-mapped
+    sorted parquet runs (one file per day of ``ts``), answer a 3-day
+    range question through the PRUNED read path (non-overlapping files
+    are never opened — asserted, not assumed), and aggregate per day.
+    The oracle recomputes from the raw table, proving the
+    partition+manifest round-trip byte-exact."""
+    import os
+
+    from ..sources.zonemap import read_zonemapped, write_zonemapped
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "value"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        t = batch["ts"].cast(pa.int64())
+        v = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                     * 10000.0).astype(np.int64)
+        return pa.table({"event_id": batch["event_id"], "ts_us": t,
+                         "v_s": pa.array(v)})
+
+    out_dir = os.path.join(
+        "/tmp", "vfr_zonemap_"
+        + os.path.basename(os.path.normpath(sf_dir)))
+    write_zonemapped(ds.map_batches(_prep, batch_format="pyarrow"),
+                     out_dir, "ts_us", DAY_US)
+
+    # days 5..7 of Jan 2024 (epoch days 19727..19729)
+    lo, hi = 19727 * DAY_US, 19730 * DAY_US
+    pruned, files_read, files_total = read_zonemapped(
+        out_dir, "ts_us", lo, hi)
+    assert files_read < files_total, "zone map failed to skip files"
+
+    agg = partial_agg(
+        pruned.map_batches(
+            lambda df: pd.DataFrame({
+                "day": df["ts_us"].to_numpy(np.int64) // DAY_US,
+                "v_s": df["v_s"].astype(np.int64)}),
+            batch_format="pandas"),
+        ["day"], sums=["v_s"], combine="driver").to_pandas()
+    agg = agg.sort_values("day", kind="mergesort").reset_index(drop=True)
+    return pd.DataFrame({
+        "day": agg["day"].astype(np.int64),
+        "n": agg["n"].astype(np.int64),
+        "total": agg["sum_v_s"].astype(np.int64) / 10000.0,
+    })

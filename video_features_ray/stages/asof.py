@@ -167,7 +167,7 @@ def asof_join_broadcast(
             return _merge_asof_prepped(batch, self.right, key, left_ts,
                                        direction, suffix, tolerance)
 
-    return left.map_batches(_AsofMap, batch_format="pandas", concurrency=(1, 8))
+    return left.map_batches(_AsofMap, batch_format="pandas", concurrency=(1, 8), num_cpus=0.25)
 
 
 # ---------------------------------------------------------------------------

@@ -273,7 +273,7 @@ def contamination_check(
             })
 
     return ds.map_batches(_Score, batch_format="pyarrow",
-                          zero_copy_batch=True, concurrency=(1, 8))
+                          zero_copy_batch=True, concurrency=(1, 8), num_cpus=0.25)
 
 
 # --------------------------------------------------------------------------
@@ -326,10 +326,10 @@ def bloom_new_docs(
 
     misses = new_ds.map_batches(
         _Split, fn_constructor_args=(False,), batch_format="pyarrow",
-        zero_copy_batch=True, concurrency=(1, 8))
+        zero_copy_batch=True, concurrency=(1, 8), num_cpus=0.25)
     candidates = new_ds.map_batches(
         _Split, fn_constructor_args=(True,), batch_format="pyarrow",
-        zero_copy_batch=True, concurrency=(1, 8))
+        zero_copy_batch=True, concurrency=(1, 8), num_cpus=0.25)
 
     from .joins import hash_join
 
@@ -545,7 +545,7 @@ def semantic_dedup(
                              vec_col: col})
 
     assigned = ds.map_batches(_Assign, batch_format="pyarrow",
-                              zero_copy_batch=True, concurrency=(1, 8))
+                              zero_copy_batch=True, concurrency=(1, 8), num_cpus=0.25)
 
     rng = np.random.default_rng(seed)
     extra_planes = rng.standard_normal((dim, 32)).astype(np.float64)
@@ -689,7 +689,7 @@ def curate(
 
     # fused single pass: read → per-doc signals → filter → skinny rows
     ds_nw = ds.map_batches(_Fused, batch_format="pyarrow",
-                           zero_copy_batch=True, concurrency=(1, 8))
+                           zero_copy_batch=True, concurrency=(1, 8), num_cpus=0.25)
 
     # budget scan over the survivors (same distributed-scan plan as
     # token_budget_select, reusing its group/scan machinery on the

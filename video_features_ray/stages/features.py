@@ -241,7 +241,7 @@ def zscore_normalize(
             z[ok] = (xs[ok] - self.mean[p]) / self.sd[p]
             return batch.append_column(out_col, pa.array(z))
 
-    return ds.map_batches(_Apply, concurrency=(1, 8),
+    return ds.map_batches(_Apply, concurrency=(1, 8), num_cpus=0.25,
                           batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -307,7 +307,7 @@ def minmax_normalize(
             m[ok] = (xs[ok] - self.lo[p]) / self.rng[p]
             return batch.append_column(out_col, pa.array(m))
 
-    return ds.map_batches(_Apply, concurrency=(1, 8),
+    return ds.map_batches(_Apply, concurrency=(1, 8), num_cpus=0.25,
                           batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -373,7 +373,7 @@ def mean_target_encode(
             te[ok] = self.te[pos[ok]]
             return batch.append_column(out_col, pa.array(te))
 
-    return ds.map_batches(_Apply, concurrency=(1, 8),
+    return ds.map_batches(_Apply, concurrency=(1, 8), num_cpus=0.25,
                           batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -537,7 +537,7 @@ def robust_scale(
             r[ok] = (xs[ok] - self.med[p]) / self.iqr[p]
             return batch.append_column(out_col, pa.array(r))
 
-    return ds.map_batches(_Apply, concurrency=(1, 8),
+    return ds.map_batches(_Apply, concurrency=(1, 8), num_cpus=0.25,
                           batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -589,7 +589,7 @@ def count_encode(
             ce[ok] = self.n[pos[ok]]
             return batch.append_column(out_col, pa.array(ce))
 
-    return ds.map_batches(_Apply, concurrency=(1, 8),
+    return ds.map_batches(_Apply, concurrency=(1, 8), num_cpus=0.25,
                           batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -689,7 +689,7 @@ def quantile_bin(
             b = np.searchsorted(self.bounds, xs, side="right").astype(np.int64)
             return batch.append_column(bin_col, pa.array(b))
 
-    return ds.map_batches(_Apply, concurrency=(1, 8),
+    return ds.map_batches(_Apply, concurrency=(1, 8), num_cpus=0.25,
                           batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -771,7 +771,7 @@ def winsorize(
             w[ok] = np.minimum(np.maximum(xs[ok], self.lo[p]), self.hi[p])
             return batch.append_column(out_col, pa.array(w))
 
-    return ds.map_batches(_Apply, concurrency=(1, 8),
+    return ds.map_batches(_Apply, concurrency=(1, 8), num_cpus=0.25,
                           batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -879,7 +879,7 @@ def ordered_target_encode(
                     s.astype(np.float64) / n.astype(np.float64), np.nan)
             return df.drop(columns=["_tb", "_ktb", "_cs", "_cc"])
 
-    return chunked.map_batches(_AddCarry, concurrency=(1, 8),
+    return chunked.map_batches(_AddCarry, concurrency=(1, 8), num_cpus=0.25,
                                batch_format="pandas")
 
 
@@ -954,7 +954,7 @@ def mean_impute(
             out[fill] = self.mean[pos[fill]]
             return batch.append_column(out_col, pa.array(out))
 
-    return ds.map_batches(_Apply, concurrency=(1, 8),
+    return ds.map_batches(_Apply, concurrency=(1, 8), num_cpus=0.25,
                           batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -1031,7 +1031,7 @@ def quantile_transform(
             q = c.astype(np.float64) / self.total
             return batch.append_column(out_col, pa.array(q))
 
-    return ds.map_batches(_Apply, concurrency=(1, 8),
+    return ds.map_batches(_Apply, concurrency=(1, 8), num_cpus=0.25,
                           batch_format="pyarrow", zero_copy_batch=True)
 
 

@@ -65,7 +65,16 @@ def broadcast_join(
 
     if how not in ("inner", "left"):
         raise ValueError(f"broadcast_join supports inner/left, got {how!r}")
-    return big.map_batches(_Join, batch_format="pandas", concurrency=(1, 8))
+    # num_cpus=0.25: a broadcast join is a cheap vectorized lookup, and
+    # plans COMPOSE several of them (TPC-H Q2 holds 4 pools at once when
+    # the joined branch feeds both an aggregate and the join-back).  At
+    # the default 1.0 CPU, k pools reserve k whole CPUs while IDLE —
+    # on a small cluster (tests: 4 CPUs) 4 pools starve the upstream
+    # ReadParquet tasks and the stream deadlocks before the first block.
+    # Fractional reservation keeps per-actor setup (one ray.get of the
+    # broadcast side) while letting idle pools coexist with producers.
+    return big.map_batches(_Join, batch_format="pandas",
+                           concurrency=(1, 8), num_cpus=0.25)
 
 
 def hash_join(

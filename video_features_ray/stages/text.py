@@ -433,7 +433,7 @@ def oov_rate(
             })
 
     return ds.map_batches(_Score, batch_format="pyarrow",
-                          zero_copy_batch=True, concurrency=(1, 8))
+                          zero_copy_batch=True, concurrency=(1, 8), num_cpus=0.25)
 
 
 def source_top_terms(
