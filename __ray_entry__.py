@@ -339,6 +339,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_revenue_growth": q.q_monthly_revenue_growth,
         "dup_rate_by_source": q.q_dup_rate_by_source,
         "zonemap_prune": q.q_zonemap_prune,
+        "dup_span_stats": q.q_dup_span_stats,
+        "cosine_pairs": q.q_cosine_pairs,
+        "triangle_count": q.q_triangle_count,
+        "shuffle_shards": q.q_shuffle_shards,
+        "daily_spine_orders": q.q_daily_spine_orders,
     }
 
 
@@ -2225,5 +2230,74 @@ def oracle_sql() -> dict[str, str]:
             "AND epoch_us(ts) < 19730 * 86400000000) "
             "SELECT day, CAST(COUNT(*) AS BIGINT) AS n, "
             "SUM(v_s) / 10000.0 AS total FROM x GROUP BY 1"
+        ),
+        # duplicated 40-char spans across distinct docs (ExactSubstr-k)
+        "dup_span_stats": (
+            "WITH g0 AS (SELECT doc_id, source, text, "
+            "unnest(generate_series(1, length(text) - 39)) AS i "
+            "FROM documents WHERE length(text) >= 40), "
+            "g AS (SELECT doc_id, source, "
+            "substr(text, CAST(i AS INT), 40) AS gram FROM g0), "
+            "d AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g) "
+            "GROUP BY gram HAVING COUNT(*) >= 2) "
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_positions, "
+            "CAST(SUM(CASE WHEN gram IN (SELECT gram FROM d) "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_positions, "
+            "CAST(SUM(CASE WHEN gram IN (SELECT gram FROM d) "
+            "THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac "
+            "FROM g GROUP BY source"
+        ),
+        # exact all-pairs bag-of-words cosine, top-20
+        "cosine_pairs": (
+            "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS term FROM documents), "
+            "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf "
+            "FROM w GROUP BY 1, 2), "
+            "nrm AS (SELECT doc_id, SUM(tf * tf) AS na FROM tf GROUP BY 1), "
+            "d AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "SUM(a.tf * b.tf) AS dot FROM tf a JOIN tf b "
+            "ON a.term = b.term AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot, "
+            "CAST(dot AS DOUBLE) / sqrt(CAST(x.na * y.na AS DOUBLE)) AS cos "
+            "FROM d JOIN nrm x ON doc_a = x.doc_id "
+            "JOIN nrm y ON doc_b = y.doc_id WHERE dot > 0 "
+            "ORDER BY cos DESC, doc_a, doc_b LIMIT 20"
+        ),
+        # triangles of the part co-purchase graph (support >= 2 orders)
+        "triangle_count": (
+            "WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+            "pp AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb "
+            "FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey), "
+            "e AS (SELECT pa, pb FROM pp GROUP BY pa, pb "
+            "HAVING COUNT(*) >= 2), "
+            "t AS (SELECT COUNT(*) AS n_tri FROM e e1 "
+            "JOIN e e2 ON e2.pa = e1.pa AND e2.pb > e1.pb "
+            "JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb) "
+            "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM "
+            "(SELECT pa AS v FROM e UNION SELECT pb FROM e)) AS n_nodes, "
+            "(SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges, "
+            "CAST(n_tri AS BIGINT) AS n_triangles FROM t"
+        ),
+        # deterministic 16-shard pseudo-shuffle export (Knuth hash)
+        "shuffle_shards": (
+            "SELECT ((doc_id * 2654435761) % 4294967296) % 16 AS shard, "
+            "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY 1"
+        ),
+        # calendar-spine densification incl. zero-order days
+        "daily_spine_orders": (
+            "WITH o AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day, "
+            "CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents "
+            "FROM orders), "
+            "b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM o), "
+            "s AS (SELECT unnest(generate_series(d0, d1)) AS day FROM b), "
+            "a AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "SUM(cents) AS c FROM o GROUP BY 1) "
+            "SELECT s.day, COALESCE(a.n_orders, 0) AS n_orders, "
+            "COALESCE(a.c, 0) / 100.0 AS revenue "
+            "FROM s LEFT JOIN a ON s.day = a.day"
         ),
     }

@@ -5336,3 +5336,138 @@ def q_zonemap_prune(sf_dir: str):
         "n": agg["n"].astype(np.int64),
         "total": agg["sum_v_s"].astype(np.int64) / 10000.0,
     })
+
+
+def q_dup_span_stats(sf_dir: str):
+    """Substring-level duplicate detection (Lee et al. ExactSubstr, the
+    k-char variant): fraction of each source's 40-char window positions
+    whose window occurs in >= 2 distinct documents.  One gram-bucketed
+    shuffle + one broadcast membership pass (stages/spans.py)."""
+    from ..stages.spans import dup_span_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "source"])
+    return dup_span_stats(ds, k=40,
+                          num_buckets=_w(sf_dir, "documents"))
+
+
+def q_cosine_pairs(sf_dir: str):
+    """Exact all-pairs bag-of-words cosine top-20 — the brute-force
+    verification complement of the LSH/ANN near-dup family.  Vocab fit
+    is one distinct-combine; the corpus count-matrix broadcasts once;
+    each batch does one int64 matmul block and keeps a local top-20."""
+    from ..stages.spans import cosine_pairs_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return cosine_pairs_topk(ds, topk=20)
+
+
+def q_triangle_count(sf_dir: str):
+    """Exact triangle count of the part co-purchase graph (edge = two
+    parts sharing >= 2 distinct orders): per-order pair emission
+    (order-bucketed), pair-support filter, then the oriented
+    wedge-join plan in stages/graph.py."""
+    from ..stages.graph import triangle_count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+    w = _w(sf_dir, "lineitem")
+
+    def _tag(batch: pa.Table) -> pd.DataFrame:
+        d = batch.to_pandas().drop_duplicates()
+        h = pd.util.hash_array(
+            d["l_orderkey"].to_numpy(np.int64)).astype(np.uint64)
+        d["_bucket"] = (h % np.uint64(w)).astype(np.int32)
+        return d
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "l_orderkey" not in df.columns:
+            return pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                                 "dst": pd.Series([], dtype=np.int64)})
+        out = []
+        for _, g in df.groupby("l_orderkey", sort=False):
+            parts = np.sort(np.unique(g["l_partkey"].to_numpy(np.int64)))
+            if len(parts) < 2:
+                continue
+            ii, jj = np.triu_indices(len(parts), k=1)
+            out.append(pd.DataFrame({"src": parts[ii], "dst": parts[jj]}))
+        if not out:
+            return pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                                 "dst": pd.Series([], dtype=np.int64)})
+        return pd.concat(out, ignore_index=True)
+
+    pairs = (ds.map_batches(_tag, batch_format="pyarrow")
+             .groupby("_bucket").map_groups(_pairs, batch_format="pandas"))
+    support = partial_agg(pairs, ["src", "dst"], count_col="n_ord",
+                          num_buckets=w)
+    edges = support.filter(
+        expr="n_ord >= 2").select_columns(["src", "dst"])
+    from ..stages.graph import triangle_count as _tc
+    return _tc(edges, num_buckets=w)
+
+
+def q_shuffle_shards(sf_dir: str):
+    """Deterministic training-shard export: pseudo-shuffle the document
+    table into 16 parquet shards (Knuth-hash assignment + intra-shard
+    order), then PROVE the written layout by reading every shard back
+    and recomputing the per-shard stats from the files themselves."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    from ..sources.sinks import write_shuffled_shards
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "n_chars"])
+    out_dir = os.path.join(
+        "/tmp", "vfr_shards_"
+        + os.path.basename(os.path.normpath(sf_dir)))
+    written = write_shuffled_shards(ds, out_dir, n_shards=16).to_pandas()
+
+    # verify from disk: recompute counts/sums off the shard files
+    rows = []
+    for shard in sorted(written["shard"].astype(int)):
+        t = pq_mod.read_table(
+            os.path.join(out_dir, f"shard-{shard:05d}.parquet"))
+        k = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (k * np.int64(2654435761)) % np.int64(4294967296)
+        assert (h % 16 == shard).all(), "shard file holds foreign rows"
+        o = h // np.int64(16)
+        assert (np.diff(o) >= 0).all(), "intra-shard order violated"
+        rows.append((np.int64(shard), np.int64(len(k)),
+                     np.int64(k.sum()),
+                     np.int64(t["n_chars"].to_numpy(
+                         zero_copy_only=False).sum())))
+    return pd.DataFrame(rows, columns=["shard", "n_docs", "sum_doc_id",
+                                       "sum_chars"])
+
+
+def q_daily_spine_orders(sf_dir: str):
+    """Calendar-spine densification: every day between the global first
+    and last order date — including ZERO-order days — with exact order
+    counts and cent-exact revenue.  Per-day partials are O(days) so the
+    driver-side spine merge is O(domain), never O(rows)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderdate", "o_totalprice"])
+
+    def _prep(batch: pa.Table) -> pd.DataFrame:
+        day = (batch["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // DAY_US)
+        cents = np.round(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        return pd.DataFrame({"day": day, "cents": cents})
+
+    agg = partial_agg(ds.map_batches(_prep, batch_format="pyarrow"),
+                      ["day"], sums=["cents"],
+                      combine="driver").to_pandas()
+    agg = agg.sort_values("day", kind="mergesort")
+    days = agg["day"].to_numpy(np.int64)
+    spine = np.arange(days.min(), days.max() + 1, dtype=np.int64)
+    n = np.zeros(len(spine), dtype=np.int64)
+    c = np.zeros(len(spine), dtype=np.int64)
+    pos = days - days.min()
+    n[pos] = agg["n"].to_numpy(np.int64)
+    c[pos] = agg["sum_cents"].to_numpy(np.int64)
+    return pd.DataFrame({"day": spine, "n_orders": n,
+                         "revenue": c / 100.0})

@@ -17,6 +17,7 @@ import pickle
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data
 
 
@@ -188,3 +189,58 @@ def compact_parquet(
             for i, g in enumerate(groups)]
     ray.get(futs)
     return len(groups)
+
+
+def write_shuffled_shards(
+    ds: "ray.data.Dataset",
+    out_dir: str,
+    n_shards: int = 16,
+    key_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Deterministic global pseudo-shuffle into ``n_shards`` parquet
+    shard files — the training-export step (examples must reach the
+    trainer in a decorrelated, REPRODUCIBLE order, and a resumable job
+    must re-emit byte-identical shards).
+
+    Shard assignment and intra-shard order both come from the Knuth
+    multiplicative hash ``(key * 2654435761) mod 2^32`` (same constant
+    the stratified sampler replays in SQL): shard = ``h % n_shards``,
+    order = ``(h // n_shards, key)``.  No random state anywhere, so a
+    re-run (or the SQL oracle) reproduces the exact layout.
+
+    Physical plan: one map adds ``(shard, sort_key)``, one bucketed
+    ``groupby(shard).map_groups`` writes each shard inside its own task
+    (atomic tmp+rename, so a re-run over a partial output directory is
+    safe), and only O(shards) count rows reach the driver.  At 100 TB
+    ``n_shards`` scales with bytes (like ``shuffle_width``) and each
+    shard streams through one writer task.
+
+    Returns a Dataset of ``(shard, n_rows)``.
+    """
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _assign(batch: pa.Table) -> pd.DataFrame:
+        d = batch.to_pandas()
+        k = d[key_col].to_numpy(np.int64)
+        h = (k * np.int64(2654435761)) % np.int64(4294967296)
+        d["_shard"] = (h % np.int64(n_shards)).astype(np.int64)
+        d["_ord"] = h // np.int64(n_shards)
+        return d
+
+    def _write_shard(g: pd.DataFrame) -> pd.DataFrame:
+        shard = int(g["_shard"].iloc[0])
+        g = g.sort_values(["_ord", key_col], kind="mergesort")
+        out = g.drop(columns=["_shard", "_ord"]).reset_index(drop=True)
+        path = os.path.join(out_dir, f"shard-{shard:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
+                       tmp)
+        os.replace(tmp, path)
+        return pd.DataFrame({"shard": [np.int64(shard)],
+                             "n_rows": [np.int64(len(g))]})
+
+    return (ds.map_batches(_assign, batch_format="pyarrow")
+            .groupby("_shard")
+            .map_groups(_write_shard, batch_format="pandas"))

@@ -162,3 +162,82 @@ def pagerank(
 
     return rank.map_batches(lambda df: df[["node", "rank"]],
                             batch_format="pandas")
+
+
+def triangle_count(
+    edges: "ray.data.Dataset",
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """Exact triangle count of an undirected graph given as DISTINCT
+    oriented edges ``(src, dst)`` with ``src < dst`` (int64 ids).
+
+    The classic wedge-join plan (node-iterator with orientation —
+    Suri & Vassilvitskii's MapReduce formulation): group edges by their
+    LOW endpoint (one bucketed shuffle; a node's adjacency is confined
+    to one bucket task), emit each wedge ``(b, c)`` with ``b < c`` from
+    that node's sorted neighbor list, then count wedges that are
+    themselves edges with ONE inner hash join on the packed pair key.
+    Every triangle ``a<b<c`` is counted exactly once: as the wedge at
+    its smallest vertex.
+
+    Scale: wedge volume is ``Σ deg(v)²`` over LOW-endpoint degrees —
+    the orientation bounds it by arboricity in power-law graphs (the
+    reason this plan, not the naive one, is the published standard).
+    The driver holds three scalars.  Pair packing assumes ids < 2^31
+    (asserted) so the join key is one int64.
+    """
+
+    def _tag_low(batch: pa.Table) -> pd.DataFrame:
+        a = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(a) and (a.max() >= 1 << 31 or b.max() >= 1 << 31):
+            raise ValueError("triangle_count packs pairs into int64; "
+                             "ids must be < 2^31")
+        if np.any(a >= b):
+            raise ValueError("edges must be oriented src < dst, distinct")
+        h = pd.util.hash_array(a).astype(np.uint64)
+        return pd.DataFrame({
+            "a": a, "b": b,
+            "_bucket": (h % np.uint64(num_buckets)).astype(np.int32)})
+
+    tagged = edges.map_batches(_tag_low, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def _wedges(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "a" not in df.columns:      # Ray empty partition
+            return pd.DataFrame({"pair": pd.Series([], dtype=np.int64)})
+        out = []
+        for _, g in df.groupby("a", sort=False):
+            nb = np.sort(np.unique(g["b"].to_numpy(np.int64)))
+            d = len(nb)
+            if d < 2:
+                continue
+            ii, jj = np.triu_indices(d, k=1)
+            out.append(pd.DataFrame({
+                "pair": nb[ii] * np.int64(1 << 31) + nb[jj]}))
+        if not out:
+            return pd.DataFrame({"pair": pd.Series([], dtype=np.int64)})
+        return pd.concat(out, ignore_index=True)
+
+    wedges = tagged.groupby("_bucket").map_groups(
+        _wedges, batch_format="pandas")
+
+    def _edge_keys(batch: pa.Table) -> pd.DataFrame:
+        a = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame({"pair": a * np.int64(1 << 31) + b,
+                             "_e": np.ones(len(a), dtype=np.int64)})
+
+    ekeys = edges.map_batches(_edge_keys, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    closed = hash_join(
+        wedges, ekeys, on="pair", how="inner", num_buckets=num_buckets,
+        schemas=(pa.schema([("pair", pa.int64())]),
+                 pa.schema([("pair", pa.int64()), ("_e", pa.int64())])))
+    n_tri = int(closed.count())
+    n_edges = int(edges.count())
+    n_nodes = int(_distinct_nodes(
+        edges.select_columns(["src", "dst"]), num_buckets).count())
+    return pd.DataFrame({"n_nodes": [np.int64(n_nodes)],
+                         "n_edges": [np.int64(n_edges)],
+                         "n_triangles": [np.int64(n_tri)]})
