@@ -344,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": q.q_triangle_count,
         "shuffle_shards": q.q_shuffle_shards,
         "daily_spine_orders": q.q_daily_spine_orders,
+        "edit1_name_hist": q.q_edit1_name_hist,
     }
 
 
@@ -2299,5 +2300,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s.day, COALESCE(a.n_orders, 0) AS n_orders, "
             "COALESCE(a.c, 0) / 100.0 AS revenue "
             "FROM s LEFT JOIN a ON s.day = a.day"
+        ),
+        # edit-distance-1 name neighbor degree histogram (FastSS vs
+        # DuckDB's quadratic levenshtein join)
+        "edit1_name_hist": (
+            "WITH d AS (SELECT a.c_custkey AS k, "
+            "COUNT(b.c_custkey) AS deg FROM customer a "
+            "LEFT JOIN customer b ON a.c_custkey <> b.c_custkey "
+            "AND levenshtein(a.c_name, b.c_name) <= 1 "
+            "GROUP BY a.c_custkey) "
+            "SELECT CAST(deg AS BIGINT) AS n_neighbors, "
+            "CAST(COUNT(*) AS BIGINT) AS n_customers "
+            "FROM d GROUP BY deg"
         ),
     }

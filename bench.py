@@ -293,6 +293,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "session_duration_decile", "props_k_stats",
         "cum_distinct_types", "monthly_revenue_growth",
         "dup_rate_by_source", "zonemap_prune",
+        # round-4b additions
+        "dup_span_stats", "cosine_pairs", "triangle_count",
+        "shuffle_shards", "daily_spine_orders", "edit1_name_hist",
     ]
     qs = em.queries()
     for name in bench_queries:

@@ -182,3 +182,36 @@ def test_shuffled_shards_deterministic_and_complete(tmp_path):
         assert ((k * 2654435761) % 4294967296 % 8 == shard).all()
         seen.extend(k.tolist())
     assert sorted(seen) == list(range(200))
+
+
+# ------------------------------------------------------------- edit distance
+def test_lev_le1_scalar():
+    from video_features_ray.stages.dedup import _lev_le1
+
+    assert _lev_le1("abc", "abc")
+    assert _lev_le1("abc", "abd")
+    assert _lev_le1("abc", "ab")
+    assert _lev_le1("abc", "abcd")
+    assert _lev_le1("abc", "xabc")
+    assert not _lev_le1("abc", "adc_")
+    assert not _lev_le1("abc", "cba")
+    assert not _lev_le1("abc", "a")
+
+
+def test_edit1_pairs_matches_bruteforce():
+    from video_features_ray.stages.dedup import _lev_le1, edit1_pairs
+
+    rng = np.random.default_rng(3)
+    alphabet = list("abcd")
+    names = ["".join(rng.choice(alphabet, size=rng.integers(3, 7)))
+             for _ in range(120)]
+    df = pd.DataFrame({"id": np.arange(120, dtype=np.int64),
+                       "name": names})
+    got = (edit1_pairs(ray.data.from_pandas(df), key_col="id",
+                       text_col="name", num_buckets=4)
+           .to_pandas().sort_values(["ka", "kb"])
+           .reset_index(drop=True))
+    want = sorted((i, j) for i in range(120) for j in range(i + 1, 120)
+                  if _lev_le1(names[i], names[j]))
+    assert list(map(tuple, got[["ka", "kb"]].to_numpy())) == want
+    assert len(want) > 0          # fixture actually exercises pairs

@@ -5471,3 +5471,68 @@ def q_daily_spine_orders(sf_dir: str):
     c[pos] = agg["sum_cents"].to_numpy(np.int64)
     return pd.DataFrame({"day": spine, "n_orders": n,
                          "revenue": c / 100.0})
+
+
+def q_edit1_name_hist(sf_dir: str):
+    """Entity-resolution primitive: for every customer, how many OTHER
+    customers have a name within edit distance 1 (typo radius), as a
+    degree histogram.  The Ray side is the FastSS deletion-neighborhood
+    join (linear postings, verified candidates — stages/dedup.py
+    edit1_pairs) in TWO shuffles total: variant-bucketed candidate
+    generation, then node-bucketed distinct-neighbor degree counting
+    (pair dedup folds into the degree pass).  The oracle is DuckDB's
+    quadratic nested-loop ``levenshtein`` join, so this also
+    cross-checks that the pruning is lossless."""
+    from ..stages.dedup import edit1_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_name"])
+    n_total = table_rows(sf_dir, "customer")
+    w = _w(sf_dir, "customer")
+    cand = edit1_pairs(
+        ds.map_batches(
+            lambda t: t.rename_columns(["id", "name"]),
+            batch_format="pyarrow"),
+        key_col="id", text_col="name", num_buckets=w, distinct=False)
+
+    def _both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "ka" not in df.columns:
+            return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                                 "nb": pd.Series([], dtype=np.int64),
+                                 "_b2": pd.Series([], dtype=np.int32)})
+        ka = df["ka"].to_numpy(np.int64)
+        kb = df["kb"].to_numpy(np.int64)
+        d = pd.DataFrame({"node": np.concatenate([ka, kb]),
+                          "nb": np.concatenate([kb, ka])})
+        d = d.drop_duplicates()
+        h = pd.util.hash_array(d["node"].to_numpy(np.int64))
+        d["_b2"] = (h % np.uint64(w)).astype(np.int32)
+        return d
+
+    def _deg_hist(df: pd.DataFrame) -> pd.DataFrame:
+        # node-confined bucket: global distinct-neighbor degree is
+        # local; emit the bucket's degree HISTOGRAM (O(degrees) rows)
+        if df.empty or "node" not in df.columns:
+            return pd.DataFrame({"deg": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        deg = (df[["node", "nb"]].drop_duplicates()
+               .groupby("node", sort=False).size())
+        h = deg.value_counts()
+        return pd.DataFrame({"deg": h.index.to_numpy(np.int64),
+                             "n": h.to_numpy(np.int64)})
+
+    parts = (cand.map_batches(_both_dirs, batch_format="pandas")
+             .groupby("_b2").map_groups(_deg_hist, batch_format="pandas")
+             .to_pandas())
+    hist = (parts.groupby("deg", sort=False)["n"].sum().reset_index()
+            .rename(columns={"deg": "n_neighbors", "n": "n_customers"}))
+    n_with = int(hist["n_customers"].sum())
+    if n_total != n_with:
+        hist = pd.concat([pd.DataFrame({
+            "n_neighbors": [np.int64(0)],
+            "n_customers": [np.int64(n_total - n_with)]}), hist],
+            ignore_index=True)
+    return (hist.astype({"n_neighbors": np.int64,
+                         "n_customers": np.int64})
+            .sort_values("n_neighbors", kind="mergesort")
+            .reset_index(drop=True))

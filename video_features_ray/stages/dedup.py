@@ -1160,3 +1160,164 @@ def distinct_values(
 
     return (ds.map_batches(_partial, batch_format="pandas")
             .groupby("_bucket").map_groups(_final, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# edit-distance-1 similarity self-join (FastSS deletion neighborhoods)
+# ---------------------------------------------------------------------------
+
+def _lev_le1(u: str, v: str) -> bool:
+    """Exact edit-distance <= 1 for two strings (O(len) single scan —
+    no DP table needed at this radius)."""
+    lu, lv = len(u), len(v)
+    if abs(lu - lv) > 1:
+        return False
+    if lu == lv:
+        return sum(a != b for a, b in zip(u, v)) <= 1
+    if lu > lv:
+        u, v, lu, lv = v, u, lv, lu
+    # v is u plus one inserted char: skip the first mismatch in v
+    i = 0
+    while i < lu and u[i] == v[i]:
+        i += 1
+    return u[i:] == v[i + 1:]
+
+
+def edit1_pairs(
+    ds: "ray.data.Dataset",
+    key_col: str = "id",
+    text_col: str = "name",
+    num_buckets: int = 16,
+    distinct: bool = True,
+) -> "ray.data.Dataset":
+    """All DISTINCT pairs ``(ka, kb)`` with ``ka < kb`` whose strings
+    are at edit distance <= 1 — the entity-resolution / typo-dedup
+    primitive, as a FastSS deletion-neighborhood join (Bocek et al.,
+    "Fast Similarity Search in Large Dictionaries", 2007).
+
+    ``lev(u, v) <= 1  <=>  ({u} ∪ del1(u)) ∩ ({v} ∪ del1(v)) != ∅``,
+    so each row emits its string plus every single-deletion variant
+    (len+1 postings), variants hash-bucket (a variant's postings are
+    confined to one bucket), each bucket emits its candidate pairs and
+    VERIFIES the exact distance before emitting, and one bucketed
+    distinct collapses pairs found via several shared variants.
+
+    Scale: postings are O(rows x len); candidate volume is bounded by
+    variant-group sizes (real dictionaries: small), never all-pairs —
+    the SQL oracle's nested-loop ``levenshtein`` join is quadratic,
+    this is not.  Verification cost per candidate is O(len).
+    """
+
+    def _postings(batch: pa.Table) -> pd.DataFrame:
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        names = batch[text_col].to_pylist()
+        out_v, out_k, out_n = [], [], []
+        for k, s in zip(keys, names):
+            if s is None:
+                continue
+            out_v.append(s)
+            out_k.append(k)
+            out_n.append(s)
+            for i in range(len(s)):
+                out_v.append(s[:i] + s[i + 1:])
+                out_k.append(k)
+                out_n.append(s)
+        d = pd.DataFrame({"variant": out_v, "k": out_k, "name": out_n})
+        d = d.drop_duplicates(["variant", "k"])
+        h = pd.util.hash_pandas_object(d["variant"],
+                                       index=False).to_numpy()
+        d["_bucket"] = (h % np.uint64(num_buckets)).astype(np.int32)
+        return d
+
+    def _candidates(df: pd.DataFrame) -> pd.DataFrame:
+        # Fully vectorized: sort postings by (variant, k), find group
+        # runs, generate within-group pairs per SIZE CLASS (groups of
+        # equal size c stack into an (m, c) index matrix, one
+        # triu_indices fan-out per distinct c — no per-group Python),
+        # then verify all equal-length candidates with ONE padded
+        # codepoint-matrix Hamming compare; only length±1 candidates
+        # (rare) fall back to the scalar check.
+        empty = pd.DataFrame({"ka": pd.Series([], dtype=np.int64),
+                              "kb": pd.Series([], dtype=np.int64)})
+        if df.empty or "variant" not in df.columns:
+            return empty
+        d = (df[["variant", "k", "name"]]
+             .sort_values(["variant", "k"], kind="mergesort")
+             .drop_duplicates(["variant", "k"]))
+        v = d["variant"].to_numpy()
+        if len(d) < 2:
+            return empty
+        ks = d["k"].to_numpy(np.int64)
+        change = np.concatenate(([True], v[1:] != v[:-1]))
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.concatenate([starts, [len(v)]]))
+
+        # unique-name codepoint matrix (padded with -1) for the
+        # vectorized verifier
+        names, name_idx = np.unique(d["name"].to_numpy(),
+                                    return_inverse=True)
+        nlen = np.array([len(s) for s in names], dtype=np.int64)
+        width = int(nlen.max()) if len(nlen) else 0
+        mat = np.full((len(names), width), -1, dtype=np.int64)
+        for i, s in enumerate(names):       # O(unique names), not pairs
+            mat[i, :len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32)
+
+        ia_all, ib_all = [], []
+        for c in np.unique(counts):
+            if c < 2:
+                continue
+            s_c = starts[counts == c]
+            members = s_c[:, None] + np.arange(c)[None, :]   # (m, c)
+            ii, jj = np.triu_indices(int(c), k=1)
+            ia_all.append(members[:, ii].ravel())
+            ib_all.append(members[:, jj].ravel())
+        if not ia_all:
+            return empty
+        ia = np.concatenate(ia_all)
+        ib = np.concatenate(ib_all)
+        na, nb = name_idx[ia], name_idx[ib]
+        keep = np.zeros(len(ia), dtype=bool)
+        same_len = nlen[na] == nlen[nb]
+        if same_len.any():
+            sa, sb = na[same_len], nb[same_len]
+            ham = (mat[sa] != mat[sb]).sum(axis=1)
+            keep[same_len] = ham <= 1
+        off = ~same_len & (np.abs(nlen[na] - nlen[nb]) == 1)
+        for t in np.flatnonzero(off):
+            keep[t] = _lev_le1(names[na[t]], names[nb[t]])
+        ka, kb = ks[ia[keep]], ks[ib[keep]]
+        lo, hi = np.minimum(ka, kb), np.maximum(ka, kb)
+        return (pd.DataFrame({"ka": lo, "kb": hi})
+                .drop_duplicates())
+
+    cand = (ds.map_batches(_postings, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(_candidates, batch_format="pandas"))
+    if not distinct:
+        # a pair found via several shared variants appears once per
+        # bucket it was found in — callers folding their own
+        # downstream distinct (e.g. the degree query) skip one shuffle
+        return cand
+
+    def _tag_pair(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "ka" not in df.columns:
+            return pd.DataFrame({"ka": pd.Series([], dtype=np.int64),
+                                 "kb": pd.Series([], dtype=np.int64),
+                                 "_bucket": pd.Series([], dtype=np.int32)})
+        d = df.drop_duplicates()
+        h = pd.util.hash_pandas_object(
+            d["ka"] * np.int64(1 << 31) + d["kb"],
+            index=False).to_numpy()
+        d = d.assign(_bucket=(h % np.uint64(num_buckets)).astype(np.int32))
+        return d
+
+    def _distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "ka" not in df.columns:
+            return pd.DataFrame({"ka": pd.Series([], dtype=np.int64),
+                                 "kb": pd.Series([], dtype=np.int64)})
+        return df[["ka", "kb"]].drop_duplicates()
+
+    return (cand.map_batches(_tag_pair, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(_distinct_pairs, batch_format="pandas"))
