@@ -345,6 +345,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_shards": q.q_shuffle_shards,
         "daily_spine_orders": q.q_daily_spine_orders,
         "edit1_name_hist": q.q_edit1_name_hist,
+        "label_centroids": q.q_label_centroids,
+        "kcore_copurchase": q.q_kcore_copurchase,
     }
 
 
@@ -2312,5 +2314,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(deg AS BIGINT) AS n_neighbors, "
             "CAST(COUNT(*) AS BIGINT) AS n_customers "
             "FROM d GROUP BY deg"
+        ),
+        # per-label embedding centroids (scaled-int exact array agg)
+        "label_centroids": (
+            "WITH e AS (SELECT label, embedding, "
+            "unnest(generate_series(1, len(embedding))) AS i "
+            "FROM embeddings), "
+            "v AS (SELECT CAST(label AS BIGINT) AS label, i AS dim, "
+            "CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000.0 "
+            "AS sx FROM e), "
+            "v2 AS (SELECT label, dim, CAST(CASE WHEN sx >= 0 "
+            "THEN floor(sx + 0.5) ELSE -floor(-sx + 0.5) END AS BIGINT) "
+            "AS xs FROM v) "
+            "SELECT label, CAST(dim AS BIGINT) AS dim, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "SUM(xs) / (COUNT(*) * 1000000.0) AS mean "
+            "FROM v2 GROUP BY 1, 2"
         ),
     }

@@ -215,3 +215,64 @@ def test_edit1_pairs_matches_bruteforce():
                   if _lev_le1(names[i], names[j]))
     assert list(map(tuple, got[["ka", "kb"]].to_numpy())) == want
     assert len(want) > 0          # fixture actually exercises pairs
+
+
+# -------------------------------------------------------------------- k-core
+def test_k_core_planted_clique():
+    from video_features_ray.stages.graph import k_core
+
+    # K6 on nodes 0..5 (every node degree 5) + a long path of pendants
+    k6 = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    path = [(10 + i, 11 + i) for i in range(20)] + [(5, 10)]
+    e = pd.DataFrame(k6 + path, columns=["src", "dst"]).astype(np.int64)
+    core, rounds, n_nodes = k_core(ray.data.from_pandas(e), k=5,
+                                   num_buckets=4)
+    got = (core.to_pandas().sort_values(["src", "dst"])
+           .reset_index(drop=True))
+    assert n_nodes == 6
+    assert list(map(tuple, got.to_numpy())) == k6
+    assert rounds >= 2
+
+
+def test_k_core_tree_has_empty_2core():
+    from video_features_ray.stages.graph import k_core
+
+    # a tree peels to nothing at k=2 (needs several rounds)
+    e = pd.DataFrame([(1, 2), (2, 3), (3, 4), (4, 5), (2, 6), (3, 7)],
+                     columns=["src", "dst"]).astype(np.int64)
+    core, rounds, n_nodes = k_core(ray.data.from_pandas(e), k=2,
+                                   num_buckets=2)
+    assert n_nodes == 0
+    assert core.count() == 0
+    assert rounds > 2
+
+
+def test_k_core_whole_graph_is_core():
+    from video_features_ray.stages.graph import k_core
+
+    # a cycle IS its own 2-core: one round, nothing peeled
+    e = pd.DataFrame([(1, 2), (2, 3), (3, 4), (1, 4)],
+                     columns=["src", "dst"]).astype(np.int64)
+    core, rounds, n_nodes = k_core(ray.data.from_pandas(e), k=2,
+                                   num_buckets=2)
+    assert n_nodes == 4 and rounds == 1 and core.count() == 4
+
+
+def test_k_core_local_finish_equivalent():
+    from video_features_ray.stages.graph import k_core
+
+    rng = np.random.default_rng(11)
+    raw = {(int(a), int(b)) for a, b in rng.integers(0, 60, (300, 2))
+           if a != b}
+    e = pd.DataFrame(sorted((min(a, b), max(a, b)) for a, b in raw),
+                     columns=["src", "dst"]).drop_duplicates()
+    e = e.astype(np.int64)
+    c1, _, n1 = k_core(ray.data.from_pandas(e), k=4, num_buckets=4)
+    c2, _, n2 = k_core(ray.data.from_pandas(e), k=4, num_buckets=4,
+                       local_finish=10_000)
+    p1 = (c1.to_pandas().sort_values(["src", "dst"])
+          .reset_index(drop=True))
+    p2 = (c2.to_pandas().sort_values(["src", "dst"])
+          .reset_index(drop=True))
+    assert n1 == n2
+    pd.testing.assert_frame_equal(p1, p2)

@@ -26,7 +26,7 @@ import ray.data
 from ..sources.sequences import sequences_from_documents
 from ..specs import EncoderSpec
 from ..stages.asof import asof_join
-from ..stages.dedup import exact_dedup
+from ..stages.dedup import _fixed_list_matrix, exact_dedup
 from ..stages.events import forward_fill, lag_lead, sessionize
 from ..stages.joins import broadcast_join, grouped_topk, partial_agg, tumbling_aggregate
 from ..stages.similarity import cosine_topk
@@ -5363,16 +5363,12 @@ def q_cosine_pairs(sf_dir: str):
     return cosine_pairs_topk(ds, topk=20)
 
 
-def q_triangle_count(sf_dir: str):
-    """Exact triangle count of the part co-purchase graph (edge = two
-    parts sharing >= 2 distinct orders): per-order pair emission
-    (order-bucketed), pair-support filter, then the oriented
-    wedge-join plan in stages/graph.py."""
-    from ..stages.graph import triangle_count
-
+def _copurchase_edges(sf_dir: str, w: int):
+    """Part co-purchase graph: DISTINCT (order, part) -> per-order part
+    pairs (order-bucketed) -> pairs supported by >= 2 distinct orders,
+    oriented ``src < dst``."""
     ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
                                columns=["l_orderkey", "l_partkey"])
-    w = _w(sf_dir, "lineitem")
 
     def _tag(batch: pa.Table) -> pd.DataFrame:
         d = batch.to_pandas().drop_duplicates()
@@ -5401,10 +5397,38 @@ def q_triangle_count(sf_dir: str):
              .groupby("_bucket").map_groups(_pairs, batch_format="pandas"))
     support = partial_agg(pairs, ["src", "dst"], count_col="n_ord",
                           num_buckets=w)
-    edges = support.filter(
+    return support.filter(
         expr="n_ord >= 2").select_columns(["src", "dst"])
-    from ..stages.graph import triangle_count as _tc
-    return _tc(edges, num_buckets=w)
+
+
+def q_triangle_count(sf_dir: str):
+    """Exact triangle count of the part co-purchase graph (edge = two
+    parts sharing >= 2 distinct orders): per-order pair emission
+    (order-bucketed), pair-support filter, then the oriented
+    wedge-join plan in stages/graph.py."""
+    from ..stages.graph import triangle_count
+
+    w = _w(sf_dir, "lineitem")
+    return triangle_count(_copurchase_edges(sf_dir, w), num_buckets=w)
+
+
+def q_kcore_copurchase(sf_dir: str):
+    """3-core of the co-purchase graph by distributed iterative peeling
+    (stages/graph.py k_core): degrees via partial_agg, peeled nodes
+    dropped with anti joins, driver holds only counters.  Not
+    SQL-expressible (a non-monotone fixpoint), so this entry is
+    rows-only at the driver; the in-repo suite pins planted-clique /
+    tree / cycle fixpoints."""
+    from ..stages.graph import k_core
+
+    w = _w(sf_dir, "lineitem")
+    core, rounds, n_nodes = k_core(_copurchase_edges(sf_dir, w), k=3,
+                                   num_buckets=w,
+                                   local_finish=2_000_000)
+    return pd.DataFrame({"k": [np.int64(3)],
+                         "n_core_nodes": [np.int64(n_nodes)],
+                         "n_core_edges": [np.int64(core.count())],
+                         "n_rounds": [np.int64(rounds)]})
 
 
 def q_shuffle_shards(sf_dir: str):
@@ -5536,3 +5560,56 @@ def q_edit1_name_hist(sf_dir: str):
                          "n_customers": np.int64})
             .sort_values("n_neighbors", kind="mergesort")
             .reset_index(drop=True))
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroids — the array-column aggregation a
+    class-prototype / SemDeDup-style pipeline needs.  Per batch: one
+    scaled-int64 matrix reduction per label (labels x dims partial
+    rows, O(classes), never O(rows)); one driver combine; mean is ONE
+    division of exact ints so the oracle (DuckDB list indexing +
+    generate_series unnest) reproduces it bit-for-bit."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["label", "embedding"])
+
+    def _partial(batch: pa.Table) -> pd.DataFrame:
+        # module-scope import: a function-level relative import would
+        # re-resolve the package ON THE WORKER, where only the by-value
+        # pickled modules exist (hostile-driver sys.path)
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(lab) == 0:
+            return pd.DataFrame({"label": pd.Series([], dtype=np.int64),
+                                 "dim": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "s": pd.Series([], dtype=np.int64)})
+        dim = len(batch["embedding"][0])
+        m = _fixed_list_matrix(batch["embedding"], dim, np.float64)
+        # half-away-from-zero via an explicit floor expression that the
+        # oracle SQL mirrors VERBATIM — np.round (half-to-even) vs
+        # DuckDB round (half-away) disagree on the many exact .5 ties
+        # float32 inputs produce at 1e6 scaling
+        s = m * 1_000_000.0
+        xs = np.where(s >= 0, np.floor(s + 0.5),
+                      -np.floor(-s + 0.5)).astype(np.int64)
+        ulab, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(ulab), dim), dtype=np.int64)
+        np.add.at(sums, inv, xs)
+        cnt = np.bincount(inv, minlength=len(ulab)).astype(np.int64)
+        L = len(ulab)
+        return pd.DataFrame({
+            "label": np.repeat(ulab, dim),
+            "dim": np.tile(np.arange(1, dim + 1, dtype=np.int64), L),
+            "n": np.repeat(cnt, dim),
+            "s": sums.ravel()})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    agg = (parts.groupby(["label", "dim"], sort=False)[["n", "s"]]
+           .sum().reset_index())
+    return (pd.DataFrame({
+        "label": agg["label"].astype(np.int64),
+        "dim": agg["dim"].astype(np.int64),
+        "n": agg["n"].astype(np.int64),
+        "mean": agg["s"].astype(np.int64).to_numpy()
+        / (agg["n"].astype(np.int64).to_numpy() * 1_000_000.0)})
+        .sort_values(["label", "dim"], kind="mergesort")
+        .reset_index(drop=True))

@@ -241,3 +241,98 @@ def triangle_count(
     return pd.DataFrame({"n_nodes": [np.int64(n_nodes)],
                          "n_edges": [np.int64(n_edges)],
                          "n_triangles": [np.int64(n_tri)]})
+
+
+def _peel_local(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    """In-memory peel to the fixpoint (numpy loop) — used as the
+    single-TASK finish once the surviving graph is small."""
+    if df.empty or "src" not in df.columns:
+        return pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                             "dst": pd.Series([], dtype=np.int64)})
+    e = df[["src", "dst"]].to_numpy(np.int64)
+    while len(e):
+        nodes, cnt = np.unique(e.ravel(), return_counts=True)
+        bad = nodes[cnt < k]
+        if len(bad) == 0:
+            break
+        drop = np.isin(e[:, 0], bad) | np.isin(e[:, 1], bad)
+        e = e[~drop]
+    return pd.DataFrame({"src": e[:, 0], "dst": e[:, 1]})
+
+
+def k_core(
+    edges: "ray.data.Dataset",
+    k: int,
+    num_buckets: int = 16,
+    max_iter: int = 100,
+    local_finish: int = 0,
+) -> tuple["ray.data.Dataset", int, int]:
+    """The k-core of an undirected graph (edges oriented ``src < dst``,
+    distinct): iteratively peel nodes of degree < k until the fixpoint.
+
+    Every distributed iteration is TABLE operations — one degree
+    ``partial_agg`` over both endpoints, then two anti joins that drop
+    edges touching a peeled node — so the driver only ever holds
+    iteration counters (the peeled-node set itself stays distributed;
+    no broadcast of anything O(nodes)).  Each round's edge table is
+    materialized, the standard iterative-algorithm checkpoint (same
+    pattern as :func:`pagerank`).
+
+    Peeling's long tail is MANY nearly-empty rounds; with
+    ``local_finish > 0``, once the surviving edge count drops under
+    that threshold the fixpoint completes inside ONE Ray task (numpy
+    loop over the whole remaining graph) — the standard big-rounds /
+    small-finish split for fixpoints whose frontier collapses.  The
+    driver still only sees counters.  ``local_finish=0`` keeps the
+    peel fully distributed (tests pin round counts this way).
+
+    Returns ``(core_edges, n_rounds, n_core_nodes)`` where ``n_rounds``
+    counts distributed rounds (+1 when the local finish engaged).
+    """
+    from .joins import hash_join
+
+    e_sch = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    cur = edges.select_columns(["src", "dst"]).materialize()
+    rounds = 0
+    for _ in range(max_iter):
+        if local_finish and int(cur.count()) <= local_finish:
+            rounds += 1
+            cur = (cur.repartition(1)
+                   .map_batches(lambda df: _peel_local(df, k),
+                                batch_format="pandas",
+                                batch_size=None).materialize())
+            break
+        rounds += 1
+
+        def _ends(batch: pa.Table) -> pd.DataFrame:
+            s = batch["src"].to_numpy(zero_copy_only=False)
+            d = batch["dst"].to_numpy(zero_copy_only=False)
+            return pd.DataFrame({
+                "node": np.concatenate([s, d]).astype(np.int64)})
+
+        deg = partial_agg(
+            cur.map_batches(_ends, batch_format="pyarrow"),
+            ["node"], count_col="deg", num_buckets=num_buckets
+        ).materialize()
+        bad = (deg.filter(expr=f"deg < {k}")
+               .select_columns(["node"]).materialize())
+        n_bad = int(bad.count())
+        if n_bad == 0:
+            break
+
+        def _as(col):
+            return bad.map_batches(
+                lambda df, _c=col: pd.DataFrame(
+                    {_c: df["node"].astype(np.int64)}),
+                batch_format="pandas")
+
+        b_src = pa.schema([("src", pa.int64())])
+        b_dst = pa.schema([("dst", pa.int64())])
+        cur = hash_join(cur, _as("src"), on="src", how="anti",
+                        num_buckets=num_buckets,
+                        schemas=(e_sch, b_src))
+        cur = hash_join(cur, _as("dst"), on="dst", how="anti",
+                        num_buckets=num_buckets,
+                        schemas=(e_sch, b_dst)).materialize()
+    n_nodes = int(_distinct_nodes(cur, num_buckets).count())
+    return cur, rounds, n_nodes
