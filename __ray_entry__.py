@@ -347,6 +347,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit1_name_hist": q.q_edit1_name_hist,
         "label_centroids": q.q_label_centroids,
         "kcore_copurchase": q.q_kcore_copurchase,
+        "frequent_triples": q.q_frequent_triples,
+        "degree_assortativity": q.q_degree_assortativity,
     }
 
 
@@ -2330,5 +2332,45 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n, "
             "SUM(xs) / (COUNT(*) * 1000000.0) AS mean "
             "FROM v2 GROUP BY 1, 2"
+        ),
+        # A-priori level-3: part triples in >= 2 distinct orders
+        # (oracle counts unpruned; equality proves pruning lossless)
+        "frequent_triples": (
+            "WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey "
+            "FROM lineitem), "
+            "p2 AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, "
+            "a.l_orderkey AS o FROM lp a JOIN lp b "
+            "ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey), "
+            "t3 AS (SELECT a.pa AS part_a, a.pb AS part_b, "
+            "b.pb AS part_c FROM p2 a JOIN p2 b "
+            "ON a.o = b.o AND a.pa = b.pa AND a.pb < b.pb) "
+            "SELECT part_a, part_b, part_c, "
+            "CAST(COUNT(*) AS BIGINT) AS support "
+            "FROM t3 GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2"
+        ),
+        # degree assortativity of the co-purchase graph (exact-int
+        # Pearson sums, one closed-form double expression)
+        "degree_assortativity": (
+            "WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey "
+            "FROM lineitem), "
+            "pp AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb "
+            "FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey), "
+            "e AS (SELECT pa, pb FROM pp GROUP BY pa, pb "
+            "HAVING COUNT(*) >= 2), "
+            "b AS (SELECT pa AS s, pb AS d FROM e "
+            "UNION ALL SELECT pb, pa FROM e), "
+            "deg AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS deg "
+            "FROM b GROUP BY 1), "
+            "j AS (SELECT x.deg AS dx, y.deg AS dy FROM b "
+            "JOIN deg x ON b.s = x.node JOIN deg y ON b.d = y.node), "
+            "su AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            "SUM(dx) AS sx, SUM(dy) AS sy, SUM(dx * dy) AS sxy, "
+            "SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy FROM j) "
+            "SELECT n, CAST(n * sxy - sx * sy AS DOUBLE) / "
+            "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * "
+            "sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS assortativity "
+            "FROM su"
         ),
     }

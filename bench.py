@@ -296,7 +296,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # round-4b additions
         "dup_span_stats", "cosine_pairs", "triangle_count",
         "shuffle_shards", "daily_spine_orders", "edit1_name_hist",
-        "label_centroids", "kcore_copurchase",
+        "label_centroids", "kcore_copurchase", "frequent_triples",
+        "degree_assortativity",
     ]
     qs = em.queries()
     for name in bench_queries:

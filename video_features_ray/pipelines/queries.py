@@ -5613,3 +5613,147 @@ def q_label_centroids(sf_dir: str):
         / (agg["n"].astype(np.int64).to_numpy() * 1_000_000.0)})
         .sort_values(["label", "dim"], kind="mergesort")
         .reset_index(drop=True))
+
+
+def q_frequent_triples(sf_dir: str):
+    """Market-basket A-priori, level 3: part triples co-purchased in
+    >= 2 distinct orders.  The Ray side prunes candidate triples by the
+    A-PRIORI PROPERTY (every sub-pair of a frequent triple is frequent,
+    so only triples whose three packed pairs are in the broadcast
+    frequent-pair set are ever emitted or shuffled); the oracle counts
+    all triples unpruned — equality proves the pruning lossless."""
+    w = _w(sf_dir, "lineitem")
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+
+    def _tag(batch: pa.Table) -> pd.DataFrame:
+        d = batch.to_pandas().drop_duplicates()
+        h = pd.util.hash_array(
+            d["l_orderkey"].to_numpy(np.int64)).astype(np.uint64)
+        d["_bucket"] = (h % np.uint64(w)).astype(np.int32)
+        return d
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "l_orderkey" not in df.columns:
+            return pd.DataFrame({"pp": pd.Series([], dtype=np.int64)})
+        out = []
+        for _, g in df.groupby("l_orderkey", sort=False):
+            parts = np.sort(np.unique(g["l_partkey"].to_numpy(np.int64)))
+            if len(parts) < 2:
+                continue
+            ii, jj = np.triu_indices(len(parts), k=1)
+            out.append(parts[ii] * np.int64(1 << 31) + parts[jj])
+        if not out:
+            return pd.DataFrame({"pp": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"pp": np.concatenate(out)})
+
+    tagged = ds.map_batches(_tag, batch_format="pyarrow")
+    support = partial_agg(
+        tagged.groupby("_bucket").map_groups(_pairs,
+                                             batch_format="pandas"),
+        ["pp"], count_col="n_ord", num_buckets=w)
+    freq = support.filter(expr="n_ord >= 2").select_columns(["pp"])
+    freq_arr = np.sort(freq.to_pandas()["pp"].to_numpy(np.int64))
+    freq_ref = ray.put(freq_arr)
+
+    def _triples(df: pd.DataFrame) -> pd.DataFrame:
+            freq = ray.get(freq_ref)    # zero-copy, worker-cached
+            empty = pd.DataFrame({
+                "part_a": pd.Series([], dtype=np.int64),
+                "part_b": pd.Series([], dtype=np.int64),
+                "part_c": pd.Series([], dtype=np.int64)})
+            if df.empty or "l_orderkey" not in df.columns:
+                return empty
+            B = np.int64(1 << 31)
+            xs, ys, zs = [], [], []
+            for _, g in df.groupby("l_orderkey", sort=False):
+                parts = np.sort(np.unique(
+                    g["l_partkey"].to_numpy(np.int64)))
+                d = len(parts)
+                if d < 3:
+                    continue
+                # all ordered triples x<y<z of this order
+                i, j, k = np.meshgrid(np.arange(d), np.arange(d),
+                                      np.arange(d), indexing="ij")
+                m = (i < j) & (j < k)
+                x, y, z = parts[i[m]], parts[j[m]], parts[k[m]]
+                keep = (np.isin(x * B + y, freq)
+                        & np.isin(x * B + z, freq)
+                        & np.isin(y * B + z, freq))
+                xs.append(x[keep]); ys.append(y[keep]); zs.append(z[keep])
+            if not xs:
+                return empty
+            return pd.DataFrame({"part_a": np.concatenate(xs),
+                                 "part_b": np.concatenate(ys),
+                                 "part_c": np.concatenate(zs)})
+
+    cand = tagged.groupby("_bucket").map_groups(
+        _triples, batch_format="pandas")
+    tri = (partial_agg(cand, ["part_a", "part_b", "part_c"],
+                       count_col="support", num_buckets=w)
+           .filter(expr="support >= 2").to_pandas())
+    return (tri.astype({"part_a": np.int64, "part_b": np.int64,
+                        "part_c": np.int64, "support": np.int64})
+            .sort_values(["part_a", "part_b", "part_c"],
+                         kind="mergesort").reset_index(drop=True))
+
+
+def q_degree_assortativity(sf_dir: str):
+    """Degree assortativity of the co-purchase graph (Newman 2002): the
+    Pearson correlation of endpoint degrees over every directed edge
+    occurrence.  Degrees are exact int64 counts, all five correlation
+    sums are exact int64 partials (one driver combine of O(batches)
+    rows), and the coefficient is ONE closed-form double expression the
+    oracle mirrors verbatim — so a float answer is still bit-exact."""
+    from ..stages.joins import hash_join
+
+    w = _w(sf_dir, "lineitem")
+    edges = _copurchase_edges(sf_dir, w).materialize()
+
+    def _both(batch: pa.Table) -> pd.DataFrame:
+        s = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame({"s": np.concatenate([s, d]),
+                             "d": np.concatenate([d, s])})
+
+    b = edges.map_batches(_both, batch_format="pyarrow").materialize()
+    deg = partial_agg(
+        b.map_batches(lambda df: df.rename(columns={"s": "node"})
+                      [["node"]], batch_format="pandas"),
+        ["node"], count_col="deg", num_buckets=w)
+
+    b_sch = pa.schema([("s", pa.int64()), ("d", pa.int64())])
+    deg_s = deg.map_batches(lambda df: df.rename(
+        columns={"node": "s", "deg": "dx"}), batch_format="pandas")
+    j1 = hash_join(b, deg_s, on="s", num_buckets=w,
+                   schemas=(b_sch, pa.schema([("s", pa.int64()),
+                                              ("dx", pa.int64())])))
+    deg_d = deg.map_batches(lambda df: df.rename(
+        columns={"node": "d", "deg": "dy"}), batch_format="pandas")
+    j2 = hash_join(j1, deg_d, on="d", num_buckets=w,
+                   schemas=(pa.schema([("s", pa.int64()),
+                                       ("d", pa.int64()),
+                                       ("dx", pa.int64())]),
+                            pa.schema([("d", pa.int64()),
+                                       ("dy", pa.int64())])))
+
+    def _sums(df: pd.DataFrame) -> pd.DataFrame:
+        dx = df["dx"].to_numpy(np.int64)
+        dy = df["dy"].to_numpy(np.int64)
+        return pd.DataFrame({"one": np.ones(len(df), dtype=np.int64),
+                             "x": dx, "y": dy, "xy": dx * dy,
+                             "xx": dx * dx, "yy": dy * dy})
+
+    agg = partial_agg(j2.map_batches(_sums, batch_format="pandas"),
+                      ["one"], sums=["x", "y", "xy", "xx", "yy"],
+                      combine="driver").to_pandas()
+    n = np.int64(agg["n"].iloc[0])
+    sx, sy = np.int64(agg["sum_x"].iloc[0]), np.int64(agg["sum_y"].iloc[0])
+    sxy = np.int64(agg["sum_xy"].iloc[0])
+    sxx = np.int64(agg["sum_xx"].iloc[0])
+    syy = np.int64(agg["sum_yy"].iloc[0])
+    r = (np.float64(n * sxy - sx * sy)
+         / (np.sqrt(np.float64(n * sxx - sx * sx))
+            * np.sqrt(np.float64(n * syy - sy * sy))))
+    return pd.DataFrame({"n": [np.int64(n)],
+                         "assortativity": [np.float64(r)]})
