@@ -349,6 +349,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_copurchase": q.q_kcore_copurchase,
         "frequent_triples": q.q_frequent_triples,
         "degree_assortativity": q.q_degree_assortativity,
+        "markov_accuracy": q.q_markov_accuracy,
+        "mutual_top_partner": q.q_mutual_top_partner,
+        "search_docs": q.q_search_docs,
     }
 
 
@@ -2372,5 +2375,54 @@ def oracle_sql() -> dict[str, str]:
             "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * "
             "sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS assortativity "
             "FROM su"
+        ),
+        # majority-class next-event predictor scored on its own stream
+        "markov_accuracy": (
+            "WITH s AS (SELECT event_type, lead(event_type) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS nxt "
+            "FROM events), "
+            "m AS (SELECT event_type AS from_type, nxt AS to_type, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM s "
+            "WHERE nxt IS NOT NULL GROUP BY 1, 2), "
+            "r AS (SELECT from_type, to_type AS pred, n AS n_correct, "
+            "row_number() OVER (PARTITION BY from_type "
+            "ORDER BY n DESC, to_type) AS rn FROM m), "
+            "t AS (SELECT from_type, SUM(n) AS n_transitions FROM m "
+            "GROUP BY 1) "
+            "SELECT t.from_type, r.pred, "
+            "CAST(t.n_transitions AS BIGINT) AS n_transitions, "
+            "CAST(r.n_correct AS BIGINT) AS n_correct, "
+            "CAST(r.n_correct AS DOUBLE) / t.n_transitions AS accuracy "
+            "FROM t JOIN r ON t.from_type = r.from_type AND r.rn = 1"
+        ),
+        # reciprocal best co-purchase partner (ties to smaller id)
+        "mutual_top_partner": (
+            "WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey "
+            "FROM lineitem), "
+            "pp AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb "
+            "FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey), "
+            "e AS (SELECT pa, pb, CAST(COUNT(*) AS BIGINT) AS n_ord "
+            "FROM pp GROUP BY pa, pb HAVING COUNT(*) >= 2), "
+            "b AS (SELECT pa AS s, pb AS d, n_ord FROM e "
+            "UNION ALL SELECT pb, pa, n_ord FROM e), "
+            "top AS (SELECT s, d AS top, n_ord, row_number() OVER ("
+            "PARTITION BY s ORDER BY n_ord DESC, d) AS rn FROM b) "
+            "SELECT x.s AS part_a, x.top AS part_b, "
+            "CAST(x.n_ord AS BIGINT) AS support "
+            "FROM top x JOIN top y ON x.rn = 1 AND y.rn = 1 "
+            "AND y.s = x.top AND y.top = x.s AND x.s < x.top"
+        ),
+        # multi-term AND search, tf-ranked top 10
+        "search_docs": (
+            "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS term FROM documents), "
+            "tf AS (SELECT doc_id, "
+            "SUM(CASE WHEN term = 'data' THEN 1 ELSE 0 END) AS t1, "
+            "SUM(CASE WHEN term = 'query' THEN 1 ELSE 0 END) AS t2 "
+            "FROM w GROUP BY 1) "
+            "SELECT doc_id, CAST(t1 + t2 AS BIGINT) AS tf_total "
+            "FROM tf WHERE t1 > 0 AND t2 > 0 "
+            "ORDER BY tf_total DESC, doc_id LIMIT 10"
         ),
     }

@@ -297,7 +297,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "dup_span_stats", "cosine_pairs", "triangle_count",
         "shuffle_shards", "daily_spine_orders", "edit1_name_hist",
         "label_centroids", "kcore_copurchase", "frequent_triples",
-        "degree_assortativity",
+        "degree_assortativity", "markov_accuracy",
+        "mutual_top_partner", "search_docs",
     ]
     qs = em.queries()
     for name in bench_queries:

@@ -5367,6 +5367,14 @@ def _copurchase_edges(sf_dir: str, w: int):
     """Part co-purchase graph: DISTINCT (order, part) -> per-order part
     pairs (order-bucketed) -> pairs supported by >= 2 distinct orders,
     oriented ``src < dst``."""
+    return (_copurchase_edges_support(sf_dir, w)
+            .select_columns(["src", "dst"]))
+
+
+def _copurchase_edges_support(sf_dir: str, w: int):
+    """Co-purchase edges WITH the distinct-order support column
+    ``n_ord``: DISTINCT (order, part) -> per-order sorted part pairs
+    (order-bucketed) -> support count -> ``n_ord >= 2`` filter."""
     ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
                                columns=["l_orderkey", "l_partkey"])
 
@@ -5395,10 +5403,8 @@ def _copurchase_edges(sf_dir: str, w: int):
 
     pairs = (ds.map_batches(_tag, batch_format="pyarrow")
              .groupby("_bucket").map_groups(_pairs, batch_format="pandas"))
-    support = partial_agg(pairs, ["src", "dst"], count_col="n_ord",
-                          num_buckets=w)
-    return support.filter(
-        expr="n_ord >= 2").select_columns(["src", "dst"])
+    return partial_agg(pairs, ["src", "dst"], count_col="n_ord",
+                       num_buckets=w).filter(expr="n_ord >= 2")
 
 
 def q_triangle_count(sf_dir: str):
@@ -5757,3 +5763,125 @@ def q_degree_assortativity(sf_dir: str):
             * np.sqrt(np.float64(n * syy - sy * sy))))
     return pd.DataFrame({"n": [np.int64(n)],
                          "assortativity": [np.float64(r)]})
+
+
+def q_markov_accuracy(sf_dir: str):
+    """In-corpus model fit + scoring: the majority-class next-event
+    predictor (argmax row of the Markov transition matrix, ties to the
+    lexicographically smallest successor) scored on the SAME stream.
+    The matrix is O(types^2) — fit and score both derive from the one
+    user-bucketed transition pass; accuracy is one exact-int
+    division."""
+    from ..stages.events import event_transitions
+
+    ds = _events_us(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+    m = event_transitions(ds, "user_id", "event_type",
+                          ["ts_us", "event_id"],
+                          num_buckets=_w(sf_dir, "events"))
+    m = m.sort_values(["from_type", "n", "to_type"],
+                      ascending=[True, False, True], kind="mergesort")
+    pred = m.groupby("from_type", sort=False).head(1)[
+        ["from_type", "to_type", "n"]].rename(
+        columns={"to_type": "pred", "n": "n_correct"})
+    tot = (m.groupby("from_type", sort=False)["n"].sum()
+           .rename("n_transitions").reset_index())
+    out = tot.merge(pred, on="from_type")
+    return (pd.DataFrame({
+        "from_type": out["from_type"],
+        "pred": out["pred"],
+        "n_transitions": out["n_transitions"].astype(np.int64),
+        "n_correct": out["n_correct"].astype(np.int64),
+        "accuracy": out["n_correct"].astype(np.int64).to_numpy()
+        / out["n_transitions"].astype(np.int64).to_numpy()
+        .astype(np.float64)})
+        .sort_values("from_type", kind="mergesort")
+        .reset_index(drop=True))
+
+
+def q_mutual_top_partner(sf_dir: str):
+    """Reciprocal best match: part pairs that are EACH OTHER's top
+    co-purchase partner (max shared-order support, ties to the smaller
+    partner id).  Per-src argmax is bucket-local (src-confined); the
+    O(parts) top-partner table is value-domain bounded, so the mutual
+    check is one driver merge — same O(domain) discipline as the
+    calendar spine."""
+    w = _w(sf_dir, "lineitem")
+    edges = _copurchase_edges_support(sf_dir, w)
+
+    def _both(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "src" not in df.columns:
+            return pd.DataFrame({"s": pd.Series([], dtype=np.int64),
+                                 "d": pd.Series([], dtype=np.int64),
+                                 "n_ord": pd.Series([], dtype=np.int64),
+                                 "_b2": pd.Series([], dtype=np.int32)})
+        s = df["src"].to_numpy(np.int64)
+        d = df["dst"].to_numpy(np.int64)
+        n = df["n_ord"].to_numpy(np.int64)
+        out = pd.DataFrame({"s": np.concatenate([s, d]),
+                            "d": np.concatenate([d, s]),
+                            "n_ord": np.concatenate([n, n])})
+        h = pd.util.hash_array(out["s"].to_numpy(np.int64))
+        out["_b2"] = (h % np.uint64(w)).astype(np.int32)
+        return out
+
+    def _top(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "s" not in df.columns:
+            return pd.DataFrame({"s": pd.Series([], dtype=np.int64),
+                                 "top": pd.Series([], dtype=np.int64),
+                                 "n_ord": pd.Series([], dtype=np.int64)})
+        d = df.sort_values(["s", "n_ord", "d"],
+                           ascending=[True, False, True],
+                           kind="mergesort")
+        d = d.groupby("s", sort=False).head(1)
+        return pd.DataFrame({"s": d["s"].to_numpy(np.int64),
+                             "top": d["d"].to_numpy(np.int64),
+                             "n_ord": d["n_ord"].to_numpy(np.int64)})
+
+    tops = (edges.map_batches(_both, batch_format="pandas")
+            .groupby("_b2").map_groups(_top, batch_format="pandas")
+            .to_pandas())
+    rev = tops.rename(columns={"s": "top", "top": "s"})[
+        ["s", "top"]].assign(_mutual=True)
+    j = tops.merge(rev, on=["s", "top"], how="inner")
+    j = j[j["s"] < j["top"]]
+    return (pd.DataFrame({"part_a": j["s"].astype(np.int64),
+                          "part_b": j["top"].astype(np.int64),
+                          "support": j["n_ord"].astype(np.int64)})
+            .sort_values(["part_a", "part_b"], kind="mergesort")
+            .reset_index(drop=True))
+
+
+def q_search_docs(sf_dir: str):
+    """Multi-term AND search with tf ranking: docs containing every
+    query term (space-split, exact match), ranked by summed term
+    frequency then doc_id, top 10 — the inverted-index probe the
+    `term_df_topk` index family serves.  Per-batch tf of the two probe
+    terms is a map; the global top-10 is a driver merge of per-batch
+    top-10s (same local-top-k-then-merge plan as cosine_pairs)."""
+    TERMS = ("data", "query")
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def _score(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        rows = []
+        for i, t in enumerate(batch["text"].to_pylist()):
+            if t is None:
+                continue
+            ws = t.split(" ")
+            tfs = [sum(1 for x in ws if x == q) for q in TERMS]
+            if all(tfs):
+                rows.append((int(ids[i]), sum(tfs)))
+        if not rows:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "tf_total": pd.Series([], dtype=np.int64)})
+        d = pd.DataFrame(rows, columns=["doc_id", "tf_total"])
+        return (d.sort_values(["tf_total", "doc_id"],
+                              ascending=[False, True], kind="mergesort")
+                .head(10))
+
+    cand = ds.map_batches(_score, batch_format="pyarrow").to_pandas()
+    return (cand.sort_values(["tf_total", "doc_id"],
+                             ascending=[False, True], kind="mergesort")
+            .head(10).astype({"doc_id": np.int64, "tf_total": np.int64})
+            .reset_index(drop=True))
