@@ -350,6 +350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_triples": q.q_frequent_triples,
         "degree_assortativity": q.q_degree_assortativity,
         "markov_accuracy": q.q_markov_accuracy,
+        "random_walks": q.q_random_walks,
         "mutual_top_partner": q.q_mutual_top_partner,
         "search_docs": q.q_search_docs,
     }
@@ -2424,5 +2425,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(t1 + t2 AS BIGINT) AS tf_total "
             "FROM tf WHERE t1 > 0 AND t2 > 0 "
             "ORDER BY tf_total DESC, doc_id LIMIT 10"
+        ),
+        # deterministic 3-step hash-chosen walks (node2vec corpus prep)
+        "random_walks": (
+            "WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey "
+            "FROM lineitem), "
+            "pp AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb "
+            "FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey), "
+            "e AS (SELECT pa, pb, CAST(COUNT(*) AS BIGINT) AS n_ord "
+            "FROM pp GROUP BY pa, pb HAVING COUNT(*) >= 2), "
+            "b AS (SELECT pa AS s, pb AS d, n_ord FROM e "
+            "UNION ALL SELECT pb, pa, n_ord FROM e), "
+            "r AS (SELECT s, d, row_number() OVER (PARTITION BY s "
+            "ORDER BY n_ord DESC, d) - 1 AS rn, "
+            "COUNT(*) OVER (PARTITION BY s) AS deg FROM b), "
+            "s1 AS (SELECT s AS start, d AS hop1 FROM r "
+            "WHERE rn = ((s * 31 + 1) * 2654435761) % 4294967296 % deg), "
+            "s2 AS (SELECT s1.start, s1.hop1, r.d AS hop2 FROM s1 "
+            "JOIN r ON r.s = s1.hop1 AND r.rn = "
+            "((s1.hop1 * 31 + 2) * 2654435761) % 4294967296 % r.deg), "
+            "s3 AS (SELECT s2.start, s2.hop1, s2.hop2, r.d AS hop3 "
+            "FROM s2 JOIN r ON r.s = s2.hop2 AND r.rn = "
+            "((s2.hop2 * 31 + 3) * 2654435761) % 4294967296 % r.deg) "
+            "SELECT start, hop1, hop2, hop3 FROM s3"
         ),
     }

@@ -298,7 +298,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "shuffle_shards", "daily_spine_orders", "edit1_name_hist",
         "label_centroids", "kcore_copurchase", "frequent_triples",
         "degree_assortativity", "markov_accuracy",
-        "mutual_top_partner", "search_docs",
+        "mutual_top_partner", "search_docs", "random_walks",
     ]
     qs = em.queries()
     for name in bench_queries:

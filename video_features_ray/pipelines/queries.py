@@ -5885,3 +5885,122 @@ def q_search_docs(sf_dir: str):
                              ascending=[False, True], kind="mergesort")
             .head(10).astype({"doc_id": np.int64, "tf_total": np.int64})
             .reset_index(drop=True))
+
+
+def q_random_walks(sf_dir: str):
+    """Deterministic 3-step random walks from every co-purchase-graph
+    node — the walk-corpus generator a node2vec/DeepWalk embedding
+    pipeline feeds to its skip-gram stage, made REPLAYABLE: the step-t
+    choice from node v is its neighbor ranked (support DESC, id) at
+    position ``((v*31+t) * 2654435761 mod 2^32) mod deg(v)``, so a
+    resumed run — or the SQL oracle — regenerates identical walks.
+    Plan: one bucket-local rank/degree pass over the directed neighbor
+    table, then one packed-key hash join per step (frontier is O(nodes)
+    rows; nothing is ever collected)."""
+    from ..stages.joins import hash_join
+
+    w = _w(sf_dir, "lineitem")
+    edges = _copurchase_edges_support(sf_dir, w)
+
+    def _both(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "src" not in df.columns:
+            return pd.DataFrame({"s": pd.Series([], dtype=np.int64),
+                                 "d": pd.Series([], dtype=np.int64),
+                                 "n_ord": pd.Series([], dtype=np.int64),
+                                 "_b2": pd.Series([], dtype=np.int32)})
+        s = df["src"].to_numpy(np.int64)
+        d = df["dst"].to_numpy(np.int64)
+        n = df["n_ord"].to_numpy(np.int64)
+        out = pd.DataFrame({"s": np.concatenate([s, d]),
+                            "d": np.concatenate([d, s]),
+                            "n_ord": np.concatenate([n, n])})
+        h = pd.util.hash_array(out["s"].to_numpy(np.int64))
+        out["_b2"] = (h % np.uint64(w)).astype(np.int32)
+        return out
+
+    def _rank(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "s" not in df.columns:
+            return pd.DataFrame({"key": pd.Series([], dtype=np.int64),
+                                 "d": pd.Series([], dtype=np.int64),
+                                 "deg": pd.Series([], dtype=np.int64),
+                                 "s": pd.Series([], dtype=np.int64)})
+        d = df.sort_values(["s", "n_ord", "d"],
+                           ascending=[True, False, True],
+                           kind="mergesort").reset_index(drop=True)
+        grp = d.groupby("s", sort=False)
+        rn = grp.cumcount().to_numpy(np.int64)
+        deg = grp["d"].transform("size").to_numpy(np.int64)
+        s = d["s"].to_numpy(np.int64)
+        return pd.DataFrame({"key": s * np.int64(1 << 31) + rn,
+                             "d": d["d"].to_numpy(np.int64),
+                             "deg": deg, "s": s})
+
+    ranked = (edges.map_batches(_both, batch_format="pandas")
+              .groupby("_b2").map_groups(_rank, batch_format="pandas")
+              .materialize())
+    # per-node degree table (rank rows with rn == 0 carry it)
+    def _deg_rows(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["key"].to_numpy(np.int64) % np.int64(1 << 31)) == 0
+        d = df[m]
+        return pd.DataFrame({"node": d["s"].astype(np.int64),
+                             "deg": d["deg"].astype(np.int64)})
+
+    deg_tbl = ranked.map_batches(_deg_rows, batch_format="pandas")
+
+    # attach the DESTINATION's degree to each ranked row — the next
+    # step's pick needs deg(new node), not deg(current)
+    deg_d = deg_tbl.map_batches(
+        lambda df: df.rename(columns={"node": "d", "deg": "deg_d"}),
+        batch_format="pandas")
+    ranked = hash_join(
+        ranked.select_columns(["key", "d"]), deg_d, on="d",
+        num_buckets=w,
+        schemas=(pa.schema([("key", pa.int64()), ("d", pa.int64())]),
+                 pa.schema([("d", pa.int64()), ("deg_d", pa.int64())]))
+    ).materialize()
+
+    KN = np.int64(2654435761)
+    M32 = np.int64(4294967296)
+
+    # frontier: (start, cur, deg(cur))
+    frontier = deg_tbl.map_batches(
+        lambda df: pd.DataFrame({"start": df["node"].astype(np.int64),
+                                 "cur": df["node"].astype(np.int64),
+                                 "deg": df["deg"].astype(np.int64)}),
+        batch_format="pandas").materialize()
+    hops = []
+    for step in (1, 2, 3):
+        def _pick(df: pd.DataFrame, _t=step) -> pd.DataFrame:
+            cur = df["cur"].to_numpy(np.int64)
+            deg = df["deg"].to_numpy(np.int64)
+            rn = ((cur * 31 + _t) * KN % M32) % deg
+            out = df[["start"]].copy()
+            out["key"] = cur * np.int64(1 << 31) + rn
+            return out
+
+        f_sch = pa.schema([("start", pa.int64()), ("key", pa.int64())])
+        nxt = hash_join(
+            frontier.map_batches(_pick, batch_format="pandas"),
+            ranked.select_columns(["key", "d", "deg_d"]),
+            on="key", num_buckets=w,
+            schemas=(f_sch, pa.schema([("key", pa.int64()),
+                                       ("d", pa.int64()),
+                                       ("deg_d", pa.int64())])))
+        frontier = nxt.map_batches(
+            lambda df: pd.DataFrame({"start": df["start"].astype(np.int64),
+                                     "cur": df["d"].astype(np.int64),
+                                     "deg": df["deg_d"].astype(np.int64)}),
+            batch_format="pandas").materialize()
+        hops.append(frontier.map_batches(
+            lambda df, _t=step: pd.DataFrame(
+                {"start": df["start"].astype(np.int64),
+                 "step": np.full(len(df), _t, dtype=np.int64),
+                 "node": df["cur"].astype(np.int64)}),
+            batch_format="pandas").to_pandas())
+
+    out = pd.concat(hops, ignore_index=True)
+    walk = out.pivot(index="start", columns="step", values="node")
+    walk.columns = [f"hop{int(c)}" for c in walk.columns]
+    return (walk.reset_index().astype(np.int64)
+            .sort_values("start", kind="mergesort")
+            .reset_index(drop=True))
