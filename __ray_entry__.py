@@ -351,6 +351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_assortativity": q.q_degree_assortativity,
         "markov_accuracy": q.q_markov_accuracy,
         "random_walks": q.q_random_walks,
+        "psi_value_drift": q.q_psi_value_drift,
         "mutual_top_partner": q.q_mutual_top_partner,
         "search_docs": q.q_search_docs,
     }
@@ -2449,5 +2450,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM s2 JOIN r ON r.s = s2.hop2 AND r.rn = "
             "((s2.hop2 * 31 + 3) * 2654435761) % 4294967296 % r.deg) "
             "SELECT start, hop1, hop2, hop3 FROM s3"
+        ),
+        # PSI drift: first vs second chronological half, per-bin
+        # contributions rounded to 12 dp (no order-dependent float sum)
+        "psi_value_drift": (
+            "WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+            "value FROM events), "
+            "s AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS split FROM d), "
+            "c AS (SELECT CASE WHEN day >= split THEN 1 ELSE 0 END "
+            "AS half, CAST(floor(value) AS BIGINT) AS bin, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM d, s GROUP BY 1, 2), "
+            "a AS (SELECT bin, n AS n_a FROM c WHERE half = 0), "
+            "b AS (SELECT bin, n AS n_b FROM c WHERE half = 1), "
+            "t AS (SELECT (SELECT SUM(n_a) FROM a) AS ta, "
+            "(SELECT SUM(n_b) FROM b) AS tb) "
+            "SELECT a.bin, n_a, n_b, "
+            "CAST(n_a AS DOUBLE) / ta AS p_a, "
+            "CAST(n_b AS DOUBLE) / tb AS p_b, "
+            "round((CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb) "
+            "* ln((CAST(n_a AS DOUBLE) / ta) / (CAST(n_b AS DOUBLE) / tb)"
+            "), 12) AS psi "
+            "FROM a JOIN b ON a.bin = b.bin, t"
         ),
     }

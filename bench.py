@@ -299,6 +299,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "label_centroids", "kcore_copurchase", "frequent_triples",
         "degree_assortativity", "markov_accuracy",
         "mutual_top_partner", "search_docs", "random_walks",
+        "psi_value_drift",
     ]
     qs = em.queries()
     for name in bench_queries:

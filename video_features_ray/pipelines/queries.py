@@ -6004,3 +6004,57 @@ def q_random_walks(sf_dir: str):
     return (walk.reset_index().astype(np.int64)
             .sort_values("start", kind="mergesort")
             .reset_index(drop=True))
+
+
+def q_psi_value_drift(sf_dir: str):
+    """Population-Stability-Index drift monitor: the event ``value``
+    distribution of the chronologically FIRST half of the stream vs the
+    second (split at the midpoint day, computed from footer-cheap
+    min/max partials), over unit-width floor bins.  Counts are exact
+    ints, shares are single divisions, and the per-bin PSI contribution
+    ``(p_a - p_b) * ln(p_a / p_b)`` is emitted PER BIN rounded to 12
+    decimals on both sides (numpy and DuckDB ln differ in the last
+    ulp) — the same no-order-dependent-sum discipline as the entropy
+    and chi-square queries.  Bins empty in either half are excluded
+    (the standard epsilon-free PSI variant)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "value"])
+
+    def _day(batch: pa.Table) -> pd.DataFrame:
+        d = batch["ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // DAY_US
+        return pd.DataFrame({"one": np.ones(len(d), dtype=np.int64),
+                             "day": d})
+
+    days = partial_agg(ds.map_batches(_day, batch_format="pyarrow"),
+                       ["one"], mins=["day"], maxs=["day"],
+                       combine="driver").to_pandas()
+    d0 = np.int64(days["min_day"].iloc[0])
+    d1 = np.int64(days["max_day"].iloc[0])
+    split = (d0 + d1 + 1) // 2
+
+    def _bins(batch: pa.Table) -> pd.DataFrame:
+        d = batch["ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // DAY_US
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pd.DataFrame({
+            "half": (d >= split).astype(np.int64),
+            "bin": np.floor(v).astype(np.int64)})
+
+    c = partial_agg(ds.map_batches(_bins, batch_format="pyarrow"),
+                    ["half", "bin"], combine="driver").to_pandas()
+    c["n"] = c["n"].astype(np.int64)
+    a = c[c["half"] == 0][["bin", "n"]].rename(columns={"n": "n_a"})
+    b = c[c["half"] == 1][["bin", "n"]].rename(columns={"n": "n_b"})
+    ta = np.int64(a["n_a"].sum())
+    tb = np.int64(b["n_b"].sum())
+    m = a.merge(b, on="bin", how="inner")
+    p_a = m["n_a"].to_numpy(np.int64) / np.float64(ta)
+    p_b = m["n_b"].to_numpy(np.int64) / np.float64(tb)
+    return (pd.DataFrame({
+        "bin": m["bin"].astype(np.int64),
+        "n_a": m["n_a"].astype(np.int64),
+        "n_b": m["n_b"].astype(np.int64),
+        "p_a": p_a, "p_b": p_b,
+        "psi": np.round((p_a - p_b) * np.log(p_a / p_b), 12)})
+        .sort_values("bin", kind="mergesort").reset_index(drop=True))
