@@ -5363,6 +5363,62 @@ def q_cosine_pairs(sf_dir: str):
     return cosine_pairs_topk(ds, topk=20)
 
 
+def _edge_width(edges) -> int:
+    """Bucket count for stages downstream of a MATERIALIZED edge table:
+    sized by the edges actually present (count x ~32 B), not by the
+    raw fact-table bytes — at sf0.1 the support-filtered co-purchase
+    graph is ~3.5k edges and a lineitem-sized 64-way shuffle spends
+    more on per-bucket task overhead than on data."""
+    try:
+        n = int(edges.count())
+    except Exception:
+        n = 0
+    # small floor/cap: these stages run AFTER the support filter, so
+    # parallelism beyond the data term only buys per-bucket task
+    # overhead; the data term still grows the width at real scale
+    return shuffle_width(n * 32, floor=8, cluster_cap=8)
+
+
+def _group_runs(df: pd.DataFrame, key: str, val: str):
+    """Sorted-distinct (key, val) rows -> (vals array, run starts, run
+    counts) — the shared vectorized front end for per-group
+    combination generation (NO per-group Python loop)."""
+    d = (df[[key, val]].sort_values([key, val], kind="mergesort")
+         .drop_duplicates())
+    k = d[key].to_numpy(np.int64)
+    v = d[val].to_numpy(np.int64)
+    change = np.concatenate(([True], k[1:] != k[:-1]))
+    starts = np.flatnonzero(change)
+    counts = np.diff(np.concatenate([starts, [len(k)]]))
+    return v, starts, counts
+
+
+def _order_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    """All within-order part pairs ``src < dst`` — groups of equal size
+    c stack into an (m, c) index matrix and fan out through ONE
+    triu_indices per distinct size (the same size-class trick as the
+    FastSS candidate stage; a 150k-order bucket previously cost a 150k-
+    iteration pandas groupby loop)."""
+    empty = pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                          "dst": pd.Series([], dtype=np.int64)})
+    if df.empty or "l_orderkey" not in df.columns:
+        return empty
+    v, starts, counts = _group_runs(df, "l_orderkey", "l_partkey")
+    srcs, dsts = [], []
+    for c in np.unique(counts):
+        if c < 2:
+            continue
+        s_c = starts[counts == c]
+        members = s_c[:, None] + np.arange(c)[None, :]
+        ii, jj = np.triu_indices(int(c), k=1)
+        srcs.append(v[members[:, ii].ravel()])
+        dsts.append(v[members[:, jj].ravel()])
+    if not srcs:
+        return empty
+    return pd.DataFrame({"src": np.concatenate(srcs),
+                         "dst": np.concatenate(dsts)})
+
+
 def _copurchase_edges(sf_dir: str, w: int):
     """Part co-purchase graph: DISTINCT (order, part) -> per-order part
     pairs (order-bucketed) -> pairs supported by >= 2 distinct orders,
@@ -5385,24 +5441,9 @@ def _copurchase_edges_support(sf_dir: str, w: int):
         d["_bucket"] = (h % np.uint64(w)).astype(np.int32)
         return d
 
-    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty or "l_orderkey" not in df.columns:
-            return pd.DataFrame({"src": pd.Series([], dtype=np.int64),
-                                 "dst": pd.Series([], dtype=np.int64)})
-        out = []
-        for _, g in df.groupby("l_orderkey", sort=False):
-            parts = np.sort(np.unique(g["l_partkey"].to_numpy(np.int64)))
-            if len(parts) < 2:
-                continue
-            ii, jj = np.triu_indices(len(parts), k=1)
-            out.append(pd.DataFrame({"src": parts[ii], "dst": parts[jj]}))
-        if not out:
-            return pd.DataFrame({"src": pd.Series([], dtype=np.int64),
-                                 "dst": pd.Series([], dtype=np.int64)})
-        return pd.concat(out, ignore_index=True)
-
     pairs = (ds.map_batches(_tag, batch_format="pyarrow")
-             .groupby("_bucket").map_groups(_pairs, batch_format="pandas"))
+             .groupby("_bucket").map_groups(_order_pairs,
+                                            batch_format="pandas"))
     return partial_agg(pairs, ["src", "dst"], count_col="n_ord",
                        num_buckets=w).filter(expr="n_ord >= 2")
 
@@ -5415,7 +5456,8 @@ def q_triangle_count(sf_dir: str):
     from ..stages.graph import triangle_count
 
     w = _w(sf_dir, "lineitem")
-    return triangle_count(_copurchase_edges(sf_dir, w), num_buckets=w)
+    edges = _copurchase_edges(sf_dir, w).materialize()
+    return triangle_count(edges, num_buckets=_edge_width(edges))
 
 
 def q_kcore_copurchase(sf_dir: str):
@@ -5428,8 +5470,9 @@ def q_kcore_copurchase(sf_dir: str):
     from ..stages.graph import k_core
 
     w = _w(sf_dir, "lineitem")
-    core, rounds, n_nodes = k_core(_copurchase_edges(sf_dir, w), k=3,
-                                   num_buckets=w,
+    edges = _copurchase_edges(sf_dir, w).materialize()
+    core, rounds, n_nodes = k_core(edges, k=3,
+                                   num_buckets=_edge_width(edges),
                                    local_finish=2_000_000)
     return pd.DataFrame({"k": [np.int64(3)],
                          "n_core_nodes": [np.int64(n_nodes)],
@@ -5640,18 +5683,10 @@ def q_frequent_triples(sf_dir: str):
         return d
 
     def _pairs(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty or "l_orderkey" not in df.columns:
-            return pd.DataFrame({"pp": pd.Series([], dtype=np.int64)})
-        out = []
-        for _, g in df.groupby("l_orderkey", sort=False):
-            parts = np.sort(np.unique(g["l_partkey"].to_numpy(np.int64)))
-            if len(parts) < 2:
-                continue
-            ii, jj = np.triu_indices(len(parts), k=1)
-            out.append(parts[ii] * np.int64(1 << 31) + parts[jj])
-        if not out:
-            return pd.DataFrame({"pp": pd.Series([], dtype=np.int64)})
-        return pd.DataFrame({"pp": np.concatenate(out)})
+        d = _order_pairs(df)
+        return pd.DataFrame({
+            "pp": d["src"].to_numpy(np.int64) * np.int64(1 << 31)
+            + d["dst"].to_numpy(np.int64)})
 
     tagged = ds.map_batches(_tag, batch_format="pyarrow")
     support = partial_agg(
@@ -5663,41 +5698,47 @@ def q_frequent_triples(sf_dir: str):
     freq_ref = ray.put(freq_arr)
 
     def _triples(df: pd.DataFrame) -> pd.DataFrame:
-            freq = ray.get(freq_ref)    # zero-copy, worker-cached
-            empty = pd.DataFrame({
-                "part_a": pd.Series([], dtype=np.int64),
-                "part_b": pd.Series([], dtype=np.int64),
-                "part_c": pd.Series([], dtype=np.int64)})
-            if df.empty or "l_orderkey" not in df.columns:
-                return empty
-            B = np.int64(1 << 31)
-            xs, ys, zs = [], [], []
-            for _, g in df.groupby("l_orderkey", sort=False):
-                parts = np.sort(np.unique(
-                    g["l_partkey"].to_numpy(np.int64)))
-                d = len(parts)
-                if d < 3:
-                    continue
-                # all ordered triples x<y<z of this order
-                i, j, k = np.meshgrid(np.arange(d), np.arange(d),
-                                      np.arange(d), indexing="ij")
-                m = (i < j) & (j < k)
-                x, y, z = parts[i[m]], parts[j[m]], parts[k[m]]
-                keep = (np.isin(x * B + y, freq)
-                        & np.isin(x * B + z, freq)
-                        & np.isin(y * B + z, freq))
-                xs.append(x[keep]); ys.append(y[keep]); zs.append(z[keep])
-            if not xs:
-                return empty
-            return pd.DataFrame({"part_a": np.concatenate(xs),
-                                 "part_b": np.concatenate(ys),
-                                 "part_c": np.concatenate(zs)})
+        # size-class vectorized ordered triples x<y<z per order, then
+        # one batched A-priori membership test — no per-order loop
+        freq = ray.get(freq_ref)    # zero-copy, worker-cached
+        empty = pd.DataFrame({
+            "part_a": pd.Series([], dtype=np.int64),
+            "part_b": pd.Series([], dtype=np.int64),
+            "part_c": pd.Series([], dtype=np.int64)})
+        if df.empty or "l_orderkey" not in df.columns:
+            return empty
+        v, starts, counts = _group_runs(df, "l_orderkey", "l_partkey")
+        xs, ys, zs = [], [], []
+        for c in np.unique(counts):
+            if c < 3:
+                continue
+            s_c = starts[counts == c]
+            members = s_c[:, None] + np.arange(c)[None, :]
+            i, j, k = np.meshgrid(np.arange(c), np.arange(c),
+                                  np.arange(c), indexing="ij")
+            m = (i < j) & (j < k)
+            ii, jj, kk = i[m], j[m], k[m]
+            xs.append(v[members[:, ii].ravel()])
+            ys.append(v[members[:, jj].ravel()])
+            zs.append(v[members[:, kk].ravel()])
+        if not xs:
+            return empty
+        B = np.int64(1 << 31)
+        x = np.concatenate(xs); y = np.concatenate(ys)
+        z = np.concatenate(zs)
+        keep = (np.isin(x * B + y, freq) & np.isin(x * B + z, freq)
+                & np.isin(y * B + z, freq))
+        return pd.DataFrame({"part_a": x[keep], "part_b": y[keep],
+                             "part_c": z[keep]})
 
     cand = tagged.groupby("_bucket").map_groups(
         _triples, batch_format="pandas")
     tri = (partial_agg(cand, ["part_a", "part_b", "part_c"],
                        count_col="support", num_buckets=w)
            .filter(expr="support >= 2").to_pandas())
+    if "part_a" not in tri.columns:     # no frequent triple anywhere
+        tri = pd.DataFrame({"part_a": [], "part_b": [], "part_c": [],
+                            "support": []})
     return (tri.astype({"part_a": np.int64, "part_b": np.int64,
                         "part_c": np.int64, "support": np.int64})
             .sort_values(["part_a", "part_b", "part_c"],
@@ -5715,6 +5756,7 @@ def q_degree_assortativity(sf_dir: str):
 
     w = _w(sf_dir, "lineitem")
     edges = _copurchase_edges(sf_dir, w).materialize()
+    w2 = _edge_width(edges)
 
     def _both(batch: pa.Table) -> pd.DataFrame:
         s = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -5726,17 +5768,19 @@ def q_degree_assortativity(sf_dir: str):
     deg = partial_agg(
         b.map_batches(lambda df: df.rename(columns={"s": "node"})
                       [["node"]], batch_format="pandas"),
-        ["node"], count_col="deg", num_buckets=w)
+        ["node"], count_col="deg", num_buckets=w2)
 
     b_sch = pa.schema([("s", pa.int64()), ("d", pa.int64())])
     deg_s = deg.map_batches(lambda df: df.rename(
         columns={"node": "s", "deg": "dx"}), batch_format="pandas")
-    j1 = hash_join(b, deg_s, on="s", num_buckets=w,
+    j1 = hash_join(b, deg_s, on="s", num_buckets=w2,
+                   coalesce_blocks=w2,
                    schemas=(b_sch, pa.schema([("s", pa.int64()),
                                               ("dx", pa.int64())])))
     deg_d = deg.map_batches(lambda df: df.rename(
         columns={"node": "d", "deg": "dy"}), batch_format="pandas")
-    j2 = hash_join(j1, deg_d, on="d", num_buckets=w,
+    j2 = hash_join(j1, deg_d, on="d", num_buckets=w2,
+                   coalesce_blocks=w2,
                    schemas=(pa.schema([("s", pa.int64()),
                                        ("d", pa.int64()),
                                        ("dx", pa.int64())]),
@@ -5806,7 +5850,8 @@ def q_mutual_top_partner(sf_dir: str):
     check is one driver merge — same O(domain) discipline as the
     calendar spine."""
     w = _w(sf_dir, "lineitem")
-    edges = _copurchase_edges_support(sf_dir, w)
+    edges = _copurchase_edges_support(sf_dir, w).materialize()
+    w2 = _edge_width(edges)
 
     def _both(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty or "src" not in df.columns:
@@ -5821,7 +5866,7 @@ def q_mutual_top_partner(sf_dir: str):
                             "d": np.concatenate([d, s]),
                             "n_ord": np.concatenate([n, n])})
         h = pd.util.hash_array(out["s"].to_numpy(np.int64))
-        out["_b2"] = (h % np.uint64(w)).astype(np.int32)
+        out["_b2"] = (h % np.uint64(w2)).astype(np.int32)
         return out
 
     def _top(df: pd.DataFrame) -> pd.DataFrame:
@@ -5840,6 +5885,10 @@ def q_mutual_top_partner(sf_dir: str):
     tops = (edges.map_batches(_both, batch_format="pandas")
             .groupby("_b2").map_groups(_top, batch_format="pandas")
             .to_pandas())
+    if "s" not in tops.columns:         # graph empty at this scale
+        tops = pd.DataFrame({"s": pd.Series([], dtype=np.int64),
+                             "top": pd.Series([], dtype=np.int64),
+                             "n_ord": pd.Series([], dtype=np.int64)})
     rev = tops.rename(columns={"s": "top", "top": "s"})[
         ["s", "top"]].assign(_mutual=True)
     j = tops.merge(rev, on=["s", "top"], how="inner")
@@ -5900,7 +5949,8 @@ def q_random_walks(sf_dir: str):
     from ..stages.joins import hash_join
 
     w = _w(sf_dir, "lineitem")
-    edges = _copurchase_edges_support(sf_dir, w)
+    edges = _copurchase_edges_support(sf_dir, w).materialize()
+    w2 = _edge_width(edges)
 
     def _both(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty or "src" not in df.columns:
@@ -5915,7 +5965,7 @@ def q_random_walks(sf_dir: str):
                             "d": np.concatenate([d, s]),
                             "n_ord": np.concatenate([n, n])})
         h = pd.util.hash_array(out["s"].to_numpy(np.int64))
-        out["_b2"] = (h % np.uint64(w)).astype(np.int32)
+        out["_b2"] = (h % np.uint64(w2)).astype(np.int32)
         return out
 
     def _rank(df: pd.DataFrame) -> pd.DataFrame:
@@ -5954,7 +6004,7 @@ def q_random_walks(sf_dir: str):
         batch_format="pandas")
     ranked = hash_join(
         ranked.select_columns(["key", "d"]), deg_d, on="d",
-        num_buckets=w,
+        num_buckets=w2, coalesce_blocks=w2,
         schemas=(pa.schema([("key", pa.int64()), ("d", pa.int64())]),
                  pa.schema([("d", pa.int64()), ("deg_d", pa.int64())]))
     ).materialize()
@@ -5982,7 +6032,7 @@ def q_random_walks(sf_dir: str):
         nxt = hash_join(
             frontier.map_batches(_pick, batch_format="pandas"),
             ranked.select_columns(["key", "d", "deg_d"]),
-            on="key", num_buckets=w,
+            on="key", num_buckets=w2, coalesce_blocks=w2,
             schemas=(f_sch, pa.schema([("key", pa.int64()),
                                        ("d", pa.int64()),
                                        ("deg_d", pa.int64())])))
