@@ -104,36 +104,75 @@ def dup_span_stats(
     ``(group, n_positions, n_dup_positions, dup_frac)`` with exact int
     counts and one IEEE division."""
 
-    def _postings(batch: pa.Table) -> pd.DataFrame:
-        keys, row_idx = window_keys(batch[text_col], k)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)[row_idx]
-        d = pd.DataFrame({"gram": keys, "doc": ids}).drop_duplicates()
-        h = pd.util.hash_pandas_object(d["gram"], index=False).to_numpy()
-        d["_bucket"] = (h % np.uint64(num_buckets)).astype(np.int32)
-        return d
+    width = 4 * k
 
-    def _dup_grams(df: pd.DataFrame) -> pd.DataFrame:
+    def _fsb(keys_s: np.ndarray) -> pa.FixedSizeBinaryArray:
+        # S-array -> Arrow FixedSizeBinary, one buffer copy, zero
+        # Python bytes objects (1.3M per batch with the pandas path)
+        return pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(width), len(keys_s),
+            [None, pa.py_buffer(np.ascontiguousarray(keys_s).tobytes())])
+
+    def _s_view(col) -> np.ndarray:
+        # Arrow FixedSizeBinary column -> numpy S view (no objects)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        buf = col.buffers()[1]
+        flat = np.frombuffer(buf, dtype=f"|S{width}",
+                             count=len(col) + col.offset)
+        return flat[col.offset:]
+
+    def _postings(batch: pa.Table) -> pa.Table:
+        # no map-side dedupe: a lexsort of every posting here costs
+        # more than shuffling the (rare) within-doc repeats the bucket
+        # combiner removes anyway
+        keys, row_idx = window_keys(batch[text_col], k)
+        ids = batch[id_col].to_numpy(
+            zero_copy_only=False)[row_idx].astype(np.int64)
+        # bucket by a vectorized 64-bit fold of the window columns
+        u32 = keys.view(np.uint32).reshape(-1, k).astype(np.uint64)
+        h = np.zeros(len(keys), dtype=np.uint64)
+        for c in range(k):
+            h = h * np.uint64(1099511628211) + u32[:, c]
+        return pa.table({
+            "gram": _fsb(keys),
+            "doc": pa.array(ids, type=pa.int64()),
+            "_bucket": pa.array((h % np.uint64(num_buckets))
+                                .astype(np.int32))})
+
+    def _dup_grams(batch: pa.Table) -> pa.Table:
         # gram-confined bucket: the global distinct-doc count per gram
         # is computable locally; emit only grams with >= 2 docs
-        if df.empty or "gram" not in df.columns:   # Ray empty partition
-            return pd.DataFrame({"gram": pd.Series([], dtype=object)})
-        d = df[["gram", "doc"]].drop_duplicates()
-        cnt = d.groupby("gram", sort=False).size()
-        dup = cnt[cnt >= 2]
-        return pd.DataFrame({"gram": dup.index.to_numpy()})
+        if batch.num_rows == 0 or "gram" not in batch.column_names:
+            return pa.table({"gram": pa.array([], type=pa.binary(width))})
+        ks = _s_view(batch["gram"])
+        ds_ = batch["doc"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ds_, ks))
+        ks, ds_ = ks[order], ds_[order]
+        first = np.concatenate(
+            ([True], (ks[1:] != ks[:-1]) | (ds_[1:] != ds_[:-1])))
+        ks = ks[first]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], ks[1:] != ks[:-1])))
+        counts = np.diff(np.concatenate([starts, [len(ks)]]))
+        dup = ks[starts[counts >= 2]]
+        return pa.table({"gram": _fsb(dup)})
 
-    dup = (ds.map_batches(_postings, batch_format="pyarrow")
-           .groupby("_bucket")
-           .map_groups(_dup_grams, batch_format="pandas")
-           .to_pandas())
-    if len(dup) > max_dup:
+    dup_t = (ds.map_batches(_postings, batch_format="pyarrow",
+                            batch_size=512)
+             .groupby("_bucket")
+             .map_groups(_dup_grams, batch_format="pyarrow"))
+    chunks = [_s_view(t["gram"])
+              for r in dup_t.to_arrow_refs()
+              for t in (ray.get(r),)
+              if t.num_rows and "gram" in t.column_names]
+    dup_keys = (np.sort(np.concatenate(chunks)) if chunks
+                else np.empty(0, dtype=f"|S{width}"))
+    if len(dup_keys) > max_dup:
         raise ValueError(
-            f"{len(dup)} duplicated grams exceeds the broadcast budget "
-            f"({max_dup}); use a join-path membership test instead "
+            f"{len(dup_keys)} duplicated grams exceeds the broadcast "
+            f"budget ({max_dup}); use a join-path membership test "
             "(see stages/dedup.py jaccard_verify_joined for the shape)")
-    if "gram" not in dup.columns:       # no duplicates anywhere
-        dup = pd.DataFrame({"gram": pd.Series([], dtype=object)})
-    dup_keys = np.sort(dup["gram"].to_numpy().astype(f"|S{4 * k}"))
     dup_ref = ray.put(dup_keys)
 
     class _Count:
@@ -145,16 +184,28 @@ def dup_span_stats(
             grp = (batch[group_col].to_pylist() if group_col
                    in batch.column_names else [""] * batch.num_rows)
             grp = pd.Series(grp, dtype=object).fillna("").to_numpy()
-            member = np.isin(keys, self.dup)
-            d = pd.DataFrame({"g": grp[row_idx],
-                              "dup": member.astype(np.int64)})
-            out = d.groupby("g", sort=False)["dup"].agg(["count", "sum"])
+            # searchsorted membership: the broadcast set is pre-sorted,
+            # so this is n*log(|dup|) memcmps — np.isin would re-sort
+            # every position key per batch
+            if len(self.dup):
+                pos = np.searchsorted(self.dup, keys)
+                pos = np.minimum(pos, len(self.dup) - 1)
+                member = self.dup[pos] == keys
+            else:
+                member = np.zeros(len(keys), dtype=bool)
+            # per-ROW group codes fanned to positions via bincount —
+            # no per-position string column
+            codes, uniq = pd.factorize(grp)
+            pos_codes = codes[row_idx]
+            n_pos = np.bincount(pos_codes, minlength=len(uniq))
+            n_dup = np.bincount(pos_codes[member], minlength=len(uniq))
+            keep = n_pos > 0
             return pd.DataFrame({
-                group_col: out.index.to_numpy(),
-                "n_pos": out["count"].astype(np.int64).to_numpy(),
-                "n_dup": out["sum"].astype(np.int64).to_numpy()})
+                group_col: np.asarray(uniq, dtype=object)[keep],
+                "n_pos": n_pos[keep].astype(np.int64),
+                "n_dup": n_dup[keep].astype(np.int64)})
 
-    parts = ds.map_batches(_Count, concurrency=(1, 8),
+    parts = ds.map_batches(_Count, concurrency=(1, 8), batch_size=512,
                            batch_format="pyarrow").to_pandas()
     agg = (parts.groupby(group_col, sort=False)[["n_pos", "n_dup"]]
            .sum().reset_index())
