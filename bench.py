@@ -302,12 +302,19 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "psi_value_drift",
     ]
     qs = em.queries()
+    import gc
     for name in bench_queries:
         t0 = time.perf_counter()
         res = qs[name](sf_dir)
         if hasattr(res, "materialize"):
             res.materialize()
         timings[name] = time.perf_counter() - t0
+        # release the finished query's datasets/actor pools before the
+        # next timing starts — a lingering 0.25-CPU actor or pinned
+        # object-store block from query N inflates query N+1 (the same
+        # cross-test interference tests/conftest.py collects away)
+        res = None
+        gc.collect()
 
     result = {
         "metric": "flagship_extract_sec",
