@@ -2740,8 +2740,13 @@ def q_semantic_dedup(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
+    # iterative stages (Lloyd rounds + CC rounds): width from the data
+    # term with a small floor — the 64-wide cluster default multiplies
+    # fixed per-bucket overhead by every iteration
     return semantic_dedup(ds, dim=64, n_clusters=8, tau=0.95,
-                          num_buckets=_w(sf_dir, "embeddings"))
+                          num_buckets=shuffle_width(
+                              table_bytes(sf_dir, "embeddings"),
+                              floor=8, cluster_cap=8))
 
 
 def q_pivot_event_counts(sf_dir: str):
@@ -3164,7 +3169,12 @@ def q_link_pagerank(sf_dir: str):
 
     edges = ds.map_batches(_edges, batch_format="pyarrow",
                            zero_copy_batch=True)
-    return pagerank(edges, iters=3, num_buckets=_w(sf_dir, "documents"))
+    # width from the KNOWN edge count (2 per doc), not the document
+    # table bytes: a 10k-edge graph shuffled 64-wide spends the whole
+    # run on per-bucket task overhead x 3 iterations x 4 stages
+    return pagerank(edges, iters=3,
+                    num_buckets=shuffle_width(2 * n * 16, floor=8,
+                                              cluster_cap=8))
 
 
 def q_mad_value_per_type(sf_dir: str):
