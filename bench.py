@@ -211,6 +211,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             log_to_driver=False,
                  ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
 
@@ -365,6 +366,7 @@ def _headline_only(sf_dir: str, num_cpus: int) -> dict:
         pass
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             log_to_driver=False,
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
 
@@ -455,6 +457,7 @@ def _stress(sf_dir: str, num_cpus: int) -> dict:
     import ray.data
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             log_to_driver=False,
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
 
