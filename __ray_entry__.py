@@ -109,15 +109,115 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external gate checks the FIRST 50 entries,
     # so each round the entries that have never had a driver-side green
-    # row rotate to the front (round 3 verified the first 50 of the old
-    # order; round 4 fronts the 46 that were behind them plus the two
-    # newly-oracled ones). The in-repo parity suite always runs ALL of
-    # oracle_sql() regardless of this order.
+    # row rotate to the front.  Round 5 fronts 50 of the 97 entries that
+    # were never driver-checked in rounds 1-4 (the round-4b graph /
+    # corpus-profiling batch, the PII family, the TPC-H join shapes and
+    # the event/feature analytics tail); the 40 still-unchecked oracled
+    # entries sit immediately after the window for the next rotation.
+    # The in-repo parity suite always runs ALL of oracle_sql().
     from video_features_ray.pipelines import queries as q
 
     return {
-        # --- round-4 front: never driver-checked before this round ---
-        # feature-engineering family (stages/features.py)
+        # --- round-5 front: never driver-checked in rounds 1-4 ---
+        "dup_span_stats": q.q_dup_span_stats,
+        "cosine_pairs": q.q_cosine_pairs,
+        "triangle_count": q.q_triangle_count,
+        "edit1_name_hist": q.q_edit1_name_hist,
+        "random_walks": q.q_random_walks,
+        "psi_value_drift": q.q_psi_value_drift,
+        "frequent_triples": q.q_frequent_triples,
+        "degree_assortativity": q.q_degree_assortativity,
+        "markov_accuracy": q.q_markov_accuracy,
+        "mutual_top_partner": q.q_mutual_top_partner,
+        "search_docs": q.q_search_docs,
+        "label_centroids": q.q_label_centroids,
+        "shuffle_shards": q.q_shuffle_shards,
+        "daily_spine_orders": q.q_daily_spine_orders,
+        "zonemap_prune": q.q_zonemap_prune,
+        "copurchase_pairs": q.q_copurchase_pairs,
+        "dup_rate_by_source": q.q_dup_rate_by_source,
+        "redact_pii": q.q_redact_pii,
+        "pii_per_source": q.q_pii_per_source,
+        "lm_familiarity": q.q_lm_familiarity,
+        "weighted_sample_docs": q.q_weighted_sample_docs,
+        "corpus_diff": q.q_corpus_diff,
+        "returned_top20": q.q_returned_top20,
+        "promo_revenue": q.q_promo_revenue,
+        "disjunctive_revenue": q.q_disjunctive_revenue,
+        "late_order_priority": q.q_late_order_priority,
+        "market_share": q.q_market_share,
+        "profit_by_nation_year": q.q_profit_by_nation_year,
+        "top_supplier": q.q_top_supplier,
+        "small_qty_revenue": q.q_small_qty_revenue,
+        "idle_rich_customers": q.q_idle_rich_customers,
+        "orders_per_customer_dist": q.q_orders_per_customer_dist,
+        "large_orders": q.q_large_orders,
+        "discount_revenue": q.q_discount_revenue,
+        "cheapest_supplier": q.q_cheapest_supplier,
+        "important_parts": q.q_important_parts,
+        "late_ship_priority": q.q_late_ship_priority,
+        "supplier_part_counts": q.q_supplier_part_counts,
+        "dominant_suppliers": q.q_dominant_suppliers,
+        "waiting_suppliers": q.q_waiting_suppliers,
+        "rolling_median_value": q.q_rolling_median_value,
+        "event_transitions": q.q_event_transitions,
+        "mad_value_per_type": q.q_mad_value_per_type,
+        "ab_test_value": q.q_ab_test_value,
+        "lang_source_independence": q.q_lang_source_independence,
+        "longest_streak": q.q_longest_streak,
+        "heavy_hitters": q.q_heavy_hitters,
+        "interarrival_stats": q.q_interarrival_stats,
+        "time_weighted_value": q.q_time_weighted_value,
+        "benford_totalprice": q.q_benford_totalprice,
+        # --- still never driver-checked (next rotation fronts these) ---
+        "link_pagerank": q.q_link_pagerank,
+        "source_lang_entropy": q.q_source_lang_entropy,
+        "autocorr_value_lag1": q.q_autocorr_value_lag1,
+        "rolling_1h_sum": q.q_rolling_1h_sum,
+        "bfill_events": q.q_bfill_events,
+        "ewma_value": q.q_ewma_value,
+        "multi_lag_value": q.q_multi_lag_value,
+        "cume_dist_events": q.q_cume_dist_events,
+        "ordinal_encode_type": q.q_ordinal_encode_type,
+        "latest_event_per_user": q.q_latest_event_per_user,
+        "pct_rank_events": q.q_pct_rank_events,
+        "prev_same_type_event": q.q_prev_same_type_event,
+        "churned_customers": q.q_churned_customers,
+        "loyal_customers": q.q_loyal_customers,
+        "user_journey": q.q_user_journey,
+        "order_stats_per_status": q.q_order_stats_per_status,
+        "share_of_user_total": q.q_share_of_user_total,
+        "user_type_spend": q.q_user_type_spend,
+        "hourly_active_users": q.q_hourly_active_users,
+        "pq_topk": q.q_pq_topk,
+        "pca_embeddings": q.q_pca_embeddings,
+        "embedding_neardup_winners": q.q_embedding_neardup_winners,
+        "media_deadletter": q.q_media_deadletter,
+        "semantic_dedup": q.q_semantic_dedup,
+        "filtered_topk": q.q_filtered_topk,
+        "incremental_agg": q.q_incremental_agg,
+        "ntile_value": q.q_ntile_value,
+        "user_event_paths": q.q_user_event_paths,
+        "type_cooccurrence": q.q_type_cooccurrence,
+        "source_jaccard": q.q_source_jaccard,
+        "source_top_terms": q.q_source_top_terms,
+        "cumulative_new_users": q.q_cumulative_new_users,
+        "bigram_topk": q.q_bigram_topk,
+        "events_per_user_hist": q.q_events_per_user_hist,
+        "hapax_ratio": q.q_hapax_ratio,
+        "hourly_profile": q.q_hourly_profile,
+        "ship_delay_median": q.q_ship_delay_median,
+        "spend_decile": q.q_spend_decile,
+        "stratified_sample": q.q_stratified_sample,
+        "distinct_users_6h": q.q_distinct_users_6h,
+        "prefix_dup_groups": q.q_prefix_dup_groups,
+        "per_user_top_type": q.q_per_user_top_type,
+        "session_duration_decile": q.q_session_duration_decile,
+        "props_k_stats": q.q_props_k_stats,
+        "cum_distinct_types": q.q_cum_distinct_types,
+        "monthly_revenue_growth": q.q_monthly_revenue_growth,
+        "kcore_copurchase": q.q_kcore_copurchase,
+        # --- driver-verified green in a prior CORRECTNESS_r0*.json ---
         "stddev_value_per_type": q.q_stddev_value_per_type,
         "zscore_value": q.q_zscore_value,
         "minmax_value": q.q_minmax_value,
@@ -142,7 +242,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_percentile": q.q_value_percentile,
         "profile_events": q.q_profile_events,
         "kfold_users": q.q_kfold_users,
-        # corpus-curation family (round 4, never driver-checked)
         "ngram_repetition": q.q_ngram_repetition,
         "contamination": q.q_contamination,
         "bloom_new_docs": q.q_bloom_new_docs,
@@ -159,84 +258,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_stages": q.q_funnel_stages,
         "throttle_events": q.q_throttle_events,
         "cohort_retention": q.q_cohort_retention,
-        # relational wide plans
         "local_supplier_revenue": q.q_local_supplier_revenue,
         "revenue_rollup": q.q_revenue_rollup,
         "revenue_cube": q.q_revenue_cube,
-        # event-stream tail added late in r3
         "asof_click_within_1h": q.q_asof_click_within_1h,
-        # newly oracled this round (were rows-only)
         "p99_price_sketch": q.q_p99_price_sketch,
-        # --- round-4 additions land here (inside the first-50 window) ---
         "asof_chunked_hot": q.q_asof_chunked_hot,
         "salted_join_revenue": q.q_salted_join_revenue,
-        # never-driver-checked picks promoted into the window (their
-        # former slots — flagship_features / checkpointed_extract /
-        # ivf_topk — were already green in r1–r3 CORRECTNESS)
         "rfm_segments": q.q_rfm_segments,
         "volume_shipping": q.q_volume_shipping,
         "gini_user_spend": q.q_gini_user_spend,
-        # PII scrub family (round 4; first two fill entries 51+ and
-        # rotate into the window next round)
-        "redact_pii": q.q_redact_pii,
-        "pii_per_source": q.q_pii_per_source,
-        # round-4 late additions (rotate into the window next round)
-        "lm_familiarity": q.q_lm_familiarity,
-        "weighted_sample_docs": q.q_weighted_sample_docs,
-        "orders_per_customer_dist": q.q_orders_per_customer_dist,
-        "large_orders": q.q_large_orders,
-        "rolling_median_value": q.q_rolling_median_value,
-        "event_transitions": q.q_event_transitions,
-        "corpus_diff": q.q_corpus_diff,
-        "link_pagerank": q.q_link_pagerank,  # rows-only (iterative float)
-        "mad_value_per_type": q.q_mad_value_per_type,
-        "ab_test_value": q.q_ab_test_value,
-        "lang_source_independence": q.q_lang_source_independence,
-        "longest_streak": q.q_longest_streak,
-        # TPC-H join-shape batch 2 (Q7/Q10/Q14/Q19/Q4 fitted to columns)
-        "returned_top20": q.q_returned_top20,
-        "promo_revenue": q.q_promo_revenue,
-        "disjunctive_revenue": q.q_disjunctive_revenue,
-        "late_order_priority": q.q_late_order_priority,
-        "market_share": q.q_market_share,
-        "profit_by_nation_year": q.q_profit_by_nation_year,
-        "top_supplier": q.q_top_supplier,
-        "small_qty_revenue": q.q_small_qty_revenue,
-        "idle_rich_customers": q.q_idle_rich_customers,
-        # sketch-pruned and time-weighted event features
-        "heavy_hitters": q.q_heavy_hitters,
-        "interarrival_stats": q.q_interarrival_stats,
-        "time_weighted_value": q.q_time_weighted_value,
-        # distribution / dependence analytics
-        "benford_totalprice": q.q_benford_totalprice,
-        "source_lang_entropy": q.q_source_lang_entropy,
-        "autocorr_value_lag1": q.q_autocorr_value_lag1,
-        # flagship paths (oracled; encoder/checkpoint layers in-path) —
-        # driver-green in r1–r3, rotated out of the window
         "flagship_features": q.q_flagship_features,
         "checkpointed_extract": q.q_checkpointed_extract,
         "ivf_topk": q.q_ivf_topk,
-        # rotated below the driver's 50-query window this round (shapes
-        # closest to already-green r3 rows or to siblings still inside
-        # the window; still oracle-checked in-repo)
-        "rolling_1h_sum": q.q_rolling_1h_sum,
-        "bfill_events": q.q_bfill_events,
-        "ewma_value": q.q_ewma_value,
-        "multi_lag_value": q.q_multi_lag_value,
-        "cume_dist_events": q.q_cume_dist_events,
-        "ordinal_encode_type": q.q_ordinal_encode_type,
-        "latest_event_per_user": q.q_latest_event_per_user,
-        "pct_rank_events": q.q_pct_rank_events,
-        "prev_same_type_event": q.q_prev_same_type_event,
-        "churned_customers": q.q_churned_customers,
-        "loyal_customers": q.q_loyal_customers,
-        "user_journey": q.q_user_journey,
-        "order_stats_per_status": q.q_order_stats_per_status,
-        "share_of_user_total": q.q_share_of_user_total,
-        "user_type_spend": q.q_user_type_spend,
-        "hourly_active_users": q.q_hourly_active_users,
-        # --- driver-verified green in round 3 (CORRECTNESS_r03.json) ---
-        # windowing (W1/W2/framewise/flow + S5/S6 resamplers)
         "w1_windows": q.q_w1_windows,
         "w2_windows": q.q_w2_windows,
         "resample_total5": q.q_resample_total5,
@@ -244,9 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flow_pairs": q.q_flow_pairs,
         "vggish_windows": q.q_vggish_windows,
         "w2_resampled": q.q_w2_resampled,
-        # point-in-time as-of join
         "asof_features": q.q_asof_features,
-        # event-stream operators
         "lag_lead_events": q.q_lag_lead_events,
         "sessionize_events": q.q_sessionize_events,
         "ffill_events": q.q_ffill_events,
@@ -255,11 +287,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_purchase_click": q.q_asof_purchase_click,
         "session_stats": q.q_session_stats,
         "unique_sources": q.q_unique_sources,
-        # relational (pre-aggregated groupby, broadcast join)
         "q1_pricing": q.q_q1_pricing,
         "revenue_per_nation": q.q_revenue_per_nation,
         "docs_per_source": q.q_docs_per_source,
-        # dedup / text / similarity
         "exact_dedup": q.q_exact_dedup,
         "token_stats": q.q_token_stats,
         "quality_score": q.q_quality_score,
@@ -291,9 +321,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": q.q_shipping_priority,
         "corr_qty_price": q.q_corr_qty_price,
         "p90_value_per_type": q.q_p90_value_per_type,
-        # non-SQL-expressible (rows-only checks)
-        "pq_topk": q.q_pq_topk,
-        "pca_embeddings": q.q_pca_embeddings,
         "approx_distinct_users": q.q_approx_distinct_users,
         "approx_quantiles_price": q.q_approx_quantiles_price,
         "minhash_neardup": q.q_minhash_neardup,
@@ -302,60 +329,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q.q_langid,
         "fingerprint": q.q_fingerprint,
         "embedding_neardup": q.q_embedding_neardup,
-        "embedding_neardup_winners": q.q_embedding_neardup_winners,
         "kmeans_centroids": q.q_kmeans_centroids,
         "media_decode": q.q_media_decode,
-        "media_deadletter": q.q_media_deadletter,
-        "semantic_dedup": q.q_semantic_dedup,
-        "discount_revenue": q.q_discount_revenue,
-        "cheapest_supplier": q.q_cheapest_supplier,
-        "important_parts": q.q_important_parts,
-        "late_ship_priority": q.q_late_ship_priority,
-        "supplier_part_counts": q.q_supplier_part_counts,
-        "dominant_suppliers": q.q_dominant_suppliers,
-        "waiting_suppliers": q.q_waiting_suppliers,
-        "filtered_topk": q.q_filtered_topk,
-        "incremental_agg": q.q_incremental_agg,
-        "ntile_value": q.q_ntile_value,
-        "user_event_paths": q.q_user_event_paths,
-        "type_cooccurrence": q.q_type_cooccurrence,
-        "source_jaccard": q.q_source_jaccard,
-        "source_top_terms": q.q_source_top_terms,
-        "cumulative_new_users": q.q_cumulative_new_users,
-        "bigram_topk": q.q_bigram_topk,
-        "copurchase_pairs": q.q_copurchase_pairs,
-        "events_per_user_hist": q.q_events_per_user_hist,
-        "hapax_ratio": q.q_hapax_ratio,
-        "hourly_profile": q.q_hourly_profile,
-        "ship_delay_median": q.q_ship_delay_median,
-        "spend_decile": q.q_spend_decile,
-        "stratified_sample": q.q_stratified_sample,
-        "distinct_users_6h": q.q_distinct_users_6h,
-        "prefix_dup_groups": q.q_prefix_dup_groups,
-        "per_user_top_type": q.q_per_user_top_type,
-        "session_duration_decile": q.q_session_duration_decile,
-        "props_k_stats": q.q_props_k_stats,
-        "cum_distinct_types": q.q_cum_distinct_types,
-        "monthly_revenue_growth": q.q_monthly_revenue_growth,
-        "dup_rate_by_source": q.q_dup_rate_by_source,
-        "zonemap_prune": q.q_zonemap_prune,
-        "dup_span_stats": q.q_dup_span_stats,
-        "cosine_pairs": q.q_cosine_pairs,
-        "triangle_count": q.q_triangle_count,
-        "shuffle_shards": q.q_shuffle_shards,
-        "daily_spine_orders": q.q_daily_spine_orders,
-        "edit1_name_hist": q.q_edit1_name_hist,
-        "label_centroids": q.q_label_centroids,
-        "kcore_copurchase": q.q_kcore_copurchase,
-        "frequent_triples": q.q_frequent_triples,
-        "degree_assortativity": q.q_degree_assortativity,
-        "markov_accuracy": q.q_markov_accuracy,
-        "random_walks": q.q_random_walks,
-        "psi_value_drift": q.q_psi_value_drift,
-        "mutual_top_partner": q.q_mutual_top_partner,
-        "search_docs": q.q_search_docs,
     }
-
 
 def oracle_sql() -> dict[str, str]:
     return {

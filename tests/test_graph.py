@@ -69,3 +69,47 @@ def test_pagerank_empty_edges():
     # assert on the dataset schema instead
     assert out.count() == 0
     assert out.schema().names == ["node", "rank"]
+
+
+def test_pagerank_tol_early_exit_and_identical_ranks():
+    # a strongly-connected 4-cycle converges fast: with a loose tol the
+    # loop exits before the iteration budget; with tol=None it runs all
+    # of them; and a tol too tight to trigger leaves ranks IDENTICAL to
+    # the fixed-iteration run
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    df = pd.DataFrame(edges, columns=["src", "dst"]).astype(np.int64)
+
+    ds = ray.data.from_pandas(df)
+    _, n_full = pagerank(ds, iters=8, num_buckets=2, return_iters=True)
+    assert n_full == 8
+    out_e, n_early = pagerank(ray.data.from_pandas(df), iters=8,
+                              num_buckets=2, tol=1e-6,
+                              return_iters=True)
+    # uniform start on a regular cycle is ALREADY the fixpoint
+    assert n_early == 1
+    r = (out_e.to_pandas().sort_values("node").reset_index(drop=True))
+    np.testing.assert_allclose(r["rank"].to_numpy(), np.full(4, 0.25),
+                               rtol=1e-12)
+
+    base = (pagerank(ray.data.from_pandas(df), iters=3, num_buckets=2)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+    tight = (pagerank(ray.data.from_pandas(df), iters=3, num_buckets=2,
+                      tol=0.0).to_pandas().sort_values("node")
+             .reset_index(drop=True))
+    np.testing.assert_array_equal(base["rank"].to_numpy(),
+                                  tight["rank"].to_numpy())
+
+
+def test_pagerank_tol_early_exit_nontrivial_graph():
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (4, 0)]
+    df = pd.DataFrame(edges, columns=["src", "dst"]).astype(np.int64)
+    out, n = pagerank(ray.data.from_pandas(df), iters=500,
+                      num_buckets=2, tol=1e-6, return_iters=True)
+    # geometric contraction (factor <= damping) converges long before
+    # the 500-iteration budget
+    assert 1 < n < 500
+    r = (out.to_pandas().sort_values("node").reset_index(drop=True))
+    # |Δrank| < tol implies distance to the fixpoint <= tol*d/(1-d)
+    want = _numpy_pagerank(edges, 5, r["node"].tolist(), iters=400)
+    np.testing.assert_allclose(r["rank"].to_numpy(), want, atol=1e-4)
+    assert abs(r["rank"].sum() - 1.0) < 1e-12

@@ -226,7 +226,7 @@ def test_k_core_planted_clique():
     path = [(10 + i, 11 + i) for i in range(20)] + [(5, 10)]
     e = pd.DataFrame(k6 + path, columns=["src", "dst"]).astype(np.int64)
     core, rounds, n_nodes = k_core(ray.data.from_pandas(e), k=5,
-                                   num_buckets=4)
+                                   num_buckets=4, local_finish=0)
     got = (core.to_pandas().sort_values(["src", "dst"])
            .reset_index(drop=True))
     assert n_nodes == 6
@@ -241,7 +241,7 @@ def test_k_core_tree_has_empty_2core():
     e = pd.DataFrame([(1, 2), (2, 3), (3, 4), (4, 5), (2, 6), (3, 7)],
                      columns=["src", "dst"]).astype(np.int64)
     core, rounds, n_nodes = k_core(ray.data.from_pandas(e), k=2,
-                                   num_buckets=2)
+                                   num_buckets=2, local_finish=0)
     assert n_nodes == 0
     assert core.count() == 0
     assert rounds > 2
@@ -254,7 +254,7 @@ def test_k_core_whole_graph_is_core():
     e = pd.DataFrame([(1, 2), (2, 3), (3, 4), (1, 4)],
                      columns=["src", "dst"]).astype(np.int64)
     core, rounds, n_nodes = k_core(ray.data.from_pandas(e), k=2,
-                                   num_buckets=2)
+                                   num_buckets=2, local_finish=0)
     assert n_nodes == 4 and rounds == 1 and core.count() == 4
 
 
@@ -267,7 +267,8 @@ def test_k_core_local_finish_equivalent():
     e = pd.DataFrame(sorted((min(a, b), max(a, b)) for a, b in raw),
                      columns=["src", "dst"]).drop_duplicates()
     e = e.astype(np.int64)
-    c1, _, n1 = k_core(ray.data.from_pandas(e), k=4, num_buckets=4)
+    c1, _, n1 = k_core(ray.data.from_pandas(e), k=4, num_buckets=4,
+                       local_finish=0)
     c2, _, n2 = k_core(ray.data.from_pandas(e), k=4, num_buckets=4,
                        local_finish=10_000)
     p1 = (c1.to_pandas().sort_values(["src", "dst"])
@@ -276,3 +277,107 @@ def test_k_core_local_finish_equivalent():
           .reset_index(drop=True))
     assert n1 == n2
     pd.testing.assert_frame_equal(p1, p2)
+
+
+def test_k_core_max_iter_exhaustion_forces_fixpoint():
+    from video_features_ray.stages.graph import k_core
+
+    # a long path at k=2 peels ~2 nodes per distributed round; with
+    # max_iter too small the peel MUST force the single-task finish
+    # and still return the true (empty) 2-core, not a partial graph
+    e = pd.DataFrame([(i, i + 1) for i in range(30)],
+                     columns=["src", "dst"]).astype(np.int64)
+    core, rounds, n_nodes = k_core(ray.data.from_pandas(e), k=2,
+                                   num_buckets=2, max_iter=3,
+                                   local_finish=0)
+    assert n_nodes == 0 and core.count() == 0
+    assert rounds == 4          # 3 distributed + 1 forced local finish
+
+
+def test_k_core_default_local_finish_engages():
+    from video_features_ray.stages.graph import k_core
+
+    # with the default threshold a small graph takes ONE local round
+    e = pd.DataFrame([(1, 2), (2, 3), (3, 4), (4, 5)],
+                     columns=["src", "dst"]).astype(np.int64)
+    core, rounds, n_nodes = k_core(ray.data.from_pandas(e), k=2,
+                                   num_buckets=2)
+    assert rounds == 1 and n_nodes == 0 and core.count() == 0
+
+
+# ------------------------------------------- dup span stats: round-5 modes
+def test_dup_span_stats_hashed_equals_exact_keys():
+    # the 128-bit hashed-key scale path must be output-identical to the
+    # injective |S160 raw-key path on a real mixed corpus
+    rng = np.random.default_rng(5)
+    base = "the quick brown fox jumps over the lazy dog 0123456789 "
+    span = "SHARED-SPAN-" + "x" * 50
+    texts, srcs = [], []
+    for i in range(60):
+        t = "".join(rng.choice(list("abcdef ghij"), size=rng.integers(20, 120)))
+        if i % 7 == 0:
+            t = t[:10] + span + t[10:]
+        if i % 11 == 0:
+            t = base + t
+        texts.append(t)
+        srcs.append(f"s{i % 3}")
+    docs = pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64),
+                         "text": texts, "source": srcs})
+    a = dup_span_stats(ray.data.from_pandas(docs), k=40, num_buckets=4,
+                       hashed_keys=True)
+    b = dup_span_stats(ray.data.from_pandas(docs), k=40, num_buckets=4,
+                       hashed_keys=False)
+    pd.testing.assert_frame_equal(a, b)
+    assert a["n_dup_positions"].sum() > 0       # fixture has real dups
+
+
+def test_dup_span_stats_null_group_distinct_from_empty():
+    # SQL GROUP BY keeps NULL as its own group, distinct from ''
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a" * 45, "b" * 45, "c" * 45],
+        "source": ["", None, ""]})
+    out = dup_span_stats(ray.data.from_pandas(docs), k=40, num_buckets=2)
+    assert len(out) == 2
+    empties = out[out["source"] == ""]
+    assert len(empties) == 1 and empties.iloc[0]["n_positions"] == 12
+    nulls = out[out["source"].isna()]
+    assert len(nulls) == 1 and nulls.iloc[0]["n_positions"] == 6
+
+
+def test_dup_span_stats_winnow_detects_long_spans():
+    # winnowing guarantee: spans of length >= k + w - 1 shared by two
+    # docs are ALWAYS detected through the selected fingerprints
+    k, w = 20, 8
+    span = "SHARED" * 10                       # 60 chars >= k + w - 1
+    rng = np.random.default_rng(9)
+
+    def noise(n):
+        return "".join(rng.choice(list("abcdefghij"), size=n))
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [noise(30) + span + noise(25),
+                 noise(40) + span + noise(15),
+                 noise(90)],
+        "source": ["dup", "dup", "clean"]})
+    out = dup_span_stats(ray.data.from_pandas(docs), k=k, num_buckets=2,
+                         winnow_w=w)
+    dup = out[out["source"] == "dup"].iloc[0]
+    clean = out[out["source"] == "clean"].iloc[0]
+    assert dup["n_dup_positions"] > 0          # guarantee held
+    assert clean["n_dup_positions"] == 0
+    # winnowing selects ~2/(w+1) of positions: far fewer than all
+    full = dup_span_stats(ray.data.from_pandas(docs), k=k,
+                          num_buckets=2)
+    assert dup["n_positions"] < 0.6 * full[
+        full["source"] == "dup"].iloc[0]["n_positions"]
+
+
+def test_cosine_pairs_matrix_budget_guard():
+    df = pd.DataFrame({"doc_id": np.arange(50, dtype=np.int64),
+                       "text": [f"w{i} w{i + 1} w{i + 2}"
+                                for i in range(50)]})
+    with pytest.raises(ValueError, match="matrix"):
+        cosine_pairs_topk(ray.data.from_pandas(df), topk=5,
+                          matrix_budget=100)

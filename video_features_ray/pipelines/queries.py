@@ -5481,9 +5481,12 @@ def q_kcore_copurchase(sf_dir: str):
 
     w = _w(sf_dir, "lineitem")
     edges = _copurchase_edges(sf_dir, w).materialize()
+    # local_finish low enough that the distributed peel actually runs
+    # its table rounds on the bench graph (~3.5k edges at sf0.1) before
+    # the single-task finish takes the fixpoint tail
     core, rounds, n_nodes = k_core(edges, k=3,
                                    num_buckets=_edge_width(edges),
-                                   local_finish=2_000_000)
+                                   local_finish=512)
     return pd.DataFrame({"k": [np.int64(3)],
                          "n_core_nodes": [np.int64(n_nodes)],
                          "n_core_edges": [np.int64(core.count())],
@@ -5694,9 +5697,14 @@ def q_frequent_triples(sf_dir: str):
 
     def _pairs(df: pd.DataFrame) -> pd.DataFrame:
         d = _order_pairs(df)
-        return pd.DataFrame({
-            "pp": d["src"].to_numpy(np.int64) * np.int64(1 << 31)
-            + d["dst"].to_numpy(np.int64)})
+        s = d["src"].to_numpy(np.int64)
+        t = d["dst"].to_numpy(np.int64)
+        # packed-pair key is exact only for ids < 2^31 (src*2^31+dst
+        # in int64, src < dst) — same guard as triangle_count
+        if len(t) and (s.min() < 0 or t.max() >= 1 << 31):
+            raise ValueError("frequent-triples pair packing requires "
+                             "part ids in [0, 2^31)")
+        return pd.DataFrame({"pp": s * np.int64(1 << 31) + t})
 
     tagged = ds.map_batches(_tag, batch_format="pyarrow")
     support = partial_agg(
@@ -6033,6 +6041,11 @@ def q_random_walks(sf_dir: str):
         def _pick(df: pd.DataFrame, _t=step) -> pd.DataFrame:
             cur = df["cur"].to_numpy(np.int64)
             deg = df["deg"].to_numpy(np.int64)
+            # (cur*31+t)*KN must not wrap int64 (the SQL side is exact
+            # BIGINT): cur*31*KN < 2^63 requires cur < ~1.1e8
+            if len(cur) and (cur.min() < 0 or cur.max() >= 10 ** 8):
+                raise ValueError("random-walk step hash requires node "
+                                 "ids in [0, 1e8)")
             rn = ((cur * 31 + _t) * KN % M32) % deg
             out = df[["start"]].copy()
             out["key"] = cur * np.int64(1 << 31) + rn

@@ -224,6 +224,13 @@ def write_shuffled_shards(
     def _assign(batch: pa.Table) -> pd.DataFrame:
         d = batch.to_pandas()
         k = d[key_col].to_numpy(np.int64)
+        # k * 2654435761 wraps int64 silently for k >= ~3.47e9 (and
+        # negatives misbehave through %); the SQL oracle's BIGINT would
+        # compute the exact product — guard the domain instead of
+        # diverging silently (same contract as triangle_count's packer)
+        if len(k) and (k.min() < 0 or k.max() >= 1 << 31):
+            raise ValueError("write_shuffled_shards keys must be in "
+                             "[0, 2^31) for the int64 Knuth hash")
         h = (k * np.int64(2654435761)) % np.int64(4294967296)
         d["_shard"] = (h % np.int64(n_shards)).astype(np.int64)
         d["_ord"] = h // np.int64(n_shards)

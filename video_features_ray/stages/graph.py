@@ -60,15 +60,23 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 3,
     num_buckets: int = 32,
+    tol: float | None = None,
+    return_iters: bool = False,
 ) -> "ray.data.Dataset":
     """Join-based distributed PageRank over an ``(src:int64,
     dst:int64)`` edge table; returns ``(node, rank)`` after ``iters``
-    synchronous iterations from the uniform start.
+    synchronous iterations from the uniform start (or earlier when
+    ``tol`` is set and ``max |Δrank|`` drops under it — the standard
+    convergence exit; ``tol=None`` pins the iteration count so results
+    are bit-reproducible across runs).
 
     Per iteration: 2 bucketed shuffles (rank⨝edges on src, contrib
     sums on dst) + 1 LEFT join onto the node table. Node/rank tables
-    never leave the cluster; the driver reduces only the scalar
-    dangling mass (exact partial sums).
+    never leave the cluster; the dangling mass and the convergence
+    delta are in-cluster aggregations (``map_batches`` partials ->
+    ``Dataset.sum``/``max``) — the driver only ever receives scalars.
+
+    ``return_iters=True`` returns ``(ranks, n_iterations_run)``.
     """
     nb = int(num_buckets)
 
@@ -81,9 +89,10 @@ def pagerank(
     if n_nodes == 0:
         # typed empty Arrow table: from_pandas on a 0-row frame drops
         # the schema through to_pandas
-        return ray.data.from_arrow(pa.table(
+        out = ray.data.from_arrow(pa.table(
             {"node": pa.array([], pa.int64()),
              "rank": pa.array([], pa.float64())}))
+        return (out, 0) if return_iters else out
 
     # fold outdeg into the edge table ONCE (edges with it are reused
     # every iteration; dangling srcs never appear in edges by def.)
@@ -114,11 +123,16 @@ def pagerank(
     r_sch = pa.schema([("node", pa.int64()), ("rank", pa.float64()),
                        ("dang", pa.bool_())])
 
+    def _dang_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"m": [float(df.loc[df["dang"], "rank"].sum())]})
+
+    iters_run = 0
     for _ in range(int(iters)):
-        # scalar dangling mass: streaming map-only reduction
-        d_mass = float(sum(
-            b.loc[b["dang"], "rank"].sum() for b in rank.iter_batches(
-                batch_format="pandas", batch_size=65536)) or 0.0)
+        # scalar dangling mass: in-cluster partial sums reduced by
+        # Dataset.sum — the driver receives ONE float, not rank blocks
+        d_mass = float(rank.map_batches(
+            _dang_partial, batch_format="pandas").sum("m") or 0.0)
 
         # contributions: rank/outdeg shipped along edges, summed per dst
         contrib_in = hash_join(
@@ -153,15 +167,31 @@ def pagerank(
 
         def _update(df: pd.DataFrame, _base=base) -> pd.DataFrame:
             c = df["sum_c"].fillna(0.0).to_numpy(np.float64)
-            return pd.DataFrame({"node": df["node"].astype(np.int64),
-                                 "rank": _base + damping * c,
-                                 "dang": df["dang"].to_numpy()})
+            new = _base + damping * c
+            out = {"node": df["node"].astype(np.int64),
+                   "rank": new, "dang": df["dang"].to_numpy()}
+            if tol is not None:
+                out["_delta"] = np.abs(
+                    new - df["rank"].to_numpy(np.float64))
+            return pd.DataFrame(out)
 
         rank = joined.map_batches(_update,
                                   batch_format="pandas").materialize()
+        iters_run += 1
+        if tol is not None:
+            # convergence check: in-cluster max over the per-node
+            # |Δrank| column, then drop it so the schema the next
+            # iteration's joins expect stays (node, rank, dang)
+            max_d = float(rank.max("_delta") or 0.0)
+            rank = rank.map_batches(
+                lambda df: df[["node", "rank", "dang"]],
+                batch_format="pandas")
+            if max_d < tol:
+                break
 
-    return rank.map_batches(lambda df: df[["node", "rank"]],
-                            batch_format="pandas")
+    out = rank.map_batches(lambda df: df[["node", "rank"]],
+                           batch_format="pandas")
+    return (out, iters_run) if return_iters else out
 
 
 def triangle_count(
@@ -204,20 +234,33 @@ def triangle_count(
                                zero_copy_batch=True)
 
     def _wedges(df: pd.DataFrame) -> pd.DataFrame:
+        # fully vectorized across ALL nodes of the bucket (no per-node
+        # Python): sort (a, b), dedup, then the element at in-group
+        # position p pairs as the FIRST member with its d-1-p later
+        # neighbors — one repeat + one arange builds every wedge
+        empty = pd.DataFrame({"pair": pd.Series([], dtype=np.int64)})
         if df.empty or "a" not in df.columns:      # Ray empty partition
-            return pd.DataFrame({"pair": pd.Series([], dtype=np.int64)})
-        out = []
-        for _, g in df.groupby("a", sort=False):
-            nb = np.sort(np.unique(g["b"].to_numpy(np.int64)))
-            d = len(nb)
-            if d < 2:
-                continue
-            ii, jj = np.triu_indices(d, k=1)
-            out.append(pd.DataFrame({
-                "pair": nb[ii] * np.int64(1 << 31) + nb[jj]}))
-        if not out:
-            return pd.DataFrame({"pair": pd.Series([], dtype=np.int64)})
-        return pd.concat(out, ignore_index=True)
+            return empty
+        a0 = df["a"].to_numpy(np.int64)
+        b0 = df["b"].to_numpy(np.int64)
+        order = np.lexsort((b0, a0))
+        a, b = a0[order], b0[order]
+        keep = np.concatenate(
+            ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+        a, b = a[keep], b[keep]
+        starts = np.flatnonzero(
+            np.concatenate(([True], a[1:] != a[:-1])))
+        cnt = np.diff(np.concatenate([starts, [len(a)]]))
+        pos = np.arange(len(a)) - np.repeat(starts, cnt)
+        reps = np.repeat(cnt, cnt) - 1 - pos
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        ii = np.repeat(np.arange(len(a)), reps)
+        excl = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        jj = np.arange(total) - np.repeat(excl, reps) + ii + 1
+        return pd.DataFrame(
+            {"pair": b[ii] * np.int64(1 << 31) + b[jj]})
 
     wedges = tagged.groupby("_bucket").map_groups(
         _wedges, batch_format="pandas")
@@ -265,7 +308,7 @@ def k_core(
     k: int,
     num_buckets: int = 16,
     max_iter: int = 100,
-    local_finish: int = 0,
+    local_finish: int = 500_000,
 ) -> tuple["ray.data.Dataset", int, int]:
     """The k-core of an undirected graph (edges oriented ``src < dst``,
     distinct): iteratively peel nodes of degree < k until the fixpoint.
@@ -279,28 +322,41 @@ def k_core(
     pattern as :func:`pagerank`).
 
     Peeling's long tail is MANY nearly-empty rounds; with
-    ``local_finish > 0``, once the surviving edge count drops under
-    that threshold the fixpoint completes inside ONE Ray task (numpy
-    loop over the whole remaining graph) — the standard big-rounds /
-    small-finish split for fixpoints whose frontier collapses.  The
-    driver still only sees counters.  ``local_finish=0`` keeps the
-    peel fully distributed (tests pin round counts this way).
+    ``local_finish > 0`` (the DEFAULT — peeling frontiers collapse,
+    so the single-task finish is the production path), once the
+    surviving edge count drops under that threshold the fixpoint
+    completes inside ONE Ray task (numpy loop over the whole remaining
+    graph) — the standard big-rounds / small-finish split for
+    fixpoints whose frontier collapses.  The driver still only sees
+    counters.  ``local_finish=0`` keeps the peel fully distributed
+    (tests pin round counts this way).
+
+    If ``max_iter`` distributed rounds pass without convergence the
+    peel is FORCED to the single-task finish (one extra round) rather
+    than silently returning a non-fixpoint graph — e.g. a long path at
+    k=2 peels ~2 nodes/round and would otherwise exhaust ``max_iter``
+    with leftover middle edges presented as the "core".
 
     Returns ``(core_edges, n_rounds, n_core_nodes)`` where ``n_rounds``
     counts distributed rounds (+1 when the local finish engaged).
     """
     from .joins import hash_join
 
+    def _finish_local(d: "ray.data.Dataset") -> "ray.data.Dataset":
+        return (d.repartition(1)
+                .map_batches(lambda df: _peel_local(df, k),
+                             batch_format="pandas",
+                             batch_size=None).materialize())
+
     e_sch = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
     cur = edges.select_columns(["src", "dst"]).materialize()
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         if local_finish and int(cur.count()) <= local_finish:
             rounds += 1
-            cur = (cur.repartition(1)
-                   .map_batches(lambda df: _peel_local(df, k),
-                                batch_format="pandas",
-                                batch_size=None).materialize())
+            cur = _finish_local(cur)
+            converged = True
             break
         rounds += 1
 
@@ -318,6 +374,7 @@ def k_core(
                .select_columns(["node"]).materialize())
         n_bad = int(bad.count())
         if n_bad == 0:
+            converged = True
             break
 
         def _as(col):
@@ -334,5 +391,10 @@ def k_core(
         cur = hash_join(cur, _as("dst"), on="dst", how="anti",
                         num_buckets=num_buckets,
                         schemas=(e_sch, b_dst)).materialize()
+    if not converged:
+        # max_iter exhausted mid-peel: force the fixpoint in one task
+        # instead of returning a non-core graph with no signal
+        rounds += 1
+        cur = _finish_local(cur)
     n_nodes = int(_distinct_nodes(cur, num_buckets).count())
     return cur, rounds, n_nodes

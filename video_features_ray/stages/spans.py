@@ -8,39 +8,54 @@ variant over the ``documents`` table), expressed Ray-Data-first:
 
 - :func:`dup_span_stats` — which k-character windows ("grams") occur in
   >=2 DISTINCT documents, and what fraction of each source's character
-  positions sit inside such a duplicated window.  Two passes, one
-  shuffle: (1) per-batch distinct (gram, doc) pairs hash-bucketed BY
-  GRAM (a gram's postings all land in one bucket, so the per-bucket
-  distinct-doc count is globally exact) -> grams with >=2 docs; (2) the
-  dup-gram set broadcasts once (``ray.put``) and a map-only pass counts
-  member positions per source.  Gram keys are the raw 4*k-byte
-  codepoint windows (numpy ``|S4k`` view of the utf-32 window matrix —
-  injective, no hash-collision risk, vectorized memcmp compare), built
-  by ONE ``sliding_window_view`` over the batch's flat codepoint array.
+  positions sit inside such a duplicated window.  ONE pass, one
+  shuffle, NOTHING collected but O(sources x buckets) partial rows:
+  per-batch distinct ``(gram, doc)`` postings (with their position
+  count and the doc's group value) hash-bucket BY GRAM, so a gram's
+  postings all land in one bucket task and that task can compute BOTH
+  the global distinct-doc count per gram AND the per-group position
+  sums locally — the duplicated-gram set never exists as a driver-side
+  object and there is no broadcast membership pass at all.
 
-  Scale: the shuffled postings are ~4k bytes x positions (positions ~=
-  corpus chars), same order as what any COUNT(DISTINCT) must move; at
-  100 TB you would first winnow positions (keep only window hashes that
-  are local minima — the ``text.fingerprint`` machinery) and/or swap
-  the exact S-key for a 128-bit hash.  The dup-gram set is assumed
-  broadcastable (true when duplication is the exception); ``max_dup``
-  guards the collect and the join-path fallback is
-  ``jaccard_verify_joined``-style (dedup.py) if it ever trips.
+  Keys: by default each k-char window is keyed by a PAIR of
+  independent 64-bit multiplicative folds over its codepoints
+  (128 key bits; two distinct windows collide on both folds with
+  probability ~2^-128 per pair — negligible at any corpus size, and
+  16 posting bytes instead of the 4*k=160 exact key cuts the shuffle
+  ~10x).  ``hashed_keys=False`` keeps the injective ``|S{4k}`` raw
+  codepoint key (numpy view of the utf-32 window matrix, full-width
+  memcmp compare) for exact-equality verification — the two modes are
+  output-identical on real corpora (asserted in tests).
+
+  Winnowing (the 100 TB knob): with ``winnow_w > 1`` only positions
+  whose key-hash is the minimum of some ``w``-long window of
+  consecutive positions are shuffled at all (Schleimer et al.'s
+  winnowing selection, ~2/(w+1) of positions).  Detection guarantee:
+  any span of length >= k + w - 1 shared by two documents selects at
+  least one common gram in both, so long duplicated spans are always
+  seen; the reported counts are then over SELECTED positions
+  (fingerprint-level dup pressure), not all positions.
 
 - :func:`doc_vectors` / :func:`cosine_pairs_topk` — bag-of-words count
   vectors over a FITTED vocabulary (distinct terms of the corpus,
   space-split, matching DuckDB ``string_split(text, ' ')`` exactly),
-  then the exact all-pairs cosine top-k self-join: the corpus matrix
-  broadcasts once and each batch computes one int64 ``B x N`` matmul,
-  keeps its local top-k, and the driver merges O(k x blocks) rows.
-  Dots and norms are exact int64, cosine is ONE double division by ONE
-  double sqrt of an exact integer product — bit-identical to the SQL.
+  then the exact all-pairs cosine top-k self-join.  The corpus matrix
+  is assembled from PER-BLOCK object-store refs (``to_arrow_refs`` —
+  the driver holds O(blocks) refs, never the vectors); each actor
+  reconstructs it once in ``__init__`` under an explicit byte budget
+  (``matrix_budget`` guards estimated ``n_docs x |vocab| x 8`` BEFORE
+  any allocation), then each batch computes one int64 ``B x N``
+  matmul, keeps its local top-k, and the driver merges O(k x blocks)
+  rows.  Dots and norms are exact int64, cosine is ONE double division
+  by ONE double sqrt of an exact integer product — bit-identical to
+  the SQL.
 
   Scale: exact all-pairs is inherently quadratic; this operator is for
-  corpus slices up to ~1e6 docs x small vocab (broadcast matrix).  The
-  100 TB path is the LSH/ANN family (stages/similarity.py,
-  stages/dedup.py) — this is its exact-verification complement, the
-  same role brute-force cosine plays for IVF recall tests.
+  corpus slices whose count matrix fits the per-actor budget (~1e6
+  docs x small vocab).  The 100 TB path is the LSH/ANN family
+  (stages/similarity.py, stages/dedup.py) — this is its
+  exact-verification complement, the same role brute-force cosine
+  plays for IVF recall tests.
 
 Reference anchor: the reference repo has no corpus analytics; these
 extend its per-item map family (video_features' per-clip loops) to the
@@ -52,6 +67,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -59,6 +75,13 @@ from ..sources.sequences import _codepoints_batch
 
 __all__ = ["window_keys", "dup_span_stats", "doc_vectors",
            "cosine_pairs_topk"]
+
+#: two independent odd multipliers for the 2x64-bit window fold
+#: (FNV-1a prime and the splitmix64 increment — both well-mixed odd
+#: constants; the PAIR is the key, so a collision needs both folds of
+#: two different windows to agree mod 2^64 simultaneously)
+_FOLD_P1 = np.uint64(1099511628211)
+_FOLD_P2 = np.uint64(0x9E3779B97F4A7C15)
 
 
 def window_keys(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -89,6 +112,56 @@ def window_keys(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
     return keys, row_idx
 
 
+def _fold_pair(keys_s: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """``|S{4k}`` window keys -> two independent uint64 folds over the
+    k codepoint columns (vectorized; 40 fused mul-adds per fold)."""
+    if len(keys_s) == 0:
+        return (np.empty(0, np.uint64), np.empty(0, np.uint64))
+    u = keys_s.view(np.uint32).reshape(-1, k).astype(np.uint64)
+    h1 = np.zeros(len(keys_s), dtype=np.uint64)
+    h2 = np.full(len(keys_s), np.uint64(k), dtype=np.uint64)
+    for c in range(k):
+        col = u[:, c]
+        h1 = h1 * _FOLD_P1 + col
+        h2 = (h2 * _FOLD_P2) ^ (col + np.uint64(0xFF51AFD7ED558CCD))
+    return h1, h2
+
+
+def _winnow_select(h: np.ndarray, row_idx: np.ndarray, w: int
+                   ) -> np.ndarray:
+    """Winnowing selection (Schleimer et al., SIGMOD 2003): indices of
+    positions whose hash is the minimum of SOME w-long window of
+    consecutive positions of the same row (leftmost min per window —
+    content-determined, so two documents sharing >= w consecutive
+    grams select at least one common gram).  Rows with fewer than w
+    positions keep their single minimum (every document with >= 1
+    position emits >= 1 fingerprint)."""
+    n = len(h)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    sel = np.zeros(n, dtype=bool)
+    if n >= w:
+        win = np.lib.stride_tricks.sliding_window_view(h, w)
+        valid = row_idx[: n - w + 1] == row_idx[w - 1:]
+        amin = win.argmin(axis=1) + np.arange(n - w + 1)
+        sel[amin[valid]] = True
+    # rows with < w positions: per-row argmin via one lexsort run-start
+    starts = np.flatnonzero(np.concatenate(
+        ([True], row_idx[1:] != row_idx[:-1])))
+    counts = np.diff(np.concatenate([starts, [n]]))
+    short = counts < w
+    if short.any():
+        pos_in_row = np.arange(n) - np.repeat(starts, counts)
+        mask = np.repeat(short, counts)
+        idx = np.flatnonzero(mask)
+        order = np.lexsort((pos_in_row[idx], h[idx], row_idx[idx]))
+        srt = idx[order]
+        first = np.concatenate(
+            ([True], row_idx[srt][1:] != row_idx[srt][:-1]))
+        sel[srt[first]] = True
+    return np.flatnonzero(sel)
+
+
 def dup_span_stats(
     ds: "ray.data.Dataset",
     k: int = 40,
@@ -96,19 +169,28 @@ def dup_span_stats(
     id_col: str = "doc_id",
     group_col: str = "source",
     num_buckets: int = 16,
-    max_dup: int = 5_000_000,
+    hashed_keys: bool = True,
+    winnow_w: int = 0,
 ) -> pd.DataFrame:
     """Per-``group_col`` duplicated-span pressure: of all k-char window
     positions (docs with >= k chars), how many hold a gram that occurs
     in >= 2 DISTINCT documents.  Returns columns
     ``(group, n_positions, n_dup_positions, dup_frac)`` with exact int
-    counts and one IEEE division."""
+    counts and one IEEE division.
 
+    ONE gram-bucketed shuffle computes everything: each bucket task
+    sees ALL postings of its grams, so it resolves dup membership AND
+    sums positions per group locally; the driver reduces O(groups x
+    buckets) partial rows.  No dup-gram set is ever collected or
+    broadcast (the former ``max_dup`` driver guard is gone by design).
+    NULL ``group_col`` values stay a distinct group (SQL GROUP BY
+    semantics), never merged with the empty string.
+    """
     width = 4 * k
 
     def _fsb(keys_s: np.ndarray) -> pa.FixedSizeBinaryArray:
         # S-array -> Arrow FixedSizeBinary, one buffer copy, zero
-        # Python bytes objects (1.3M per batch with the pandas path)
+        # Python bytes objects
         return pa.FixedSizeBinaryArray.from_buffers(
             pa.binary(width), len(keys_s),
             [None, pa.py_buffer(np.ascontiguousarray(keys_s).tobytes())])
@@ -123,116 +205,146 @@ def dup_span_stats(
         return flat[col.offset:]
 
     def _postings(batch: pa.Table) -> pa.Table:
-        # no map-side dedupe: a lexsort of every posting here costs
-        # more than shuffling the (rare) within-doc repeats the bucket
-        # combiner removes anyway
+        # one utf-32 decode -> all windows -> (key, doc) distinct with
+        # position counts; group value carried per posting (a doc has
+        # one group, so the posting's group is well defined)
         keys, row_idx = window_keys(batch[text_col], k)
+        h1, h2 = _fold_pair(keys, k)
+        if winnow_w > 1:
+            sel = _winnow_select(h1, row_idx, winnow_w)
+            keys, row_idx = keys[sel], row_idx[sel]
+            h1, h2 = h1[sel], h2[sel]
         ids = batch[id_col].to_numpy(
-            zero_copy_only=False)[row_idx].astype(np.int64)
-        # bucket by a vectorized 64-bit fold of the window columns
-        u32 = keys.view(np.uint32).reshape(-1, k).astype(np.uint64)
-        h = np.zeros(len(keys), dtype=np.uint64)
-        for c in range(k):
-            h = h * np.uint64(1099511628211) + u32[:, c]
-        return pa.table({
-            "gram": _fsb(keys),
-            "doc": pa.array(ids, type=pa.int64()),
-            "_bucket": pa.array((h % np.uint64(num_buckets))
-                                .astype(np.int32))})
+            zero_copy_only=False).astype(np.int64)
+        if group_col in batch.column_names:
+            grp_rows = batch[group_col].to_numpy(zero_copy_only=False)
+        else:
+            grp_rows = np.full(batch.num_rows, "", dtype=object)
+        # distinct (key, doc) with counts: lexsort + run-length
+        if hashed_keys:
+            order = np.lexsort((row_idx, h2, h1))
+            kk1, kk2, rr = h1[order], h2[order], row_idx[order]
+            first = np.concatenate(([True], (kk1[1:] != kk1[:-1])
+                                    | (kk2[1:] != kk2[:-1])
+                                    | (rr[1:] != rr[:-1])))
+        else:
+            order = np.lexsort((row_idx, keys))
+            kk, rr = keys[order], row_idx[order]
+            first = np.concatenate(([True], (kk[1:] != kk[:-1])
+                                    | (rr[1:] != rr[:-1])))
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.concatenate([starts, [len(order)]]))
+        keep = order[starts]
+        cols: dict = {}
+        if hashed_keys:
+            cols["h1"] = pa.array(h1[keep].view(np.int64),
+                                  type=pa.int64())
+            cols["h2"] = pa.array(h2[keep].view(np.int64),
+                                  type=pa.int64())
+            bucket = (h1[keep] % np.uint64(num_buckets)).astype(np.int32)
+        else:
+            cols["gram"] = _fsb(keys[keep])
+            u32 = keys[keep].view(np.uint32).reshape(-1, k).astype(
+                np.uint64)
+            hb = np.zeros(len(keep), dtype=np.uint64)
+            for c in range(k):
+                hb = hb * _FOLD_P1 + u32[:, c]
+            bucket = (hb % np.uint64(num_buckets)).astype(np.int32)
+        cols["doc"] = pa.array(ids[row_idx[keep]], type=pa.int64())
+        cols["grp"] = pa.array(grp_rows[row_idx[keep]].tolist(),
+                               type=pa.string())
+        cols["n"] = pa.array(cnt, type=pa.int64())
+        cols["_bucket"] = pa.array(bucket)
+        return pa.table(cols)
 
-    def _dup_grams(batch: pa.Table) -> pa.Table:
-        # gram-confined bucket: the global distinct-doc count per gram
-        # is computable locally; emit only grams with >= 2 docs
-        if batch.num_rows == 0 or "gram" not in batch.column_names:
-            return pa.table({"gram": pa.array([], type=pa.binary(width))})
-        ks = _s_view(batch["gram"])
-        ds_ = batch["doc"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ds_, ks))
-        ks, ds_ = ks[order], ds_[order]
-        first = np.concatenate(
-            ([True], (ks[1:] != ks[:-1]) | (ds_[1:] != ds_[:-1])))
-        ks = ks[first]
-        starts = np.flatnonzero(np.concatenate(
-            ([True], ks[1:] != ks[:-1])))
-        counts = np.diff(np.concatenate([starts, [len(ks)]]))
-        dup = ks[starts[counts >= 2]]
-        return pa.table({"gram": _fsb(dup)})
+    key_cols = ["h1", "h2"] if hashed_keys else ["gram"]
 
-    dup_t = (ds.map_batches(_postings, batch_format="pyarrow",
+    def _bucket_stats(batch: pa.Table) -> pd.DataFrame:
+        # gram-confined bucket: global distinct-doc count per gram AND
+        # per-group position sums are computable locally; emit one
+        # partial row per group
+        empty = pd.DataFrame({
+            "grp": pd.Series([], dtype=object),
+            "n_pos": pd.Series([], dtype=np.int64),
+            "n_dup": pd.Series([], dtype=np.int64)})
+        if batch.num_rows == 0 or "doc" not in batch.column_names:
+            return empty
+        if hashed_keys:
+            a = batch["h1"].to_numpy(zero_copy_only=False)
+            b = batch["h2"].to_numpy(zero_copy_only=False)
+            docs = batch["doc"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((docs, b, a))
+            a, b, docs = a[order], b[order], docs[order]
+            new_key = np.concatenate(
+                ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+        else:
+            ks = _s_view(batch["gram"])
+            docs = batch["doc"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((docs, ks))
+            ks, docs = ks[order], docs[order]
+            new_key = np.concatenate(([True], ks[1:] != ks[:-1]))
+        n = batch["n"].to_numpy(zero_copy_only=False)[order]
+        grp = np.asarray(batch["grp"].to_numpy(zero_copy_only=False),
+                         dtype=object)[order]
+        # distinct docs per key: postings are distinct (key, doc)
+        # within a batch but may repeat across batches -> run-length
+        # over (key, doc)
+        new_doc = new_key | np.concatenate(([True],
+                                            docs[1:] != docs[:-1]))
+        key_id = np.cumsum(new_key) - 1
+        ndocs = np.bincount(key_id[new_doc])
+        dup_post = ndocs[key_id] >= 2
+        codes, uniq = pd.factorize(grp, use_na_sentinel=True)
+        # NULL group -> its own code (len(uniq)); kept distinct
+        codes = np.where(codes < 0, len(uniq), codes)
+        n_grp = len(uniq) + 1
+        n_pos = np.bincount(codes, weights=n, minlength=n_grp)
+        n_dup = np.bincount(codes[dup_post], weights=n[dup_post],
+                            minlength=n_grp)
+        labels = np.concatenate([np.asarray(uniq, dtype=object), [None]])
+        keep = n_pos > 0
+        return pd.DataFrame({
+            "grp": labels[keep],
+            "n_pos": n_pos[keep].astype(np.int64),
+            "n_dup": n_dup[keep].astype(np.int64)})
+
+    parts = (ds.map_batches(_postings, batch_format="pyarrow",
                             batch_size=512)
              .groupby("_bucket")
-             .map_groups(_dup_grams, batch_format="pyarrow"))
-    chunks = [_s_view(t["gram"])
-              for r in dup_t.to_arrow_refs()
-              for t in (ray.get(r),)
-              if t.num_rows and "gram" in t.column_names]
-    dup_keys = (np.sort(np.concatenate(chunks)) if chunks
-                else np.empty(0, dtype=f"|S{width}"))
-    if len(dup_keys) > max_dup:
-        raise ValueError(
-            f"{len(dup_keys)} duplicated grams exceeds the broadcast "
-            f"budget ({max_dup}); use a join-path membership test "
-            "(see stages/dedup.py jaccard_verify_joined for the shape)")
-    dup_ref = ray.put(dup_keys)
-
-    class _Count:
-        def __init__(self):
-            self.dup = ray.get(dup_ref)
-
-        def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            keys, row_idx = window_keys(batch[text_col], k)
-            grp = (batch[group_col].to_pylist() if group_col
-                   in batch.column_names else [""] * batch.num_rows)
-            grp = pd.Series(grp, dtype=object).fillna("").to_numpy()
-            # searchsorted membership: the broadcast set is pre-sorted,
-            # so this is n*log(|dup|) memcmps — np.isin would re-sort
-            # every position key per batch
-            if len(self.dup):
-                pos = np.searchsorted(self.dup, keys)
-                pos = np.minimum(pos, len(self.dup) - 1)
-                member = self.dup[pos] == keys
-            else:
-                member = np.zeros(len(keys), dtype=bool)
-            # per-ROW group codes fanned to positions via bincount —
-            # no per-position string column
-            codes, uniq = pd.factorize(grp)
-            pos_codes = codes[row_idx]
-            n_pos = np.bincount(pos_codes, minlength=len(uniq))
-            n_dup = np.bincount(pos_codes[member], minlength=len(uniq))
-            keep = n_pos > 0
-            return pd.DataFrame({
-                group_col: np.asarray(uniq, dtype=object)[keep],
-                "n_pos": n_pos[keep].astype(np.int64),
-                "n_dup": n_dup[keep].astype(np.int64)})
-
-    parts = ds.map_batches(_Count, concurrency=(1, 8), batch_size=512,
-                           batch_format="pyarrow").to_pandas()
-    agg = (parts.groupby(group_col, sort=False)[["n_pos", "n_dup"]]
-           .sum().reset_index())
-    npos = agg["n_pos"].astype(np.int64)
-    ndup = agg["n_dup"].astype(np.int64)
-    return (pd.DataFrame({
-        group_col: agg[group_col],
+             .map_groups(_bucket_stats, batch_format="pyarrow")
+             .to_pandas())
+    if parts.empty or "grp" not in parts.columns:
+        return pd.DataFrame({
+            group_col: pd.Series([], dtype=object),
+            "n_positions": pd.Series([], dtype=np.int64),
+            "n_dup_positions": pd.Series([], dtype=np.int64),
+            "dup_frac": pd.Series([], dtype=np.float64)})
+    agg = (parts.groupby("grp", sort=False, dropna=False)
+           [["n_pos", "n_dup"]].sum().reset_index())
+    npos = agg["n_pos"].to_numpy(np.int64)
+    ndup = agg["n_dup"].to_numpy(np.int64)
+    out = pd.DataFrame({
+        group_col: agg["grp"].astype(object),
         "n_positions": npos,
         "n_dup_positions": ndup,
-        "dup_frac": ndup.to_numpy(np.int64)
-        / npos.to_numpy(np.int64).astype(np.float64)})
-        .sort_values(group_col, kind="mergesort").reset_index(drop=True))
+        "dup_frac": ndup / npos.astype(np.float64)})
+    return (out.sort_values(group_col, kind="mergesort")
+            .reset_index(drop=True))
 
 
-def _terms_of(texts) -> tuple[list, list]:
+def _terms_of(texts) -> tuple[np.ndarray, np.ndarray]:
     """Space-split terms per row, DuckDB ``string_split(text, ' ')``
-    semantics exactly: empty string -> [''], NULL -> no terms."""
-    out_terms: list = []
-    out_counts: list = []
-    for t in texts.to_pylist():
-        if t is None:
-            out_counts.append(0)
-            continue
-        ts = t.split(" ")
-        out_terms.extend(ts)
-        out_counts.append(len(ts))
-    return out_terms, out_counts
+    semantics exactly: empty string -> [''], NULL -> no terms.
+    Vectorized: one Arrow ``split_pattern`` + flatten — no per-row
+    Python.  Returns (object array of terms, int64 count per row)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lists = pc.split_pattern(texts, " ")
+    counts = pc.fill_null(pc.list_value_length(lists), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    # flatten() respects offsets and skips null rows (NULL -> no terms)
+    terms = lists.flatten().to_numpy(zero_copy_only=False)
+    return np.asarray(terms, dtype=object), counts
 
 
 def fit_vocab(ds: "ray.data.Dataset", text_col: str = "text",
@@ -273,11 +385,10 @@ def doc_vectors(batch: pa.Table, vocab: np.ndarray,
     terms, counts = _terms_of(batch[text_col])
     ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     n, v = len(ids), len(vocab)
-    if not terms:
+    if len(terms) == 0:
         return ids, np.zeros((n, v), dtype=np.int64)
-    idx = np.searchsorted(vocab, np.asarray(terms, dtype=object))
-    row = np.repeat(np.arange(n, dtype=np.int64),
-                    np.asarray(counts, dtype=np.int64))
+    idx = np.searchsorted(vocab, terms)
+    row = np.repeat(np.arange(n, dtype=np.int64), counts)
     mat = np.bincount(row * v + idx, minlength=n * v).reshape(n, v)
     return ids, mat.astype(np.int64)
 
@@ -287,6 +398,7 @@ def cosine_pairs_topk(
     topk: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
+    matrix_budget: int = 1 << 30,
 ) -> pd.DataFrame:
     """Exact all-pairs bag-of-words cosine, global top-k.
 
@@ -295,49 +407,90 @@ def cosine_pairs_topk(
     ``dot`` is the exact int64 count-vector dot product; ``cos`` is
     ``dot / sqrt(na * nb)`` with the product exact in int64 — both
     sides of the oracle compute the identical IEEE expression.
+
+    The corpus count matrix never touches the driver: vectorized
+    blocks stay in the object store (``to_arrow_refs``) and each
+    comparison actor assembles its copy once in ``__init__`` — after
+    an explicit estimated-bytes check (``n_docs x |vocab| x 8`` vs
+    ``matrix_budget``) that fails fast with a pointer to the ANN
+    family instead of OOMing a worker mid-matmul.
     """
     vocab = fit_vocab(ds, text_col)
+    empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                          "doc_b": pd.Series([], dtype=np.int64),
+                          "dot": pd.Series([], dtype=np.int64),
+                          "cos": pd.Series([], dtype=np.float64)})
+    if len(vocab) == 0:          # all-NULL corpus: no terms, no pairs
+        return empty.copy()
     vocab_ref = ray.put(vocab)
+    row_w = len(vocab) * 8
 
-    # corpus matrix: collected once, broadcast once (documented bound —
-    # exact all-pairs is for slices where ids x vocab fits a worker)
-    def _vec(batch: pa.Table) -> pd.DataFrame:
+    def _vec(batch: pa.Table) -> pa.Table:
         ids, mat = doc_vectors(batch, ray.get(vocab_ref), text_col,
                                id_col)
-        return pd.DataFrame({"doc_id": ids,
-                             "vec": [r.tobytes() for r in mat]})
+        na = (mat * mat).sum(axis=1)
+        # whole matrix -> ONE FixedSizeBinary buffer (no per-row bytes)
+        vec = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(row_w), len(ids),
+            [None, pa.py_buffer(np.ascontiguousarray(mat).tobytes())])
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "vec": vec,
+            "na": pa.array(na, type=pa.int64())})
 
-    vec_df = ds.map_batches(_vec, batch_format="pyarrow").to_pandas()
-    order = np.argsort(vec_df["doc_id"].to_numpy(np.int64),
-                       kind="stable")
-    ids_all = vec_df["doc_id"].to_numpy(np.int64)[order]
-    mat_all = np.stack([
-        np.frombuffer(b, dtype=np.int64)
-        for b in vec_df["vec"].to_numpy()[order]]) if len(vec_df) else \
-        np.zeros((0, len(vocab)), dtype=np.int64)
-    na_all = (mat_all * mat_all).sum(axis=1)
-    corpus_ref = ray.put((ids_all, mat_all, na_all))
+    vec_ds = ds.map_batches(_vec, batch_format="pyarrow").materialize()
+    n_docs = vec_ds.count()
+    est = int(n_docs) * len(vocab) * 8
+    if est > matrix_budget:
+        raise ValueError(
+            f"exact all-pairs corpus matrix would be ~{est / 2**30:.1f}"
+            f" GiB ({n_docs} docs x {len(vocab)} terms); over the "
+            f"{matrix_budget / 2**30:.1f} GiB per-actor budget — use "
+            "the ANN family (stages/similarity.py) or raise "
+            "matrix_budget explicitly")
+    # per-block refs: the driver holds O(blocks) ObjectRefs, never the
+    # vectors; actors pull blocks zero-copy from the local object store
+    block_refs = vec_ds.to_arrow_refs()
+
+    def _decode(tbl: pa.Table, v: int) -> tuple[np.ndarray, np.ndarray,
+                                                np.ndarray]:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        na = tbl["na"].to_numpy(zero_copy_only=False)
+        col = tbl["vec"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if len(ids) == 0:
+            return ids.astype(np.int64), \
+                np.zeros((0, v), dtype=np.int64), na.astype(np.int64)
+        flat = np.frombuffer(col.buffers()[1], dtype=np.int64,
+                             count=(len(ids) + col.offset) * v)
+        mat = flat[col.offset * v:].reshape(len(ids), v)
+        return ids.astype(np.int64), mat, na.astype(np.int64)
 
     class _BlockTopK:
         def __init__(self):
-            self.ids, self.mat, self.na = ray.get(corpus_ref)
+            vv = len(ray.get(vocab_ref))
+            parts = [_decode(ray.get(r), vv) for r in block_refs]
+            parts = [p for p in parts if len(p[0])]
+            if parts:
+                self.ids = np.concatenate([p[0] for p in parts])
+                self.mat = np.concatenate([p[1] for p in parts], axis=0)
+                self.na = np.concatenate([p[2] for p in parts])
+            else:
+                self.ids = np.empty(0, np.int64)
+                self.mat = np.zeros((0, vv), dtype=np.int64)
+                self.na = np.empty(0, np.int64)
 
         def __call__(self, batch: pa.Table) -> pd.DataFrame:
             ids_b, mat_b = doc_vectors(batch, vocab, text_col, id_col)
             if len(ids_b) == 0 or len(self.ids) == 0:
-                return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                                     "doc_b": pd.Series([], dtype=np.int64),
-                                     "dot": pd.Series([], dtype=np.int64),
-                                     "cos": pd.Series([], dtype=np.float64)})
+                return empty.copy()
             na_b = (mat_b * mat_b).sum(axis=1)
             dots = mat_b @ self.mat.T                       # int64 exact
             ii, jj = np.nonzero((ids_b[:, None] < self.ids[None, :])
                                 & (dots > 0))
             if len(ii) == 0:
-                return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                                     "doc_b": pd.Series([], dtype=np.int64),
-                                     "dot": pd.Series([], dtype=np.int64),
-                                     "cos": pd.Series([], dtype=np.float64)})
+                return empty.copy()
             dot = dots[ii, jj]
             cos = dot.astype(np.float64) / np.sqrt(
                 (na_b[ii] * self.na[jj]).astype(np.float64))
@@ -350,6 +503,8 @@ def cosine_pairs_topk(
 
     cand = ds.map_batches(_BlockTopK, concurrency=(1, 8),
                           batch_format="pyarrow").to_pandas()
+    if cand.empty or "cos" not in cand.columns:
+        return empty.copy()
     cand = cand.sort_values(["cos", "doc_a", "doc_b"],
                             ascending=[False, True, True],
                             kind="mergesort").head(topk)
