@@ -119,6 +119,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # --- round-5 front: never driver-checked in rounds 1-4 ---
+        # newly oracled this round (historical err:no_oracle rows)
+        "link_pagerank": q.q_link_pagerank,
+        "langid": q.q_langid,
         "dup_span_stats": q.q_dup_span_stats,
         "cosine_pairs": q.q_cosine_pairs,
         "triangle_count": q.q_triangle_count,
@@ -152,10 +155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idle_rich_customers": q.q_idle_rich_customers,
         "orders_per_customer_dist": q.q_orders_per_customer_dist,
         "large_orders": q.q_large_orders,
-        "discount_revenue": q.q_discount_revenue,
         "cheapest_supplier": q.q_cheapest_supplier,
         "important_parts": q.q_important_parts,
-        "late_ship_priority": q.q_late_ship_priority,
         "supplier_part_counts": q.q_supplier_part_counts,
         "dominant_suppliers": q.q_dominant_suppliers,
         "waiting_suppliers": q.q_waiting_suppliers,
@@ -170,7 +171,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_weighted_value": q.q_time_weighted_value,
         "benford_totalprice": q.q_benford_totalprice,
         # --- still never driver-checked (next rotation fronts these) ---
-        "link_pagerank": q.q_link_pagerank,
+        "discount_revenue": q.q_discount_revenue,
+        "late_ship_priority": q.q_late_ship_priority,
         "source_lang_entropy": q.q_source_lang_entropy,
         "autocorr_value_lag1": q.q_autocorr_value_lag1,
         "rolling_1h_sum": q.q_rolling_1h_sum,
@@ -326,15 +328,96 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup": q.q_minhash_neardup,
         "neardup_winners": q.q_neardup_winners,
         "simhash": q.q_simhash,
-        "langid": q.q_langid,
         "fingerprint": q.q_fingerprint,
         "embedding_neardup": q.q_embedding_neardup,
         "kmeans_centroids": q.q_kmeans_centroids,
         "media_decode": q.q_media_decode,
     }
 
+def _langid_oracle_sql() -> str:
+    """Marker-word language heuristic, mirroring stages/text.LangId
+    exactly: words split on single ASCII whitespace chars (empties
+    kept out of the totals), case-insensitive marker match (for these
+    40 ASCII/Latin-1 markers DuckDB's unicode lower() and the engine's
+    latin1 lowering agree — no non-Latin char lowers INTO a marker),
+    ties broken toward the LARGEST language key, score = best/total
+    as one double division."""
+    from video_features_ray.stages.text import LangId
+
+    def _in(k: str) -> str:
+        return ", ".join("'" + w + "'" for w in sorted(LangId.MARKERS[k]))
+
+    g = "greatest(c_de, c_en, c_es, c_fr)"
+    return (
+        "WITH w0 AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+        "unnest(regexp_split_to_array(coalesce(text, ''), "
+        "'[\\t\\n\\x0B\\x0C\\r ]')) AS word FROM documents), "
+        "cnts AS (SELECT doc_id, "
+        "COUNT(*) FILTER (length(word) > 0) AS total_words, "
+        f"COUNT(*) FILTER (lower(word) IN ({_in('de')})) AS c_de, "
+        f"COUNT(*) FILTER (lower(word) IN ({_in('en')})) AS c_en, "
+        f"COUNT(*) FILTER (lower(word) IN ({_in('es')})) AS c_es, "
+        f"COUNT(*) FILTER (lower(word) IN ({_in('fr')})) AS c_fr "
+        "FROM w0 GROUP BY doc_id) "
+        "SELECT doc_id, "
+        f"CASE WHEN {g} = 0 THEN 'unknown' "
+        f"WHEN c_fr = {g} THEN 'fr' WHEN c_es = {g} THEN 'es' "
+        f"WHEN c_en = {g} THEN 'en' ELSE 'de' END AS lang_pred, "
+        f"CAST({g} AS DOUBLE) / greatest(total_words, 1) AS lang_score "
+        "FROM cnts"
+    )
+
+
+def _pagerank_oracle_sql(iters: int = 3, damping: float = 0.85) -> str:
+    """Unrolled synchronous PageRank over the synthetic citation graph
+    (doc i -> (7i+3) mod N, (3i+1) mod N), one CTE trio per iteration
+    (dangling mass, contribution sums, rank refresh), mirroring
+    stages/graph.pagerank's float expressions association-for-
+    association; the final ranks land on the 1e-9 half-away grid so
+    summation-order noise (~1e-17) cannot flip a digit."""
+    sql = (
+        "WITH cnt AS (SELECT COUNT(*) AS n FROM documents), "
+        "e AS (SELECT doc_id AS src, (doc_id*7+3) % cnt.n AS dst "
+        "FROM documents, cnt "
+        "UNION ALL SELECT doc_id, (doc_id*3+1) % cnt.n "
+        "FROM documents, cnt), "
+        "od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg "
+        "FROM e GROUP BY src), "
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e)), "
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes), "
+        "r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)"
+    )
+    for i in range(1, iters + 1):
+        p, c, d, r = f"r{i - 1}", f"c{i}", f"d{i}", f"r{i}"
+        sql += (
+            f", {d} AS (SELECT COALESCE(SUM(r.rank), 0.0) AS dm "
+            f"FROM {p} r LEFT JOIN od ON r.node = od.src "
+            f"WHERE od.src IS NULL)"
+            f", {c} AS (SELECT e.dst AS node, "
+            f"SUM(r.rank / od.outdeg) AS c "
+            f"FROM e JOIN od ON e.src = od.src "
+            f"JOIN {p} r ON r.node = e.src GROUP BY e.dst)"
+            f", {r} AS (SELECT nd.node, "
+            f"{1.0 - damping!r} / nn.n + {damping!r} * {d}.dm / nn.n "
+            f"+ {damping!r} * COALESCE({c}.c, 0.0) AS rank "
+            f"FROM nodes nd CROSS JOIN nn CROSS JOIN {d} "
+            f"LEFT JOIN {c} ON nd.node = {c}.node)"
+        )
+    sql += (
+        f" SELECT node, CAST(CASE WHEN sx >= 0 THEN floor(sx + 0.5) "
+        f"ELSE -floor(-sx + 0.5) END AS BIGINT) AS rank_e9 FROM "
+        f"(SELECT node, rank * 1000000000.0 AS sx FROM r{iters})"
+    )
+    return sql
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        # 3-iteration PageRank, unrolled CTEs, ranks on the 1e-9 grid
+        "link_pagerank": _pagerank_oracle_sql(iters=3, damping=0.85),
+        # marker-word language heuristic (was rows-only through r4)
+        "langid": _langid_oracle_sql(),
         "w1_windows": f"{_SEQ} {_W1_WINDOWS}",
         "w2_windows": (
             f"{_SEQ} "

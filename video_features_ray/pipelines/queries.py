@@ -3153,8 +3153,11 @@ def q_corpus_diff(sf_dir: str):
 def q_link_pagerank(sf_dir: str):
     """PageRank over a deterministic synthetic citation graph (doc i ->
     (7i+3) mod N and (3i+1) mod N): join-based iterations, rank table
-    never broadcast or collected. Rows-only driver check (iterative
-    float algorithm); numpy-parity + invariants in tests/test_graph.py."""
+    never broadcast or collected.  Oracled: ranks are emitted on the
+    1e-9 grid (half-away-from-zero, the engine's standard SQL-round
+    mirror) and the DuckDB side unrolls the same 3 synchronous
+    iterations in CTEs — float summation order differs by ~1e-17,
+    ~8 decimal orders under the grid, so the scaled ints are stable."""
     from ..stages.graph import pagerank
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
@@ -3172,9 +3175,17 @@ def q_link_pagerank(sf_dir: str):
     # width from the KNOWN edge count (2 per doc), not the document
     # table bytes: a 10k-edge graph shuffled 64-wide spends the whole
     # run on per-bucket task overhead x 3 iterations x 4 stages
-    return pagerank(edges, iters=3,
-                    num_buckets=shuffle_width(2 * n * 16, floor=8,
-                                              cluster_cap=8))
+    ranks = pagerank(edges, iters=3,
+                     num_buckets=shuffle_width(2 * n * 16, floor=8,
+                                               cluster_cap=8))
+
+    def _scale(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["rank"].to_numpy(np.float64) * 1e9
+        r = np.where(s >= 0, np.floor(s + 0.5), -np.floor(-s + 0.5))
+        return pd.DataFrame({"node": df["node"].astype(np.int64),
+                             "rank_e9": r.astype(np.int64)})
+
+    return ranks.map_batches(_scale, batch_format="pandas")
 
 
 def q_mad_value_per_type(sf_dir: str):
