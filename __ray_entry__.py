@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_weighted_value": q.q_time_weighted_value,
         "benford_totalprice": q.q_benford_totalprice,
         # --- still never driver-checked (next rotation fronts these) ---
+        "dup_span_winnowed": q.q_dup_span_winnowed,  # rows-only (r5)
         "discount_revenue": q.q_discount_revenue,
         "late_ship_priority": q.q_late_ship_priority,
         "source_lang_entropy": q.q_source_lang_entropy,

@@ -301,6 +301,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "degree_assortativity", "markov_accuracy",
         "mutual_top_partner", "search_docs", "random_walks",
         "psi_value_drift",
+        # round-5 additions
+        "dup_span_winnowed", "langid",
     ]
     qs = em.queries()
     import gc

@@ -5362,13 +5362,31 @@ def q_zonemap_prune(sf_dir: str):
 def q_dup_span_stats(sf_dir: str):
     """Substring-level duplicate detection (Lee et al. ExactSubstr, the
     k-char variant): fraction of each source's 40-char window positions
-    whose window occurs in >= 2 distinct documents.  One gram-bucketed
-    shuffle + one broadcast membership pass (stages/spans.py)."""
+    whose window occurs in >= 2 distinct documents.  ONE gram-bucketed
+    shuffle of 128-bit hashed postings resolves dup membership AND the
+    per-source sums inside the bucket tasks — no dup-gram set is ever
+    collected or broadcast (stages/spans.py)."""
     from ..stages.spans import dup_span_stats
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text", "source"])
     return dup_span_stats(ds, k=40,
+                          num_buckets=_w(sf_dir, "documents"))
+
+
+def q_dup_span_winnowed(sf_dir: str):
+    """The 100 TB knob of q_dup_span_stats: winnowing selection
+    (Schleimer et al.) shuffles only ~2/(w+1) of positions while
+    guaranteeing any shared span of length >= k + w - 1 is detected.
+    Counts are over SELECTED positions (fingerprint-level dup
+    pressure), so this is a rows-only check; the selection guarantee
+    and the exact-mode equality are pinned in
+    tests/test_spans_graph_shards.py."""
+    from ..stages.spans import dup_span_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "source"])
+    return dup_span_stats(ds, k=40, winnow_w=8,
                           num_buckets=_w(sf_dir, "documents"))
 
 

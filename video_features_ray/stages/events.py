@@ -65,16 +65,45 @@ def transform_buckets(
     ds: "ray.data.Dataset",
     key: str,
     sort_keys: Sequence[str],
-    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    fn: Callable,
     num_buckets: int = 64,
     ascending: Sequence[bool] | None = None,
+    batch_format: str = "pandas",
 ) -> "ray.data.Dataset":
     """ONE hash shuffle: bucket by ``key``, then ``fn`` over each bucket
     sorted by ``[key, *sort_keys]`` (fn sees many entities at once and is
     expected to be vectorized with key-boundary masks). ``ascending``
     optionally flips individual ``sort_keys`` (the key itself always
-    sorts ascending)."""
+    sorts ascending).
+
+    ``batch_format="pyarrow"``: the bucket stays an Arrow table end to
+    end — the sort is one stable numpy ``lexsort`` + one ``take`` (no
+    pandas block conversion, no object boxing), and ``fn`` receives /
+    returns ``pa.Table``.  Combiners that genuinely use pandas
+    merge/rolling semantics keep the default.  The Arrow path requires
+    all-ascending sorts (every current arrow combiner is)."""
     asc = [True, *(ascending if ascending is not None else [True] * len(sort_keys))]
+
+    if batch_format == "pyarrow":
+        if not all(asc):
+            raise ValueError("arrow transform_buckets is all-ascending")
+
+        def _per_bucket_arrow(tbl: pa.Table) -> pa.Table:
+            if tbl.num_rows and key in tbl.column_names:
+                cols = [tbl[c].to_numpy(zero_copy_only=False)
+                        for c in (key, *sort_keys)]
+                # lexsort: LAST key is primary -> reverse; stable, so
+                # tie order matches pandas' mergesort exactly
+                order = np.lexsort(cols[::-1])
+                tbl = tbl.take(pa.array(order))
+            out = fn(tbl)
+            if "_bucket" in out.column_names:
+                out = out.drop_columns(["_bucket"])
+            return out
+
+        return (with_bucket(ds, key, num_buckets)
+                .groupby("_bucket")
+                .map_groups(_per_bucket_arrow, batch_format="pyarrow"))
 
     def _per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = (df.sort_values([key, *sort_keys], ascending=asc, kind="mergesort")
@@ -154,38 +183,49 @@ def lag_lead(
     columnar: reference carries the last k rows across batch boundaries,
     ``utils/io.py:120-152``). ``tie_cols``: deterministic tie-break columns
     appended to the sort — without one, equal (key, ts) rows order by
-    shuffle arrival, which Ray does not guarantee stable."""
+    shuffle arrival, which Ray does not guarantee stable.  Pandas-free:
+    the bucket is one Arrow table, lexsorted once, lag columns appended
+    as numpy arrays."""
 
-    def _fn(df: pd.DataFrame) -> pd.DataFrame:
-        k = df[key].to_numpy()
-        v = df[value].to_numpy()
-        n = len(df)
+    def _fn(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or key not in tbl.column_names:
+            return tbl
+        k = tbl[key].to_numpy(zero_copy_only=False)
+        v = tbl[value].to_numpy(zero_copy_only=False)
+        n = tbl.num_rows
         for d in lags:
             col = np.roll(v, d).astype(float)
             valid = np.zeros(n, dtype=bool)
             if n > d:
                 valid[d:] = k[d:] == k[:-d]
-            df[f"{value}_lag{d}"] = np.where(valid, col, np.nan)
+            tbl = tbl.append_column(f"{value}_lag{d}",
+                                    pa.array(np.where(valid, col, np.nan)))
         for d in leads:
             col = np.roll(v, -d).astype(float)
             valid = np.zeros(n, dtype=bool)
             if n > d:
                 valid[:-d] = k[:-d] == k[d:]
-            df[f"{value}_lead{d}"] = np.where(valid, col, np.nan)
-        return df
+            tbl = tbl.append_column(f"{value}_lead{d}",
+                                    pa.array(np.where(valid, col, np.nan)))
+        return tbl
 
-    return transform_buckets(ds, key, [ts, *tie_cols], _fn, num_buckets)
+    return transform_buckets(ds, key, [ts, *tie_cols], _fn, num_buckets,
+                             batch_format="pyarrow")
 
 
-def _session_ids(df: pd.DataFrame, key: str, ts: str, gap: float,
-                 session_col: str) -> pd.DataFrame:
-    """Shared session-boundary kernel: new session at each entity change
-    or when ``ts - prev_ts > gap``; ``session_col`` is the 0-based
-    ordinal within the entity.  The ONE place gap/tie semantics live —
-    sessionize and sessionize_stats both call it."""
-    t = df[ts].to_numpy()
-    new = _key_change(df, key).copy()
-    if len(df) > 1:
+def _session_id_array(k: np.ndarray, t: np.ndarray, gap: float
+                      ) -> np.ndarray:
+    """Shared session-boundary kernel over PRE-SORTED (key, ts) arrays:
+    new session at each entity change or when ``ts - prev_ts > gap``;
+    returns the 0-based session ordinal within each entity.  The ONE
+    place gap/tie semantics live — sessionize and sessionize_stats
+    both call it."""
+    n = len(k)
+    chg = np.ones(n, dtype=bool)
+    if n > 1:
+        chg[1:] = k[1:] != k[:-1]
+    new = chg.copy()
+    if n > 1:
         d = t[1:] - t[:-1]
         # datetime64 ts -> the DIFF is timedelta64 ('m'); normalize to
         # seconds so gap keeps one unit (testing t's dtype here would
@@ -195,9 +235,8 @@ def _session_ids(df: pd.DataFrame, key: str, ts: str, gap: float,
               else d.astype("float64"))
         new[1:] |= dt > gap
     ord_ = np.cumsum(new) - 1  # global session ordinal in bucket
-    key_base = np.maximum.accumulate(np.where(_key_change(df, key), ord_, -1))
-    df[session_col] = (ord_ - key_base).astype(np.int64)
-    return df
+    key_base = np.maximum.accumulate(np.where(chg, ord_, -1))
+    return (ord_ - key_base).astype(np.int64)
 
 
 def sessionize(
@@ -212,12 +251,19 @@ def sessionize(
     """Gap-based sessionization (generalizes the reference's tumbling
     0.96 s examples, ``vggish_params.py:27-35``): a new session starts at
     each entity change or when ``ts - prev_ts > gap``. ``session_id`` is
-    the 0-based session ordinal within the entity."""
+    the 0-based session ordinal within the entity.  Pandas-free Arrow
+    bucket path."""
 
-    def _fn(df: pd.DataFrame) -> pd.DataFrame:
-        return _session_ids(df, key, ts, gap, session_col)
+    def _fn(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or key not in tbl.column_names:
+            return tbl
+        sess = _session_id_array(
+            tbl[key].to_numpy(zero_copy_only=False),
+            tbl[ts].to_numpy(zero_copy_only=False), gap)
+        return tbl.append_column(session_col, pa.array(sess))
 
-    return transform_buckets(ds, key, [ts, *tie_cols], _fn, num_buckets)
+    return transform_buckets(ds, key, [ts, *tie_cols], _fn, num_buckets,
+                             batch_format="pyarrow")
 
 
 def sessionize_stats(
@@ -233,17 +279,32 @@ def sessionize_stats(
     sessionize bucket task already holds every row of each key, so the
     per-session aggregate is exact computed right there — round 2's
     version paid a second bucketed groupby to aggregate what the first
-    task could see whole (2.8 s → ~1.3 s at sf0.1/32cpu)."""
+    task could see whole (2.8 s → ~1.3 s at sf0.1/32cpu).  Pandas-free:
+    the bucket is sorted by (key, ts), so each (key, session) is one
+    contiguous run — counts are run lengths, t_start/t_end the run's
+    first/last ts (ts ascending within the run)."""
 
-    def _fn(df: pd.DataFrame) -> pd.DataFrame:
-        df = _session_ids(df, key, ts, gap, session_col)
-        g = df.groupby([key, session_col], sort=False).agg(
-            n_events=(ts, "size"), t_start=(ts, "min"), t_end=(ts, "max"),
-        ).reset_index()
-        g["n_events"] = g["n_events"].astype(np.int64)
-        return g
+    def _fn(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or key not in tbl.column_names:
+            return tbl
+        k = tbl[key].to_numpy(zero_copy_only=False)
+        t = tbl[ts].to_numpy(zero_copy_only=False)
+        sess = _session_id_array(k, t, gap)
+        n = len(k)
+        run_start = np.ones(n, dtype=bool)
+        run_start[1:] = (k[1:] != k[:-1]) | (sess[1:] != sess[:-1])
+        starts = np.flatnonzero(run_start)
+        ends = np.concatenate([starts[1:], [n]]) - 1
+        counts = np.diff(np.concatenate([starts, [n]])).astype(np.int64)
+        return pa.table({
+            key: pa.array(k[starts].tolist(), type=tbl.schema.field(key).type),
+            session_col: pa.array(sess[starts]),
+            "n_events": pa.array(counts),
+            "t_start": pa.array(t[starts], type=tbl.schema.field(ts).type),
+            "t_end": pa.array(t[ends], type=tbl.schema.field(ts).type)})
 
-    return transform_buckets(ds, key, [ts, *tie_cols], _fn, num_buckets)
+    return transform_buckets(ds, key, [ts, *tie_cols], _fn, num_buckets,
+                             batch_format="pyarrow")
 
 
 def rolling_agg(

@@ -174,5 +174,9 @@ class TaggedUnion:
                 df[c] = df[c].astype(dt)
         return df
 
-    def map_buckets(self, fn: Callable[[pd.DataFrame], pd.DataFrame]) -> "ray.data.Dataset":
-        return self.both.groupby("_bucket").map_groups(fn, batch_format="pandas")
+    def map_buckets(self, fn: Callable,
+                    batch_format: str = "pandas") -> "ray.data.Dataset":
+        # combiners that don't need pandas merge semantics can take the
+        # bucket as a zero-copy Arrow table (batch_format="pyarrow")
+        return self.both.groupby("_bucket").map_groups(
+            fn, batch_format=batch_format)
