@@ -171,6 +171,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_weighted_value": q.q_time_weighted_value,
         "benford_totalprice": q.q_benford_totalprice,
         # --- still never driver-checked (next rotation fronts these) ---
+        # round-5 additions (oracled)
+        "dup_span_ranges": q.q_dup_span_ranges,
+        "kanon_docs": q.q_kanon_docs,
+        "late_event_rate": q.q_late_event_rate,
         "dup_span_winnowed": q.q_dup_span_winnowed,  # rows-only (r5)
         "discount_revenue": q.q_discount_revenue,
         "late_ship_priority": q.q_late_ship_priority,
@@ -419,6 +423,58 @@ def oracle_sql() -> dict[str, str]:
         "link_pagerank": _pagerank_oracle_sql(iters=3, damping=0.85),
         # marker-word language heuristic (was rows-only through r4)
         "langid": _langid_oracle_sql(),
+        # merged duplicated-span intervals (ExactSubstr deliverable):
+        # gaps-and-islands over duplicated 40-gram positions
+        "dup_span_ranges": (
+            "WITH g0 AS (SELECT doc_id, text, "
+            "unnest(generate_series(1, length(text) - 39)) AS i "
+            "FROM documents WHERE length(text) >= 40), "
+            "g AS (SELECT doc_id, CAST(i AS BIGINT) AS i, "
+            "substr(text, CAST(i AS INT), 40) AS gram FROM g0), "
+            "d AS (SELECT gram FROM "
+            "(SELECT DISTINCT doc_id, gram FROM g) "
+            "GROUP BY gram HAVING COUNT(*) >= 2), "
+            "p AS (SELECT doc_id, i FROM g "
+            "WHERE gram IN (SELECT gram FROM d)), "
+            "w AS (SELECT doc_id, i, CASE WHEN i - COALESCE("
+            "lag(i) OVER (PARTITION BY doc_id ORDER BY i), i) > 40 "
+            "THEN 1 ELSE 0 END AS brk FROM p), "
+            "isl AS (SELECT doc_id, i, SUM(brk) OVER "
+            "(PARTITION BY doc_id ORDER BY i "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS island FROM w) "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(MIN(i) AS BIGINT) AS span_start, "
+            "CAST(MAX(i) + 39 AS BIGINT) AS span_end, "
+            "CAST(COUNT(*) AS BIGINT) AS n_dup_pos "
+            "FROM isl GROUP BY doc_id, island"
+        ),
+        # k-anonymity suppression on (source, n_chars // 100)
+        "kanon_docs": (
+            "WITH b AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "source, CAST(n_chars // 100 AS BIGINT) AS size_bin "
+            "FROM documents), "
+            "c AS (SELECT source, size_bin, COUNT(*) AS n "
+            "FROM b GROUP BY 1, 2) "
+            "SELECT b.doc_id, b.source, b.size_bin FROM b JOIN c "
+            "ON b.source = c.source AND b.size_bin = c.size_bin "
+            "WHERE c.n >= 5"
+        ),
+        # watermark / allowed-lateness accounting (1h) by arrival order
+        "late_event_rate": (
+            "WITH w AS (SELECT event_type, epoch_us(ts) AS t, "
+            "MAX(epoch_us(ts)) OVER (ORDER BY event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm "
+            "FROM events) "
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(COALESCE(SUM(CASE WHEN wm IS NOT NULL "
+            "AND t + 3600000000 < wm THEN 1 ELSE 0 END), 0) AS BIGINT) "
+            "AS n_late, "
+            "CAST(COALESCE(SUM(CASE WHEN wm IS NOT NULL "
+            "AND t + 3600000000 < wm THEN 1 ELSE 0 END), 0) AS DOUBLE) "
+            "/ COUNT(*) AS late_frac "
+            "FROM w GROUP BY event_type"
+        ),
         "w1_windows": f"{_SEQ} {_W1_WINDOWS}",
         "w2_windows": (
             f"{_SEQ} "

@@ -1,0 +1,126 @@
+"""Round-5 operators: merged duplicated-span intervals, k-anonymity
+suppression, watermark late-data accounting."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from video_features_ray.stages.events import watermark_late_stats
+from video_features_ray.stages.spans import dup_span_ranges
+
+
+# ---------------------------------------------------------- dup span ranges
+def test_dup_span_ranges_planted_merged_interval():
+    # two docs share one 60-char span: every 40-gram inside it is
+    # duplicated, and the 21 duplicated positions merge to ONE interval
+    span = "0123456789" * 6                     # 60 chars
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["AAA" + span + "BBB",          # span at 1-based pos 4
+                 span + "CCCC",                 # span at pos 1
+                 "x" * 80],                     # unique
+    })
+    out = (dup_span_ranges(ray.data.from_pandas(docs), k=40,
+                           num_buckets=4, doc_buckets=4)
+           .to_pandas().sort_values(["doc_id", "span_start"])
+           .reset_index(drop=True))
+    assert out["doc_id"].tolist() == [1, 2]
+    r1, r2 = out.iloc[0], out.iloc[1]
+    assert (r1["span_start"], r1["span_end"], r1["n_dup_pos"]) == (4, 63, 21)
+    assert (r2["span_start"], r2["span_end"], r2["n_dup_pos"]) == (1, 60, 21)
+
+
+def test_dup_span_ranges_disjoint_spans_stay_split():
+    # two shared 40-char spans separated by >k unique chars per doc ->
+    # two intervals per doc, not one
+    s1, s2 = "A" * 40, "B" * 40
+    gap1, gap2 = "u" * 50, "v" * 50
+    docs = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [s1 + gap1 + s2, s1 + gap2 + s2],
+    })
+    out = (dup_span_ranges(ray.data.from_pandas(docs), k=40,
+                           num_buckets=2, doc_buckets=2)
+           .to_pandas().sort_values(["doc_id", "span_start"])
+           .reset_index(drop=True))
+    assert len(out) == 4
+    d1 = out[out["doc_id"] == 1]
+    assert d1["span_start"].tolist() == [1, 91]
+    assert d1["span_end"].tolist() == [40, 130]
+
+
+def test_dup_span_ranges_within_doc_repeat_not_marked():
+    t = ("Z" * 40) + "m" + ("Z" * 40)
+    docs = pd.DataFrame({"doc_id": [1, 2],
+                         "text": [t, "w" * 45]})
+    out = dup_span_ranges(ray.data.from_pandas(docs), k=40,
+                          num_buckets=2, doc_buckets=2).to_pandas()
+    assert len(out) == 0
+
+
+# ------------------------------------------------------------- k-anonymity
+def test_kanon_suppresses_small_groups():
+    from video_features_ray.pipelines.queries import q_kanon_docs
+    import duckdb
+    sf = "/root/testdata/sf0.001"
+    got = (q_kanon_docs(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')")
+    n_docs = con.sql("SELECT COUNT(*) FROM documents").fetchone()[0]
+    # suppression really filters, and every surviving group has >= 5
+    assert 0 < len(got) < n_docs
+    sizes = got.groupby(["source", "size_bin"]).size()
+    assert (sizes >= 5).all()
+
+
+# ------------------------------------------------------ watermark lateness
+def test_watermark_late_stats_bruteforce():
+    rng = np.random.default_rng(17)
+    n = 3000
+    # timestamps wander so late events genuinely occur
+    ts = np.cumsum(rng.integers(-800, 1000, size=n)).astype(np.int64)
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts_us": ts,
+        "etype": rng.choice(["a", "b", "c"], size=n),
+    })
+    L = 500
+    out = watermark_late_stats(
+        ray.data.from_pandas(df).repartition(7), order_col="event_id",
+        ts_col="ts_us", group_col="etype", lateness_us=L,
+        num_partitions=5)
+    # brute force: global exclusive running max in arrival order
+    wm = np.concatenate(([np.iinfo(np.int64).min],
+                         np.maximum.accumulate(ts)[:-1]))
+    late = (np.arange(n) > 0) & (ts + L < wm)
+    want = (pd.DataFrame({"etype": df["etype"], "late": late})
+            .groupby("etype").agg(n_events=("late", "size"),
+                                  n_late=("late", "sum"))
+            .reset_index())
+    got = out.sort_values("etype").reset_index(drop=True)
+    assert got["etype"].tolist() == want["etype"].tolist()
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    assert got["n_late"].tolist() == want["n_late"].tolist()
+    assert got["n_late"].sum() > 0           # fixture exercises lateness
+    np.testing.assert_array_equal(
+        got["late_frac"].to_numpy(),
+        want["n_late"].to_numpy(np.int64)
+        / want["n_events"].to_numpy(np.int64).astype(np.float64))
+
+
+def test_watermark_first_event_never_late():
+    df = pd.DataFrame({
+        "event_id": [10, 20, 30],
+        "ts_us": [1_000_000, 10, 2_000_000],
+        "etype": ["x", "x", "x"],
+    })
+    out = watermark_late_stats(ray.data.from_pandas(df),
+                               order_col="event_id", ts_col="ts_us",
+                               group_col="etype", lateness_us=100,
+                               num_partitions=3)
+    # event 20 is 999990us behind the watermark -> late; others not
+    assert out.iloc[0]["n_events"] == 3
+    assert out.iloc[0]["n_late"] == 1

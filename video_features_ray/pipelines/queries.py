@@ -6160,3 +6160,86 @@ def q_psi_value_drift(sf_dir: str):
         "p_a": p_a, "p_b": p_b,
         "psi": np.round((p_a - p_b) * np.log(p_a / p_b), 12)})
         .sort_values("bin", kind="mergesort").reset_index(drop=True))
+
+
+def q_dup_span_ranges(sf_dir: str):
+    """ExactSubstr's actual deliverable (Lee et al.): the MERGED char
+    intervals of each document covered by 40-char windows that occur in
+    >= 2 distinct documents.  Two bucketed shuffles (gram-hash postings
+    -> in-bucket dup membership -> doc-hash interval merge), nothing
+    broadcast, nothing collected; the oracle is the classic
+    gaps-and-islands window-function formulation."""
+    from ..stages.spans import dup_span_ranges
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    w = _w(sf_dir, "documents")
+    return dup_span_ranges(ds, k=40, num_buckets=w, doc_buckets=w)
+
+
+def q_kanon_docs(sf_dir: str):
+    """k-anonymity suppression over the quasi-identifier
+    (source, n_chars // 100): documents whose quasi-identifier group
+    has fewer than 5 members are suppressed — the privacy-release
+    primitive curation pipelines run before publishing corpus slices.
+    ONE composite-key bucketed shuffle; a group never splits across
+    buckets, so the size filter is exact locally."""
+    from ..stages.events import stable_bucket_multi
+
+    k_anon = 5
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "n_chars"])
+    w = _w(sf_dir, "documents")
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        sb = batch["n_chars"].to_numpy(
+            zero_copy_only=False).astype(np.int64) // 100
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "source": batch["source"],
+            "size_bin": pa.array(sb, type=pa.int64()),
+            "_bucket": pa.array(stable_bucket_multi([src, sb], w))})
+
+    def _suppress(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "source": pa.array([], type=pa.string()),
+                          "size_bin": pa.array([], type=pa.int64())})
+        if tbl.num_rows == 0 or "source" not in tbl.column_names:
+            return empty
+        src = np.asarray(tbl["source"].to_numpy(zero_copy_only=False),
+                         dtype=object)
+        sb = tbl["size_bin"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sb, src))
+        s2, b2 = src[order], sb[order]
+        new = np.ones(len(s2), dtype=bool)
+        new[1:] = (s2[1:] != s2[:-1]) | (b2[1:] != b2[:-1])
+        gid = np.cumsum(new) - 1
+        size = np.bincount(gid)
+        keep_sorted = size[gid] >= k_anon
+        keep = np.zeros(len(s2), dtype=bool)
+        keep[order] = keep_sorted
+        out = tbl.filter(pa.array(keep))
+        return out.select(["doc_id", "source", "size_bin"])
+
+    return (ds.map_batches(_tag, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("_bucket")
+            .map_groups(_suppress, batch_format="pyarrow"))
+
+
+def q_late_event_rate(sf_dir: str):
+    """Streaming watermark / allowed-lateness accounting: per
+    event_type, how many events arrived (by event_id order) more than
+    1 hour behind the maximum timestamp already seen.  Distributed
+    two-phase prefix-max scan — per-partition exclusive running max,
+    O(partitions) driver carries, map-only late test
+    (stages/events.py:watermark_late_stats)."""
+    from ..stages.events import watermark_late_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "event_type"])
+    return watermark_late_stats(ds, order_col="event_id", ts_col="ts",
+                                group_col="event_type",
+                                lateness_us=3_600_000_000,
+                                num_partitions=_w(sf_dir, "events"))

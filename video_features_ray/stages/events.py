@@ -1036,3 +1036,126 @@ def grouped_gap_stats(
         return out
 
     return transform_buckets(ds, key, [ts_us, tie_col], _gaps, num_buckets)
+
+
+def watermark_late_stats(
+    ds: "ray.data.Dataset",
+    order_col: str,
+    ts_col: str,
+    group_col: str,
+    lateness_us: int,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Streaming watermark / late-data accounting: an event is LATE
+    when its timestamp is more than ``lateness_us`` behind the maximum
+    timestamp of any event that ARRIVED before it (arrival order =
+    ``order_col``) — the standard allowed-lateness rule of streaming
+    window engines, made exact over a replayable table.
+
+    Distributed prefix-max scan (the classic two-phase scan): the
+    stream range-partitions by ``order_col`` so arrival order is
+    confined per partition, each partition task computes its own
+    EXCLUSIVE running max once, the driver combines O(partitions)
+    partition maxima into exclusive carries, and a map-only pass
+    applies ``ts + lateness < max(in-partition watermark, carry)``.
+    The late test is written ``ts + L < wm`` so the -inf sentinel of
+    the stream's very first events can never underflow int64.
+
+    Returns ``(group, n_events, n_late, late_frac)`` with exact int64
+    counts and one IEEE division per group.
+    """
+    sent = np.iinfo(np.int64).min
+    lo = ds.min(order_col)
+    hi = ds.max(order_col)
+    if lo is None:
+        return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                             "n_events": pd.Series([], dtype=np.int64),
+                             "n_late": pd.Series([], dtype=np.int64),
+                             "late_frac": pd.Series([], dtype=np.float64)})
+    span = int(hi) - int(lo) + 1
+    P = int(num_partitions)
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        oid = batch[order_col].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        t = batch[ts_col]
+        if pa.types.is_timestamp(t.type):
+            t = t.cast(pa.int64())
+        rb = ((oid - np.int64(lo)) * np.int64(P)) // np.int64(span)
+        return pa.table({
+            "_oid": pa.array(oid, type=pa.int64()),
+            "_t": t,
+            "_g": batch[group_col],
+            "_rb": pa.array(rb.astype(np.int32))})
+
+    def _scan(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "_oid" not in tbl.column_names:
+            return pa.table({"_t": pa.array([], type=pa.int64()),
+                             "_g": pa.array([], type=pa.string()),
+                             "_wm": pa.array([], type=pa.int64()),
+                             "_rb": pa.array([], type=pa.int32())})
+        oid = tbl["_oid"].to_numpy(zero_copy_only=False)
+        order = np.argsort(oid, kind="stable")
+        t = tbl["_t"].to_numpy(zero_copy_only=False)[order]
+        # exclusive running max with the -inf sentinel up front
+        wm = np.concatenate(([sent], np.maximum.accumulate(t)[:-1]))
+        return pa.table({
+            "_t": pa.array(t, type=pa.int64()),
+            "_g": tbl["_g"].take(pa.array(order)),
+            "_wm": pa.array(wm, type=pa.int64()),
+            "_rb": tbl["_rb"].take(pa.array(order))})
+
+    scanned = (ds.map_batches(_tag, batch_format="pyarrow")
+               .groupby("_rb").map_groups(_scan, batch_format="pyarrow")
+               .materialize())
+
+    # O(partitions) driver rows: per-partition ts maxima -> exclusive
+    # prefix carries (missing/empty partitions keep the sentinel)
+    def _pmax(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "_rb" not in df.columns:
+            return pd.DataFrame({"_rb": pd.Series([], dtype=np.int32),
+                                 "m": pd.Series([], dtype=np.int64)})
+        return (df.groupby("_rb", sort=False)["_t"].max()
+                .rename("m").reset_index())
+
+    pm = scanned.map_batches(_pmax, batch_format="pandas").to_pandas()
+    maxima = np.full(P, sent, dtype=np.int64)
+    if len(pm):
+        agg = pm.groupby("_rb")["m"].max()
+        maxima[agg.index.to_numpy(np.int64)] = agg.to_numpy(np.int64)
+    carry = np.full(P, sent, dtype=np.int64)
+    if P > 1:
+        carry[1:] = np.maximum.accumulate(maxima)[:-1]
+
+    L = np.int64(lateness_us)
+
+    def _late(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "_g" not in df.columns:
+            return pd.DataFrame({"g": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "late": pd.Series([], dtype=np.int64)})
+        t = df["_t"].to_numpy(np.int64)
+        wm = np.maximum(df["_wm"].to_numpy(np.int64),
+                        carry[df["_rb"].to_numpy(np.int64)])
+        is_late = (wm != sent) & (t + L < wm)
+        codes, uniq = pd.factorize(df["_g"].to_numpy())
+        return pd.DataFrame({
+            "g": np.asarray(uniq, dtype=object),
+            "n": np.bincount(codes, minlength=len(uniq)).astype(np.int64),
+            "late": np.bincount(codes[is_late], minlength=len(uniq))
+            .astype(np.int64)})
+
+    parts = scanned.map_batches(_late, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                             "n_events": pd.Series([], dtype=np.int64),
+                             "n_late": pd.Series([], dtype=np.int64),
+                             "late_frac": pd.Series([], dtype=np.float64)})
+    agg = parts.groupby("g", sort=False)[["n", "late"]].sum().reset_index()
+    n = agg["n"].to_numpy(np.int64)
+    late = agg["late"].to_numpy(np.int64)
+    return (pd.DataFrame({group_col: agg["g"].astype(object),
+                          "n_events": n, "n_late": late,
+                          "late_frac": late / n.astype(np.float64)})
+            .sort_values(group_col, kind="mergesort")
+            .reset_index(drop=True))

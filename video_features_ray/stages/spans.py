@@ -73,8 +73,8 @@ import ray.data
 
 from ..sources.sequences import _codepoints_batch
 
-__all__ = ["window_keys", "dup_span_stats", "doc_vectors",
-           "cosine_pairs_topk"]
+__all__ = ["window_keys", "dup_span_stats", "dup_span_ranges",
+           "doc_vectors", "cosine_pairs_topk"]
 
 #: two independent odd multipliers for the 2x64-bit window fold
 #: (FNV-1a prime and the splitmix64 increment — both well-mixed odd
@@ -330,6 +330,116 @@ def dup_span_stats(
         "dup_frac": ndup / npos.astype(np.float64)})
     return (out.sort_values(group_col, kind="mergesort")
             .reset_index(drop=True))
+
+
+def dup_span_ranges(
+    ds: "ray.data.Dataset",
+    k: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 16,
+    doc_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Merged duplicated-span intervals per document — ExactSubstr's
+    actual deliverable (Lee et al. mark or drop exactly these char
+    ranges before training).  Two bucketed shuffles, nothing broadcast
+    and nothing collected to the driver:
+
+    1. per-position postings ``(h1, h2, doc, pos)`` (128-bit hashed
+       window keys, 1-based in-document position) bucket BY GRAM; the
+       bucket task resolves which keys occur in >= 2 distinct docs
+       locally (the bucketed semi-join membership — the dup-key set
+       never leaves its task) and emits ONLY the duplicated positions,
+       re-tagged with a DOC-hash bucket;
+    2. the doc-bucket task sorts ``(doc, pos)`` and merges intervals
+       with one vectorized gaps-and-islands pass: a new span starts
+       when ``pos - prev_pos > k`` (overlapping or adjacent duplicated
+       windows fuse into one range).
+
+    Returns a Dataset of ``(doc_id, span_start, span_end, n_dup_pos)``
+    with 1-based inclusive char bounds (``span_end`` = last duplicated
+    window start + k - 1) — the same rows the SQL oracle's
+    lag/window-function formulation produces.
+    """
+    from .events import stable_bucket
+
+    def _post(batch: pa.Table) -> pa.Table:
+        keys, row_idx = window_keys(batch[text_col], k)
+        h1, h2 = _fold_pair(keys, k)
+        n = len(keys)
+        if n:
+            first = np.concatenate(([True], row_idx[1:] != row_idx[:-1]))
+            run_starts = np.flatnonzero(first)
+            within = np.arange(n, dtype=np.int64) \
+                - run_starts[np.cumsum(first) - 1]
+        else:
+            within = np.empty(0, dtype=np.int64)
+        ids = batch[id_col].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "h1": pa.array(h1.view(np.int64), type=pa.int64()),
+            "h2": pa.array(h2.view(np.int64), type=pa.int64()),
+            "doc": pa.array(ids[row_idx], type=pa.int64()),
+            "pos": pa.array(within + 1, type=pa.int64()),
+            "_bucket": pa.array((h1 % np.uint64(num_buckets))
+                                .astype(np.int32))})
+
+    def _dup_pos(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc": pa.array([], type=pa.int64()),
+                          "pos": pa.array([], type=pa.int64()),
+                          "_dbucket": pa.array([], type=pa.int32())})
+        if batch.num_rows == 0 or "doc" not in batch.column_names:
+            return empty
+        a = batch["h1"].to_numpy(zero_copy_only=False)
+        b = batch["h2"].to_numpy(zero_copy_only=False)
+        docs = batch["doc"].to_numpy(zero_copy_only=False)
+        pos = batch["pos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((docs, b, a))
+        a, b, docs, pos = a[order], b[order], docs[order], pos[order]
+        new_key = np.concatenate(
+            ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+        new_doc = new_key | np.concatenate(([True],
+                                            docs[1:] != docs[:-1]))
+        key_id = np.cumsum(new_key) - 1
+        ndocs = np.bincount(key_id[new_doc])
+        dup = ndocs[key_id] >= 2
+        if not dup.any():
+            return empty
+        d, p = docs[dup], pos[dup]
+        return pa.table({
+            "doc": pa.array(d, type=pa.int64()),
+            "pos": pa.array(p, type=pa.int64()),
+            "_dbucket": pa.array(stable_bucket(d, doc_buckets))})
+
+    def _merge(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "span_start": pa.array([], type=pa.int64()),
+            "span_end": pa.array([], type=pa.int64()),
+            "n_dup_pos": pa.array([], type=pa.int64())})
+        if batch.num_rows == 0 or "doc" not in batch.column_names:
+            return empty
+        docs = batch["doc"].to_numpy(zero_copy_only=False)
+        pos = batch["pos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, docs))
+        docs, pos = docs[order], pos[order]
+        n = len(docs)
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = (docs[1:] != docs[:-1]) | (pos[1:] - pos[:-1] > k)
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate([starts[1:], [n]]) - 1
+        return pa.table({
+            "doc_id": pa.array(docs[starts], type=pa.int64()),
+            "span_start": pa.array(pos[starts], type=pa.int64()),
+            "span_end": pa.array(pos[ends] + (k - 1), type=pa.int64()),
+            "n_dup_pos": pa.array(
+                np.diff(np.concatenate([starts, [n]])).astype(np.int64))})
+
+    dup = (ds.map_batches(_post, batch_format="pyarrow", batch_size=512)
+           .groupby("_bucket")
+           .map_groups(_dup_pos, batch_format="pyarrow"))
+    return (dup.groupby("_dbucket")
+            .map_groups(_merge, batch_format="pyarrow"))
 
 
 def _terms_of(texts) -> tuple[np.ndarray, np.ndarray]:
