@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_ranges": q.q_dup_span_ranges,
         "kanon_docs": q.q_kanon_docs,
         "late_event_rate": q.q_late_event_rate,
+        "user_status_intervals": q.q_user_status_intervals,
         "dup_span_winnowed": q.q_dup_span_winnowed,  # rows-only (r5)
         "discount_revenue": q.q_discount_revenue,
         "late_ship_priority": q.q_late_ship_priority,
@@ -459,6 +460,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT b.doc_id, b.source, b.size_bin FROM b JOIN c "
             "ON b.source = c.source AND b.size_bin = c.size_bin "
             "WHERE c.n >= 5"
+        ),
+        # SCD2 validity intervals from event-type runs per user
+        "user_status_intervals": (
+            "WITH s AS (SELECT user_id, event_type, epoch_us(ts) AS t, "
+            "event_id, CASE WHEN lag(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id) "
+            "IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS brk "
+            "FROM events), "
+            "i AS (SELECT user_id, event_type, t, SUM(brk) OVER "
+            "(PARTITION BY user_id ORDER BY t, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run "
+            "FROM s), "
+            "r AS (SELECT CAST(user_id AS BIGINT) AS user_id, "
+            "event_type, MIN(t) AS valid_from_us, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, run "
+            "FROM i GROUP BY user_id, event_type, run), "
+            "f AS (SELECT user_id, event_type, valid_from_us, "
+            "lead(valid_from_us) OVER "
+            "(PARTITION BY user_id ORDER BY run) AS valid_to_us, "
+            "n_events FROM r) "
+            "SELECT user_id, event_type, "
+            "CAST(valid_from_us AS BIGINT) AS valid_from_us, "
+            "CAST(valid_to_us AS BIGINT) AS valid_to_us, n_events "
+            "FROM f"
         ),
         # watermark / allowed-lateness accounting (1h) by arrival order
         "late_event_rate": (

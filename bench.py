@@ -302,7 +302,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "mutual_top_partner", "search_docs", "random_walks",
         "psi_value_drift",
         # round-5 additions
-        "dup_span_winnowed", "langid",
+        "dup_span_winnowed", "langid", "dup_span_ranges",
+        "kanon_docs", "late_event_rate", "user_status_intervals",
     ]
     qs = em.queries()
     import gc

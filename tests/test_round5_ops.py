@@ -124,3 +124,27 @@ def test_watermark_first_event_never_late():
     # event 20 is 999990us behind the watermark -> late; others not
     assert out.iloc[0]["n_events"] == 3
     assert out.iloc[0]["n_late"] == 1
+
+
+def test_user_status_intervals_planted():
+    from video_features_ray.pipelines.queries import q_user_status_intervals
+    import duckdb
+    sf = "/root/testdata/sf0.01"
+    got = (q_user_status_intervals(sf).to_pandas()
+           .sort_values(["user_id", "valid_from_us"])
+           .reset_index(drop=True))
+    # intervals tile each user's timeline: every run's valid_to equals
+    # the next run's valid_from, and exactly one run per user is open
+    for uid, g in got.groupby("user_id"):
+        vt = g["valid_to_us"].to_numpy()
+        vf = g["valid_from_us"].to_numpy()
+        assert np.isnan(vt[-1].astype(np.float64)) or pd.isna(vt[-1])
+        if len(g) > 1:
+            assert (vt[:-1].astype(np.int64) == vf[1:]).all()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{sf}/events.parquet')")
+    n_users = con.sql("SELECT COUNT(DISTINCT user_id) FROM events").fetchone()[0]
+    assert got["valid_to_us"].isna().sum() == n_users
+    n_ev = con.sql("SELECT COUNT(*) FROM events").fetchone()[0]
+    assert got["n_events"].sum() == n_ev

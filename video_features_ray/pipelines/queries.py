@@ -6243,3 +6243,63 @@ def q_late_event_rate(sf_dir: str):
                                 group_col="event_type",
                                 lateness_us=3_600_000_000,
                                 num_partitions=_w(sf_dir, "events"))
+
+
+def q_user_status_intervals(sf_dir: str):
+    """SCD2-style validity intervals: consecutive runs of the same
+    event_type per user collapse to (user_id, event_type,
+    valid_from_us, valid_to_us, n_events) where valid_to is the NEXT
+    run's start (NULL for the user's current run) — the
+    slowly-changing-dimension snapshot a feature store materializes
+    from an event stream.  One Arrow-bucket shuffle; runs and the
+    exclusive upper bounds are pure run-length kernels."""
+    from ..stages.events import transform_buckets
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type"])
+
+    def _to_us(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "event_type": batch["event_type"],
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"].cast(pa.int64())})
+
+    def _runs(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "event_type": pa.array([], type=pa.string()),
+            "valid_from_us": pa.array([], type=pa.int64()),
+            "valid_to_us": pa.array([], type=pa.int64()),
+            "n_events": pa.array([], type=pa.int64())})
+        if tbl.num_rows == 0 or "user_id" not in tbl.column_names:
+            return empty
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        e = np.asarray(tbl["event_type"].to_numpy(zero_copy_only=False),
+                       dtype=object)
+        t = tbl["ts_us"].to_numpy(zero_copy_only=False)
+        n = len(u)
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = (u[1:] != u[:-1]) | (e[1:] != e[:-1])
+        starts = np.flatnonzero(brk)
+        counts = np.diff(np.concatenate([starts, [n]])).astype(np.int64)
+        ru, re_, rt = u[starts], e[starts], t[starts]
+        # valid_to = next run's start ts for the SAME user, else NULL
+        nxt = np.concatenate([rt[1:], [0]])
+        same_user = np.concatenate([ru[1:] == ru[:-1], [False]])
+        valid_to = np.where(same_user, nxt, 0)
+        return pa.table({
+            "user_id": pa.array(ru, type=pa.int64()),
+            "event_type": pa.array(re_.tolist(), type=pa.string()),
+            "valid_from_us": pa.array(rt, type=pa.int64()),
+            "valid_to_us": pa.array(
+                np.ma.masked_array(valid_to, mask=~same_user),
+                type=pa.int64()),
+            "n_events": pa.array(counts)})
+
+    return transform_buckets(
+        ds.map_batches(_to_us, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "user_id", ["ts_us", "event_id"], _runs,
+        num_buckets=_w(sf_dir, "events"), batch_format="pyarrow")
