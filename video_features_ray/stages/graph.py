@@ -28,6 +28,7 @@ import pyarrow as pa
 import ray.data
 
 from .joins import hash_join, partial_agg
+from .shuffle import TaggedUnion
 
 
 def _distinct_nodes(edges: "ray.data.Dataset", num_buckets: int
@@ -70,8 +71,11 @@ def pagerank(
     convergence exit; ``tol=None`` pins the iteration count so results
     are bit-reproducible across runs).
 
-    Per iteration: 2 bucketed shuffles (rank⨝edges on src, contrib
-    sums on dst) + 1 LEFT join onto the node table. Node/rank tables
+    Per iteration: TWO bucketed shuffles — rank⨝edges on src, then one
+    FUSED node-keyed shuffle where rank rows and raw per-edge
+    contributions meet in the same bucket and a single combiner sums
+    contributions AND applies the update (round 5; previously a
+    partial_agg plus a LEFT join made it three). Node/rank tables
     never leave the cluster; the dangling mass and the convergence
     delta are in-cluster aggregations (``map_batches`` partials ->
     ``Dataset.sum``/``max``) — the driver only ever receives scalars.
@@ -134,7 +138,7 @@ def pagerank(
         d_mass = float(rank.map_batches(
             _dang_partial, batch_format="pandas").sum("m") or 0.0)
 
-        # contributions: rank/outdeg shipped along edges, summed per dst
+        # contributions: rank/outdeg shipped along edges, emitted per dst
         contrib_in = hash_join(
             edges_w.map_batches(
                 lambda df: df.rename(columns={"src": "node"}),
@@ -143,40 +147,64 @@ def pagerank(
             schemas=(pa.schema([("node", pa.int64()), ("dst", pa.int64()),
                                 ("outdeg", pa.int64())]), r_sch),
         ).map_batches(
+            # map-side combine: per-block partial sums per dst BEFORE
+            # the shuffle, so the fused exchange moves O(distinct dst
+            # per block) rows, not O(edges) — the shuffle-minimizing
+            # half the old partial_agg provided, kept under the fusion
             lambda df: pd.DataFrame(
-                {"dst": df["dst"],
-                 "c": df["rank"].to_numpy() / df["outdeg"].to_numpy()}),
-            batch_format="pandas")
-        contrib = partial_agg(contrib_in, ["dst"], sums=["c"],
-                              combine="distributed", num_buckets=nb,
-                              count_col="_n").map_batches(
-            lambda df: df.rename(columns={"dst": "node"})[
-                ["node", "sum_c"]],
+                {"node": df["dst"].astype(np.int64),
+                 "c": df["rank"].to_numpy() / df["outdeg"].to_numpy()})
+            .groupby("node", sort=False, as_index=False)["c"].sum(),
             batch_format="pandas")
 
         base = (1.0 - damping) / n_nodes + damping * d_mass / n_nodes
 
-        # coalesce: without it each iteration's join multiplies block
-        # count (96 -> 224 -> 480 measured) and per-block scheduling
-        # overhead swamps the compute
-        joined = hash_join(
-            rank, contrib, on="node", how="left", num_buckets=nb,
-            coalesce_blocks=nb,
-            schemas=(r_sch, pa.schema([("node", pa.int64()),
-                                       ("sum_c", pa.float64())])))
+        # FUSED second shuffle (round 5; was partial_agg + LEFT join =
+        # two shuffles): rank rows and raw per-edge contributions land
+        # in the SAME node-keyed bucket, where one combiner sums the
+        # contributions AND applies the rank update — 2 shuffles per
+        # iteration total instead of 3. coalesce keeps the block count
+        # from multiplying across iterations (96 -> 224 -> 480 measured
+        # without it).
+        c_sch = pa.schema([("node", pa.int64()), ("c", pa.float64())])
+        tu = TaggedUnion(rank, contrib_in, key="node", num_buckets=nb,
+                         coalesce_blocks=nb, schemas=(r_sch, c_sch))
 
         def _update(df: pd.DataFrame, _base=base) -> pd.DataFrame:
-            c = df["sum_c"].fillna(0.0).to_numpy(np.float64)
+            if df.empty or "node" not in df.columns:
+                cols = {"node": pd.Series([], dtype=np.int64),
+                        "rank": pd.Series([], dtype=np.float64),
+                        "dang": pd.Series([], dtype=bool)}
+                if tol is not None:
+                    cols["_delta"] = pd.Series([], dtype=np.float64)
+                return pd.DataFrame(cols)
+            side = df["_side"].to_numpy()
+            ln = df["node"].to_numpy(np.int64)
+            lmask = side == 0
+            nodes = ln[lmask]
+            rank_old = df["rank"].to_numpy(np.float64)[lmask]
+            dang = df["dang"].to_numpy()[lmask].astype(bool)
+            rn = ln[~lmask]
+            rc = df["c"].to_numpy(np.float64)[~lmask]
+            c = np.zeros(len(nodes), dtype=np.float64)
+            if len(rn):
+                order = np.argsort(rn, kind="stable")
+                rn, rc = rn[order], rc[order]
+                starts = np.flatnonzero(
+                    np.concatenate(([True], rn[1:] != rn[:-1])))
+                sums = np.add.reduceat(rc, starts)
+                uniq = rn[starts]
+                pos = np.minimum(np.searchsorted(uniq, nodes),
+                                 len(uniq) - 1)
+                hit = uniq[pos] == nodes
+                c[hit] = sums[pos[hit]]
             new = _base + damping * c
-            out = {"node": df["node"].astype(np.int64),
-                   "rank": new, "dang": df["dang"].to_numpy()}
+            out = {"node": nodes, "rank": new, "dang": dang}
             if tol is not None:
-                out["_delta"] = np.abs(
-                    new - df["rank"].to_numpy(np.float64))
+                out["_delta"] = np.abs(new - rank_old)
             return pd.DataFrame(out)
 
-        rank = joined.map_batches(_update,
-                                  batch_format="pandas").materialize()
+        rank = tu.map_buckets(_update).materialize()
         iters_run += 1
         if tol is not None:
             # convergence check: in-cluster max over the per-node
