@@ -176,6 +176,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kanon_docs": q.q_kanon_docs,
         "late_event_rate": q.q_late_event_rate,
         "user_status_intervals": q.q_user_status_intervals,
+        "event_expectations": q.q_event_expectations,
+        "weighted_pagerank": q.q_weighted_pagerank,
         "dup_span_winnowed": q.q_dup_span_winnowed,  # rows-only (r5)
         "discount_revenue": q.q_discount_revenue,
         "late_ship_priority": q.q_late_ship_priority,
@@ -374,21 +376,35 @@ def _langid_oracle_sql() -> str:
     )
 
 
-def _pagerank_oracle_sql(iters: int = 3, damping: float = 0.85) -> str:
+def _pagerank_oracle_sql(iters: int = 3, damping: float = 0.85,
+                         weighted: bool = False) -> str:
     """Unrolled synchronous PageRank over the synthetic citation graph
     (doc i -> (7i+3) mod N, (3i+1) mod N), one CTE trio per iteration
     (dangling mass, contribution sums, rank refresh), mirroring
     stages/graph.pagerank's float expressions association-for-
     association; the final ranks land on the 1e-9 half-away grid so
     summation-order noise (~1e-17) cannot flip a digit."""
+    if weighted:
+        e_cte = ("e AS (SELECT doc_id AS src, "
+                 "(doc_id*7+3) % cnt.n AS dst, doc_id % 3 + 1 AS w "
+                 "FROM documents, cnt "
+                 "UNION ALL SELECT doc_id, (doc_id*3+1) % cnt.n, "
+                 "doc_id % 5 + 1 FROM documents, cnt), "
+                 "od AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outdeg "
+                 "FROM e GROUP BY src), ")
+        c_expr = "SUM(r.rank * e.w / od.outdeg) AS c "
+    else:
+        e_cte = ("e AS (SELECT doc_id AS src, "
+                 "(doc_id*7+3) % cnt.n AS dst "
+                 "FROM documents, cnt "
+                 "UNION ALL SELECT doc_id, (doc_id*3+1) % cnt.n "
+                 "FROM documents, cnt), "
+                 "od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg "
+                 "FROM e GROUP BY src), ")
+        c_expr = "SUM(r.rank / od.outdeg) AS c "
     sql = (
         "WITH cnt AS (SELECT COUNT(*) AS n FROM documents), "
-        "e AS (SELECT doc_id AS src, (doc_id*7+3) % cnt.n AS dst "
-        "FROM documents, cnt "
-        "UNION ALL SELECT doc_id, (doc_id*3+1) % cnt.n "
-        "FROM documents, cnt), "
-        "od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg "
-        "FROM e GROUP BY src), "
+        + e_cte +
         "nodes AS (SELECT DISTINCT node FROM "
         "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e)), "
         "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes), "
@@ -401,7 +417,7 @@ def _pagerank_oracle_sql(iters: int = 3, damping: float = 0.85) -> str:
             f"FROM {p} r LEFT JOIN od ON r.node = od.src "
             f"WHERE od.src IS NULL)"
             f", {c} AS (SELECT e.dst AS node, "
-            f"SUM(r.rank / od.outdeg) AS c "
+            + c_expr +
             f"FROM e JOIN od ON e.src = od.src "
             f"JOIN {p} r ON r.node = e.src GROUP BY e.dst)"
             f", {r} AS (SELECT nd.node, "
@@ -422,6 +438,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         # 3-iteration PageRank, unrolled CTEs, ranks on the 1e-9 grid
         "link_pagerank": _pagerank_oracle_sql(iters=3, damping=0.85),
+        # edge-weighted PageRank (weights folded into the out-sum)
+        "weighted_pagerank": _pagerank_oracle_sql(iters=3, damping=0.85,
+                                                  weighted=True),
         # marker-word language heuristic (was rows-only through r4)
         "langid": _langid_oracle_sql(),
         # merged duplicated-span intervals (ExactSubstr deliverable):
@@ -484,6 +503,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(valid_from_us AS BIGINT) AS valid_from_us, "
             "CAST(valid_to_us AS BIGINT) AS valid_to_us, n_events "
             "FROM f"
+        ),
+        # data-quality expectations: per-day rule-violation counts
+        "event_expectations": (
+            "SELECT epoch_us(ts) // 86400000000 AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_value_outlier, "
+            "CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 "
+            "END) AS BIGINT) AS n_error_events, "
+            "CAST(SUM(CASE WHEN (epoch_us(ts) % 86400000000) "
+            "// 3600000000 < 6 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_night_events "
+            "FROM events GROUP BY 1"
         ),
         # watermark / allowed-lateness accounting (1h) by arrival order
         "late_event_rate": (

@@ -113,3 +113,41 @@ def test_pagerank_tol_early_exit_nontrivial_graph():
     want = _numpy_pagerank(edges, 5, r["node"].tolist(), iters=400)
     np.testing.assert_allclose(r["rank"].to_numpy(), want, atol=1e-4)
     assert abs(r["rank"].sum() - 1.0) < 1e-12
+
+
+def test_weighted_pagerank_uniform_weights_match_unweighted():
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (4, 0)]
+    df = pd.DataFrame(edges, columns=["src", "dst"]).astype(np.int64)
+    dfw = df.assign(w=np.int64(7))        # constant weight = uniform
+    a = (pagerank(ray.data.from_pandas(df), iters=3, num_buckets=2)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    b = (pagerank(ray.data.from_pandas(dfw), iters=3, num_buckets=2,
+                  weight_col="w")
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    assert a["node"].tolist() == b["node"].tolist()
+    np.testing.assert_allclose(a["rank"].to_numpy(), b["rank"].to_numpy(),
+                               rtol=1e-12)
+
+
+def test_weighted_pagerank_matches_numpy():
+    edges = [(0, 1, 3), (0, 2, 1), (1, 2, 2), (2, 0, 5), (2, 3, 1),
+             (4, 0, 2)]
+    df = pd.DataFrame(edges, columns=["src", "dst", "w"]).astype(np.int64)
+    out = (pagerank(ray.data.from_pandas(df), iters=3, num_buckets=2,
+                    weight_col="w")
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    nodes = out["node"].tolist()
+    idx = {v: i for i, v in enumerate(nodes)}
+    n, d = len(nodes), 0.85
+    outw = np.zeros(n)
+    for s, _, w in edges:
+        outw[idx[s]] += w
+    r = np.full(n, 1.0 / n)
+    for _ in range(3):
+        contrib = np.zeros(n)
+        for s, t, w in edges:
+            contrib[idx[t]] += r[idx[s]] * w / outw[idx[s]]
+        dang = r[outw == 0].sum()
+        r = (1 - d) / n + d * dang / n + d * contrib
+    np.testing.assert_allclose(out["rank"].to_numpy(), r, rtol=1e-12)
+    assert abs(out["rank"].sum() - 1.0) < 1e-12

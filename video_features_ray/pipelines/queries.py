@@ -6303,3 +6303,78 @@ def q_user_status_intervals(sf_dir: str):
                        zero_copy_batch=True),
         "user_id", ["ts_us", "event_id"], _runs,
         num_buckets=_w(sf_dir, "events"), batch_format="pyarrow")
+
+
+def q_event_expectations(sf_dir: str):
+    """Data-quality expectations sweep (the Great-Expectations-style
+    guardrail a production pipeline runs before training): per DAY,
+    exact counts of rows violating each declared rule — value outlier
+    (> 100), error-type events, and night-time events (hour < 6 UTC).
+    Map-only rule evaluation (vectorized masks per batch), one
+    O(days x rules) driver combine; no shuffle of event rows at all."""
+    from ..stages.joins import partial_agg
+
+    DAY_US = 86_400_000_000
+    HOUR_US = 3_600_000_000
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+
+    def _rules(batch: pa.Table) -> pd.DataFrame:
+        t = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        et = np.asarray(batch["event_type"].to_numpy(
+            zero_copy_only=False), dtype=object)
+        return pd.DataFrame({
+            "day": t // DAY_US,
+            "v_outlier": (v > 100.0).astype(np.int64),
+            "v_error": (et == "error").astype(np.int64),
+            "v_night": ((t % DAY_US) // HOUR_US < 6).astype(np.int64)})
+
+    agg = partial_agg(
+        ds.map_batches(_rules, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["day"], sums=["v_outlier", "v_error", "v_night"],
+        combine="driver").to_pandas()
+    return (pd.DataFrame({
+        "day": agg["day"].astype(np.int64),
+        "n_rows": agg["n"].astype(np.int64),
+        "n_value_outlier": agg["sum_v_outlier"].astype(np.int64),
+        "n_error_events": agg["sum_v_error"].astype(np.int64),
+        "n_night_events": agg["sum_v_night"].astype(np.int64)})
+        .sort_values("day", kind="mergesort").reset_index(drop=True))
+
+
+def q_weighted_pagerank(sf_dir: str):
+    """Edge-WEIGHTED PageRank over the synthetic citation graph (each
+    doc's two out-links carry deterministic integer weights; rank
+    splits proportionally to weight instead of uniformly).  Same fused
+    two-shuffle iteration plan as link_pagerank; oracled exactly with
+    the weighted unrolled-CTE SQL on the 1e-9 grid."""
+    from ..stages.graph import pagerank
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    n = ds.count()
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        s = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([s, s])
+        dst = np.concatenate([(s * 7 + 3) % n, (s * 3 + 1) % n])
+        w = np.concatenate([s % 3 + 1, s % 5 + 1])
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst),
+                         "w": pa.array(w)})
+
+    edges = ds.map_batches(_edges, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    ranks = pagerank(edges, iters=3, weight_col="w",
+                     num_buckets=shuffle_width(2 * n * 24, floor=8,
+                                               cluster_cap=8))
+
+    def _scale(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["rank"].to_numpy(np.float64) * 1e9
+        r = np.where(s >= 0, np.floor(s + 0.5), -np.floor(-s + 0.5))
+        return pd.DataFrame({"node": df["node"].astype(np.int64),
+                             "rank_e9": r.astype(np.int64)})
+
+    return ranks.map_batches(_scale, batch_format="pandas")

@@ -63,6 +63,7 @@ def pagerank(
     num_buckets: int = 32,
     tol: float | None = None,
     return_iters: bool = False,
+    weight_col: str | None = None,
 ) -> "ray.data.Dataset":
     """Join-based distributed PageRank over an ``(src:int64,
     dst:int64)`` edge table; returns ``(node, rank)`` after ``iters``
@@ -81,12 +82,30 @@ def pagerank(
     ``Dataset.sum``/``max``) — the driver only ever receives scalars.
 
     ``return_iters=True`` returns ``(ranks, n_iterations_run)``.
+    ``weight_col``: edge-weighted PageRank — a source's rank splits
+    proportionally to edge weights (``rank * w / Σw(src)``) instead of
+    uniformly; the plan is identical, only the out-degree aggregate
+    becomes a weight sum.
     """
     nb = int(num_buckets)
 
-    # out-degree per src (exact count partials)
-    outdeg = partial_agg(edges, ["src"], count_col="outdeg",
-                         combine="distributed", num_buckets=nb)
+    # out-degree (or out-weight-sum) per src: exact partials
+    if weight_col is None:
+        outdeg = partial_agg(edges, ["src"], count_col="outdeg",
+                             combine="distributed", num_buckets=nb)
+    else:
+        outdeg = partial_agg(
+            edges.map_batches(
+                lambda df, _w=weight_col: pd.DataFrame(
+                    {"src": df["src"].astype(np.int64),
+                     "w": df[_w].astype(np.int64)}),
+                batch_format="pandas"),
+            ["src"], sums=["w"], count_col="_n",
+            combine="distributed", num_buckets=nb).map_batches(
+            lambda df: pd.DataFrame(
+                {"src": df["src"].astype(np.int64),
+                 "outdeg": df["sum_w"].astype(np.int64)}),
+            batch_format="pandas")
 
     nodes = _distinct_nodes(edges, nb).materialize()
     n_nodes = nodes.count()
@@ -100,7 +119,10 @@ def pagerank(
 
     # fold outdeg into the edge table ONCE (edges with it are reused
     # every iteration; dangling srcs never appear in edges by def.)
-    e_sch = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    e_cols = [("src", pa.int64()), ("dst", pa.int64())]
+    if weight_col is not None:
+        e_cols.append((weight_col, pa.int64()))
+    e_sch = pa.schema(e_cols)
     o_sch = pa.schema([("src", pa.int64()), ("outdeg", pa.int64())])
     edges_w = hash_join(edges, outdeg, on="src", num_buckets=nb,
                         schemas=(e_sch, o_sch)).materialize()
@@ -139,23 +161,31 @@ def pagerank(
             _dang_partial, batch_format="pandas").sum("m") or 0.0)
 
         # contributions: rank/outdeg shipped along edges, emitted per dst
+        ew_cols = [("node", pa.int64()), ("dst", pa.int64()),
+                   ("outdeg", pa.int64())]
+        if weight_col is not None:
+            ew_cols.insert(2, (weight_col, pa.int64()))
+
+        def _contrib(df: pd.DataFrame, _w=weight_col) -> pd.DataFrame:
+            # map-side combine: per-block partial sums per dst BEFORE
+            # the shuffle, so the fused exchange moves O(distinct dst
+            # per block) rows, not O(edges) — the shuffle-minimizing
+            # half the old partial_agg provided, kept under the fusion
+            r = df["rank"].to_numpy(np.float64)
+            if _w is not None:
+                r = r * df[_w].to_numpy(np.float64)
+            return (pd.DataFrame(
+                {"node": df["dst"].astype(np.int64),
+                 "c": r / df["outdeg"].to_numpy()})
+                .groupby("node", sort=False, as_index=False)["c"].sum())
+
         contrib_in = hash_join(
             edges_w.map_batches(
                 lambda df: df.rename(columns={"src": "node"}),
                 batch_format="pandas"),
             rank, on="node", num_buckets=nb, coalesce_blocks=nb,
-            schemas=(pa.schema([("node", pa.int64()), ("dst", pa.int64()),
-                                ("outdeg", pa.int64())]), r_sch),
-        ).map_batches(
-            # map-side combine: per-block partial sums per dst BEFORE
-            # the shuffle, so the fused exchange moves O(distinct dst
-            # per block) rows, not O(edges) — the shuffle-minimizing
-            # half the old partial_agg provided, kept under the fusion
-            lambda df: pd.DataFrame(
-                {"node": df["dst"].astype(np.int64),
-                 "c": df["rank"].to_numpy() / df["outdeg"].to_numpy()})
-            .groupby("node", sort=False, as_index=False)["c"].sum(),
-            batch_format="pandas")
+            schemas=(pa.schema(ew_cols), r_sch),
+        ).map_batches(_contrib, batch_format="pandas")
 
         base = (1.0 - damping) / n_nodes + damping * d_mass / n_nodes
 
