@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_status_intervals": q.q_user_status_intervals,
         "event_expectations": q.q_event_expectations,
         "weighted_pagerank": q.q_weighted_pagerank,
+        "user_active_coverage": q.q_user_active_coverage,
         "dup_span_winnowed": q.q_dup_span_winnowed,  # rows-only (r5)
         "discount_revenue": q.q_discount_revenue,
         "late_ship_priority": q.q_late_ship_priority,
@@ -503,6 +504,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(valid_from_us AS BIGINT) AS valid_from_us, "
             "CAST(valid_to_us AS BIGINT) AS valid_to_us, n_events "
             "FROM f"
+        ),
+        # interval-union activity coverage (5-min windows merged)
+        "user_active_coverage": (
+            "WITH x AS (SELECT user_id, epoch_us(ts) AS t "
+            "FROM events), "
+            "w AS (SELECT user_id, t, CASE WHEN t - COALESCE("
+            "lag(t) OVER (PARTITION BY user_id ORDER BY t), t) "
+            "> 300000000 THEN 1 ELSE 0 END AS brk FROM x), "
+            "isl AS (SELECT user_id, t, SUM(brk) OVER "
+            "(PARTITION BY user_id ORDER BY t "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS g FROM w), "
+            "c AS (SELECT user_id, g, MAX(t) - MIN(t) + 300000000 "
+            "AS cov, COUNT(*) AS ne FROM isl GROUP BY 1, 2) "
+            "SELECT CAST(user_id AS BIGINT) AS user_id, "
+            "CAST(SUM(cov) AS BIGINT) AS covered_us, "
+            "CAST(COUNT(*) AS BIGINT) AS n_islands, "
+            "CAST(SUM(ne) AS BIGINT) AS n_events "
+            "FROM c GROUP BY 1"
         ),
         # data-quality expectations: per-day rule-violation counts
         "event_expectations": (

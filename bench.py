@@ -304,7 +304,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # round-5 additions
         "dup_span_winnowed", "langid", "dup_span_ranges",
         "kanon_docs", "late_event_rate", "user_status_intervals",
-        "event_expectations", "weighted_pagerank",
+        "event_expectations", "weighted_pagerank", "user_active_coverage",
     ]
     qs = em.queries()
     import gc

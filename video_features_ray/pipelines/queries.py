@@ -6378,3 +6378,64 @@ def q_weighted_pagerank(sf_dir: str):
                              "rank_e9": r.astype(np.int64)})
 
     return ranks.map_batches(_scale, batch_format="pandas")
+
+
+def q_user_active_coverage(sf_dir: str):
+    """Interval-union coverage: each event opens a fixed 5-minute
+    activity window; per user, the total length of the UNION of those
+    windows (overlaps merged), the number of disjoint activity islands
+    and the event count — the activity-coverage statistic session
+    replays and billing meters compute.  One Arrow-bucket shuffle;
+    islands via the shared session-gap kernel (fixed window length
+    makes running-max-end equal to prev-event + window)."""
+    from ..stages.events import _session_id_array, transform_buckets
+
+    WIN = 300_000_000  # 5 min in us
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id"])
+
+    def _to_us(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"].cast(pa.int64())})
+
+    def _cov(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "covered_us": pa.array([], type=pa.int64()),
+            "n_islands": pa.array([], type=pa.int64()),
+            "n_events": pa.array([], type=pa.int64())})
+        if tbl.num_rows == 0 or "user_id" not in tbl.column_names:
+            return empty
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        t = tbl["ts_us"].to_numpy(zero_copy_only=False)
+        sess = _session_id_array(u, t, float(WIN))
+        n = len(u)
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = (u[1:] != u[:-1]) | (sess[1:] != sess[:-1])
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate([starts[1:], [n]]) - 1
+        cov = t[ends] - t[starts] + WIN
+        iu = u[starts]
+        # per-user reduce over contiguous island runs
+        ustart = np.flatnonzero(np.concatenate(
+            ([True], iu[1:] != iu[:-1])))
+        uend = np.concatenate([ustart[1:], [len(iu)]])
+        c_cum = np.concatenate(([0], np.cumsum(cov)))
+        e_cum = np.concatenate(([0], np.cumsum(
+            np.diff(np.concatenate([starts, [n]])))))
+        return pa.table({
+            "user_id": pa.array(iu[ustart], type=pa.int64()),
+            "covered_us": pa.array(c_cum[uend] - c_cum[ustart],
+                                   type=pa.int64()),
+            "n_islands": pa.array(uend - ustart, type=pa.int64()),
+            "n_events": pa.array(e_cum[uend] - e_cum[ustart],
+                                 type=pa.int64())})
+
+    return transform_buckets(
+        ds.map_batches(_to_us, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "user_id", ["ts_us", "event_id"], _cov,
+        num_buckets=_w(sf_dir, "events"), batch_format="pyarrow")
