@@ -228,6 +228,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cum_distinct_types": q.q_cum_distinct_types,
         "monthly_revenue_growth": q.q_monthly_revenue_growth,
         "kcore_copurchase": q.q_kcore_copurchase,
+        # round-5 late additions (oracled)
+        "weighted_median_price": q.q_weighted_median_price,
+        "alloc_docs_budget": q.q_alloc_docs_budget,
         # --- driver-verified green in a prior CORRECTNESS_r0*.json ---
         "stddev_value_per_type": q.q_stddev_value_per_type,
         "zscore_value": q.q_zscore_value,
@@ -437,6 +440,33 @@ def _pagerank_oracle_sql(iters: int = 3, damping: float = 0.85,
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # exact lower weighted median: smallest price with
+        # 2*cumweight >= total weight (order-invariant under ties —
+        # the tie run's last row always carries the full cum weight)
+        "weighted_median_price": (
+            "WITH s AS (SELECT l_suppkey AS suppkey, "
+            "CAST(round(l_extendedprice * 100.0) AS BIGINT) AS price_c, "
+            "CAST(l_quantity AS BIGINT) AS w FROM lineitem), "
+            "c AS (SELECT suppkey, price_c, "
+            "SUM(w) OVER (PARTITION BY suppkey ORDER BY price_c "
+            "ROWS UNBOUNDED PRECEDING) AS cw, "
+            "SUM(w) OVER (PARTITION BY suppkey) AS tw FROM s) "
+            "SELECT suppkey, MIN(price_c) / 100.0 AS wmedian_price "
+            "FROM c WHERE 2 * cw >= tw GROUP BY suppkey"
+        ),
+        # largest-remainder apportionment of a 10k budget by doc count
+        "alloc_docs_budget": (
+            "WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) "
+            "AS n_docs FROM documents GROUP BY source), "
+            "t AS (SELECT SUM(n_docs) AS tot FROM c), "
+            "f AS (SELECT source, n_docs, (10000 * n_docs) // tot AS fl, "
+            "(10000 * n_docs) % tot AS rem FROM c, t), "
+            "d AS (SELECT 10000 - SUM(fl) AS k FROM f), "
+            "r AS (SELECT source, n_docs, fl, rem, ROW_NUMBER() OVER "
+            "(ORDER BY rem DESC, source) AS rn FROM f) "
+            "SELECT r.source, r.n_docs, CAST(r.fl + CASE WHEN r.rn <= d.k "
+            "THEN 1 ELSE 0 END AS BIGINT) AS alloc FROM r, d"
+        ),
         # 3-iteration PageRank, unrolled CTEs, ranks on the 1e-9 grid
         "link_pagerank": _pagerank_oracle_sql(iters=3, damping=0.85),
         # edge-weighted PageRank (weights folded into the out-sum)

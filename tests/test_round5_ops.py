@@ -148,3 +148,50 @@ def test_user_status_intervals_planted():
     assert got["valid_to_us"].isna().sum() == n_users
     n_ev = con.sql("SELECT COUNT(*) FROM events").fetchone()[0]
     assert got["n_events"].sum() == n_ev
+
+
+# ---------------------------------------------------- weighted median
+def test_grouped_weighted_median_hand_case():
+    from video_features_ray.stages.joins import grouped_weighted_median
+    # group a: values 1(w3), 2(w1), 5(w2) -> tot 6, half 3 -> cw(1)=3
+    #   -> 2*3 >= 6 at value 1 => median 1
+    # group b: tie run at value 4: 3(w1), 4(w1), 4(w2), 9(w4) -> tot 8,
+    #   crossing lands INSIDE the 4-run (cw 2 then 4; 2*4 >= 8) => 4
+    df = pd.DataFrame({
+        "g": ["a", "a", "a", "b", "b", "b", "b"],
+        "v": [1, 2, 5, 3, 4, 4, 9],
+        "w": [3, 1, 2, 1, 1, 2, 4],
+    })
+    out = (grouped_weighted_median(ray.data.from_pandas(df),
+                                   "g", "v", "w", num_buckets=3)
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    assert out["g"].tolist() == ["a", "b"]
+    assert out["wmedian"].tolist() == [1, 4]
+
+
+def test_grouped_weighted_median_unit_weights_match_quantile_disc():
+    from video_features_ray.stages.joins import (grouped_quantile_disc,
+                                                 grouped_weighted_median)
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 5, 400),
+        "v": rng.integers(-50, 50, 400),
+    })
+    df["w"] = 1
+    ds = ray.data.from_pandas(df)
+    wm = (grouped_weighted_median(ds, "g", "v", "w", num_buckets=4)
+          .to_pandas().sort_values("g").reset_index(drop=True))
+    qd = grouped_quantile_disc(ds, "g", "v", q=0.5)
+    # lower weighted median with unit weights = element at rank
+    # ceil(n/2) = quantile_disc(0.5)
+    assert wm["wmedian"].tolist() == qd["q0.5"].astype(np.int64).tolist()
+
+
+def test_alloc_docs_budget_sums_to_budget_and_is_proportional():
+    from video_features_ray.pipelines.queries import q_alloc_docs_budget
+    out = q_alloc_docs_budget("/root/testdata/sf0.001")
+    assert out["alloc"].sum() == 10_000
+    # every quota within 1 of the exact proportional share
+    tot = out["n_docs"].sum()
+    exact = 10_000 * out["n_docs"].to_numpy() / tot
+    assert (np.abs(out["alloc"].to_numpy() - exact) < 1.0).all()

@@ -6439,3 +6439,75 @@ def q_user_active_coverage(sf_dir: str):
                        zero_copy_batch=True),
         "user_id", ["ts_us", "event_id"], _cov,
         num_buckets=_w(sf_dir, "events"), batch_format="pyarrow")
+
+
+def q_weighted_median_price(sf_dir: str):
+    """Per-supplier WEIGHTED median unit price (weight = quantity) —
+    the weighted-percentile operator every mixture/budget pipeline
+    needs (reference parity: the engine's exact quantiles are
+    unweighted; this is the weighted companion).
+
+    Distributed: one skinny (suppkey, cent-price, int-weight) hash
+    shuffle; each bucket task computes all resident suppliers' medians
+    in one vectorized lexsort + segmented-cumsum pass
+    (``grouped_weighted_median``). No frequency table, no driver CDF
+    walk — exact even when prices are near-unique."""
+    from ..stages.joins import grouped_weighted_median
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_quantity"])
+
+    def _scale(b: pa.Table) -> pa.Table:
+        p = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        qn = b["l_quantity"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "suppkey": b["l_suppkey"],
+            "price_c": pa.array(np.round(p * 100.0).astype(np.int64)),
+            "w": pa.array(qn.astype(np.int64))})
+
+    out = grouped_weighted_median(
+        ds.map_batches(_scale, batch_format="pyarrow"),
+        "suppkey", "price_c", "w",
+        num_buckets=_skinny_w(sf_dir, "lineitem", 24))
+
+    def _fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "suppkey": df["suppkey"].astype(np.int64),
+            "wmedian_price": df["wmedian"].astype(np.int64) / 100.0})
+
+    return out.map_batches(_fin, batch_format="pandas")
+
+
+def q_alloc_docs_budget(sf_dir: str):
+    """Largest-remainder (Hamilton) apportionment of a fixed
+    10,000-item sampling budget across sources, proportional to doc
+    counts — the integer-exact companion to mixture/temperature
+    sampling: per-source quotas that sum EXACTLY to the budget, floor
+    shares first, then +1 to the largest remainders (ties broken by
+    source ascending).
+
+    Distributed: per-source counts via the bucketed partial-agg
+    combine (the shuffle moves O(sources x blocks) skinny partial
+    rows); the quota math runs on the O(sources) count table — the
+    only thing the driver ever holds."""
+    BUDGET = 10_000
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source"])
+    counts = partial_agg(ds, ["source"], sums=(), count_col="n_docs",
+                         num_buckets=_w(sf_dir, "documents"))
+    pdf = (counts.to_pandas()
+           .sort_values("source", kind="mergesort")
+           .reset_index(drop=True))
+    cnt = pdf["n_docs"].to_numpy().astype(np.int64)
+    tot = int(cnt.sum())
+    fl = BUDGET * cnt // tot
+    rem = BUDGET * cnt % tot
+    k = BUDGET - int(fl.sum())
+    # remainders descending, source ascending on ties (pdf is already
+    # source-sorted, so row index IS the source tie-break)
+    order = np.lexsort((np.arange(len(rem)), -rem))
+    alloc = fl.copy()
+    alloc[order[:k]] += 1
+    return pd.DataFrame({"source": pdf["source"],
+                         "n_docs": cnt, "alloc": alloc})
