@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 late additions (oracled)
         "weighted_median_price": q.q_weighted_median_price,
         "alloc_docs_budget": q.q_alloc_docs_budget,
+        "proportional_sample": q.q_proportional_sample,
         # --- driver-verified green in a prior CORRECTNESS_r0*.json ---
         "stddev_value_per_type": q.q_stddev_value_per_type,
         "zscore_value": q.q_zscore_value,
@@ -466,6 +467,25 @@ def oracle_sql() -> dict[str, str]:
             "(ORDER BY rem DESC, source) AS rn FROM f) "
             "SELECT r.source, r.n_docs, CAST(r.fl + CASE WHEN r.rn <= d.k "
             "THEN 1 ELSE 0 END AS BIGINT) AS alloc FROM r, d"
+        ),
+        # budget-exact proportional stratified sample: Hamilton quotas
+        # of a 200-doc budget + the replayable Knuth-hash order
+        "proportional_sample": (
+            "WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) "
+            "AS n_docs FROM documents GROUP BY source), "
+            "t AS (SELECT SUM(n_docs) AS tot FROM c), "
+            "f AS (SELECT source, n_docs, (200 * n_docs) // tot AS fl, "
+            "(200 * n_docs) % tot AS rem FROM c, t), "
+            "d AS (SELECT 200 - SUM(fl) AS k FROM f), "
+            "a AS (SELECT source, fl + CASE WHEN ROW_NUMBER() OVER "
+            "(ORDER BY rem DESC, source) <= (SELECT k FROM d) "
+            "THEN 1 ELSE 0 END AS quota FROM f), "
+            "s AS (SELECT source, doc_id, ROW_NUMBER() OVER "
+            "(PARTITION BY source ORDER BY "
+            "(doc_id * 2654435761) % 4294967296, doc_id) AS rn "
+            "FROM documents) "
+            "SELECT s.source, CAST(s.doc_id AS BIGINT) AS doc_id "
+            "FROM s JOIN a USING (source) WHERE s.rn <= a.quota"
         ),
         # 3-iteration PageRank, unrolled CTEs, ranks on the 1e-9 grid
         "link_pagerank": _pagerank_oracle_sql(iters=3, damping=0.85),

@@ -195,3 +195,29 @@ def test_alloc_docs_budget_sums_to_budget_and_is_proportional():
     tot = out["n_docs"].sum()
     exact = 10_000 * out["n_docs"].to_numpy() / tot
     assert (np.abs(out["alloc"].to_numpy() - exact) < 1.0).all()
+
+
+def test_proportional_sample_budget_exact_and_proportional():
+    from video_features_ray.pipelines.queries import (q_proportional_sample,
+                                                      _hamilton)
+    out = q_proportional_sample("/root/testdata/sf0.001")
+    assert len(out) == 200                      # budget-exact
+    per = out.groupby("source").size()
+    # each source's draw equals its Hamilton quota (within 1 of share)
+    import duckdb
+    con = duckdb.connect()
+    cnt = con.sql("SELECT source, COUNT(*) n FROM read_parquet("
+                  "'/root/testdata/sf0.001/documents.parquet') "
+                  "GROUP BY source ORDER BY source").df()
+    quota = _hamilton(cnt["n"].to_numpy(np.int64), 200)
+    got = per.reindex(cnt["source"]).fillna(0).to_numpy(np.int64)
+    assert (got == quota).all()
+
+
+def test_hamilton_ties_break_by_index():
+    from video_features_ray.pipelines.queries import _hamilton
+    # equal remainders: the +1 goes to the LOWER index (source asc)
+    cnt = np.array([3, 3, 3, 3], dtype=np.int64)   # tot 12, budget 6
+    # shares 1.5 each -> floors 1, remainders all 6 -> k=2 -> idx 0,1
+    assert _hamilton(cnt, 6).tolist() == [2, 2, 1, 1]
+    assert _hamilton(cnt, 6).sum() == 6

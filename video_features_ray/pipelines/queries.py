@@ -6491,23 +6491,74 @@ def q_alloc_docs_budget(sf_dir: str):
     combine (the shuffle moves O(sources x blocks) skinny partial
     rows); the quota math runs on the O(sources) count table — the
     only thing the driver ever holds."""
-    BUDGET = 10_000
+    pdf = _source_counts(sf_dir)
+    cnt = pdf["n_docs"].to_numpy().astype(np.int64)
+    return pd.DataFrame({"source": pdf["source"], "n_docs": cnt,
+                         "alloc": _hamilton(cnt, 10_000)})
+
+
+def _source_counts(sf_dir: str) -> pd.DataFrame:
+    """Per-source doc counts via the bucketed partial-agg combine —
+    the only table the allocation/sampling drivers ever hold
+    (O(sources) rows), source-sorted so row index is the tie-break."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["source"])
     counts = partial_agg(ds, ["source"], sums=(), count_col="n_docs",
                          num_buckets=_w(sf_dir, "documents"))
-    pdf = (counts.to_pandas()
-           .sort_values("source", kind="mergesort")
-           .reset_index(drop=True))
-    cnt = pdf["n_docs"].to_numpy().astype(np.int64)
+    return (counts.to_pandas()
+            .sort_values("source", kind="mergesort")
+            .reset_index(drop=True))
+
+
+def _hamilton(cnt: np.ndarray, budget: int) -> np.ndarray:
+    """Largest-remainder quotas: floor shares, then +1 to the largest
+    remainders (ties -> lower index, i.e. source ascending)."""
     tot = int(cnt.sum())
-    fl = BUDGET * cnt // tot
-    rem = BUDGET * cnt % tot
-    k = BUDGET - int(fl.sum())
-    # remainders descending, source ascending on ties (pdf is already
-    # source-sorted, so row index IS the source tie-break)
+    fl = budget * cnt // tot
+    rem = budget * cnt % tot
+    k = budget - int(fl.sum())
     order = np.lexsort((np.arange(len(rem)), -rem))
     alloc = fl.copy()
     alloc[order[:k]] += 1
-    return pd.DataFrame({"source": pdf["source"],
-                         "n_docs": cnt, "alloc": alloc})
+    return alloc
+
+
+def q_proportional_sample(sf_dir: str):
+    """Budget-EXACT proportional stratified sample: Hamilton quotas of
+    a 200-doc budget across sources (so every source contributes its
+    floor/ceil proportional share and the total is exactly 200),
+    then the deterministic Knuth-hash per-source order the oracle
+    replays picks each source's quota. ``budget <= total docs``
+    guarantees every quota is fillable (``ceil(B*cnt/tot) <= cnt``).
+
+    Distributed: the quota table is O(sources) (closure-captured into
+    the trim, broadcast once per task by Ray); per-block trim keeps at
+    most quota rows per source per block, so the driver combine sees
+    O(quota x blocks) skinny rows — text never moves."""
+    B = 200
+    pdf = _source_counts(sf_dir)
+    cnt = pdf["n_docs"].to_numpy().astype(np.int64)
+    quota = dict(zip(pdf["source"], _hamilton(cnt, B).tolist()))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source"])
+
+    def _trim(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "source": df["source"],
+            "doc_id": df["doc_id"].astype(np.int64)})
+        ids = d["doc_id"].to_numpy(np.int64)
+        assert ids.max(initial=0) < (1 << 31), "Knuth pack needs id < 2^31"
+        d["sk"] = (ids * 2654435761) % 4294967296
+        d = d.sort_values(["source", "sk", "doc_id"], kind="mergesort")
+        rn = d.groupby("source", sort=False).cumcount()
+        return d[rn < d["source"].map(quota).to_numpy(np.int64)]
+
+    trimmed = ds.map_batches(_trim, batch_format="pandas").to_pandas()
+    trimmed = trimmed.sort_values(["source", "sk", "doc_id"],
+                                  kind="mergesort")
+    rn = trimmed.groupby("source", sort=False).cumcount()
+    out = trimmed[rn < trimmed["source"].map(quota).to_numpy(np.int64)]
+    return (out[["source", "doc_id"]]
+            .sort_values(["source", "doc_id"], kind="mergesort")
+            .reset_index(drop=True))
