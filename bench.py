@@ -305,6 +305,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "dup_span_winnowed", "langid", "dup_span_ranges",
         "kanon_docs", "late_event_rate", "user_status_intervals",
         "event_expectations", "weighted_pagerank", "user_active_coverage",
+        "weighted_median_price", "alloc_docs_budget", "proportional_sample",
     ]
     qs = em.queries()
     import gc
