@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median_price": q.q_weighted_median_price,
         "alloc_docs_budget": q.q_alloc_docs_budget,
         "proportional_sample": q.q_proportional_sample,
+        "weighted_p90_price": q.q_weighted_p90_price,
         # --- driver-verified green in a prior CORRECTNESS_r0*.json ---
         "stddev_value_per_type": q.q_stddev_value_per_type,
         "zscore_value": q.q_zscore_value,
@@ -454,6 +455,18 @@ def oracle_sql() -> dict[str, str]:
             "SUM(w) OVER (PARTITION BY suppkey) AS tw FROM s) "
             "SELECT suppkey, MIN(price_c) / 100.0 AS wmedian_price "
             "FROM c WHERE 2 * cw >= tw GROUP BY suppkey"
+        ),
+        # weighted 90th percentile: same crossing at 100*cw >= 90*tw
+        "weighted_p90_price": (
+            "WITH s AS (SELECT l_suppkey AS suppkey, "
+            "CAST(round(l_extendedprice * 100.0) AS BIGINT) AS price_c, "
+            "CAST(l_quantity AS BIGINT) AS w FROM lineitem), "
+            "c AS (SELECT suppkey, price_c, "
+            "SUM(w) OVER (PARTITION BY suppkey ORDER BY price_c "
+            "ROWS UNBOUNDED PRECEDING) AS cw, "
+            "SUM(w) OVER (PARTITION BY suppkey) AS tw FROM s) "
+            "SELECT suppkey, MIN(price_c) / 100.0 AS wp90_price "
+            "FROM c WHERE 100 * cw >= 90 * tw GROUP BY suppkey"
         ),
         # largest-remainder apportionment of a 10k budget by doc count
         "alloc_docs_budget": (

@@ -306,6 +306,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "kanon_docs", "late_event_rate", "user_status_intervals",
         "event_expectations", "weighted_pagerank", "user_active_coverage",
         "weighted_median_price", "alloc_docs_budget", "proportional_sample",
+        "weighted_p90_price",
     ]
     qs = em.queries()
     import gc

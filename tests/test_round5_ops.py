@@ -221,3 +221,17 @@ def test_hamilton_ties_break_by_index():
     # shares 1.5 each -> floors 1, remainders all 6 -> k=2 -> idx 0,1
     assert _hamilton(cnt, 6).tolist() == [2, 2, 1, 1]
     assert _hamilton(cnt, 6).sum() == 6
+
+
+def test_grouped_weighted_quantile_extremes():
+    from video_features_ray.stages.joins import grouped_weighted_median
+    df = pd.DataFrame({"g": ["a"] * 4, "v": [1, 5, 7, 9],
+                       "w": [1, 2, 3, 4]})
+    ds = ray.data.from_pandas(df)
+    hi = grouped_weighted_median(ds, "g", "v", "w", pct=100).to_pandas()
+    assert hi["wmedian"].tolist() == [9]        # pct=100 -> max
+    lo = grouped_weighted_median(ds, "g", "v", "w", pct=1).to_pandas()
+    assert lo["wmedian"].tolist() == [1]        # tiny pct -> min
+    # pct=90: tot=10, need cw >= 9 -> value 9
+    p90 = grouped_weighted_median(ds, "g", "v", "w", pct=90).to_pandas()
+    assert p90["wmedian"].tolist() == [9]

@@ -6562,3 +6562,35 @@ def q_proportional_sample(sf_dir: str):
     return (out[["source", "doc_id"]]
             .sort_values(["source", "doc_id"], kind="mergesort")
             .reset_index(drop=True))
+
+
+def q_weighted_p90_price(sf_dir: str):
+    """Per-supplier weighted 90th-percentile unit price (weight =
+    quantity): the same one-shuffle segmented-cumweight pass as the
+    weighted median, generalized to any percentile via a pure-int64
+    ``100*cumw >= pct*totw`` crossing."""
+    from ..stages.joins import grouped_weighted_median
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_quantity"])
+
+    def _scale(b: pa.Table) -> pa.Table:
+        p = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        qn = b["l_quantity"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "suppkey": b["l_suppkey"],
+            "price_c": pa.array(np.round(p * 100.0).astype(np.int64)),
+            "w": pa.array(qn.astype(np.int64))})
+
+    out = grouped_weighted_median(
+        ds.map_batches(_scale, batch_format="pyarrow"),
+        "suppkey", "price_c", "w", pct=90,
+        num_buckets=_skinny_w(sf_dir, "lineitem", 24))
+
+    def _fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "suppkey": df["suppkey"].astype(np.int64),
+            "wp90_price": df["wmedian"].astype(np.int64) / 100.0})
+
+    return out.map_batches(_fin, batch_format="pandas")

@@ -477,11 +477,14 @@ def grouped_weighted_median(
     weight_col: str,
     num_buckets: int = 16,
     out_col: str = "wmedian",
+    pct: int = 50,
 ) -> "ray.data.Dataset":
-    """EXACT lower weighted median per group over integer value and
-    weight columns: the smallest ``v`` with ``2 * cumweight(<= v) >=
-    total_weight`` (the standard weighted-percentile definition; equals
-    ``quantile_disc(0.5)`` when every weight is 1).
+    """EXACT lower weighted quantile per group over integer value and
+    weight columns: the smallest ``v`` with ``100 * cumweight(<= v) >=
+    pct * total_weight`` (``pct=50`` is the standard weighted median,
+    which equals ``quantile_disc(0.5)`` when every weight is 1; the
+    comparison is pure int64 — exact as long as ``100 * Σweight`` fits,
+    i.e. group weight sums below ~9.2e16).
 
     Scale shape: ONE hash shuffle of skinny ``(group, value, weight)``
     rows; each bucket task resolves every resident group's median in a
@@ -520,7 +523,7 @@ def grouped_weighted_median(
         tot = np.add.reduceat(w, starts)
         cw = np.cumsum(w)
         within = cw - np.repeat(cw[starts] - w[starts], counts)
-        mask = 2 * within >= np.repeat(tot, counts)
+        mask = 100 * within >= pct * np.repeat(tot, counts)
         # within is nondecreasing inside a group, so every False row
         # precedes every True row: first True = start + (#False)
         nfalse = np.add.reduceat((~mask).astype(np.int64), starts)
