@@ -235,3 +235,31 @@ def test_grouped_weighted_quantile_extremes():
     # pct=90: tot=10, need cw >= 9 -> value 9
     p90 = grouped_weighted_median(ds, "g", "v", "w", pct=90).to_pandas()
     assert p90["wmedian"].tolist() == [9]
+
+
+def test_grouped_weighted_quantile_property_vs_bruteforce():
+    from video_features_ray.stages.joins import grouped_weighted_median
+    rng = np.random.default_rng(123)
+    for trial in range(3):
+        n = int(rng.integers(50, 300))
+        df = pd.DataFrame({
+            "g": rng.integers(0, 8, n),
+            "v": rng.integers(-100, 100, n),
+            "w": rng.integers(1, 9, n),
+        })
+        pct = int(rng.choice([10, 25, 50, 75, 99]))
+        got = (grouped_weighted_median(ray.data.from_pandas(df),
+                                       "g", "v", "w", pct=pct,
+                                       num_buckets=4)
+               .to_pandas().sort_values("g").reset_index(drop=True))
+        want = []
+        for gk, gdf in df.groupby("g"):
+            gdf = gdf.sort_values("v", kind="mergesort")
+            cw = gdf["w"].cumsum().to_numpy(np.int64)
+            tot = int(gdf["w"].sum())
+            pick = np.flatnonzero(100 * cw >= pct * tot)[0]
+            want.append((gk, int(gdf["v"].to_numpy()[pick])))
+        want = pd.DataFrame(want, columns=["g", "wm"]).sort_values(
+            "g").reset_index(drop=True)
+        assert got["g"].tolist() == want["g"].tolist(), trial
+        assert got["wmedian"].tolist() == want["wm"].tolist(), (trial, pct)
