@@ -263,3 +263,23 @@ def test_grouped_weighted_quantile_property_vs_bruteforce():
             "g").reset_index(drop=True)
         assert got["g"].tolist() == want["g"].tolist(), trial
         assert got["wmedian"].tolist() == want["wm"].tolist(), (trial, pct)
+
+
+def test_k_core_trickle_frontier_bounded_and_exact():
+    # sparse ring-of-cliques: peeling trickles a few nodes per round,
+    # the historical geometric block blow-up made each round ~6x
+    # slower than the last; with coalesced anti joins + max_iter
+    # forced finish the result must equal the pure-local fixpoint
+    from video_features_ray.stages.graph import k_core
+    # 60-node path feeding a 4-clique: only the free path end has
+    # degree < 2, so each distributed round peels ONE node — the
+    # trickle. The 2-core is exactly the clique.
+    edges = [(i, i + 1) for i in range(59)]
+    edges += [(59, 60), (59, 61), (59, 62), (60, 61), (60, 62), (61, 62)]
+    e = pd.DataFrame(edges, columns=["src", "dst"])
+    ds = ray.data.from_pandas(e)
+    mixed = k_core(ds, k=2, num_buckets=4, local_finish=8, max_iter=3)
+    pure = k_core(ds, k=2, num_buckets=4, local_finish=10**6)
+    assert mixed[0].count() == pure[0].count() == 6   # the 4-clique
+    assert mixed[2] == pure[2] == 4
+    assert mixed[1] <= 4  # 3 distributed rounds + forced local finish

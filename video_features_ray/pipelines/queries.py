@@ -5512,10 +5512,15 @@ def q_kcore_copurchase(sf_dir: str):
     edges = _copurchase_edges(sf_dir, w).materialize()
     # local_finish low enough that the distributed peel actually runs
     # its table rounds on the bench graph (~3.5k edges at sf0.1) before
-    # the single-task finish takes the fixpoint tail
+    # the single-task finish takes the fixpoint tail.  max_iter=8 keeps
+    # the trickle-frontier case bounded (a sparse graph just over
+    # local_finish peels a handful of nodes per ~4-Ray-op round — at
+    # sf0.01 that was 100 rounds ≈ 8 min of pure scheduling overhead);
+    # exhaustion forces the single-task finish, so the fixpoint is
+    # exact either way and wall time is bounded at every SF
     core, rounds, n_nodes = k_core(edges, k=3,
                                    num_buckets=_edge_width(edges),
-                                   local_finish=512)
+                                   local_finish=512, max_iter=8)
     return pd.DataFrame({"k": [np.int64(3)],
                          "n_core_nodes": [np.int64(n_nodes)],
                          "n_core_edges": [np.int64(core.count())],
