@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "alloc_docs_budget": q.q_alloc_docs_budget,
         "proportional_sample": q.q_proportional_sample,
         "weighted_p90_price": q.q_weighted_p90_price,
+        "fk_audit": q.q_fk_audit,
         # --- driver-verified green in a prior CORRECTNESS_r0*.json ---
         "stddev_value_per_type": q.q_stddev_value_per_type,
         "zscore_value": q.q_zscore_value,
@@ -440,6 +441,44 @@ def _pagerank_oracle_sql(iters: int = 3, damping: float = 0.85,
     return sql
 
 
+def _fk_audit_oracle_sql() -> str:
+    """UNION ALL of per-relation integrity scalars (see q_fk_audit)."""
+    rels = [
+        ("customer.c_nationkey->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("events.user_id->customer", "events", "user_id",
+         "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey",
+         "region", "r_regionkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+         "nation", "n_nationkey"),
+    ]
+    parts = []
+    for name, child, fk, parent, pk in rels:
+        parts.append(
+            f"SELECT '{name}' AS relation, "
+            f"(SELECT COUNT(*) FROM {child}) AS child_rows, "
+            f"(SELECT COUNT(*) FROM {child} WHERE {fk} IS NULL) "
+            f"AS null_fk_rows, "
+            f"(SELECT COUNT(DISTINCT {fk}) FROM {child}) AS distinct_keys, "
+            f"(SELECT COUNT(*) FROM (SELECT DISTINCT {fk} FROM {child} "
+            f"WHERE {fk} IS NOT NULL) c LEFT JOIN {parent} p "
+            f"ON c.{fk} = p.{pk} WHERE p.{pk} IS NULL) AS orphan_keys, "
+            f"(SELECT COUNT(*) FROM {child} c LEFT JOIN {parent} p "
+            f"ON c.{fk} = p.{pk} WHERE c.{fk} IS NOT NULL "
+            f"AND p.{pk} IS NULL) AS orphan_rows"
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY relation"
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         # exact lower weighted median: smallest price with
@@ -500,6 +539,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s.source, CAST(s.doc_id AS BIGINT) AS doc_id "
             "FROM s JOIN a USING (source) WHERE s.rn <= a.quota"
         ),
+        # referential-integrity audit over every FK->PK relation
+        "fk_audit": _fk_audit_oracle_sql(),
         # 3-iteration PageRank, unrolled CTEs, ranks on the 1e-9 grid
         "link_pagerank": _pagerank_oracle_sql(iters=3, damping=0.85),
         # edge-weighted PageRank (weights folded into the out-sum)

@@ -6599,3 +6599,117 @@ def q_weighted_p90_price(sf_dir: str):
             "wp90_price": df["wmedian"].astype(np.int64) / 100.0})
 
     return out.map_batches(_fin, batch_format="pandas")
+
+
+#: FK->PK relations of the star schema audited by :func:`q_fk_audit`
+_FK_RELATIONS = [
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("events.user_id->customer", "events", "user_id",
+     "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+]
+
+#: NULL-FK sentinel — int64 min never occurs as a real key in the
+#: star schema (all keys are small non-negative ints; asserted below)
+_FK_NULL_SENTINEL = np.int64(np.iinfo(np.int64).min)
+
+
+def q_fk_audit(sf_dir: str):
+    """Referential-integrity audit: for every FK->PK relation of the
+    star schema report child rows, NULL-FK rows, distinct FK values,
+    orphan keys and orphan rows (child keys with no matching parent).
+    Table-level counterpart of the reference's per-output sanity_check
+    (models/_base/base_extractor.py:105-137) — constraints validated
+    over data instead of one extraction's shapes.
+
+    Scale plan, per relation: (1) ONE column-pruned scan of the child
+    FK column; NULLs fold to an int64 sentinel so a single
+    ``partial_agg`` yields the full (key, row-count) table — the only
+    shuffle, O(distinct keys) skinny int64 pairs, never child bytes;
+    (2) the key table (already ~1e3x smaller than the child) is
+    materialized once and reused for the totals fold and the orphan
+    anti hash-join against the column-pruned parent PK; (3) every fold
+    is a per-batch partial reduce, so the driver holds O(blocks)
+    partials and the result is O(relations) scalars."""
+    from ..stages.joins import hash_join
+
+    rows = []
+    for name, child, fk, parent, pk in _FK_RELATIONS:
+        w = _skinny_w(sf_dir, child, 16)
+
+        def _fill(b: pa.Table, fk=fk) -> pa.Table:
+            import pyarrow.compute as pc
+            col = pc.cast(b[fk], pa.int64())
+            v = col.to_numpy(zero_copy_only=False)
+            assert not (v == _FK_NULL_SENTINEL).any(), \
+                f"{fk}: int64 min is a live key; sentinel invalid"
+            return pa.table({"k": pc.fill_null(col, _FK_NULL_SENTINEL)})
+
+        keys = partial_agg(
+            ray.data.read_parquet(f"{sf_dir}/{child}.parquet", columns=[fk])
+            .map_batches(_fill, batch_format="pyarrow"),
+            ["k"], count_col="n", num_buckets=w,
+        ).materialize()  # O(distinct keys) << child; reused twice below
+
+        def _totals(b: pa.Table) -> pa.Table:
+            k = b["k"].to_numpy(zero_copy_only=False)
+            n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+            null_mask = k == _FK_NULL_SENTINEL
+            return pa.table({
+                "child_rows": pa.array([int(n.sum())], pa.int64()),
+                "null_fk_rows": pa.array([int(n[null_mask].sum())],
+                                         pa.int64()),
+                "distinct_keys": pa.array([int((~null_mask).sum())],
+                                          pa.int64())})
+
+        tot = keys.map_batches(_totals, batch_format="pyarrow") \
+                  .to_pandas().sum()
+
+        parent_ds = ray.data.read_parquet(
+            f"{sf_dir}/{parent}.parquet", columns=[pk],
+        ).map_batches(
+            lambda b, pk=pk: pa.table({"k": b[pk].cast(pa.int64())}),
+            batch_format="pyarrow")
+
+        def _drop_sentinel(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return b.filter(pc.not_equal(b["k"],
+                                         pa.scalar(int(_FK_NULL_SENTINEL))))
+
+        orphans = hash_join(
+            keys.map_batches(_drop_sentinel, batch_format="pyarrow"),
+            parent_ds, on="k", how="anti", num_buckets=w,
+            schemas=(pa.schema([("k", pa.int64()), ("n", pa.int64())]),
+                     pa.schema([("k", pa.int64())])),
+        ).map_batches(
+            lambda b: pa.table({
+                "orphan_keys": pa.array([len(b)], pa.int64()),
+                "orphan_rows": pa.array(
+                    [int(b["n"].to_numpy(zero_copy_only=False).sum())]
+                    if len(b) else [0], pa.int64())}),
+            batch_format="pyarrow").to_pandas().sum()
+
+        rows.append({
+            "relation": name,
+            "child_rows": np.int64(tot["child_rows"]),
+            "null_fk_rows": np.int64(tot["null_fk_rows"]),
+            "distinct_keys": np.int64(tot["distinct_keys"]),
+            "orphan_keys": np.int64(orphans.get("orphan_keys", 0)),
+            "orphan_rows": np.int64(orphans.get("orphan_rows", 0)),
+        })
+    out = pd.DataFrame(rows).sort_values("relation").reset_index(drop=True)
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out
