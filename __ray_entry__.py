@@ -234,6 +234,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proportional_sample": q.q_proportional_sample,
         "weighted_p90_price": q.q_weighted_p90_price,
         "fk_audit": q.q_fk_audit,
+        "weekly_retention": q.q_weekly_retention,
+        "pair_lift": q.q_pair_lift,
         # --- driver-verified green in a prior CORRECTNESS_r0*.json ---
         "stddev_value_per_type": q.q_stddev_value_per_type,
         "zscore_value": q.q_zscore_value,
@@ -541,6 +543,36 @@ def oracle_sql() -> dict[str, str]:
         ),
         # referential-integrity audit over every FK->PK relation
         "fk_audit": _fk_audit_oracle_sql(),
+        # cohort retention matrix on epoch-anchored week indexes
+        "weekly_retention": (
+            "WITH uw AS (SELECT DISTINCT user_id, "
+            "CAST(floor(epoch(ts)/604800) AS BIGINT) AS wk FROM events), "
+            "f AS (SELECT user_id, MIN(wk) AS cw FROM uw GROUP BY 1) "
+            "SELECT f.cw AS cohort_week, uw.wk - f.cw AS week_offset, "
+            "CAST(COUNT(*) AS BIGINT) AS n_users "
+            "FROM uw JOIN f USING (user_id) "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        # market-basket lift for pairs co-ordered >= 3 times; lift is
+        # one BIGINT-product division so float bits match exactly
+        "pair_lift": (
+            "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey "
+            "FROM lineitem), "
+            "n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) "
+            "AS n_orders FROM lineitem), "
+            "ic AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) "
+            "AS n_item FROM d GROUP BY 1), "
+            "p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+            "CAST(COUNT(*) AS BIGINT) AS n_ab FROM d a JOIN d b "
+            "ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey GROUP BY 1, 2) "
+            "SELECT p.part_a, p.part_b, p.n_ab, ia.n_item AS n_a, "
+            "ib.n_item AS n_b, CAST(p.n_ab * n.n_orders AS DOUBLE) / "
+            "CAST(ia.n_item * ib.n_item AS DOUBLE) AS lift "
+            "FROM p JOIN ic ia ON p.part_a = ia.l_partkey "
+            "JOIN ic ib ON p.part_b = ib.l_partkey CROSS JOIN n "
+            "WHERE p.n_ab >= 3 ORDER BY part_a, part_b"
+        ),
         # 3-iteration PageRank, unrolled CTEs, ranks on the 1e-9 grid
         "link_pagerank": _pagerank_oracle_sql(iters=3, damping=0.85),
         # edge-weighted PageRank (weights folded into the out-sum)

@@ -6713,3 +6713,185 @@ def q_fk_audit(sf_dir: str):
     for c in out.columns[1:]:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def q_weekly_retention(sf_dir: str):
+    """Classic cohort-retention matrix: users grouped by the calendar
+    week of their FIRST event (epoch-anchored week index), one output
+    cell per (cohort_week, week_offset) counting how many of the
+    cohort's users were active that many weeks later.
+
+    Scale plan: one column-pruned events scan folds to distinct
+    (user, week) pairs via ``partial_agg`` (the only data-sized
+    shuffle, skinny int64 pairs); the pair table is materialized once
+    and reused for the per-user min-week fit and the activity join;
+    cohort cells combine driver-side because the cell count is
+    O(weeks^2), independent of users or events."""
+    from ..stages.joins import hash_join, partial_agg
+
+    w = _skinny_w(sf_dir, "events", 16)
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def _wk(b: pa.Table) -> pa.Table:
+        t = b["ts"].to_numpy(zero_copy_only=False)
+        # truncate to whole seconds first: week boundaries are integer
+        # seconds and timestamps are post-1970, so trunc == floor
+        secs = t.astype("datetime64[s]").astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(
+                b["user_id"].to_numpy(zero_copy_only=False)
+                .astype(np.int64)),
+            "wk": pa.array(secs // 604800, pa.int64())})
+
+    uw = partial_agg(
+        ds.map_batches(_wk, batch_format="pyarrow"),
+        ["user_id", "wk"], count_col="n", num_buckets=w,
+    ).map_batches(lambda df: df[["user_id", "wk"]],
+                  batch_format="pandas") \
+     .materialize()  # O(users x active weeks) skinny; reused twice
+
+    first = partial_agg(uw, ["user_id"], mins=["wk"], count_col="n",
+                        num_buckets=w).map_batches(
+        lambda df: df[["user_id", "min_wk"]]
+        .rename(columns={"min_wk": "cohort_week"}),
+        batch_format="pandas")
+
+    joined = hash_join(
+        uw, first, on="user_id", how="inner", num_buckets=w,
+        schemas=(pa.schema([("user_id", pa.int64()), ("wk", pa.int64())]),
+                 pa.schema([("user_id", pa.int64()),
+                            ("cohort_week", pa.int64())])))
+
+    cells = partial_agg(
+        joined.map_batches(
+            lambda df: pd.DataFrame({
+                "cohort_week": df["cohort_week"].astype(np.int64),
+                "week_offset": (df["wk"] - df["cohort_week"])
+                .astype(np.int64)}),
+            batch_format="pandas"),
+        ["cohort_week", "week_offset"], count_col="n_users",
+        combine="driver")
+
+    out = cells.to_pandas()[["cohort_week", "week_offset", "n_users"]]
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values(["cohort_week", "week_offset"]) \
+              .reset_index(drop=True)
+
+
+def q_pair_lift(sf_dir: str):
+    """Association-rule statistics for co-purchased part pairs: for
+    every pair ordered together >= 3 times report the pair support
+    ``n_ab``, the per-item supports ``n_a``/``n_b`` (distinct orders
+    containing the part) and the lift
+    ``n_ab * n_orders / (n_a * n_b)`` — the market-basket complement
+    of ``q_copurchase_pairs``'s raw top-k counts.
+
+    Scale plan: distinct (order, part) rows come from ONE
+    ``partial_agg`` over the pruned lineitem scan and are materialized
+    (reused three times); pairs form inside order-hash buckets (an
+    order never splits, so per-bucket pair counts are exact partials);
+    item supports and the order total are further skinny folds; the
+    two lift joins run over the support-filtered pair table. Lift is
+    ONE int64-product division on both sides, so float bits match the
+    oracle exactly."""
+    from ..stages.events import stable_bucket
+    from ..stages.joins import hash_join, partial_agg
+
+    nb = _w(sf_dir, "lineitem")
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+
+    d = partial_agg(ds, ["l_orderkey", "l_partkey"], count_col="n",
+                    num_buckets=nb).map_batches(
+        lambda df: df[["l_orderkey", "l_partkey"]],
+        batch_format="pandas").materialize()
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bucket"] = stable_bucket(
+            df["l_orderkey"].to_numpy(np.int64), nb)
+        return df
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        p = df.merge(df, on="l_orderkey", suffixes=("_a", "_b"))
+        p = p[p["l_partkey_a"] < p["l_partkey_b"]]
+        out = (p.groupby(["l_partkey_a", "l_partkey_b"], sort=False)
+               .size().rename("cnt").reset_index())
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out.rename(columns={"l_partkey_a": "part_a",
+                                   "l_partkey_b": "part_b"})
+
+    pair_counts = partial_agg(
+        d.map_batches(_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(lambda g: _pairs(g[["l_orderkey", "l_partkey"]]),
+                    batch_format="pandas"),
+        ["part_a", "part_b"], sums=["cnt"], count_col="np_",
+        num_buckets=nb,
+    ).map_batches(
+        lambda df: df.loc[df["sum_cnt"] >= 3,
+                          ["part_a", "part_b", "sum_cnt"]]
+        .rename(columns={"sum_cnt": "n_ab"}),
+        batch_format="pandas")
+
+    item_counts = partial_agg(d, ["l_partkey"], count_col="n_item",
+                              num_buckets=nb)
+
+    # scalar: distinct orders, via per-batch fold over distinct keys
+    n_orders = int(sum(
+        r["c"] for r in
+        partial_agg(d, ["l_orderkey"], count_col="n", num_buckets=nb)
+        .map_batches(lambda df: pd.DataFrame({"c": [len(df)]}),
+                     batch_format="pandas").take_all()))
+
+    ja = hash_join(
+        pair_counts,
+        item_counts.map_batches(
+            lambda df: df.rename(columns={"l_partkey": "part_a",
+                                          "n_item": "n_a"}),
+            batch_format="pandas"),
+        on="part_a", how="inner", num_buckets=nb,
+        schemas=(pa.schema([("part_a", pa.int64()),
+                            ("part_b", pa.int64()),
+                            ("n_ab", pa.int64())]),
+                 pa.schema([("part_a", pa.int64()),
+                            ("n_a", pa.int64())])))
+    jb = hash_join(
+        ja,
+        item_counts.map_batches(
+            lambda df: df.rename(columns={"l_partkey": "part_b",
+                                          "n_item": "n_b"}),
+            batch_format="pandas"),
+        on="part_b", how="inner", num_buckets=nb,
+        schemas=(pa.schema([("part_a", pa.int64()),
+                            ("part_b", pa.int64()),
+                            ("n_ab", pa.int64()),
+                            ("n_a", pa.int64())]),
+                 pa.schema([("part_b", pa.int64()),
+                            ("n_b", pa.int64())])))
+
+    def _lift(df: pd.DataFrame) -> pd.DataFrame:
+        # int64 products must not wrap (ADVICE r4: silent Knuth-hash
+        # wrap); supports are bounded by n_orders, so guard on it
+        if len(df):
+            lim = np.iinfo(np.int64).max
+            assert int(df["n_ab"].max()) <= lim // max(n_orders, 1), \
+                "pair_lift: n_ab * n_orders would overflow int64"
+            assert int(df["n_a"].max()) <= lim // max(
+                int(df["n_b"].max()), 1), \
+                "pair_lift: n_a * n_b would overflow int64"
+        num = (df["n_ab"].astype(np.int64)
+               * np.int64(n_orders)).astype(np.float64)
+        den = (df["n_a"].astype(np.int64)
+               * df["n_b"].astype(np.int64)).astype(np.float64)
+        return pd.DataFrame({
+            "part_a": df["part_a"].astype(np.int64),
+            "part_b": df["part_b"].astype(np.int64),
+            "n_ab": df["n_ab"].astype(np.int64),
+            "n_a": df["n_a"].astype(np.int64),
+            "n_b": df["n_b"].astype(np.int64),
+            "lift": num / den})
+
+    out = jb.map_batches(_lift, batch_format="pandas").to_pandas()
+    return out.sort_values(["part_a", "part_b"]).reset_index(drop=True)
