@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_audit": q.q_fk_audit,
         "weekly_retention": q.q_weekly_retention,
         "pair_lift": q.q_pair_lift,
+        "bfs_hops": q.q_bfs_hops,
         # --- driver-verified green in a prior CORRECTNESS_r0*.json ---
         "stddev_value_per_type": q.q_stddev_value_per_type,
         "zscore_value": q.q_zscore_value,
@@ -543,6 +544,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         # referential-integrity audit over every FK->PK relation
         "fk_audit": _fk_audit_oracle_sql(),
+        # BFS hop distances <= 3 from the smallest co-purchase node;
+        # bounded recursive path enumeration + MIN(depth)
+        "bfs_hops": (
+            "WITH RECURSIVE lp AS (SELECT DISTINCT l_orderkey, "
+            "l_partkey FROM lineitem), "
+            "pp AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb "
+            "FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey), "
+            "e0 AS (SELECT pa, pb FROM pp GROUP BY pa, pb "
+            "HAVING COUNT(*) >= 2), "
+            "e AS (SELECT pa AS src, pb AS dst FROM e0 "
+            "UNION ALL SELECT pb, pa FROM e0), "
+            "b(node, depth) AS ("
+            "SELECT (SELECT MIN(src) FROM e), 0 "
+            "UNION ALL "
+            "SELECT e.dst, b.depth + 1 FROM b JOIN e ON e.src = b.node "
+            "WHERE b.depth < 3) "
+            "SELECT CAST(node AS BIGINT) AS node, "
+            "CAST(MIN(depth) AS BIGINT) AS depth "
+            "FROM b GROUP BY node ORDER BY node"
+        ),
         # cohort retention matrix on epoch-anchored week indexes
         "weekly_retention": (
             "WITH uw AS (SELECT DISTINCT user_id, "

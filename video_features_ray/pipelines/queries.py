@@ -6895,3 +6895,29 @@ def q_pair_lift(sf_dir: str):
 
     out = jb.map_batches(_lift, batch_format="pandas").to_pandas()
     return out.sort_values(["part_a", "part_b"]).reset_index(drop=True)
+
+
+def q_bfs_hops(sf_dir: str):
+    """Shortest hop distances (<= 3) from the smallest part id over
+    the UNDIRECTED co-purchase graph — the frontier-expansion BFS in
+    ``stages/graph.py:bfs_hops`` (semi-join frontier edges, anti-join
+    visited), driven from the same supported-edge table as the
+    triangle/k-core entries.  The DuckDB oracle enumerates paths with
+    a bounded recursive CTE and takes MIN(depth)."""
+    from ..stages.graph import bfs_hops
+
+    w = _w(sf_dir, "lineitem")
+    e0 = _copurchase_edges(sf_dir, w).materialize()
+    edges = e0.union(
+        e0.map_batches(
+            lambda b: pa.table({"src": b["dst"], "dst": b["src"]}),
+            batch_format="pyarrow")).materialize()
+    nb = _edge_width(edges)
+    root = int(edges.min("src"))  # smallest node id (symmetrized)
+    sources = ray.data.from_arrow(
+        pa.table({"node": pa.array([root], pa.int64())}))
+    out = bfs_hops(edges, sources, max_depth=3, num_buckets=nb)
+    df = out.to_pandas()
+    df["node"] = df["node"].astype(np.int64)
+    df["depth"] = df["depth"].astype(np.int64)
+    return df.sort_values("node").reset_index(drop=True)

@@ -463,3 +463,65 @@ def k_core(
         cur = _finish_local(cur)
     n_nodes = int(_distinct_nodes(cur, num_buckets).count())
     return cur, rounds, n_nodes
+
+
+def bfs_hops(
+    edges: "ray.data.Dataset",
+    sources: "ray.data.Dataset",
+    max_depth: int = 3,
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Multi-source breadth-first hop distances over a DIRECTED
+    ``(src, dst)`` edge table (symmetrize first for undirected
+    graphs): returns ``(node:int64, depth:int64)`` for every node
+    within ``max_depth`` hops of any source, at its shortest distance.
+
+    Scale plan — synchronous frontier expansion as table ops, the
+    Pregel/BSP pattern the PageRank loop already uses: per round, a
+    SEMI hash-join keeps the edges leaving the frontier (one bucketed
+    shuffle; the edge table never moves further), a skinny distinct
+    fold dedupes candidate targets, and an ANTI hash-join against the
+    visited table drops already-settled nodes — BFS's first visit IS
+    the shortest hop count, so no min-reduction is needed.  Frontier
+    and visited tables are materialized each round (the k_core lesson:
+    unmaterialized per-round lineage re-executes geometrically) and
+    stay in the object store; the driver holds one scalar per round
+    (the frontier size, for the early exit on exhaustion)."""
+    visited = sources.map_batches(
+        lambda b: pa.table({
+            "node": b["node"].cast(pa.int64()),
+            "depth": pa.array([0] * len(b), pa.int64())}),
+        batch_format="pyarrow").materialize()
+    frontier = visited.select_columns(["node"]).materialize()
+
+    for d in range(1, max_depth + 1):
+        hits = hash_join(
+            edges.map_batches(
+                lambda b: pa.table({"node": b["src"].cast(pa.int64()),
+                                    "dst": b["dst"].cast(pa.int64())}),
+                batch_format="pyarrow"),
+            frontier, on="node", how="semi", num_buckets=num_buckets,
+            schemas=(pa.schema([("node", pa.int64()),
+                                ("dst", pa.int64())]),
+                     pa.schema([("node", pa.int64())])))
+        cand = partial_agg(
+            hits.map_batches(
+                lambda b: pa.table({"node": b["dst"]}),
+                batch_format="pyarrow"),
+            ["node"], count_col="n", num_buckets=num_buckets,
+        ).map_batches(lambda df: df[["node"]], batch_format="pandas")
+        new = hash_join(
+            cand, visited.select_columns(["node"]),
+            on="node", how="anti", num_buckets=num_buckets,
+            schemas=(pa.schema([("node", pa.int64())]),
+                     pa.schema([("node", pa.int64())]))).materialize()
+        if new.count() == 0:
+            break
+        new_d = new.map_batches(
+            lambda b, d=d: pa.table({
+                "node": b["node"],
+                "depth": pa.array([d] * len(b), pa.int64())}),
+            batch_format="pyarrow")
+        visited = visited.union(new_d).materialize()
+        frontier = new
+    return visited
