@@ -180,6 +180,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_pagerank": q.q_weighted_pagerank,
         "user_active_coverage": q.q_user_active_coverage,
         "dup_span_winnowed": q.q_dup_span_winnowed,  # rows-only (r5)
+        "auc_purchase_value": q.q_auc_purchase_value,
+        "calibration_value": q.q_calibration_value,
+        "corr_matrix_lineitem": q.q_corr_matrix_lineitem,
+        "pareto_parts": q.q_pareto_parts,
         "discount_revenue": q.q_discount_revenue,
         "late_ship_priority": q.q_late_ship_priority,
         "source_lang_entropy": q.q_source_lang_entropy,
@@ -480,6 +484,40 @@ def _fk_audit_oracle_sql() -> str:
             f"AND p.{pk} IS NULL) AS orphan_rows"
         )
     return " UNION ALL ".join(parts) + " ORDER BY relation"
+
+
+def _corr_matrix_sql() -> str:
+    """All-pairs Pearson SQL over the same integer scalings and the
+    same float64 expression tree as ``stages/joins.py:corr_matrix`` —
+    generated so the 6 pair cells cannot drift from one another."""
+    cols = {"qty": "CAST(round(l_quantity) AS BIGINT)",
+            "price": "CAST(floor(l_extendedprice) AS BIGINT)",
+            "disc": "CAST(round(l_discount * 100.0) AS BIGINT)",
+            "tax": "CAST(round(l_tax * 100.0) AS BIGINT)"}
+    names = list(cols)
+    sel = ", ".join(f"{expr} AS {c}" for c, expr in cols.items())
+    moments = ["CAST(COUNT(*) AS DOUBLE) AS n",
+               "CAST(COUNT(*) AS BIGINT) AS nn"]
+    for c in names:
+        moments.append(f"CAST(SUM({c}) AS DOUBLE) AS s_{c}")
+        moments.append(f"CAST(SUM({c} * {c}) AS DOUBLE) AS q_{c}")
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1:]]
+    for a, b in pairs:
+        moments.append(f"CAST(SUM({a} * {b}) AS DOUBLE) AS p_{a}_{b}")
+    rows = []
+    for a, b in pairs:
+        num = f"(n * p_{a}_{b} - s_{a} * s_{b})"
+        den = (f"(sqrt(n * q_{a} - s_{a} * s_{a}) * "
+               f"sqrt(n * q_{b} - s_{b} * s_{b}))")
+        rows.append(f"SELECT '{a}' AS col_x, '{b}' AS col_y, nn AS n, "
+                    f"CASE WHEN {den} > 0 THEN {num} / {den} "
+                    f"ELSE -1.0 END AS corr FROM m")
+    return (f"WITH s AS (SELECT {sel} FROM lineitem), "
+            f"m AS (SELECT {', '.join(moments)} FROM s) "
+            + " UNION ALL ".join(rows))
+
+
+_CORR_MATRIX_SQL = _corr_matrix_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2822,5 +2860,66 @@ def oracle_sql() -> dict[str, str]:
             "* ln((CAST(n_a AS DOUBLE) / ta) / (CAST(n_b AS DOUBLE) / tb)"
             "), 12) AS psi "
             "FROM a JOIN b ON a.bin = b.bin, t"
+        ),
+        # exact tie-corrected Mann-Whitney AUC over the distinct-score
+        # CDF; HUGEINT-exact numerator, ONE mirrored float division
+        "auc_purchase_value": (
+            "WITH s AS (SELECT CAST(round(value * 100.0) AS BIGINT) "
+            "AS sc, CAST(event_type = 'purchase' AS BIGINT) AS lab "
+            "FROM events), "
+            "c AS (SELECT sc, SUM(lab) AS cp, SUM(1 - lab) AS cn "
+            "FROM s GROUP BY 1), "
+            "w AS (SELECT sc, cp, cn, COALESCE(SUM(cn) OVER (ORDER BY "
+            "sc ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS cnb FROM c), "
+            "t AS (SELECT CAST(SUM(cp) AS BIGINT) AS p, "
+            "CAST(SUM(cn) AS BIGINT) AS nn FROM c) "
+            "SELECT t.p AS n_pos, t.nn AS n_neg, "
+            "CASE WHEN t.p = 0 OR t.nn = 0 THEN -1.0 ELSE "
+            "CAST((SELECT SUM(cp * (2 * cnb + cn)) FROM w) AS DOUBLE) "
+            "/ (2.0 * CAST(t.p AS DOUBLE) * CAST(t.nn AS DOUBLE)) END "
+            "AS auc FROM t"
+        ),
+        # reliability deciles: quantile_disc bounds (rank ceil(n*q)),
+        # integral per-bin sums, three mirrored float divisions
+        "calibration_value": (
+            "WITH s AS (SELECT CAST(round(value * 100.0) AS BIGINT) "
+            "AS sc, CAST(event_type = 'purchase' AS BIGINT) AS lab "
+            "FROM events), "
+            "q AS (SELECT quantile_disc(sc, 0.1) AS b1, "
+            "quantile_disc(sc, 0.2) AS b2, quantile_disc(sc, 0.3) AS "
+            "b3, quantile_disc(sc, 0.4) AS b4, quantile_disc(sc, 0.5) "
+            "AS b5, quantile_disc(sc, 0.6) AS b6, quantile_disc(sc, "
+            "0.7) AS b7, quantile_disc(sc, 0.8) AS b8, "
+            "quantile_disc(sc, 0.9) AS b9 FROM s), "
+            "t AS (SELECT CAST(SUM(lab) AS DOUBLE) / "
+            "CAST(COUNT(*) AS DOUBLE) AS overall FROM s), "
+            "g AS (SELECT CAST(1 + CAST(sc > b1 AS INT) + "
+            "CAST(sc > b2 AS INT) + CAST(sc > b3 AS INT) + "
+            "CAST(sc > b4 AS INT) + CAST(sc > b5 AS INT) + "
+            "CAST(sc > b6 AS INT) + CAST(sc > b7 AS INT) + "
+            "CAST(sc > b8 AS INT) + CAST(sc > b9 AS INT) AS BIGINT) "
+            "AS bin, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(sc) AS BIGINT) AS ss, "
+            "CAST(SUM(lab) AS BIGINT) AS cp FROM s, q GROUP BY 1) "
+            "SELECT bin, n, "
+            "CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS "
+            "mean_score, CAST(cp AS DOUBLE) / CAST(n AS DOUBLE) AS "
+            "pos_rate, (CAST(cp AS DOUBLE) / CAST(n AS DOUBLE)) "
+            "/ t.overall AS lift FROM g, t"
+        ),
+        # all-pairs Pearson matrix from ONE set of integer moment sums;
+        # each cell spells grouped_corr's exact float expression tree
+        "corr_matrix_lineitem": _CORR_MATRIX_SQL,
+        # 2-D skyline: no other part cheaper-or-equal AND
+        # bigger-or-equal with one strict (cent-rounded price)
+        "pareto_parts": (
+            "WITH p AS (SELECT p_partkey, "
+            "CAST(round(p_retailprice * 100.0) AS BIGINT) AS pc, "
+            "CAST(p_size AS BIGINT) AS p_size FROM part) "
+            "SELECT a.p_partkey, a.pc / 100.0 AS price, a.p_size "
+            "FROM p a WHERE NOT EXISTS (SELECT 1 FROM p b "
+            "WHERE b.pc <= a.pc AND b.p_size >= a.p_size "
+            "AND (b.pc < a.pc OR b.p_size > a.p_size))"
         ),
     }

@@ -307,6 +307,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "event_expectations", "weighted_pagerank", "user_active_coverage",
         "weighted_median_price", "alloc_docs_budget", "proportional_sample",
         "weighted_p90_price",
+        # round-5b model-eval / skyline / corr-matrix family
+        "auc_purchase_value", "calibration_value",
+        "corr_matrix_lineitem", "pareto_parts",
     ]
     qs = em.queries()
     import gc

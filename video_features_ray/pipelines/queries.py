@@ -6921,3 +6921,109 @@ def q_bfs_hops(sf_dir: str):
     df["node"] = df["node"].astype(np.int64)
     df["depth"] = df["depth"].astype(np.int64)
     return df.sort_values("node").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Model-evaluation family (round 5b): exact AUC, calibration bins,
+# correlation matrix, Pareto frontier
+# ---------------------------------------------------------------------------
+
+def _score_label_events(sf_dir: str):
+    """events → (sc = cent score, lab = purchase indicator) — the
+    shared scored-corpus shape for the eval ops."""
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        v = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        lab = pc.cast(pc.equal(batch["event_type"], "purchase"),
+                      pa.int64())
+        return pa.table({"sc": pa.array(v), "lab": lab})
+
+    return ds.map_batches(_prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def q_auc_purchase_value(sf_dir: str):
+    """Exact tie-corrected ROC AUC of the value score against the
+    purchase label (Mann-Whitney over the distinct-score CDF — rows
+    never rank individually; `stages/mleval.py:auc_exact`)."""
+    from ..stages.mleval import auc_exact
+
+    return auc_exact(_score_label_events(sf_dir), "sc", "lab",
+                     num_buckets=_skinny_w(sf_dir, "events", 24))
+
+
+def q_calibration_value(sf_dir: str):
+    """Reliability-diagram deciles of the value score vs the purchase
+    label: exact quantile_disc bin bounds, per-bin n / mean score /
+    positive rate / lift (`stages/mleval.py:calibration_bins`)."""
+    from ..stages.mleval import calibration_bins
+
+    return calibration_bins(_score_label_events(sf_dir), "sc", "lab",
+                            n_bins=10,
+                            num_buckets=_skinny_w(sf_dir, "events", 24))
+
+
+def q_corr_matrix_lineitem(sf_dir: str):
+    """All-pairs Pearson correlation matrix over lineitem's four
+    numeric measures in ONE moment pass (`stages/joins.py:corr_matrix`
+    — grouped_corr generalized to C(4,2) pairs; each cell bit-stable
+    vs the SQL spelling of the same integer-sum formula)."""
+    from ..stages.joins import corr_matrix
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        def r(c, s):
+            return pa.array(np.round(
+                batch[c].to_numpy(zero_copy_only=False) * s
+            ).astype(np.int64))
+        # price floors to whole dollars: round() would hit .50 half
+        # cases where numpy (half-even) and DuckDB (half-away) differ;
+        # floor is identical on both sides and keeps the int64 moment
+        # envelope (cent-scaled squares would overflow at sf>=0.1)
+        price = np.floor(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        return pa.table({"qty": r("l_quantity", 1.0),
+                         "price": pa.array(price),
+                         "disc": r("l_discount", 100.0),
+                         "tax": r("l_tax", 100.0)})
+
+    return corr_matrix(ds.map_batches(_prep, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                       ["qty", "price", "disc", "tax"])
+
+
+def q_pareto_parts(sf_dir: str):
+    """Pareto frontier of the part catalog — minimize cent price,
+    maximize size; no other part both cheaper-or-equal AND
+    bigger-or-equal with one strict (`stages/skyline.py` — local
+    frontiers then one merge; raw rows never shuffle)."""
+    from ..stages.skyline import pareto_frontier
+
+    ds = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                               columns=["p_partkey", "p_retailprice",
+                                        "p_size"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        pc_ = np.round(batch["p_retailprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({
+            "p_partkey": batch["p_partkey"].cast(pa.int64()),
+            "pc": pa.array(pc_),
+            "p_size": batch["p_size"].cast(pa.int64())})
+
+    out = pareto_frontier(
+        ds.map_batches(_prep, batch_format="pyarrow",
+                       zero_copy_batch=True), "pc", "p_size")
+    return (pd.DataFrame({
+        "p_partkey": out["p_partkey"].astype(np.int64),
+        "price": out["pc"].astype(np.int64) / 100.0,
+        "p_size": out["p_size"].astype(np.int64)})
+        .sort_values("p_partkey").reset_index(drop=True))

@@ -16,7 +16,7 @@ The reference has only small-side lookups (label maps,
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import numpy as np
 import pandas as pd
@@ -754,6 +754,71 @@ def grouped_regression(
         return out
 
     return agg.map_batches(_finish, batch_format="pandas")
+
+
+def corr_matrix(
+    ds: "ray.data.Dataset",
+    cols: Sequence[str],
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """Full Pearson correlation matrix over INTEGER-scaled columns in
+    ONE pass — :func:`grouped_corr` generalized to all C(k,2) pairs:
+    a single ``map_batches`` emits every per-column sum/square and
+    every pairwise product, one :func:`partial_agg` combines them, and
+    the driver finishes each pair with grouped_corr's exact float64
+    expression tree (so each cell is bit-identical to a SQL oracle
+    spelling the same formula over the same integer sums).
+
+    Returns one row per unordered pair (col_x < col_y by position):
+    (col_x utf8, col_y utf8, n int64, corr float64; zero-variance
+    pairs → -1.0 sentinel, coalesced identically by the oracle).
+
+    Scale shape: the moment row is O(k²) wide but there is ONE row per
+    batch and the combine is a single group — the k-column stream never
+    shuffles.  Same int64 envelope as grouped_corr (~10¹² rows of
+    ~10³-scaled values; pre-scale hot columns down past that)."""
+    cols = list(cols)
+    names: list[str] = []
+    for i, a in enumerate(cols):
+        names.append(f"_s{i}")
+        names.append(f"_q{i}")
+    pairs = [(i, j) for i in range(len(cols)) for j in range(i + 1, len(cols))]
+    for i, j in pairs:
+        names.append(f"_p{i}_{j}")
+
+    def _moments(batch: pa.Table) -> pa.Table:
+        vs = [batch[c].to_numpy(zero_copy_only=False).astype(np.int64)
+              for c in cols]
+        out: dict[str, Any] = {"_g": pa.array(
+            np.zeros(len(batch), dtype=np.int32))}
+        for i, v in enumerate(vs):
+            out[f"_s{i}"] = pa.array(v)
+            out[f"_q{i}"] = pa.array(v * v)
+        for i, j in pairs:
+            out[f"_p{i}_{j}"] = pa.array(vs[i] * vs[j])
+        return pa.table(out)
+
+    agg = partial_agg(ds.map_batches(_moments, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      ["_g"], sums=names, count_col="n",
+                      num_buckets=num_buckets, combine="driver").to_pandas()
+    n = np.int64(agg["n"].iloc[0])
+    nf = np.float64(n)
+    rows = []
+    for i, j in pairs:
+        sx = np.float64(np.int64(agg[f"sum__s{i}"].iloc[0]))
+        sy = np.float64(np.int64(agg[f"sum__s{j}"].iloc[0]))
+        sxx = np.float64(np.int64(agg[f"sum__q{i}"].iloc[0]))
+        syy = np.float64(np.int64(agg[f"sum__q{j}"].iloc[0]))
+        sxy = np.float64(np.int64(agg[f"sum__p{i}_{j}"].iloc[0]))
+        cov = nf * sxy - sx * sy
+        vx = nf * sxx - sx * sx
+        vy = nf * syy - sy * sy
+        denom = np.sqrt(vx) * np.sqrt(vy)
+        corr = float(cov / denom) if denom > 0 else -1.0
+        rows.append({"col_x": cols[i], "col_y": cols[j],
+                     "n": n, "corr": np.float64(corr)})
+    return pd.DataFrame(rows)
 
 
 def grouped_quantile_cont(
