@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "calibration_value": q.q_calibration_value,
         "corr_matrix_lineitem": q.q_corr_matrix_lineitem,
         "pareto_parts": q.q_pareto_parts,
+        "clustering_coeff": q.q_clustering_coeff,
         "discount_revenue": q.q_discount_revenue,
         "late_ship_priority": q.q_late_ship_priority,
         "source_lang_entropy": q.q_source_lang_entropy,
@@ -2921,5 +2922,33 @@ def oracle_sql() -> dict[str, str]:
             "FROM p a WHERE NOT EXISTS (SELECT 1 FROM p b "
             "WHERE b.pc <= a.pc AND b.p_size >= a.p_size "
             "AND (b.pc < a.pc OR b.p_size > a.p_size))"
+        ),
+        # per-node clustering coefficient over the co-purchase graph;
+        # triangles per node from the three-way self-join, degrees
+        # from the exploded endpoints, one mirrored float division
+        "clustering_coeff": (
+            "WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey "
+            "FROM lineitem), "
+            "pp AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb "
+            "FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey), "
+            "e AS (SELECT pa, pb FROM pp GROUP BY pa, pb "
+            "HAVING COUNT(*) >= 2), "
+            "tr AS (SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c "
+            "FROM e e1 JOIN e e2 ON e2.pa = e1.pa AND e2.pb > e1.pb "
+            "JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb), "
+            "t AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS tri FROM "
+            "(SELECT a AS v FROM tr UNION ALL SELECT b FROM tr "
+            "UNION ALL SELECT c FROM tr) GROUP BY 1), "
+            "d AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS degree FROM "
+            "(SELECT pa AS v FROM e UNION ALL SELECT pb FROM e) "
+            "GROUP BY 1) "
+            "SELECT d.v AS node, d.degree, "
+            "COALESCE(t.tri, 0) AS triangles, "
+            "CASE WHEN d.degree < 2 THEN 0.0 ELSE "
+            "(2.0 * CAST(COALESCE(t.tri, 0) AS DOUBLE)) / "
+            "(CAST(d.degree AS DOUBLE) * "
+            "CAST(d.degree - 1 AS DOUBLE)) END AS coeff "
+            "FROM d LEFT JOIN t ON d.v = t.v"
         ),
     }

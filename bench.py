@@ -309,7 +309,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "weighted_p90_price",
         # round-5b model-eval / skyline / corr-matrix family
         "auc_purchase_value", "calibration_value",
-        "corr_matrix_lineitem", "pareto_parts",
+        "corr_matrix_lineitem", "pareto_parts", "clustering_coeff",
     ]
     qs = em.queries()
     import gc

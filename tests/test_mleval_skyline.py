@@ -132,3 +132,36 @@ def test_corr_matrix_matches_numpy():
     dfz = pd.DataFrame({"a": a, "z": np.ones(n, np.int64)})
     outz = corr_matrix(ray.data.from_pandas(dfz), ["a", "z"])
     assert float(outz["corr"][0]) == -1.0
+
+
+def test_node_clustering_matches_bruteforce():
+    from video_features_ray.stages.graph import node_clustering
+
+    rng = np.random.default_rng(13)
+    # random oriented distinct edges over 40 nodes
+    raw = set()
+    for _ in range(200):
+        a, b = sorted(rng.integers(0, 40, 2).tolist())
+        if a != b:
+            raw.add((a, b))
+    edges = pd.DataFrame(sorted(raw), columns=["src", "dst"]).astype(
+        {"src": np.int64, "dst": np.int64})
+    out = (node_clustering(ray.data.from_pandas(edges).repartition(4),
+                           num_buckets=4)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    # brute force: adjacency sets
+    adj = {}
+    for a, b in raw:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for _, row in out.iterrows():
+        v = int(row["node"])
+        nbrs = sorted(adj[v])
+        assert int(row["degree"]) == len(nbrs)
+        tri = sum(1 for i, x in enumerate(nbrs) for y in nbrs[i + 1:]
+                  if y in adj[x])
+        assert int(row["triangles"]) == tri, v
+        d = len(nbrs)
+        want = 0.0 if d < 2 else 2.0 * tri / (d * (d - 1))
+        assert abs(float(row["coeff"]) - want) < 1e-12
+    assert set(out["node"]) == set(adj)

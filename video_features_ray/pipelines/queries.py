@@ -7027,3 +7027,17 @@ def q_pareto_parts(sf_dir: str):
         "price": out["pc"].astype(np.int64) / 100.0,
         "p_size": out["p_size"].astype(np.int64)})
         .sort_values("p_partkey").reset_index(drop=True))
+
+
+def q_clustering_coeff(sf_dir: str):
+    """Per-node local clustering coefficient of the part co-purchase
+    graph (`stages/graph.py:node_clustering` — the apex-carrying
+    oriented wedge join; each closed wedge credits its three corners,
+    degrees from one endpoint-count pass, LEFT join + closed form)."""
+    from ..stages.graph import node_clustering
+
+    w = _w(sf_dir, "lineitem")
+    edges = _copurchase_edges(sf_dir, w).materialize()
+    out = node_clustering(edges, num_buckets=_edge_width(edges))
+    df = out.to_pandas()
+    return df.sort_values("node").reset_index(drop=True)

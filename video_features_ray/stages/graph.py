@@ -252,6 +252,55 @@ def pagerank(
     return (out, iters_run) if return_iters else out
 
 
+def _tag_low(batch: pa.Table, num_buckets: int) -> pd.DataFrame:
+    """Validate oriented distinct edges and bucket them by the LOW
+    endpoint (a node's whole adjacency lands in one bucket task)."""
+    a = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(a) and (a.max() >= 1 << 31 or b.max() >= 1 << 31):
+        raise ValueError("wedge join packs pairs into int64; "
+                         "ids must be < 2^31")
+    if np.any(a >= b):
+        raise ValueError("edges must be oriented src < dst, distinct")
+    h = pd.util.hash_array(a).astype(np.uint64)
+    return pd.DataFrame({
+        "a": a, "b": b,
+        "_bucket": (h % np.uint64(num_buckets)).astype(np.int32)})
+
+
+def _bucket_wedges(df: pd.DataFrame) -> pd.DataFrame:
+    """All wedges of one low-endpoint bucket — fully vectorized across
+    ALL nodes of the bucket (no per-node Python): sort (a, b), dedup,
+    then the element at in-group position p pairs as the FIRST member
+    with its d-1-p later neighbors — one repeat + one arange builds
+    every wedge.  Returns (a = apex/low node, pair = packed b·2³¹+c
+    with b < c)."""
+    empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                          "pair": pd.Series([], dtype=np.int64)})
+    if df.empty or "a" not in df.columns:          # Ray empty partition
+        return empty
+    a0 = df["a"].to_numpy(np.int64)
+    b0 = df["b"].to_numpy(np.int64)
+    order = np.lexsort((b0, a0))
+    a, b = a0[order], b0[order]
+    keep = np.concatenate(
+        ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+    a, b = a[keep], b[keep]
+    starts = np.flatnonzero(
+        np.concatenate(([True], a[1:] != a[:-1])))
+    cnt = np.diff(np.concatenate([starts, [len(a)]]))
+    pos = np.arange(len(a)) - np.repeat(starts, cnt)
+    reps = np.repeat(cnt, cnt) - 1 - pos
+    total = int(reps.sum())
+    if total == 0:
+        return empty
+    ii = np.repeat(np.arange(len(a)), reps)
+    excl = np.concatenate(([0], np.cumsum(reps)[:-1]))
+    jj = np.arange(total) - np.repeat(excl, reps) + ii + 1
+    return pd.DataFrame({"a": a[ii],
+                         "pair": b[ii] * np.int64(1 << 31) + b[jj]})
+
+
 def triangle_count(
     edges: "ray.data.Dataset",
     num_buckets: int = 16,
@@ -275,50 +324,12 @@ def triangle_count(
     (asserted) so the join key is one int64.
     """
 
-    def _tag_low(batch: pa.Table) -> pd.DataFrame:
-        a = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(a) and (a.max() >= 1 << 31 or b.max() >= 1 << 31):
-            raise ValueError("triangle_count packs pairs into int64; "
-                             "ids must be < 2^31")
-        if np.any(a >= b):
-            raise ValueError("edges must be oriented src < dst, distinct")
-        h = pd.util.hash_array(a).astype(np.uint64)
-        return pd.DataFrame({
-            "a": a, "b": b,
-            "_bucket": (h % np.uint64(num_buckets)).astype(np.int32)})
-
-    tagged = edges.map_batches(_tag_low, batch_format="pyarrow",
-                               zero_copy_batch=True)
+    tagged = edges.map_batches(
+        lambda b: _tag_low(b, num_buckets), batch_format="pyarrow",
+        zero_copy_batch=True)
 
     def _wedges(df: pd.DataFrame) -> pd.DataFrame:
-        # fully vectorized across ALL nodes of the bucket (no per-node
-        # Python): sort (a, b), dedup, then the element at in-group
-        # position p pairs as the FIRST member with its d-1-p later
-        # neighbors — one repeat + one arange builds every wedge
-        empty = pd.DataFrame({"pair": pd.Series([], dtype=np.int64)})
-        if df.empty or "a" not in df.columns:      # Ray empty partition
-            return empty
-        a0 = df["a"].to_numpy(np.int64)
-        b0 = df["b"].to_numpy(np.int64)
-        order = np.lexsort((b0, a0))
-        a, b = a0[order], b0[order]
-        keep = np.concatenate(
-            ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
-        a, b = a[keep], b[keep]
-        starts = np.flatnonzero(
-            np.concatenate(([True], a[1:] != a[:-1])))
-        cnt = np.diff(np.concatenate([starts, [len(a)]]))
-        pos = np.arange(len(a)) - np.repeat(starts, cnt)
-        reps = np.repeat(cnt, cnt) - 1 - pos
-        total = int(reps.sum())
-        if total == 0:
-            return empty
-        ii = np.repeat(np.arange(len(a)), reps)
-        excl = np.concatenate(([0], np.cumsum(reps)[:-1]))
-        jj = np.arange(total) - np.repeat(excl, reps) + ii + 1
-        return pd.DataFrame(
-            {"pair": b[ii] * np.int64(1 << 31) + b[jj]})
+        return _bucket_wedges(df)[["pair"]]
 
     wedges = tagged.groupby("_bucket").map_groups(
         _wedges, batch_format="pandas")
@@ -342,6 +353,91 @@ def triangle_count(
     return pd.DataFrame({"n_nodes": [np.int64(n_nodes)],
                          "n_edges": [np.int64(n_edges)],
                          "n_triangles": [np.int64(n_tri)]})
+
+
+def node_clustering(
+    edges: "ray.data.Dataset",
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Per-node local clustering coefficient of an undirected graph
+    given as DISTINCT oriented edges (src < dst, int64 ids):
+
+        coeff(v) = 2·tri(v) / (deg(v)·(deg(v)−1)),  0.0 when deg < 2
+
+    Same oriented wedge-join plan as :func:`triangle_count`, but the
+    apex node rides along on every wedge, so each CLOSED wedge (a
+    triangle a<b<c found exactly once) credits all three corners with
+    one flat_map — per-node triangle counts come out of one bucketed
+    count combine, degrees out of another over the exploded endpoints,
+    and a LEFT join (triangle-less nodes keep 0) finishes closed-form.
+    The float division is mirrored token-for-token by the SQL oracle.
+    Driver holds nothing; output is O(nodes) skinny rows."""
+    tagged = edges.map_batches(
+        lambda b: _tag_low(b, num_buckets), batch_format="pyarrow",
+        zero_copy_batch=True)
+    wedges = tagged.groupby("_bucket").map_groups(
+        _bucket_wedges, batch_format="pandas")
+
+    def _edge_keys(batch: pa.Table) -> pd.DataFrame:
+        a = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame({"pair": a * np.int64(1 << 31) + b,
+                             "_e": np.ones(len(a), dtype=np.int64)})
+
+    closed = hash_join(
+        wedges,
+        edges.map_batches(_edge_keys, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        on="pair", how="inner", num_buckets=num_buckets,
+        schemas=(pa.schema([("a", pa.int64()), ("pair", pa.int64())]),
+                 pa.schema([("pair", pa.int64()), ("_e", pa.int64())])))
+
+    def _credits(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = batch["pair"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.int64((1 << 31) - 1)
+        return pa.table({"node": pa.array(
+            np.concatenate([a, p >> 31, p & mask]))})
+
+    tri = partial_agg(closed.map_batches(_credits, batch_format="pyarrow",
+                                         zero_copy_batch=True),
+                      ["node"], count_col="tri",
+                      num_buckets=num_buckets, combine="distributed")
+
+    def _ends(batch: pa.Table) -> pa.Table:
+        a = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": pa.array(np.concatenate([a, b]))})
+
+    deg = partial_agg(edges.map_batches(_ends, batch_format="pyarrow",
+                                        zero_copy_batch=True),
+                      ["node"], count_col="degree",
+                      num_buckets=num_buckets, combine="distributed")
+
+    joined = hash_join(
+        deg, tri, on="node", how="left", num_buckets=num_buckets,
+        schemas=(pa.schema([("node", pa.int64()),
+                            ("degree", pa.int64())]),
+                 pa.schema([("node", pa.int64()), ("tri", pa.int64())])))
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "degree" not in df.columns:  # typed empty block
+            return pd.DataFrame({
+                "node": pd.Series([], dtype=np.int64),
+                "degree": pd.Series([], dtype=np.int64),
+                "triangles": pd.Series([], dtype=np.int64),
+                "coeff": pd.Series([], dtype=np.float64)})
+        d = df["degree"].to_numpy(np.int64)
+        t = df["tri"].fillna(0).to_numpy(np.int64)
+        # mirrored float tree: (2.0·tri) / (deg · (deg−1)), 0 if deg<2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = ((2.0 * t.astype(np.float64))
+                 / (d.astype(np.float64) * (d - 1).astype(np.float64)))
+        return pd.DataFrame({"node": df["node"].astype(np.int64),
+                             "degree": d, "triangles": t,
+                             "coeff": np.where(d < 2, 0.0, c)})
+
+    return joined.map_batches(_finish, batch_format="pandas")
 
 
 def _peel_local(df: pd.DataFrame, k: int) -> pd.DataFrame:
