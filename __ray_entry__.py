@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_matrix_lineitem": q.q_corr_matrix_lineitem,
         "pareto_parts": q.q_pareto_parts,
         "clustering_coeff": q.q_clustering_coeff,
+        "zorder_prune_2d": q.q_zorder_prune_2d,
         "discount_revenue": q.q_discount_revenue,
         "late_ship_priority": q.q_late_ship_priority,
         "source_lang_entropy": q.q_source_lang_entropy,
@@ -2950,5 +2951,16 @@ def oracle_sql() -> dict[str, str]:
             "(CAST(d.degree AS DOUBLE) * "
             "CAST(d.degree - 1 AS DOUBLE)) END AS coeff "
             "FROM d LEFT JOIN t ON d.v = t.v"
+        ),
+        # 2-D box question the Z-order layout answers via pruned reads;
+        # the oracle recomputes from the raw table (round-trip proof)
+        "zorder_prune_2d": (
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "SUM(CAST(round(value * 10000.0) AS BIGINT)) / 10000.0 "
+            "AS total FROM events "
+            "WHERE epoch_us(ts) // 86400000000 >= 19727 "
+            "AND epoch_us(ts) // 86400000000 < 19730 "
+            "AND user_id >= 0 AND user_id < 50 "
+            "GROUP BY 1"
         ),
     }

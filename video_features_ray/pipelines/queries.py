@@ -7041,3 +7041,52 @@ def q_clustering_coeff(sf_dir: str):
     out = node_clustering(edges, num_buckets=_edge_width(edges))
     df = out.to_pandas()
     return df.sort_values("node").reset_index(drop=True)
+
+
+def q_zorder_prune_2d(sf_dir: str):
+    """Multi-dimensional data skipping end-to-end: write the event
+    stream Z-ORDER-clustered on (day, user) — each file one quadtree
+    cell, min/max of BOTH columns in the manifest — then answer a
+    (3-day x 50-user) box question through the 2-D pruned read path
+    (files missing the box on EITHER dimension are never opened —
+    asserted) and aggregate per event type.  A single-column sort
+    prunes one dimension only; the Z-curve gives both.  The oracle
+    recomputes from the raw table, proving the round-trip byte-exact
+    (`sources/zonemap.py:write_zordered/read_zordered`)."""
+    import os
+
+    from ..sources.zonemap import read_zordered, write_zordered
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "user_id",
+                                        "value"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        day = (batch["ts"].cast(pa.int64()).to_numpy()
+               // DAY_US).astype(np.int64)
+        v = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                     * 10000.0).astype(np.int64)
+        return pa.table({"event_type": batch["event_type"],
+                         "day": pa.array(day),
+                         "user_id": batch["user_id"].cast(pa.int64()),
+                         "v_s": pa.array(v)})
+
+    out_dir = os.path.join(
+        "/tmp", "vfr_zorder_"
+        + os.path.basename(os.path.normpath(sf_dir)))
+    write_zordered(ds.map_batches(_prep, batch_format="pyarrow"),
+                   out_dir, "day", "user_id", num_files_hint=64)
+
+    pruned, files_read, files_total = read_zordered(
+        out_dir, "day", "user_id", 19727, 19730, 0, 50)
+    assert files_read < files_total, "z-order failed to skip files"
+
+    agg = partial_agg(pruned.select_columns(["event_type", "v_s"]),
+                      ["event_type"], sums=["v_s"],
+                      combine="driver").to_pandas()
+    agg = agg.sort_values("event_type").reset_index(drop=True)
+    return pd.DataFrame({
+        "event_type": agg["event_type"],
+        "n": agg["n"].astype(np.int64),
+        "total": agg["sum_v_s"].astype(np.int64) / 10000.0,
+    })
