@@ -186,6 +186,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_parts": q.q_pareto_parts,
         "clustering_coeff": q.q_clustering_coeff,
         "zorder_prune_2d": q.q_zorder_prune_2d,
+        "spend_concentration": q.q_spend_concentration,
+        "mi_lang_source": q.q_mi_lang_source,
         "discount_revenue": q.q_discount_revenue,
         "late_ship_priority": q.q_late_ship_priority,
         "source_lang_entropy": q.q_source_lang_entropy,
@@ -2962,5 +2964,39 @@ def oracle_sql() -> dict[str, str]:
             "AND epoch_us(ts) // 86400000000 < 19730 "
             "AND user_id >= 0 AND user_id < 50 "
             "GROUP BY 1"
+        ),
+        # Lorenz-curve deciles: int64 spend sums through the cumsum,
+        # shares as single mirrored divisions
+        "spend_concentration": (
+            "WITH t AS (SELECT user_id, "
+            "SUM(CAST(round(value * 10000.0) AS BIGINT)) AS total_s "
+            "FROM events GROUP BY 1), "
+            "d AS (SELECT CAST(NTILE(10) OVER (ORDER BY total_s, "
+            "user_id) AS BIGINT) AS decile, total_s FROM t), "
+            "g AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users, "
+            "CAST(SUM(total_s) AS BIGINT) AS s FROM d GROUP BY 1), "
+            "w AS (SELECT *, SUM(s) OVER (ORDER BY decile) AS cum, "
+            "(SELECT CAST(SUM(s) AS DOUBLE) FROM g) AS tot FROM g) "
+            "SELECT decile, n_users, s / 10000.0 AS spend, "
+            "CAST(s AS DOUBLE) / tot AS share, "
+            "CAST(cum AS DOUBLE) / tot AS cum_share FROM w"
+        ),
+        # MI cells beside the chi-square test: full cross product,
+        # zero-observed cells contribute 0.0, 12-dp rounded
+        "mi_lang_source": (
+            "WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) "
+            "AS n FROM documents GROUP BY 1, 2), "
+            "x AS (SELECT l.lang, s.source, COALESCE(c.n, 0) AS n "
+            "FROM (SELECT DISTINCT lang FROM c) l "
+            "CROSS JOIN (SELECT DISTINCT source FROM c) s "
+            "LEFT JOIN c USING(lang, source)), "
+            "m AS (SELECT *, CAST(SUM(n) OVER (PARTITION BY lang) "
+            "AS DOUBLE) AS rn, CAST(SUM(n) OVER (PARTITION BY source) "
+            "AS DOUBLE) AS sn, CAST((SELECT SUM(n) FROM x) AS DOUBLE) "
+            "AS tn FROM x) "
+            "SELECT lang, source, n, CASE WHEN n > 0 THEN round("
+            "(CAST(n AS DOUBLE) / tn) * log2((CAST(n AS DOUBLE) / tn) "
+            "/ ((rn / tn) * (sn / tn))), 12) ELSE 0.0 END "
+            "AS mi_contrib FROM m"
         ),
     }

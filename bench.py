@@ -310,7 +310,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # round-5b model-eval / skyline / corr-matrix family
         "auc_purchase_value", "calibration_value",
         "corr_matrix_lineitem", "pareto_parts", "clustering_coeff",
-        "zorder_prune_2d",
+        "zorder_prune_2d", "spend_concentration", "mi_lang_source",
     ]
     qs = em.queries()
     import gc

@@ -7090,3 +7090,76 @@ def q_zorder_prune_2d(sf_dir: str):
         "n": agg["n"].astype(np.int64),
         "total": agg["sum_v_s"].astype(np.int64) / 10000.0,
     })
+
+
+def q_spend_concentration(sf_dir: str):
+    """Spend concentration by global decile (the Lorenz-curve table
+    behind `gini_user_spend`): NTILE(10) over per-user totals via the
+    distributed counting-sort scan, then O(10) driver shares — spend
+    sums stay int64 through the cumulative sum, so both divisions are
+    single mirrored float ops."""
+    from ..stages.rank import global_ntile
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "value"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        v = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                     * 10000.0).astype(np.int64)
+        return pa.table({"user_id": batch["user_id"], "v": pa.array(v)})
+
+    totals = partial_agg(ds.map_batches(_prep, batch_format="pyarrow"),
+                         ["user_id"], sums=["v"],
+                         num_buckets=_w(sf_dir, "events"))
+    skinny = totals.map_batches(
+        lambda df: pd.DataFrame({
+            "user_id": df["user_id"].astype(np.int64),
+            "total_s": df["sum_v"].astype(np.int64)}),
+        batch_format="pandas")
+    tiled = global_ntile(skinny, "total_s", "user_id", n=10,
+                         num_buckets=shuffle_width())
+    agg = partial_agg(tiled.select_columns(["tile", "total_s"]),
+                      ["tile"], sums=["total_s"], count_col="n_users",
+                      combine="driver").to_pandas()
+    agg = agg.sort_values("tile").reset_index(drop=True)
+    s = agg["sum_total_s"].astype(np.int64).to_numpy()
+    cum = np.cumsum(s)
+    tot = np.float64(np.int64(s.sum()))
+    return pd.DataFrame({
+        "decile": agg["tile"].astype(np.int64),
+        "n_users": agg["n_users"].astype(np.int64),
+        "spend": s / 10000.0,
+        "share": s.astype(np.float64) / tot,
+        "cum_share": cum.astype(np.float64) / tot})
+
+
+def q_mi_lang_source(sf_dir: str):
+    """Mutual-information cells for lang x source — the
+    feature-selection metric beside the chi-square independence test
+    (`lang_source_independence`), same one count pass and O(cells)
+    driver math: contrib = p_ij·log2(p_ij/(p_i·p_j)) per OBSERVED
+    cell, zero-observed cells emitted with 0.0 (their MI limit), each
+    contribution rounded 12 dp on both sides (the PSI convention) so
+    no order-dependent float sum exists."""
+    from ..stages.joins import partial_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "source"])
+    c = partial_agg(ds, ["lang", "source"], count_col="n",
+                    combine="driver").to_pandas()
+    c["n"] = c["n"].astype(np.int64)
+    langs = sorted(c["lang"].unique())
+    sources = sorted(c["source"].unique())
+    full = pd.MultiIndex.from_product(
+        [langs, sources], names=["lang", "source"]).to_frame(index=False)
+    full = full.merge(c, on=["lang", "source"], how="left")
+    full["n"] = full["n"].fillna(0).astype(np.int64)
+    rn = full.groupby("lang")["n"].transform("sum").to_numpy(np.float64)
+    sn = full.groupby("source")["n"].transform("sum").to_numpy(np.float64)
+    tn = np.float64(np.int64(full["n"].sum()))
+    n = full["n"].to_numpy(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        contrib = (n / tn) * np.log2((n / tn) / ((rn / tn) * (sn / tn)))
+    full["mi_contrib"] = np.round(np.where(n > 0, contrib, 0.0), 12)
+    full["n"] = full["n"].astype(np.int64)
+    return full[["lang", "source", "n", "mi_contrib"]]
