@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_prune_2d": q.q_zorder_prune_2d,
         "spend_concentration": q.q_spend_concentration,
         "mi_lang_source": q.q_mi_lang_source,
+        "cms_type_counts": q.q_cms_type_counts,
         "discount_revenue": q.q_discount_revenue,
         "late_ship_priority": q.q_late_ship_priority,
         "source_lang_entropy": q.q_source_lang_entropy,
@@ -2998,5 +2999,11 @@ def oracle_sql() -> dict[str, str]:
             "(CAST(n AS DOUBLE) / tn) * log2((CAST(n AS DOUBLE) / tn) "
             "/ ((rn / tn) * (sn / tn))), 12) ELSE 0.0 END "
             "AS mi_contrib FROM m"
+        ),
+        # Count-Min estimates: collision-free at this width/key-count,
+        # so the sketch answer equals the exact count (see docstring)
+        "cms_type_counts": (
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS est_n "
+            "FROM events GROUP BY 1"
         ),
     }

@@ -7163,3 +7163,29 @@ def q_mi_lang_source(sf_dir: str):
     full["mi_contrib"] = np.round(np.where(n > 0, contrib, 0.0), 12)
     full["n"] = full["n"].astype(np.int64)
     return full[["lang", "source", "n", "mi_contrib"]]
+
+
+def q_cms_type_counts(sf_dir: str):
+    """Per-type frequency estimates from a distributed COUNT-MIN
+    sketch (`functions/sketches.py:CountMinSketch` — 4x1024 int64
+    counters, one 32 KB partial per batch, driver sum): the
+    heavy-hitter counting sketch whose estimates never undercount.
+    With 5 distinct keys in a 1024-wide row the probe is
+    collision-free, so the driver-checked output EQUALS the exact
+    GROUP BY oracle; collision behavior (overestimate-only, merge ==
+    single-pass) is pinned in tests/test_cms.py with a deliberately
+    tiny width."""
+    from ..functions.sketches import build_cms, cms_estimate
+    from ..stages.joins import partial_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type"])
+    cms = build_cms(ds, "event_type", width=1024, depth=4)
+    # distinct probe keys via an O(types) combine (the sketch answers
+    # point queries; enumeration comes from the exact-distinct pass)
+    types = sorted(partial_agg(ds, ["event_type"], count_col="_n",
+                               combine="driver")
+                   .to_pandas()["event_type"])
+    est = cms_estimate(cms, types)
+    return pd.DataFrame({"event_type": types,
+                         "est_n": est.astype(np.int64)})
