@@ -366,11 +366,13 @@ def node_clustering(
 
     Same oriented wedge-join plan as :func:`triangle_count`, but the
     apex node rides along on every wedge, so each CLOSED wedge (a
-    triangle a<b<c found exactly once) credits all three corners with
-    one flat_map — per-node triangle counts come out of one bucketed
-    count combine, degrees out of another over the exploded endpoints,
-    and a LEFT join (triangle-less nodes keep 0) finishes closed-form.
-    The float division is mirrored token-for-token by the SQL oracle.
+    triangle a<b<c found exactly once) credits all three corners.
+    Degree credits (one per endpoint per edge) UNION with the triangle
+    credits into a single tagged stream, so degrees, per-node triangle
+    counts and the would-be LEFT join all collapse into ONE bucketed
+    sum combine — the whole operator is three shuffles (wedges, the
+    pair join, the credit sum), each moving skinny int64 rows.  The
+    float division is mirrored token-for-token by the SQL oracle.
     Driver holds nothing; output is O(nodes) skinny rows."""
     tagged = edges.map_batches(
         lambda b: _tag_low(b, num_buckets), batch_format="pyarrow",
@@ -392,43 +394,39 @@ def node_clustering(
         schemas=(pa.schema([("a", pa.int64()), ("pair", pa.int64())]),
                  pa.schema([("pair", pa.int64()), ("_e", pa.int64())])))
 
-    def _credits(batch: pa.Table) -> pa.Table:
+    def _tri_credits(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
         p = batch["pair"].to_numpy(zero_copy_only=False).astype(np.int64)
         mask = np.int64((1 << 31) - 1)
-        return pa.table({"node": pa.array(
-            np.concatenate([a, p >> 31, p & mask]))})
+        node = np.concatenate([a, p >> 31, p & mask])
+        return pa.table({"node": pa.array(node),
+                         "d": pa.array(np.zeros(len(node), np.int64)),
+                         "t": pa.array(np.ones(len(node), np.int64))})
 
-    tri = partial_agg(closed.map_batches(_credits, batch_format="pyarrow",
-                                         zero_copy_batch=True),
-                      ["node"], count_col="tri",
-                      num_buckets=num_buckets, combine="distributed")
-
-    def _ends(batch: pa.Table) -> pa.Table:
+    def _deg_credits(batch: pa.Table) -> pa.Table:
         a = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"node": pa.array(np.concatenate([a, b]))})
+        node = np.concatenate([a, b])
+        return pa.table({"node": pa.array(node),
+                         "d": pa.array(np.ones(len(node), np.int64)),
+                         "t": pa.array(np.zeros(len(node), np.int64))})
 
-    deg = partial_agg(edges.map_batches(_ends, batch_format="pyarrow",
-                                        zero_copy_batch=True),
-                      ["node"], count_col="degree",
-                      num_buckets=num_buckets, combine="distributed")
-
-    joined = hash_join(
-        deg, tri, on="node", how="left", num_buckets=num_buckets,
-        schemas=(pa.schema([("node", pa.int64()),
-                            ("degree", pa.int64())]),
-                 pa.schema([("node", pa.int64()), ("tri", pa.int64())])))
+    credits = edges.map_batches(
+        _deg_credits, batch_format="pyarrow", zero_copy_batch=True
+    ).union(closed.map_batches(_tri_credits, batch_format="pyarrow",
+                               zero_copy_batch=True))
+    stats = partial_agg(credits, ["node"], sums=["d", "t"],
+                        num_buckets=num_buckets, combine="distributed")
 
     def _finish(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty or "degree" not in df.columns:  # typed empty block
+        if df.empty or "sum_d" not in df.columns:   # typed empty block
             return pd.DataFrame({
                 "node": pd.Series([], dtype=np.int64),
                 "degree": pd.Series([], dtype=np.int64),
                 "triangles": pd.Series([], dtype=np.int64),
                 "coeff": pd.Series([], dtype=np.float64)})
-        d = df["degree"].to_numpy(np.int64)
-        t = df["tri"].fillna(0).to_numpy(np.int64)
+        d = df["sum_d"].to_numpy(np.int64)
+        t = df["sum_t"].to_numpy(np.int64)
         # mirrored float tree: (2.0·tri) / (deg · (deg−1)), 0 if deg<2
         with np.errstate(divide="ignore", invalid="ignore"):
             c = ((2.0 * t.astype(np.float64))
@@ -437,7 +435,7 @@ def node_clustering(
                              "degree": d, "triangles": t,
                              "coeff": np.where(d < 2, 0.0, c)})
 
-    return joined.map_batches(_finish, batch_format="pandas")
+    return stats.map_batches(_finish, batch_format="pandas")
 
 
 def _peel_local(df: pd.DataFrame, k: int) -> pd.DataFrame:
