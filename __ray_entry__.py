@@ -189,6 +189,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spend_concentration": q.q_spend_concentration,
         "mi_lang_source": q.q_mi_lang_source,
         "cms_type_counts": q.q_cms_type_counts,
+        "readability_docs": q.q_readability_docs,
+        "mad_outliers_value": q.q_mad_outliers_value,
         "discount_revenue": q.q_discount_revenue,
         "late_ship_priority": q.q_late_ship_priority,
         "source_lang_entropy": q.q_source_lang_entropy,
@@ -3005,5 +3007,45 @@ def oracle_sql() -> dict[str, str]:
         "cms_type_counts": (
             "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS est_n "
             "FROM events GROUP BY 1"
+        ),
+        # Flesch-style readability + exact TTR; the engine's counts
+        # restated as split/regexp lengths, float trees mirrored
+        "readability_docs": (
+            "WITH w AS (SELECT doc_id, unnest(string_split("
+            "coalesce(text, ''), ' ')) AS word FROM documents), "
+            "dw AS (SELECT doc_id, CAST(COUNT(DISTINCT word) AS BIGINT) "
+            "AS nd FROM w GROUP BY 1), "
+            "c AS (SELECT doc_id, "
+            "CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) "
+            "AS n_words, "
+            "CAST(len(regexp_extract_all(coalesce(text, ''), "
+            "'[.!?]+')) AS BIGINT) AS n_sentences, "
+            "CAST(len(regexp_extract_all(coalesce(text, ''), "
+            "'[aeiouyAEIOUY]+')) AS BIGINT) AS n_vowel_groups "
+            "FROM documents) "
+            "SELECT CAST(c.doc_id AS VARCHAR) AS doc_id, c.n_words, "
+            "c.n_sentences, c.n_vowel_groups, "
+            "dw.nd AS n_distinct_words, "
+            "206.835 - 1.015 * (CAST(c.n_words AS DOUBLE) "
+            "/ CAST(greatest(c.n_sentences, 1) AS DOUBLE)) "
+            "- 84.6 * (CAST(c.n_vowel_groups AS DOUBLE) "
+            "/ CAST(c.n_words AS DOUBLE)) AS fk_score, "
+            "CAST(dw.nd AS DOUBLE) / CAST(c.n_words AS DOUBLE) AS ttr "
+            "FROM c JOIN dw ON c.doc_id = dw.doc_id"
+        ),
+        # 3-MAD outlier flags on pure integer grids (d2 doubled cents,
+        # mad4 quadrupled) — no float threshold exists to disagree
+        "mad_outliers_value": (
+            "WITH s AS (SELECT event_id, event_type, value, "
+            "CAST(round(value * 100.0) AS BIGINT) AS vc FROM events), "
+            "m AS (SELECT event_type, CAST(round(2 * quantile_cont(vc, "
+            "0.5)) AS BIGINT) AS med2 FROM s GROUP BY 1), "
+            "d AS (SELECT s.*, abs(2 * s.vc - m.med2) AS d2 "
+            "FROM s JOIN m USING(event_type)), "
+            "md AS (SELECT event_type, CAST(round(2 * quantile_cont(d2, "
+            "0.5)) AS BIGINT) AS mad4 FROM d GROUP BY 1) "
+            "SELECT d.event_id, d.event_type, d.value "
+            "FROM d JOIN md USING(event_type) "
+            "WHERE 2 * d.d2 > 3 * md.mad4"
         ),
     }

@@ -311,7 +311,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "auc_purchase_value", "calibration_value",
         "corr_matrix_lineitem", "pareto_parts", "clustering_coeff",
         "zorder_prune_2d", "spend_concentration", "mi_lang_source",
-        "cms_type_counts",
+        "cms_type_counts", "readability_docs", "mad_outliers_value",
     ]
     qs = em.queries()
     import gc

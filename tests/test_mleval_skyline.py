@@ -165,3 +165,30 @@ def test_node_clustering_matches_bruteforce():
         want = 0.0 if d < 2 else 2.0 * tri / (d * (d - 1))
         assert abs(float(row["coeff"]) - want) < 1e-12
     assert set(out["node"]) == set(adj)
+
+
+def test_readability_run_counting_row_boundaries():
+    """A row beginning with punctuation must start its own run even
+    when the previous row ENDED with punctuation (the flat-codepoint
+    carry bug this guards against), and distinct-word counts are
+    exact per row."""
+    import pyarrow as pa
+
+    from video_features_ray.stages.text import readability_stats
+
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["end with dots...", "...start! with? dots.",
+                          "a a b aa a"]),
+    })
+    out = readability_stats(batch).to_pandas()
+    # doc1 ends with "..." and doc2 BEGINS with "..." — in the flat
+    # codepoint stream these are adjacent, and doc2's leading run must
+    # still count (runs: "...", "!", "?", "." -> 4)
+    assert out["n_sentences"].tolist() == [1, 4, 0]
+    assert out["n_words"].tolist() == [3, 3, 5]
+    # doc 3: words = [a a b aa a] -> 3 distinct of 5 words
+    assert out["n_distinct_words"].tolist() == [3, 3, 3]
+    assert abs(out["ttr"][2] - 3 / 5) < 1e-15
+    # vowel groups: e,i,o / a,i,o / a,a,aa,a
+    assert out["n_vowel_groups"].tolist() == [3, 3, 4]

@@ -7189,3 +7189,83 @@ def q_cms_type_counts(sf_dir: str):
     est = cms_estimate(cms, types)
     return pd.DataFrame({"event_type": types,
                          "est_n": est.astype(np.int64)})
+
+
+def q_readability_docs(sf_dir: str):
+    """Per-doc readability / lexical-diversity features (Flesch-style
+    score on the vowel-group syllable proxy + exact type-token ratio;
+    `stages/text.py:readability_stats` — stateless Arrow map, exact
+    dictionary-code distinct words, zero shuffle)."""
+    from ..stages.text import readability_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(readability_stats, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def q_mad_outliers_value(sf_dir: str):
+    """Robust outlier flags — the MAD-rule row filter the curation
+    pipeline runs before training-stat fits: keep events whose value
+    sits more than 3 MADs from their type's median.  Both fits reuse
+    the exact chained-quantile machinery of `mad_value_per_type`, and
+    the comparison happens entirely on integer grids (d2 = |2v−med2|
+    on the doubled cent grid, mad4 = round(2·quantile(d2)) on the
+    quadrupled one; flag iff 2·d2 > 3·mad4), so no float threshold
+    can disagree with the SQL."""
+    import pyarrow.compute as pc
+
+    from ..stages.joins import grouped_quantile_cont
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type",
+                                        "value"])
+
+    def _scale(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_id": batch["event_id"],
+                         "event_type": batch["event_type"],
+                         "value": batch["value"],
+                         "value_c": pa.array(
+                             np.round(v * 100.0).astype(np.int64))})
+
+    scaled = ds.map_batches(_scale, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    w = _w(sf_dir, "events")
+    med = grouped_quantile_cont(scaled, "event_type", "value_c", 0.5,
+                                num_buckets=w)
+    qcol = [c for c in med.columns if c.startswith("q")][0]
+    med2 = {t: np.int64(round(2.0 * m))
+            for t, m in zip(med["event_type"], med[qcol])}
+    types = sorted(med2)
+    m2_arr = np.array([med2[t] for t in types], dtype=np.int64)
+
+    def _dev(batch: pa.Table) -> pa.Table:
+        codes = pc.index_in(batch["event_type"], pa.array(types)
+                            ).to_numpy(zero_copy_only=False)
+        v = batch["value_c"].to_numpy(zero_copy_only=False)
+        d2 = np.abs(2 * v - m2_arr[codes.astype(np.int64)])
+        return pa.table({"event_type": batch["event_type"],
+                         "d2": pa.array(d2.astype(np.int64))})
+
+    dev = scaled.map_batches(_dev, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    mad = grouped_quantile_cont(dev, "event_type", "d2", 0.5,
+                                num_buckets=w)
+    qcol2 = [c for c in mad.columns if c.startswith("q")][0]
+    mad4 = {t: np.int64(round(2.0 * m))
+            for t, m in zip(mad["event_type"], mad[qcol2])}
+    m4_arr = np.array([mad4[t] for t in types], dtype=np.int64)
+
+    def _flag(batch: pa.Table) -> pa.Table:
+        codes = pc.index_in(batch["event_type"], pa.array(types)
+                            ).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch["value_c"].to_numpy(zero_copy_only=False)
+        d2 = np.abs(2 * v - m2_arr[codes])
+        keep = 2 * d2 > 3 * m4_arr[codes]
+        return pa.table({"event_id": batch["event_id"],
+                         "event_type": batch["event_type"],
+                         "value": batch["value"]}).filter(pa.array(keep))
+
+    return scaled.map_batches(_flag, batch_format="pyarrow",
+                              zero_copy_batch=True)

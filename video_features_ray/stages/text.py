@@ -566,3 +566,80 @@ def source_jaccard(
     })
     return (out.sort_values(["source_a", "source_b"], kind="mergesort")
             .reset_index(drop=True))
+
+
+# module-top import (not inside readability_stats): a call-time
+# relative import executes ON THE WORKER, where the by-value-shipped
+# function can't resolve the package (the driver-contract hostile-cwd
+# case) — at module top the symbols ride along in the pickled globals.
+# No cycle: curation never imports text.
+from .curation import _word_codes, _word_table  # noqa: E402
+
+
+def _run_starts(mask: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-row count of MAXIMAL RUNS of mask=True — vectorized: a run
+    starts where mask holds but didn't at the previous position, with
+    the carry broken at every row boundary (a row-initial run is a
+    start regardless of how the previous row ended)."""
+    if len(mask) == 0:
+        return np.zeros(len(offsets) - 1, np.int64)
+    prev = np.concatenate(([False], mask[:-1]))
+    prev[offsets[:-1]] = False
+    return _per_row(mask & ~prev, offsets)
+
+
+def readability_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-document readability / lexical-diversity features — the
+    Flesch-style quality filter over the shared split conventions:
+
+    - ``n_words``    split(' ') incl. empties (token_stats rule)
+    - ``n_sentences`` maximal runs of ``[.!?]``
+    - ``n_vowel_groups`` maximal runs of ``[aeiouyAEIOUY]`` (the
+      classic syllable proxy)
+    - ``n_distinct_words`` EXACT per-row distinct (dictionary codes,
+      no hashing — two words count once iff equal strings)
+    - ``fk_score``  206.835 − 1.015·(words/sentences) −
+      84.6·(vowel_groups/words), sentence count floored at 1
+    - ``ttr``       distinct/words (type-token ratio)
+
+    All counts are exact ints; the two float columns are fixed
+    expression trees mirrored token-for-token by the SQL oracle.
+    Stateless map — no shuffle at any scale."""
+
+    flat, offsets = _codepoints_batch(batch[text_col])
+    n_chars = np.diff(offsets)
+    n_space = _per_row(flat == 32, offsets)
+    n_words = n_space + 1
+    sent_mask = (flat == 46) | (flat == 33) | (flat == 63)     # [.!?]
+    n_sent = _run_starts(sent_mask, offsets)
+    lower = _latin1_lower(flat)
+    vowel_mask = np.isin(lower, np.array(
+        [ord(c) for c in "aeiouy"], dtype=lower.dtype))
+    n_vg = _run_starts(vowel_mask, offsets)
+
+    words, woff = _word_table(batch, text_col)
+    codes = _word_codes(words)
+    n_rows = len(woff) - 1
+    row_of_word = np.repeat(np.arange(n_rows, dtype=np.int64),
+                            np.diff(woff))
+    if len(codes):
+        key = row_of_word * np.int64(int(codes.max()) + 1) + codes
+        uniq = np.unique(key)
+        n_distinct = np.bincount(
+            (uniq // np.int64(int(codes.max()) + 1)).astype(np.int64),
+            minlength=n_rows).astype(np.int64)
+    else:
+        n_distinct = np.zeros(n_rows, np.int64)
+
+    wf = n_words.astype(np.float64)
+    sf = np.maximum(n_sent, 1).astype(np.float64)
+    fk = 206.835 - 1.015 * (wf / sf) - 84.6 * (n_vg / wf)
+    return pa.table({
+        "doc_id": batch["doc_id"].cast(pa.string()),
+        "n_words": pa.array(n_words),
+        "n_sentences": pa.array(n_sent),
+        "n_vowel_groups": pa.array(n_vg),
+        "n_distinct_words": pa.array(n_distinct),
+        "fk_score": pa.array(fk),
+        "ttr": pa.array(n_distinct / wf),
+    })
