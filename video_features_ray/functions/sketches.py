@@ -529,67 +529,6 @@ def token_frequencies(ds: "ray.data.Dataset", top_k: int = 50,
     }).sort_values(["n", "token"], ascending=[False, True]).reset_index(drop=True)
 
 
-class CountMinSketch:
-    """Mergeable Count-Min sketch over uint64 hashes (Cormode &
-    Muthukrishnan): ``depth`` rows of ``width`` int64 counters, row
-    positions by double hashing (the BloomFilter ladder), estimate =
-    min over rows.  Guarantees: estimates NEVER undercount, and
-    overcount ≤ ε·N with probability 1-δ for width=⌈e/ε⌉,
-    depth=⌈ln 1/δ⌉.  Merge = elementwise add (exact — partials from
-    any partitioning sum to the single-pass sketch)."""
-
-    def __init__(self, width: int = 1024, depth: int = 4):
-        self.width = int(width)
-        self.depth = int(depth)
-        self.counts = np.zeros((self.depth, self.width), dtype=np.int64)
-
-    def _positions(self, h: np.ndarray) -> np.ndarray:
-        h1 = h
-        h2 = _mix64(h) | np.uint64(1)
-        with np.errstate(over="ignore"):
-            return np.stack([
-                ((h1 + np.uint64(i) * h2)
-                 % np.uint64(self.width)).astype(np.int64)
-                for i in range(self.depth)])       # (depth, n)
-
-    def add_hashes(self, h: np.ndarray) -> None:
-        pos = self._positions(h)
-        for i in range(self.depth):
-            self.counts[i] += np.bincount(pos[i], minlength=self.width)
-
-    def estimate_hashes(self, h: np.ndarray) -> np.ndarray:
-        pos = self._positions(h)
-        return np.min(
-            np.stack([self.counts[i, pos[i]]
-                      for i in range(self.depth)]), axis=0)
-
-    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
-        assert (self.width, self.depth) == (other.width, other.depth)
-        self.counts += other.counts
-        return self
-
-
-def build_cms(ds: "ray.data.Dataset", col: str,
-              width: int = 1024, depth: int = 4) -> CountMinSketch:
-    """Distributed build: one (depth × width) counter partial per batch
-    (32 KB at the default), summed on the driver — O(blocks) sketch
-    rows move, never keys.  NULLs are skipped (SQL COUNT semantics)."""
-
-    def _partial(batch: pa.Table) -> pa.Table:
-        cms = CountMinSketch(width, depth)
-        h, valid = _hash_values(batch[col], with_valid=True)
-        cms.add_hashes(h[valid])
-        return pa.table({"counts": pa.array([cms.counts.tobytes()],
-                                            pa.binary())})
-
-    parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
-    out = CountMinSketch(width, depth)
-    for raw in parts["counts"]:
-        out.counts += np.frombuffer(raw, dtype=np.int64).reshape(
-            depth, width)
-    return out
-
-
 def cms_estimate(cms: CountMinSketch, values) -> np.ndarray:
     """Point estimates for an Arrow/iterable of keys."""
     h = _hash_values(pa.array(values) if not isinstance(

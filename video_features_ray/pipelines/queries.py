@@ -7175,12 +7175,12 @@ def q_cms_type_counts(sf_dir: str):
     GROUP BY oracle; collision behavior (overestimate-only, merge ==
     single-pass) is pinned in tests/test_cms.py with a deliberately
     tiny width."""
-    from ..functions.sketches import build_cms, cms_estimate
+    from ..functions.sketches import cms_counts, cms_estimate
     from ..stages.joins import partial_agg
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_type"])
-    cms = build_cms(ds, "event_type", width=1024, depth=4)
+    cms = cms_counts(ds, "event_type", width=1024, depth=4)
     # distinct probe keys via an O(types) combine (the sketch answers
     # point queries; enumeration comes from the exact-distinct pass)
     types = sorted(partial_agg(ds, ["event_type"], count_col="_n",

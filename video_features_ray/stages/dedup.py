@@ -769,25 +769,26 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     ).sum(axis=1).astype(np.int64)
 
 
-def simhash_neardup_candidates(
+def hamming_neardup_candidates(
     ds: "ray.data.Dataset",
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    shingle_k: int = 5,
+    id_col: str,
+    hash_col: str,
     hamming_max: int = 3,
     bands: int = 4,
     num_buckets: int = 16,
     cell_cap: int = 256,
 ) -> "ray.data.Dataset":
-    """SimHash near-dup candidate pairs: 64-bit simhash per doc → split
-    into ``bands`` equal bit-bands → docs agreeing EXACTLY on any band
-    collide → per-cell pairs (chain-capped like minhash) → vectorized
-    Hamming verify ≤ ``hamming_max`` → bucketed distinct.
+    """Banded Hamming near-dup candidate pairs over a PRECOMPUTED
+    64-bit hash column (simhash, image dHash, any locality-preserving
+    sketch): split each hash into ``bands`` equal bit-bands → rows
+    agreeing EXACTLY on any band collide → per-cell pairs
+    (chain-capped) → vectorized Hamming verify ≤ ``hamming_max`` →
+    bucketed distinct.
 
     Pigeonhole completeness: a pair within Hamming distance ≤ bands-1
     must agree on at least one band, so recall is EXACTLY 1.0 for
     ``hamming_max ≤ bands - 1`` (default 3 @ 4 bands) — the banded
-    shuffle only moves (id, band, value, simhash) skinny rows.
+    shuffle only moves (id, band, value, hash) skinny rows.
     """
     width = 64 // bands
     mask = np.uint64((1 << width) - 1)
@@ -800,7 +801,8 @@ def simhash_neardup_candidates(
                              "band_val": pa.array([], pa.uint64()),
                              "simhash": pa.array([], pa.uint64()),
                              "_bucket": pa.array([], pa.int32())})
-        sh = batch_simhash64(batch[text_col], shingle_k)
+        sh = batch[hash_col].cast(pa.uint64()).to_numpy(
+            zero_copy_only=False).astype(np.uint64)
         shifts = (np.arange(bands, dtype=np.uint64) * np.uint64(width))
         vals = ((sh[:, None] >> shifts[None, :]) & mask).reshape(-1)
         band_id = np.tile(np.arange(bands, dtype=np.int32), n)
@@ -861,6 +863,32 @@ def simhash_neardup_candidates(
     pairs = sketched.groupby("_bucket").map_groups(_pairs_bucket,
                                                    batch_format="pandas")
     return pairs.groupby("_pb").map_groups(_distinct, batch_format="pandas")
+
+
+def simhash_neardup_candidates(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    hamming_max: int = 3,
+    bands: int = 4,
+    num_buckets: int = 16,
+    cell_cap: int = 256,
+) -> "ray.data.Dataset":
+    """SimHash near-dup candidate pairs: 64-bit simhash per doc, then
+    the shared banded-Hamming plan (:func:`hamming_neardup_candidates`
+    — same pigeonhole-completeness guarantee, same skinny shuffle)."""
+
+    def _hashes(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: batch[id_col].cast(pa.string()),
+            "h64": pa.array(batch_simhash64(batch[text_col], shingle_k),
+                            pa.uint64())})
+
+    return hamming_neardup_candidates(
+        ds.map_batches(_hashes, batch_format="pyarrow", batch_size=1024),
+        id_col, "h64", hamming_max=hamming_max, bands=bands,
+        num_buckets=num_buckets, cell_cap=cell_cap)
 
 
 # ---------------------------------------------------------------------------

@@ -37,6 +37,7 @@ import wave
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 MEDIA_SCHEMA = pa.schema(
@@ -371,3 +372,52 @@ def decode_pipeline(ds: "ray.data.Dataset", concurrency: int = 4,
         return split_deadletters(out)
     good, _dead = split_deadletters(out, materialize=False)
     return good
+
+
+def dhash64(img: np.ndarray) -> np.uint64:
+    """Perceptual difference-hash of an image (any HxWx3 uint8): mean
+    the channels to grayscale, nearest-resize to 8x9, take the 64
+    horizontal-gradient sign bits.  Near-duplicate images (re-encodes,
+    small crops/noise) land within a few Hamming bits."""
+    g = img.astype(np.uint16).mean(axis=2)
+    small = resize_nearest(g, 8, 9)
+    bits = (small[:, 1:] > small[:, :-1]).reshape(-1)
+    return np.uint64(
+        int.from_bytes(np.packbits(bits).tobytes(), "big"))
+
+
+def image_dhash_stage(batch: pa.Table) -> pa.Table:
+    """Stateless map: decode each P6 PPM payload (pure numpy — the
+    REAL codec path) and emit its 64-bit dHash.  Non-image rows are
+    dropped; undecodable payloads dead-letter upstream via
+    MediaDecoder's isolation when composed behind it."""
+    keep = pc.equal(batch["media_type"], "image")
+    imgs = batch.filter(keep)
+    ids, hashes = [], []
+    for mid, payload in zip(imgs["media_id"].to_pylist(),
+                            imgs["payload"].to_pylist()):
+        ids.append(mid)
+        hashes.append(dhash64(decode_ppm(payload)))
+    return pa.table({"media_id": pa.array(ids, pa.string()),
+                     "dhash": pa.array(np.array(hashes, np.uint64),
+                                       pa.uint64())})
+
+
+def image_neardup_candidates(
+    ds: "ray.data.Dataset",
+    hamming_max: int = 3,
+    bands: int = 4,
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Image near-duplicate candidate pairs: dHash per decoded image,
+    then the SHARED banded-Hamming plan (`stages/dedup.py:
+    hamming_neardup_candidates` — pigeonhole-complete for
+    hamming_max ≤ bands-1).  The payload bytes never shuffle: only
+    (id, band, value, hash) rows move, exactly the multimodal scale
+    discipline (decode in the map, dedup on the sketch)."""
+    from .dedup import hamming_neardup_candidates
+
+    hashes = ds.map_batches(image_dhash_stage, batch_format="pyarrow")
+    return hamming_neardup_candidates(
+        hashes, "media_id", "dhash", hamming_max=hamming_max,
+        bands=bands, num_buckets=num_buckets)
