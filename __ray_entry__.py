@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_type_counts": q.q_cms_type_counts,
         "readability_docs": q.q_readability_docs,
         "mad_outliers_value": q.q_mad_outliers_value,
+        "knn_label_accuracy": q.q_knn_label_accuracy,
         "discount_revenue": q.q_discount_revenue,
         "late_ship_priority": q.q_late_ship_priority,
         "source_lang_entropy": q.q_source_lang_entropy,
@@ -3047,5 +3048,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.event_id, d.event_type, d.value "
             "FROM d JOIN md USING(event_type) "
             "WHERE 2 * d.d2 > 3 * md.mad4"
+        ),
+        # leave-one-out 1-NN label accuracy; rank order robust to
+        # low-bit cosine noise (the similarity_topk precedent), ties
+        # toward the smaller neighbor id on both sides
+        "knn_label_accuracy": (
+            "WITH e AS (SELECT vec_id, label, "
+            "CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "s AS (SELECT a.vec_id, a.label, b.vec_id AS bid, "
+            "b.label AS blabel, list_cosine_similarity(a.v, b.v) AS "
+            "sim FROM e a JOIN e b ON a.vec_id <> b.vec_id), "
+            "nn AS (SELECT vec_id, label, blabel, row_number() OVER "
+            "(PARTITION BY vec_id ORDER BY sim DESC, bid) AS rn "
+            "FROM s) "
+            "SELECT CAST(label AS BIGINT) AS label, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(CAST(label = blabel AS INT)) AS BIGINT) AS "
+            "correct, CAST(SUM(CAST(label = blabel AS INT)) AS DOUBLE) "
+            "/ CAST(COUNT(*) AS DOUBLE) AS accuracy "
+            "FROM nn WHERE rn = 1 GROUP BY 1"
         ),
     }

@@ -7269,3 +7269,15 @@ def q_mad_outliers_value(sf_dir: str):
 
     return scaled.map_batches(_flag, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def q_knn_label_accuracy(sf_dir: str):
+    """Leave-one-out 1-NN label accuracy over the embeddings table —
+    the embedding-quality eval (`stages/similarity.py:
+    knn_label_accuracy`: block-packed corpus refs, actor-held matrix,
+    one matmul per block; driver holds O(labels) rows)."""
+    from ..stages.similarity import knn_label_accuracy
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding", "label"])
+    return knn_label_accuracy(ds, dim=64)

@@ -368,3 +368,95 @@ def ivfpq_topk(
                                             zero_copy_batch=True)
     return pq_topk_rerank(pruned, vectors, pq_codebooks, query, k=k,
                           shortlist=shortlist, id_col=id_col, vec_col=vec_col)
+
+
+def knn_label_accuracy(
+    ds: "ray.data.Dataset",
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> pd.DataFrame:
+    """Leave-one-out 1-NN label accuracy over an embedding column —
+    the embedding-quality eval (does nearest-neighbor structure
+    predict the label?).
+
+    Plan: each input block packs its (ids, labels, L2-normalized
+    f64 vectors) into ONE object-store cell; an actor pool assembles
+    the corpus matrix from those block refs in ``__init__`` (the
+    cosine_pairs discipline — the driver never holds a vector) and
+    streams the same blocks back through as queries, computing one
+    (batch × corpus) matmul per batch with the self-column masked.
+    Ties break toward the smallest neighbor id (corpus columns are
+    id-sorted, argmax takes the first maximum), mirroring the
+    oracle's ``ORDER BY sim DESC, id``.  Output: per label n /
+    correct / accuracy (one mirrored division).
+
+    Scale bound (documented): every actor holds the full N×dim f64
+    matrix — fine to ~10⁷ rows at dim 64 (~5 GB); past that switch to
+    the row-block × col-block task grid exactly as cosine_pairs does.
+    """
+    from .joins import partial_agg
+
+    def _pack(batch: pa.Table) -> pa.Table:
+        mat = _to_matrix(batch[vec_col], dim).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        labels = batch[label_col].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "ids": pa.array([ids.tobytes()], pa.binary()),
+            "labels": pa.array([labels.tobytes()], pa.binary()),
+            "mat": pa.array([np.ascontiguousarray(mat).tobytes()],
+                            pa.binary())})
+
+    packed = ds.map_batches(_pack, batch_format="pyarrow").materialize()
+    refs = packed.to_arrow_refs()
+
+    class _Nn:
+        def __init__(self):
+            tables = ray.get(list(refs))
+            ids, labels, mats = [], [], []
+            for t in tables:
+                for i in range(len(t)):
+                    ids.append(np.frombuffer(t["ids"][i].as_py(),
+                                             np.int64))
+                    labels.append(np.frombuffer(t["labels"][i].as_py(),
+                                                np.int64))
+                    m = np.frombuffer(t["mat"][i].as_py(), np.float64)
+                    mats.append(m.reshape(-1, dim))
+            all_ids = np.concatenate(ids)
+            order = np.argsort(all_ids, kind="stable")  # tie rule: id asc
+            self.ids = all_ids[order]
+            self.labels = np.concatenate(labels)[order]
+            self.mat = np.concatenate(mats)[order].T    # dim × N
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.frombuffer(batch["ids"][0].as_py(), np.int64)
+            labels = np.frombuffer(batch["labels"][0].as_py(), np.int64)
+            q = np.frombuffer(batch["mat"][0].as_py(),
+                              np.float64).reshape(-1, dim)
+            sims = q @ self.mat                        # batch × N
+            pos = np.searchsorted(self.ids, ids)
+            hit = (pos < len(self.ids)) & (self.ids[
+                np.minimum(pos, len(self.ids) - 1)] == ids)
+            sims[np.flatnonzero(hit),
+                 pos[hit]] = -np.inf                   # mask self
+            nn = np.argmax(sims, axis=1)               # first max = min id
+            correct = (self.labels[nn] == labels).astype(np.int64)
+            return pa.table({"label": pa.array(labels),
+                             "c": pa.array(correct)})
+
+    scored = packed.map_batches(_Nn, batch_format="pyarrow",
+                                batch_size=1, concurrency=(1, 4))
+    agg = partial_agg(scored, ["label"], sums=["c"],
+                      combine="driver").to_pandas()
+    agg = agg.sort_values("label").reset_index(drop=True)
+    n = agg["n"].astype(np.int64).to_numpy()
+    c = agg["sum_c"].astype(np.int64).to_numpy()
+    return pd.DataFrame({"label": agg["label"].astype(np.int64),
+                         "n": n, "correct": c,
+                         "accuracy": c.astype(np.float64)
+                         / n.astype(np.float64)})
