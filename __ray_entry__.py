@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability_docs": q.q_readability_docs,
         "mad_outliers_value": q.q_mad_outliers_value,
         "knn_label_accuracy": q.q_knn_label_accuracy,
+        "user_daily_grid": q.q_user_daily_grid,
         "discount_revenue": q.q_discount_revenue,
         "late_ship_priority": q.q_late_ship_priority,
         "source_lang_entropy": q.q_source_lang_entropy,
@@ -3067,5 +3068,21 @@ def oracle_sql() -> dict[str, str]:
             "correct, CAST(SUM(CAST(label = blabel AS INT)) AS DOUBLE) "
             "/ CAST(COUNT(*) AS DOUBLE) AS accuracy "
             "FROM nn WHERE rn = 1 GROUP BY 1"
+        ),
+        # dense per-user daily grid with last-known-value carry;
+        # day-internal ties to the latest (ts, event_id)
+        "user_daily_grid": (
+            "WITH s AS (SELECT user_id, epoch_us(ts) // 86400000000 "
+            "AS day, ts, event_id, value FROM events), "
+            "l AS (SELECT user_id, day, value FROM (SELECT *, "
+            "row_number() OVER (PARTITION BY user_id, day ORDER BY "
+            "ts DESC, event_id DESC) AS rn FROM s) WHERE rn = 1), "
+            "b AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 "
+            "FROM s GROUP BY 1), "
+            "g AS (SELECT user_id, unnest(generate_series(d0, d1)) "
+            "AS day FROM b) "
+            "SELECT g.user_id, CAST(g.day AS BIGINT) AS day, l.value "
+            "FROM g ASOF LEFT JOIN l ON g.user_id = l.user_id "
+            "AND g.day >= l.day"
         ),
     }

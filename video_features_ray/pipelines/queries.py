@@ -7281,3 +7281,73 @@ def q_knn_label_accuracy(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding", "label"])
     return knn_label_accuracy(ds, dim=64)
+
+
+def q_user_daily_grid(sf_dir: str):
+    """Align each user's irregular event stream to a dense DAILY grid
+    with forward-fill — the feature-store time-grid op (training rows
+    need one value per (entity, period), not one per event): per-user
+    span densification + last-known-value carry, ONE user-bucketed
+    shuffle, fully vectorized across a bucket's users (segment-offset
+    searchsorted, no per-user Python).  Day-internal ties resolve to
+    the latest (ts, event_id) — mirrored by the oracle's ASOF join
+    over per-day last values."""
+    from ..stages.events import with_bucket
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "value"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        day = (batch["ts"].cast(pa.int64()).to_numpy()
+               // DAY_US).astype(np.int64)
+        return pa.table({"user_id": batch["user_id"],
+                         "day": pa.array(day),
+                         "ts_us": batch["ts"].cast(pa.int64()),
+                         "event_id": batch["event_id"],
+                         "value": batch["value"]})
+
+    tagged = with_bucket(ds.map_batches(_prep, batch_format="pyarrow",
+                                        zero_copy_batch=True),
+                         "user_id", _w(sf_dir, "events"))
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                              "day": pd.Series([], dtype=np.int64),
+                              "value": pd.Series([], dtype=np.float64)})
+        if df.empty or "user_id" not in df.columns:
+            return empty
+        # per (user, day) LAST value by (ts, event_id)
+        df = df.sort_values(["user_id", "day", "ts_us", "event_id"],
+                            kind="mergesort")
+        u = df["user_id"].to_numpy(np.int64)
+        d = df["day"].to_numpy(np.int64)
+        v = df["value"].to_numpy(np.float64)
+        last = np.concatenate([(u[1:] != u[:-1]) | (d[1:] != d[:-1]),
+                               [True]])
+        lu, ld, lv = u[last], d[last], v[last]
+        # per-user day span -> dense grid (vectorized across users)
+        ustarts = np.flatnonzero(np.concatenate(([True],
+                                                 lu[1:] != lu[:-1])))
+        uends = np.concatenate([ustarts[1:], [len(lu)]])
+        d0 = ld[ustarts]
+        d1 = ld[uends - 1]
+        span = d1 - d0 + 1
+        grid_user = np.repeat(lu[ustarts], span)
+        grid_rank = np.repeat(np.arange(len(ustarts)), span)
+        grid_day = (np.arange(int(span.sum()), dtype=np.int64)
+                    - np.repeat(np.cumsum(span) - span, span)
+                    + np.repeat(d0, span))
+        # ffill: searchsorted over (rank<<32 | day) keys on both sides
+        BIG = np.int64(1) << np.int64(32)
+        rank_of_row = np.repeat(np.arange(len(ustarts)), uends - ustarts)
+        src_key = rank_of_row * BIG + ld
+        grid_key = grid_rank * BIG + grid_day
+        idx = np.searchsorted(src_key, grid_key, side="right") - 1
+        return pd.DataFrame({"user_id": grid_user,
+                             "day": grid_day,
+                             "value": lv[idx]})
+
+    out = tagged.groupby("_bucket").map_groups(_grid,
+                                               batch_format="pandas")
+    return out
