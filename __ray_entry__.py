@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers_value": q.q_mad_outliers_value,
         "knn_label_accuracy": q.q_knn_label_accuracy,
         "user_daily_grid": q.q_user_daily_grid,
+        "ks_value_drift": q.q_ks_value_drift,
         "discount_revenue": q.q_discount_revenue,
         "late_ship_priority": q.q_late_ship_priority,
         "source_lang_entropy": q.q_source_lang_entropy,
@@ -3084,5 +3085,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT g.user_id, CAST(g.day AS BIGINT) AS day, l.value "
             "FROM g ASOF LEFT JOIN l ON g.user_id = l.user_id "
             "AND g.day >= l.day"
+        ),
+        # two-sample KS drift: integer argmax over the joint CDF,
+        # ties to the smallest value, one mirrored division
+        "ks_value_drift": (
+            "WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+            "CAST(round(value * 100.0) AS BIGINT) AS vc FROM events), "
+            "bo AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d), "
+            "s AS (SELECT CAST(day >= (d0 + d1 + 1) // 2 AS BIGINT) "
+            "AS half, vc FROM d, bo), "
+            "c AS (SELECT vc, SUM(CAST(half = 0 AS BIGINT)) AS a, "
+            "SUM(CAST(half = 1 AS BIGINT)) AS bb FROM s GROUP BY 1), "
+            "w AS (SELECT vc, SUM(a) OVER (ORDER BY vc) AS ca, "
+            "SUM(bb) OVER (ORDER BY vc) AS cb FROM c), "
+            "t AS (SELECT CAST(SUM(a) AS BIGINT) AS na, "
+            "CAST(SUM(bb) AS BIGINT) AS nb FROM c), "
+            "m AS (SELECT w.vc, abs(ca * nb - cb * na) AS diff "
+            "FROM w, t), "
+            "best AS (SELECT vc, diff FROM m ORDER BY diff DESC, vc "
+            "LIMIT 1) "
+            "SELECT t.na AS n_a, t.nb AS n_b, "
+            "best.vc / 100.0 AS at_value, "
+            "CAST(best.diff AS DOUBLE) / (CAST(t.na AS DOUBLE) * "
+            "CAST(t.nb AS DOUBLE)) AS ks_stat FROM best, t"
         ),
     }

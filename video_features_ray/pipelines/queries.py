@@ -7351,3 +7351,61 @@ def q_user_daily_grid(sf_dir: str):
     out = tagged.groupby("_bucket").map_groups(_grid,
                                                batch_format="pandas")
     return out
+
+
+def q_ks_value_drift(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov drift statistic between the
+    chronological halves of the event stream (PSI's sibling on the
+    CENT-exact value CDF): D = max over distinct values of
+    |F_a(v) - F_b(v)|.  The argmax runs entirely in integers —
+    |c_a(v)·n_b - c_b(v)·n_a| with Python-int cumulatives so nothing
+    wraps — and the single final division mirrors the SQL, so the
+    float D is bit-stable.  One (half, value) count shuffle; the
+    driver walks the O(distinct values) CDF."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "value"])
+
+    def _day(batch: pa.Table) -> pd.DataFrame:
+        d = batch["ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // DAY_US
+        return pd.DataFrame({"one": np.ones(len(d), dtype=np.int64),
+                             "day": d})
+
+    days = partial_agg(ds.map_batches(_day, batch_format="pyarrow"),
+                       ["one"], mins=["day"], maxs=["day"],
+                       combine="driver").to_pandas()
+    split = (np.int64(days["min_day"].iloc[0])
+             + np.int64(days["max_day"].iloc[0]) + 1) // 2
+
+    def _vals(batch: pa.Table) -> pd.DataFrame:
+        d = batch["ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // DAY_US
+        v = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        return pd.DataFrame({"half": (d >= split).astype(np.int64),
+                             "vc": v})
+
+    c = partial_agg(ds.map_batches(_vals, batch_format="pyarrow"),
+                    ["half", "vc"],
+                    num_buckets=_skinny_w(sf_dir, "events", 24),
+                    combine="distributed").to_pandas()
+    c["n"] = c["n"].astype(np.int64)
+    piv = (c.pivot_table(index="vc", columns="half", values="n",
+                         aggfunc="sum", fill_value=0)
+           .reindex(columns=[0, 1], fill_value=0).sort_index())
+    ca = piv[0].to_numpy(np.int64).cumsum()
+    cb = piv[1].to_numpy(np.int64).cumsum()
+    na, nb = int(ca[-1]), int(cb[-1])
+    # integer argmax of |ca*nb - cb*na| (Python ints via object walk
+    # are unnecessary: ca<=n_rows, products bounded by n^2 — guard it)
+    lim = np.iinfo(np.int64).max
+    assert na == 0 or nb == 0 or (max(na, nb) <= lim // max(na, nb, 1)), \
+        "ks_value_drift: count product would overflow int64"
+    diff = np.abs(ca * np.int64(nb) - cb * np.int64(na))
+    k = int(np.argmax(diff))  # first max = smallest value (tie rule)
+    d_stat = (float(np.int64(diff[k]))
+              / (float(np.int64(na)) * float(np.int64(nb))))
+    return pd.DataFrame({
+        "n_a": [np.int64(na)], "n_b": [np.int64(nb)],
+        "at_value": [np.int64(piv.index.to_numpy(np.int64)[k]) / 100.0],
+        "ks_stat": [np.float64(d_stat)]})
