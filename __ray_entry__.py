@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_label_accuracy": q.q_knn_label_accuracy,
         "user_daily_grid": q.q_user_daily_grid,
         "ks_value_drift": q.q_ks_value_drift,
+        "cusum_daily_events": q.q_cusum_daily_events,
         "discount_revenue": q.q_discount_revenue,
         "late_ship_priority": q.q_late_ship_priority,
         "source_lang_entropy": q.q_source_lang_entropy,
@@ -3108,5 +3109,29 @@ def oracle_sql() -> dict[str, str]:
             "best.vc / 100.0 AS at_value, "
             "CAST(best.diff AS DOUBLE) / (CAST(t.na AS DOUBLE) * "
             "CAST(t.nb AS DOUBLE)) AS ks_stat FROM best, t"
+        ),
+        # CUSUM change point on the zero-filled day spine; integer
+        # argmax |D*C_k - N*k|, ties to the earliest day
+        "cusum_daily_events": (
+            "WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day "
+            "FROM events), "
+            "b AS (SELECT MIN(day) AS d0, MAX(day) AS d1, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM d), "
+            "sp AS (SELECT unnest(generate_series(d0, d1)) AS day "
+            "FROM b), "
+            "c AS (SELECT sp.day, CAST(COUNT(d.day) AS BIGINT) AS nd "
+            "FROM sp LEFT JOIN d ON sp.day = d.day GROUP BY 1), "
+            "w AS (SELECT day, SUM(nd) OVER (ORDER BY day) AS ck, "
+            "row_number() OVER (ORDER BY day) AS k FROM c), "
+            "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd_days, "
+            "(SELECT n FROM b) AS total FROM c), "
+            "m AS (SELECT w.day, abs(t.nd_days * w.ck "
+            "- t.total * w.k) AS stat FROM w, t), "
+            "best AS (SELECT day, stat FROM m ORDER BY stat DESC, day "
+            "LIMIT 1) "
+            "SELECT t.nd_days AS n_days, t.total, "
+            "CAST(best.day AS BIGINT) AS at_day, "
+            "CAST(best.stat AS DOUBLE) / (CAST(t.nd_days AS DOUBLE) * "
+            "CAST(t.total AS DOUBLE)) AS cusum FROM best, t"
         ),
     }

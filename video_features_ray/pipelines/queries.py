@@ -7409,3 +7409,42 @@ def q_ks_value_drift(sf_dir: str):
         "n_a": [np.int64(na)], "n_b": [np.int64(nb)],
         "at_value": [np.int64(piv.index.to_numpy(np.int64)[k]) / 100.0],
         "ks_stat": [np.float64(d_stat)]})
+
+
+def q_cusum_daily_events(sf_dir: str):
+    """Change-point detection on the daily event-count series — the
+    pipeline-health monitor: the day where the cumulative deviation
+    from a uniform rate peaks.  With D days and N total events, the
+    statistic max_k |D·C_k - N·k| (C_k = events in the first k days,
+    zero-count days included) is INTEGER-exact end-to-end — argmax
+    ties resolve to the earliest day — and only the final
+    normalisation |·|/(D·N) is a float, mirrored by the SQL.  One
+    O(days) count combine; the driver walks the day spine."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts"])
+
+    def _day(batch: pa.Table) -> pd.DataFrame:
+        d = batch["ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // DAY_US
+        return pd.DataFrame({"day": d})
+
+    c = partial_agg(ds.map_batches(_day, batch_format="pyarrow"),
+                    ["day"], combine="driver").to_pandas()
+    c = c.sort_values("day").reset_index(drop=True)
+    days = c["day"].to_numpy(np.int64)
+    n = c["n"].to_numpy(np.int64)
+    d0, d1 = int(days[0]), int(days[-1])
+    spine = np.arange(d0, d1 + 1, dtype=np.int64)
+    dense = np.zeros(len(spine), np.int64)
+    dense[days - d0] = n
+    D = np.int64(len(spine))
+    N = np.int64(dense.sum())
+    ck = dense.cumsum()
+    k = np.arange(1, len(spine) + 1, dtype=np.int64)
+    stat = np.abs(D * ck - N * k)          # exact ints (D,N ~ 1e5 max)
+    j = int(np.argmax(stat))               # first max = earliest day
+    return pd.DataFrame({
+        "n_days": [D], "total": [N],
+        "at_day": [np.int64(spine[j])],
+        "cusum": [np.float64(float(np.int64(stat[j]))
+                             / (float(D) * float(N)))]})
