@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_daily_grid": q.q_user_daily_grid,
         "ks_value_drift": q.q_ks_value_drift,
         "cusum_daily_events": q.q_cusum_daily_events,
+        "user_daily_interp": q.q_user_daily_interp,
         "discount_revenue": q.q_discount_revenue,
         "late_ship_priority": q.q_late_ship_priority,
         "source_lang_entropy": q.q_source_lang_entropy,
@@ -3133,5 +3134,28 @@ def oracle_sql() -> dict[str, str]:
             "CAST(best.day AS BIGINT) AS at_day, "
             "CAST(best.stat AS DOUBLE) / (CAST(t.nd_days AS DOUBLE) * "
             "CAST(t.total AS DOUBLE)) AS cusum FROM best, t"
+        ),
+        # daily grid with LINEAR interpolation between observed days;
+        # backward+forward ASOF pair, one mirrored float expression
+        "user_daily_interp": (
+            "WITH s AS (SELECT user_id, epoch_us(ts) // 86400000000 "
+            "AS day, ts, event_id, value FROM events), "
+            "l AS (SELECT user_id, day, value FROM (SELECT *, "
+            "row_number() OVER (PARTITION BY user_id, day ORDER BY "
+            "ts DESC, event_id DESC) AS rn FROM s) WHERE rn = 1), "
+            "b AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 "
+            "FROM s GROUP BY 1), "
+            "g AS (SELECT user_id, unnest(generate_series(d0, d1)) "
+            "AS day FROM b), "
+            "p AS (SELECT g.user_id, g.day, l.day AS pd, l.value AS "
+            "pv FROM g ASOF LEFT JOIN l ON g.user_id = l.user_id "
+            "AND g.day >= l.day), "
+            "x AS (SELECT p.*, l.day AS nd, l.value AS nv FROM p "
+            "ASOF LEFT JOIN l ON p.user_id = l.user_id "
+            "AND p.day <= l.day) "
+            "SELECT user_id, CAST(day AS BIGINT) AS day, "
+            "CASE WHEN nd = pd THEN pv ELSE pv + (nv - pv) * "
+            "(CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE)) END "
+            "AS value FROM x"
         ),
     }

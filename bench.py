@@ -313,7 +313,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "zorder_prune_2d", "spend_concentration", "mi_lang_source",
         "cms_type_counts", "readability_docs", "mad_outliers_value",
         "knn_label_accuracy", "user_daily_grid", "ks_value_drift",
-        "cusum_daily_events",
+        "cusum_daily_events", "user_daily_interp",
     ]
     qs = em.queries()
     import gc

@@ -7448,3 +7448,75 @@ def q_cusum_daily_events(sf_dir: str):
         "at_day": [np.int64(spine[j])],
         "cusum": [np.float64(float(np.int64(stat[j]))
                              / (float(D) * float(N)))]})
+
+
+def q_user_daily_interp(sf_dir: str):
+    """`user_daily_grid`'s linear-interpolation sibling: missing days
+    take the straight line between the surrounding observed days
+    (time-series resampling for model features, vs the grid's
+    last-known-value carry).  Same ONE user-bucketed shuffle and
+    segment-offset searchsorted — the forward neighbor is a second
+    side="left" probe of the same key array; the single float
+    expression pv + (nv-pv)·((day-pd)/(nd-pd)) is mirrored by the
+    oracle's backward+forward ASOF join pair."""
+    from ..stages.events import with_bucket
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "value"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        day = (batch["ts"].cast(pa.int64()).to_numpy()
+               // DAY_US).astype(np.int64)
+        return pa.table({"user_id": batch["user_id"],
+                         "day": pa.array(day),
+                         "ts_us": batch["ts"].cast(pa.int64()),
+                         "event_id": batch["event_id"],
+                         "value": batch["value"]})
+
+    tagged = with_bucket(ds.map_batches(_prep, batch_format="pyarrow",
+                                        zero_copy_batch=True),
+                         "user_id", _w(sf_dir, "events"))
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                              "day": pd.Series([], dtype=np.int64),
+                              "value": pd.Series([], dtype=np.float64)})
+        if df.empty or "user_id" not in df.columns:
+            return empty
+        df = df.sort_values(["user_id", "day", "ts_us", "event_id"],
+                            kind="mergesort")
+        u = df["user_id"].to_numpy(np.int64)
+        d = df["day"].to_numpy(np.int64)
+        v = df["value"].to_numpy(np.float64)
+        last = np.concatenate([(u[1:] != u[:-1]) | (d[1:] != d[:-1]),
+                               [True]])
+        lu, ld, lv = u[last], d[last], v[last]
+        ustarts = np.flatnonzero(np.concatenate(([True],
+                                                 lu[1:] != lu[:-1])))
+        uends = np.concatenate([ustarts[1:], [len(lu)]])
+        d0, d1 = ld[ustarts], ld[uends - 1]
+        span = d1 - d0 + 1
+        grid_user = np.repeat(lu[ustarts], span)
+        grid_rank = np.repeat(np.arange(len(ustarts)), span)
+        grid_day = (np.arange(int(span.sum()), dtype=np.int64)
+                    - np.repeat(np.cumsum(span) - span, span)
+                    + np.repeat(d0, span))
+        BIG = np.int64(1) << np.int64(32)
+        rank_of_row = np.repeat(np.arange(len(ustarts)), uends - ustarts)
+        src_key = rank_of_row * BIG + ld
+        grid_key = grid_rank * BIG + grid_day
+        prev = np.searchsorted(src_key, grid_key, side="right") - 1
+        nxt = np.searchsorted(src_key, grid_key, side="left")
+        pd_, pv = ld[prev], lv[prev]
+        nd_, nv = ld[nxt], lv[nxt]
+        same = nd_ == pd_
+        with np.errstate(divide="ignore", invalid="ignore"):
+            interp = pv + (nv - pv) * ((grid_day - pd_).astype(np.float64)
+                                       / (nd_ - pd_).astype(np.float64))
+        return pd.DataFrame({"user_id": grid_user,
+                             "day": grid_day,
+                             "value": np.where(same, pv, interp)})
+
+    return tagged.groupby("_bucket").map_groups(_grid,
+                                                batch_format="pandas")
