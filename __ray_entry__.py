@@ -366,6 +366,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q.q_embedding_neardup,
         "kmeans_centroids": q.q_kmeans_centroids,
         "media_decode": q.q_media_decode,
+        # round-5c additions (oracled; behind the rotation window)
+        "mannwhitney_value": q.q_mannwhitney_value,
+        "spearman_qty_price": q.q_spearman_qty_price,
+        "dow_seasonality": q.q_dow_seasonality,
+        "hhi_supplier_nation": q.q_hhi_supplier_nation,
+        "mann_kendall_daily": q.q_mann_kendall_daily,
+        "followed_within_1h": q.q_followed_within_1h,
     }
 
 def _langid_oracle_sql() -> str:
@@ -3157,5 +3164,112 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN nd = pd THEN pv ELSE pv + (nv - pv) * "
             "(CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE)) END "
             "AS value FROM x"
+        ),
+        # Mann-Whitney U between chronological halves: doubled average
+        # ranks keep everything integer (HUGEINT sums); /2 and the AUC
+        # division are the two mirrored float ops
+        "mannwhitney_value": (
+            "WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+            "CAST(round(value * 100.0) AS BIGINT) AS vc FROM events), "
+            "bo AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d), "
+            "s AS (SELECT CAST(day >= (d0 + d1 + 1) // 2 AS BIGINT) "
+            "AS half, vc FROM d, bo), "
+            "c AS (SELECT vc, SUM(CAST(half = 0 AS BIGINT)) AS a, "
+            "SUM(CAST(half = 1 AS BIGINT)) AS bb FROM s GROUP BY 1), "
+            "w AS (SELECT vc, a, bb, a + bb AS t, "
+            "COALESCE(SUM(a + bb) OVER (ORDER BY vc ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cl FROM c), "
+            "t AS (SELECT CAST(SUM(a) AS BIGINT) AS na, "
+            "CAST(SUM(bb) AS BIGINT) AS nb FROM c), "
+            "r AS (SELECT SUM(a * (2 * cl + t + 1)) AS r2a FROM w) "
+            "SELECT na AS n_a, nb AS n_b, "
+            "CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0 AS u_a, "
+            "(CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0) / "
+            "(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS auc_a "
+            "FROM t, r"
+        ),
+        # Spearman rank corr via doubled average ranks
+        # (2*RANK + peer-count - 1); HUGEINT moments, one mirrored
+        # float expression
+        "spearman_qty_price": (
+            "WITH b AS (SELECT CAST(round(l_quantity) AS BIGINT) AS "
+            "qc, CAST(round(l_extendedprice * 100.0) AS BIGINT) AS pc "
+            "FROM lineitem), "
+            "r AS (SELECT 2 * RANK() OVER (ORDER BY qc) + "
+            "COUNT(*) OVER (PARTITION BY qc) - 1 AS x, "
+            "2 * RANK() OVER (ORDER BY pc) + "
+            "COUNT(*) OVER (PARTITION BY pc) - 1 AS y FROM b), "
+            "s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
+            "SUM(CAST(x AS HUGEINT)) AS sx, "
+            "SUM(CAST(y AS HUGEINT)) AS sy, "
+            "SUM(CAST(x AS HUGEINT) * x) AS sxx, "
+            "SUM(CAST(y AS HUGEINT) * y) AS syy, "
+            "SUM(CAST(x AS HUGEINT) * y) AS sxy FROM r) "
+            "SELECT CAST(n AS BIGINT) AS n_rows, "
+            "CAST(n * sxy - sx * sy AS DOUBLE) / "
+            "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * "
+            "CAST(n * syy - sy * sy AS DOUBLE)) AS spearman FROM s"
+        ),
+        # day-of-week profile on epoch-anchored day indexes; both
+        # divisions mirrored
+        "dow_seasonality": (
+            "WITH d AS (SELECT (epoch_us(ts) // 86400000000) % 7 AS "
+            "dow, CAST(round(value * 100.0) AS BIGINT) AS vc "
+            "FROM events), "
+            "c AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "SUM(vc) AS sv FROM d GROUP BY 1), "
+            "t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS tot FROM c) "
+            "SELECT dow, n_events, "
+            "CAST(n_events AS DOUBLE) / CAST(tot AS DOUBLE) AS share, "
+            "(CAST(sv AS DOUBLE) / CAST(n_events AS DOUBLE)) / 100.0 "
+            "AS avg_value FROM c, t ORDER BY dow"
+        ),
+        # HHI market concentration per supplier nation; revenue stays
+        # the exact integer pc*(100-dc), squares in HUGEINT, one
+        # mirrored division
+        "hhi_supplier_nation": (
+            "WITH r AS (SELECT s_nationkey AS nation, l_suppkey, "
+            "SUM(CAST(round(l_extendedprice * 100.0) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100.0) AS BIGINT))) AS rev "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+            "GROUP BY 1, 2), "
+            "h AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS "
+            "n_suppliers, SUM(CAST(rev AS HUGEINT) * rev) AS sq, "
+            "SUM(rev) AS tot FROM r GROUP BY 1) "
+            "SELECT n_name, n_suppliers, CAST(sq AS DOUBLE) / "
+            "(CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) AS hhi "
+            "FROM h JOIN nation ON nation = n_nationkey "
+            "ORDER BY n_name"
+        ),
+        # Mann-Kendall S over the zero-filled day spine + tie-corrected
+        # tau_b; integer S, one mirrored sqrt expression
+        "mann_kendall_daily": (
+            "WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1), "
+            "bo AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d), "
+            "g AS (SELECT unnest(generate_series(d0, d1)) AS day "
+            "FROM bo), "
+            "x AS (SELECT g.day, COALESCE(d.c, 0) AS c FROM g "
+            "LEFT JOIN d ON g.day = d.day), "
+            "p AS (SELECT CAST(SUM(CASE WHEN b.c > a.c THEN 1 "
+            "WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s "
+            "FROM x a JOIN x b ON b.day > a.day), "
+            "ties AS (SELECT CAST(SUM(cnt * (cnt - 1) // 2) AS BIGINT) "
+            "AS n1 FROM (SELECT COUNT(*) AS cnt FROM x GROUP BY c)), "
+            "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM x) "
+            "SELECT d AS n_days, s AS s_stat, CAST(s AS DOUBLE) / "
+            "sqrt(CAST(d * (d - 1) // 2 - n1 AS DOUBLE) * "
+            "CAST(d * (d - 1) // 2 AS DOUBLE)) AS tau_b "
+            "FROM p, ties, nn"
+        ),
+        # sequential rule support: ordered type pairs within 1h per
+        # user (strictly later ts, not necessarily adjacent)
+        "followed_within_1h": (
+            "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+            "CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM events a JOIN events b ON a.user_id = b.user_id "
+            "AND epoch_us(b.ts) > epoch_us(a.ts) "
+            "AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000 "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
     }

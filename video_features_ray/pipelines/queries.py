@@ -7520,3 +7520,316 @@ def q_user_daily_interp(sf_dir: str):
 
     return tagged.groupby("_bucket").map_groups(_grid,
                                                 batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# round-5c: rank statistics, seasonality, concentration, trend, sequence
+# mining — drift/eval siblings of ks_value_drift / cusum_daily_events
+# ---------------------------------------------------------------------------
+
+
+def q_mannwhitney_value(sf_dir: str):
+    """Mann-Whitney U (equivalently the two-sample AUC) between the
+    chronological halves of the event value stream — the rank-based
+    drift test beside KS and PSI: U_a counts (a, b) pairs with
+    value_a < value_b, ties counting half.  Doubled average ranks keep
+    every intermediate an integer — 2·R_a = Σ_v a(v)·(2·c_less(v) +
+    t(v) + 1), combined with Python ints so nothing wraps — and the
+    two final divisions (/2 for U, /(n_a·n_b) for the AUC) mirror the
+    SQL bit-for-bit.  Same ONE (half, cent-value) count shuffle as
+    ks_value_drift; the driver walks the O(distinct values) histogram.
+    Reference anchor: the drift gate corresponds to the reference's
+    `sanity_check`-style input validation (`utils/utils.py:178-192`),
+    generalised to distribution shift."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "value"])
+
+    def _day(batch: pa.Table) -> pd.DataFrame:
+        d = batch["ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // DAY_US
+        return pd.DataFrame({"one": np.ones(len(d), dtype=np.int64),
+                             "day": d})
+
+    days = partial_agg(ds.map_batches(_day, batch_format="pyarrow"),
+                       ["one"], mins=["day"], maxs=["day"],
+                       combine="driver").to_pandas()
+    split = (np.int64(days["min_day"].iloc[0])
+             + np.int64(days["max_day"].iloc[0]) + 1) // 2
+
+    def _vals(batch: pa.Table) -> pd.DataFrame:
+        d = batch["ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // DAY_US
+        v = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        return pd.DataFrame({"half": (d >= split).astype(np.int64),
+                             "vc": v})
+
+    c = partial_agg(ds.map_batches(_vals, batch_format="pyarrow"),
+                    ["half", "vc"],
+                    num_buckets=_skinny_w(sf_dir, "events", 24),
+                    combine="distributed").to_pandas()
+    c["n"] = c["n"].astype(np.int64)
+    piv = (c.pivot_table(index="vc", columns="half", values="n",
+                         aggfunc="sum", fill_value=0)
+           .reindex(columns=[0, 1], fill_value=0).sort_index())
+    av = piv[0].to_numpy(np.int64).astype(object)
+    bv = piv[1].to_numpy(np.int64).astype(object)
+    t = av + bv
+    cless = np.concatenate(([0], np.cumsum(t)[:-1].astype(object)))
+    r2a = int(np.sum(av * (2 * cless + t + 1)))   # 2·(rank sum of A)
+    na, nb = int(np.sum(av)), int(np.sum(bv))
+    u2 = r2a - na * (na + 1)                      # 2·U_a, exact int
+    u_a = float(u2) / 2.0
+    return pd.DataFrame({
+        "n_a": [np.int64(na)], "n_b": [np.int64(nb)],
+        "u_a": [np.float64(u_a)],
+        "auc_a": [np.float64(u_a / (float(na) * float(nb)))]})
+
+
+def q_spearman_qty_price(sf_dir: str):
+    """Spearman rank correlation between l_quantity and
+    l_extendedprice — the robust (monotone) sibling of the Pearson
+    `corr_qty_price`.  Average ranks are doubled so every rank is an
+    integer (2·r(v) = 2·c_less(v) + t(v) + 1); the per-value rank maps
+    come from two count combines (quantity: 50 distinct, driver;
+    price: cent-distinct, distributed — the broadcast rank map is
+    O(distinct cent prices), bounded by the PRICE DOMAIN, not row
+    count), then ONE moment pass over the fact table accumulates the
+    five integer sums per batch and the driver folds them with Python
+    ints.  The single float expression (n·Σxy − ΣxΣy) /
+    √((n·Σxx − Σx²)(n·Σyy − Σy²)) mirrors the SQL's HUGEINT→DOUBLE
+    casts exactly."""
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_quantity",
+                                        "l_extendedprice"])
+
+    def _cents(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "qc": np.round(batch["l_quantity"].to_numpy(
+                zero_copy_only=False)).astype(np.int64),
+            "pc": np.round(batch["l_extendedprice"].to_numpy(
+                zero_copy_only=False) * 100.0).astype(np.int64)})
+
+    cents = ds.map_batches(_cents, batch_format="pyarrow")
+
+    def _rank_map(counts: pd.DataFrame, col: str):
+        counts = counts.sort_values(col).reset_index(drop=True)
+        vals = counts[col].to_numpy(np.int64)
+        tt = counts["n"].to_numpy(np.int64)
+        cless = np.concatenate(([0], np.cumsum(tt)[:-1]))
+        return vals, (2 * cless + tt + 1).astype(np.int64)
+
+    qcnt = partial_agg(cents, ["qc"], combine="driver").to_pandas()
+    pcnt = partial_agg(cents, ["pc"],
+                       num_buckets=_skinny_w(sf_dir, "lineitem", 16),
+                       combine="distributed").to_pandas()
+    qv, qr = _rank_map(qcnt, "qc")
+    pv, pr = _rank_map(pcnt, "pc")
+    maps_ref = ray.put((qv, qr, pv, pr))
+
+    def _moments(batch: pa.Table) -> pd.DataFrame:
+        qv_, qr_, pv_, pr_ = ray.get(maps_ref)
+        q = np.round(batch["l_quantity"].to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        p = np.round(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        x = qr_[np.searchsorted(qv_, q)]
+        y = pr_[np.searchsorted(pv_, p)]
+        return pd.DataFrame({
+            "one": [np.int64(1)], "cnt": [np.int64(len(x))],
+            "sx": [x.sum()], "sy": [y.sum()],
+            "sxx": [(x * x).sum()], "syy": [(y * y).sum()],
+            "sxy": [(x * y).sum()]})
+
+    m = partial_agg(ds.map_batches(_moments, batch_format="pyarrow"),
+                    ["one"], sums=["cnt", "sx", "sy", "sxx", "syy",
+                                   "sxy"],
+                    combine="driver").to_pandas()
+    n = int(m["sum_cnt"].iloc[0])
+    sx, sy = int(m["sum_sx"].iloc[0]), int(m["sum_sy"].iloc[0])
+    sxx, syy = int(m["sum_sxx"].iloc[0]), int(m["sum_syy"].iloc[0])
+    sxy = int(m["sum_sxy"].iloc[0])
+    num = n * sxy - sx * sy                      # exact Python ints
+    d1, d2 = n * sxx - sx * sx, n * syy - sy * sy
+    rho = float(num) / ((float(d1) * float(d2)) ** 0.5)
+    return pd.DataFrame({"n_rows": [np.int64(n)],
+                         "spearman": [np.float64(rho)]})
+
+
+def q_dow_seasonality(sf_dir: str):
+    """Day-of-week seasonality profile of the event stream — the
+    weekly-periodicity feature the daily CUSUM/spine family feeds on:
+    per epoch-anchored weekday index (epoch-day mod 7), the event
+    count, its share of all events, and the mean value.  ONE O(7)
+    driver combine (counts + cent-value sums); both divisions mirror
+    the SQL."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "value"])
+
+    def _dow(batch: pa.Table) -> pd.DataFrame:
+        d = batch["ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // DAY_US
+        return pd.DataFrame({
+            "dow": d % 7,
+            "vc": np.round(batch["value"].to_numpy(zero_copy_only=False)
+                           * 100.0).astype(np.int64)})
+
+    c = (partial_agg(ds.map_batches(_dow, batch_format="pyarrow"),
+                     ["dow"], sums=["vc"], combine="driver")
+         .to_pandas().sort_values("dow").reset_index(drop=True))
+    n = c["n"].to_numpy(np.int64)
+    sv = c["sum_vc"].to_numpy(np.int64)
+    total = int(n.sum())
+    return pd.DataFrame({
+        "dow": c["dow"].astype(np.int64),
+        "n_events": n,
+        "share": n.astype(np.float64) / np.float64(total),
+        "avg_value": (sv.astype(np.float64) / n.astype(np.float64))
+        / 100.0})
+
+
+def q_hhi_supplier_nation(sf_dir: str):
+    """Herfindahl–Hirschman revenue-concentration index per supplier
+    nation: Σ_s (rev_s / rev_nation)² over that nation's suppliers —
+    the market-structure metric beside Gini/Lorenz.  Revenue stays the
+    exact integer pc·(100−dc); the per-(nation, supplier) combine is
+    the only shuffle (suppliers are a DIMENSION table, so the driver
+    fold is O(suppliers)); squares are Python ints (rev² overflows
+    int64 by design → object dtype), matching the SQL's HUGEINT
+    arithmetic, with ONE mirrored float division."""
+    sup = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_suppkey", "s_nationkey"]
+                                ).to_pandas()
+    nat = ray.data.read_parquet(f"{sf_dir}/nation.parquet",
+                                columns=["n_nationkey", "n_name"]
+                                ).to_pandas()
+    s2n = dict(zip(sup["s_suppkey"].astype(np.int64),
+                   sup["s_nationkey"].astype(np.int64)))
+    s2n_ref = ray.put(s2n)
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_suppkey", "l_extendedprice",
+                                        "l_discount"])
+
+    def _rev(batch: pa.Table) -> pd.DataFrame:
+        lut = ray.get(s2n_ref)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        pc = np.round(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        dc = np.round(batch["l_discount"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        nk = pd.Series(sk).map(lut).to_numpy(np.int64)
+        return pd.DataFrame({"nation": nk, "supp": sk,
+                             "rev": pc * (100 - dc)})
+
+    per_supp = partial_agg(ds.map_batches(_rev, batch_format="pyarrow"),
+                           ["nation", "supp"], sums=["rev"],
+                           num_buckets=_skinny_w(sf_dir, "lineitem", 24),
+                           combine="distributed").to_pandas()
+    rows = []
+    for nk, g in per_supp.groupby("nation"):
+        revs = [int(r) for r in g["sum_rev"]]
+        tot = sum(revs)
+        sq = sum(r * r for r in revs)
+        rows.append((int(nk), len(revs),
+                     float(sq) / (float(tot) * float(tot))))
+    out = pd.DataFrame(rows, columns=["nation", "n_suppliers", "hhi"])
+    out = out.merge(nat.rename(columns={"n_nationkey": "nation"}),
+                    on="nation")
+    return (out[["n_name", "n_suppliers", "hhi"]]
+            .astype({"n_suppliers": np.int64})
+            .sort_values("n_name", kind="mergesort")
+            .reset_index(drop=True))
+
+
+def q_mann_kendall_daily(sf_dir: str):
+    """Mann-Kendall monotone-trend test on the daily event-count
+    series (zero-filled day spine, like `cusum_daily_events`):
+    S = Σ_{i<j} sign(x_j − x_i), with the tie-corrected Kendall
+    tau_b = S / √((n0 − n1)·n0), n0 = D(D−1)/2, n1 = Σ t(t−1)/2 over
+    tied count groups.  The day spine is O(days) on the driver —
+    bounded by the calendar, not row count — and S is integer-exact;
+    the single √ expression mirrors the SQL."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts"])
+
+    def _day(batch: pa.Table) -> pd.DataFrame:
+        d = batch["ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // DAY_US
+        return pd.DataFrame({"day": d})
+
+    c = (partial_agg(ds.map_batches(_day, batch_format="pyarrow"),
+                     ["day"], combine="driver").to_pandas()
+         .sort_values("day").reset_index(drop=True))
+    days = c["day"].to_numpy(np.int64)
+    n = c["n"].to_numpy(np.int64)
+    d0, d1 = int(days[0]), int(days[-1])
+    dense = np.zeros(d1 - d0 + 1, np.int64)
+    dense[days - d0] = n
+    diffs = np.sign(dense[None, :] - dense[:, None])
+    s = int(np.triu(diffs, k=1).sum())
+    d = len(dense)
+    n0 = d * (d - 1) // 2
+    _, tcnt = np.unique(dense, return_counts=True)
+    n1 = int(sum(int(t) * (int(t) - 1) // 2 for t in tcnt))
+    tau = float(s) / ((float(n0 - n1) * float(n0)) ** 0.5)
+    return pd.DataFrame({"n_days": [np.int64(d)],
+                         "s_stat": [np.int64(s)],
+                         "tau_b": [np.float64(tau)]})
+
+
+def q_followed_within_1h(sf_dir: str):
+    """Sequential-rule mining: for every ordered event-type pair
+    (a → b), how often does a user's `a` get followed by a `b` within
+    one hour (strictly later timestamp, NOT necessarily adjacent) —
+    the temporal co-occurrence support behind "users who view then
+    purchase".  One user-bucketed shuffle of skinny rows; inside a
+    bucket the window [first key > k_i, last key ≤ k_i + 1h] comes
+    from two searchsorted probes on a (user-rank · span + ts) packed
+    key, and the pair expansion is the arange-minus-offsets trick —
+    the expansion is bounded by events-per-user-per-hour (the skew
+    knob a 100 TB run would cap per entity).  The driver folds O(49)
+    pair partials."""
+    from ..stages.events import with_bucket
+
+    ds = _events_us(sf_dir, ["user_id", "ts", "event_type",
+                             "event_id"])
+    tagged = with_bucket(ds, "user_id", _w(sf_dir, "events"))
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"ta": pd.Series([], dtype=object),
+                              "tb": pd.Series([], dtype=object),
+                              "n": pd.Series([], dtype=np.int64)})
+        if df.empty or "user_id" not in df.columns:
+            return empty
+        df = df.sort_values(["user_id", "ts_us", "event_id"],
+                            kind="mergesort")
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts_us"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        urank = np.cumsum(np.concatenate(([0], (u[1:] != u[:-1])
+                                          .astype(np.int64))))
+        t0 = int(ts.min())
+        span = np.int64(int(ts.max()) - t0 + HOUR_US + 2)
+        key = urank * span + (ts - t0)
+        lo = np.searchsorted(key, key, side="right")
+        hi = np.searchsorted(key, key + HOUR_US, side="right")
+        cnt = hi - lo
+        tot = int(cnt.sum())
+        if tot == 0:
+            return empty
+        ia = np.repeat(np.arange(len(key)), cnt)
+        ib = (np.arange(tot, dtype=np.int64)
+              - np.repeat(np.cumsum(cnt) - cnt, cnt)
+              + np.repeat(lo, cnt))
+        out = (pd.DataFrame({"ta": et[ia], "tb": et[ib]})
+               .groupby(["ta", "tb"], sort=False).size()
+               .to_frame("n").reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    parts = (tagged.groupby("_bucket")
+             .map_groups(_pairs, batch_format="pandas").to_pandas())
+    out = (parts.groupby(["ta", "tb"], sort=True)["n"].sum()
+           .astype(np.int64).reset_index())
+    return out.rename(columns={"ta": "type_a", "tb": "type_b"})
