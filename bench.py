@@ -314,6 +314,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "cms_type_counts", "readability_docs", "mad_outliers_value",
         "knn_label_accuracy", "user_daily_grid", "ks_value_drift",
         "cusum_daily_events", "user_daily_interp",
+        # round-5c rank-stat / sequence-mining family
+        "mannwhitney_value", "spearman_qty_price", "dow_seasonality",
+        "hhi_supplier_nation", "mann_kendall_daily",
+        "followed_within_1h",
     ]
     qs = em.queries()
     import gc
