@@ -373,6 +373,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hhi_supplier_nation": q.q_hhi_supplier_nation,
         "mann_kendall_daily": q.q_mann_kendall_daily,
         "followed_within_1h": q.q_followed_within_1h,
+        "containment_neardup": q.q_containment_neardup,
+        "quantile_normalize_value": q.q_quantile_normalize_value,
+        "oof_target_encode": q.q_oof_target_encode,
+        "day_user_overlap": q.q_day_user_overlap,
+        "fano_factor_daily": q.q_fano_factor_daily,
     }
 
 def _langid_oracle_sql() -> str:
@@ -3271,5 +3276,106 @@ def oracle_sql() -> dict[str, str]:
             "AND epoch_us(b.ts) > epoch_us(a.ts) "
             "AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000 "
             "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        # asymmetric containment (doc-in-doc): same grams CTE as
+        # ngram_jaccard, final score inter / least(|A|, |B|)
+        "containment_neardup": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS "
+            "t, len(string_split(text, ' ')) AS nt FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, "
+            "array_to_string(t[i:i+2], ' ') AS gram "
+            "FROM (SELECT doc_id, t, unnest(generate_series(1, nt - 2)"
+            ") AS i FROM toks WHERE nt >= 3) x), "
+            "counts AS (SELECT doc_id, COUNT(*) AS ng FROM grams "
+            "GROUP BY doc_id), "
+            "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "COUNT(*) AS inter FROM grams a "
+            "JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT p.id_a, p.id_b, CAST(p.inter AS BIGINT) AS inter, "
+            "CAST(least(ca.ng, cb.ng) AS BIGINT) AS nmin, "
+            "p.inter / least(ca.ng, cb.ng) AS containment "
+            "FROM pairs p JOIN counts ca ON p.id_a = ca.doc_id "
+            "JOIN counts cb ON p.id_b = cb.doc_id "
+            "WHERE p.inter / least(ca.ng, cb.ng) >= 0.5"
+        ),
+        # quantile normalization across event types: integer
+        # cross-multiplied CDF probe (ceiling division), forward ASOF
+        # to the smallest global value reaching the quantile
+        "quantile_normalize_value": (
+            "WITH v AS (SELECT event_id, event_type, value, "
+            "CAST(round(value * 100.0) AS BIGINT) AS vc FROM events), "
+            "c AS (SELECT event_type, vc, CAST(COUNT(*) AS BIGINT) AS "
+            "cnt FROM v GROUP BY 1, 2), "
+            "tcum AS (SELECT event_type, vc, cnt, "
+            "SUM(cnt) OVER (PARTITION BY event_type ORDER BY vc) AS "
+            "cum, SUM(cnt) OVER (PARTITION BY event_type) AS ns "
+            "FROM c), "
+            "r AS (SELECT event_type, vc, 2 * cum - cnt + 1 AS r2, ns "
+            "FROM tcum), "
+            "gc AS (SELECT vc, SUM(cnt) AS gcnt FROM c GROUP BY 1), "
+            "gcum AS (SELECT vc AS gv, SUM(gcnt) OVER (ORDER BY vc) "
+            "AS gcm FROM gc), "
+            "tt AS (SELECT CAST(SUM(gcnt) AS BIGINT) AS n FROM gc), "
+            "m AS (SELECT r.event_type, r.vc, "
+            "(tt.n * r.r2 + 2 * r.ns - 1) // (2 * r.ns) AS k "
+            "FROM r, tt), "
+            "j AS (SELECT m.event_type, m.vc, g.gv FROM m "
+            "ASOF JOIN gcum g ON m.k <= g.gcm) "
+            "SELECT v.event_id, v.event_type, v.value, "
+            "j.gv / 100.0 AS qn_value FROM v JOIN j "
+            "ON v.event_type = j.event_type AND v.vc = j.vc"
+        ),
+        # 5-fold out-of-fold target encoding (fold = event_id mod 5);
+        # integer sums, one mirrored division
+        "oof_target_encode": (
+            "WITH v AS (SELECT event_id, event_type, "
+            "event_id % 5 AS fold, "
+            "CAST(round(value * 100.0) AS BIGINT) AS vc FROM events), "
+            "f AS (SELECT event_type, fold, SUM(vc) AS sv, "
+            "CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY 1, 2), "
+            "t AS (SELECT event_type, SUM(sv) AS tsv, SUM(cnt) AS "
+            "tcnt FROM f GROUP BY 1) "
+            "SELECT v.event_id, v.event_type, "
+            "CASE WHEN t.tcnt - f.cnt > 0 THEN "
+            "(CAST(t.tsv - f.sv AS DOUBLE) / "
+            "CAST(t.tcnt - f.cnt AS DOUBLE)) / 100.0 "
+            "ELSE NULL END AS oof_te "
+            "FROM v JOIN f ON v.event_type = f.event_type "
+            "AND v.fold = f.fold "
+            "JOIN t ON v.event_type = t.event_type"
+        ),
+        # day-over-day active-user Jaccard; per-user consecutive-day
+        # pairs = the distributed intersection
+        "day_user_overlap": (
+            "WITH du AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) // 86400000000 AS day FROM events), "
+            "c AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n FROM du "
+            "GROUP BY 1), "
+            "i AS (SELECT a.day, CAST(COUNT(*) AS BIGINT) AS inter "
+            "FROM du a JOIN du b ON a.user_id = b.user_id "
+            "AND b.day = a.day + 1 GROUP BY 1) "
+            "SELECT CAST(ca.day AS BIGINT) AS day, ca.n AS n_day, "
+            "cb.n AS n_next, COALESCE(i.inter, 0) AS inter, "
+            "CAST(COALESCE(i.inter, 0) AS DOUBLE) / "
+            "CAST(ca.n + cb.n - COALESCE(i.inter, 0) AS DOUBLE) AS "
+            "jaccard FROM c ca JOIN c cb ON cb.day = ca.day + 1 "
+            "LEFT JOIN i ON i.day = ca.day ORDER BY ca.day"
+        ),
+        # Fano factor (variance/mean) of daily counts per type over the
+        # global zero-filled day spine; integer-exact, one division
+        "fano_factor_daily": (
+            "WITH d AS (SELECT event_type, epoch_us(ts) // "
+            "86400000000 AS day FROM events), "
+            "bo AS (SELECT MAX(day) - MIN(day) + 1 AS dd FROM d), "
+            "c AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) "
+            "AS cnt FROM d GROUP BY 1, 2), "
+            "s AS (SELECT event_type, SUM(cnt * cnt) AS sq, "
+            "SUM(cnt) AS nn FROM c GROUP BY 1) "
+            "SELECT event_type, CAST(bo.dd AS BIGINT) AS n_days, "
+            "CAST(nn AS BIGINT) AS n_events, "
+            "CAST(bo.dd * sq - nn * nn AS DOUBLE) / "
+            "CAST(bo.dd * nn AS DOUBLE) AS fano "
+            "FROM s, bo ORDER BY event_type"
         ),
     }

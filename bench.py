@@ -317,7 +317,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # round-5c rank-stat / sequence-mining family
         "mannwhitney_value", "spearman_qty_price", "dow_seasonality",
         "hhi_supplier_nation", "mann_kendall_daily",
-        "followed_within_1h",
+        "followed_within_1h", "containment_neardup",
+        "quantile_normalize_value", "oof_target_encode",
+        "day_user_overlap", "fano_factor_daily",
     ]
     qs = em.queries()
     import gc

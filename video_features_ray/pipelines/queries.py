@@ -7833,3 +7833,228 @@ def q_followed_within_1h(sf_dir: str):
     out = (parts.groupby(["ta", "tb"], sort=True)["n"].sum()
            .astype(np.int64).reset_index())
     return out.rename(columns={"ta": "type_a", "tb": "type_b"})
+
+
+def q_containment_neardup(sf_dir: str):
+    """Asymmetric n-gram CONTAINMENT near-dup pairs (inter / min(|A|,
+    |B|) >= 0.5) — the doc-in-doc detector: a short document quoted
+    verbatim inside a long one scores 1.0 here while its symmetric
+    Jaccard stays below any dedup threshold (the boilerplate /
+    quotation case).  Same inverted-index posting join and skinny
+    shuffles as `ngram_jaccard`, one changed final expression."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, n=3, threshold=0.5,
+                               num_buckets=_w(sf_dir, "documents"),
+                               metric="containment")
+
+
+def q_quantile_normalize_value(sf_dir: str):
+    """Quantile normalization of event `value` ACROSS event types: each
+    row maps to the smallest global value whose global CDF reaches the
+    row's within-type average-rank quantile — the classic cross-batch
+    distribution alignment (microarray-style), all-integer: the
+    condition 2·n_type·cumglobal(g) >= N·r2_type(v) cross-multiplies
+    the two CDFs so the probe is an exact-int ceiling-division
+    searchsorted, and the ONLY float op is the final cents division.
+    One (type, cent-value) count shuffle; the driver builds the
+    O(types × distinct values) mapping and broadcasts it."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type",
+                                        "value"])
+
+    def _cnt(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "et": batch["event_type"].to_numpy(zero_copy_only=False),
+            "vc": np.round(batch["value"].to_numpy(zero_copy_only=False)
+                           * 100.0).astype(np.int64)})
+
+    c = partial_agg(ds.map_batches(_cnt, batch_format="pyarrow"),
+                    ["et", "vc"],
+                    num_buckets=_skinny_w(sf_dir, "events", 24),
+                    combine="distributed").to_pandas()
+    c["n"] = c["n"].astype(np.int64)
+    g = (c.groupby("vc")["n"].sum().sort_index())
+    gv = g.index.to_numpy(np.int64)
+    gcum = g.to_numpy(np.int64).cumsum()
+    n_total = int(gcum[-1])
+    c = c.sort_values(["et", "vc"], kind="mergesort")
+    maps = {}
+    for et, grp in c.groupby("et", sort=False):
+        t = grp["n"].to_numpy(np.int64)
+        cum = t.cumsum()
+        r2 = 2 * cum - t + 1                      # doubled avg rank
+        n_s = int(cum[-1])
+        # smallest g with cumglobal(g) >= ceil(N·r2 / (2·n_s))
+        k = (n_total * r2 + 2 * n_s - 1) // (2 * n_s)
+        idx = np.searchsorted(gcum, k, side="left")
+        maps[et] = (grp["vc"].to_numpy(np.int64), gv[idx])
+    maps_ref = ray.put(maps)
+
+    def _apply(batch: pa.Table) -> pd.DataFrame:
+        lut = ray.get(maps_ref)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        vc = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                      * 100.0).astype(np.int64)
+        out = np.empty(len(vc), np.int64)
+        for e in pd.unique(et):
+            m = et == e
+            src, dst = lut[e]
+            out[m] = dst[np.searchsorted(src, vc[m])]
+        return pd.DataFrame({
+            "event_id": batch["event_id"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "event_type": et,
+            "value": batch["value"].to_numpy(zero_copy_only=False),
+            "qn_value": out / 100.0})
+
+    return ds.map_batches(_apply, batch_format="pyarrow")
+
+
+def q_oof_target_encode(sf_dir: str):
+    """K-fold OUT-OF-FOLD target encoding of event_type against the
+    cent value (K = 5, fold = event_id mod 5): each row's encoding is
+    the mean target of the OTHER folds — the standard leakage-free CV
+    encoder beside the ordered (prefix) encoder `ordered_te_value`.
+    ONE O(types × K) driver combine, broadcast back through a
+    stateless map; the division is the single mirrored float op."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type",
+                                        "value"])
+
+    def _cnt(batch: pa.Table) -> pd.DataFrame:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        return pd.DataFrame({
+            "et": batch["event_type"].to_numpy(zero_copy_only=False),
+            "fold": eid % 5,
+            "vc": np.round(batch["value"].to_numpy(zero_copy_only=False)
+                           * 100.0).astype(np.int64)})
+
+    c = partial_agg(
+        ds.map_batches(_cnt, batch_format="pyarrow"), ["et", "fold"],
+        sums=["vc"], combine="driver").to_pandas()
+    tot = c.groupby("et").agg(sv=("sum_vc", "sum"),
+                              cnt=("n", "sum")).reset_index()
+    c = c.merge(tot, on="et")
+    lut = {(r.et, int(r.fold)): (int(r.sv) - int(r.sum_vc),
+                                 int(r.cnt) - int(r.n))
+           for r in c.itertuples()}
+    lut_ref = ray.put(lut)
+
+    def _apply(batch: pa.Table) -> pd.DataFrame:
+        m = ray.get(lut_ref)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        keys = [(e, int(f)) for e, f in zip(et, eid % 5)]
+        num = np.array([m[k][0] for k in keys], np.int64)
+        den = np.array([m[k][1] for k in keys], np.int64)
+        te = np.where(den > 0,
+                      (num.astype(np.float64)
+                       / np.where(den > 0, den, 1).astype(np.float64))
+                      / 100.0, np.nan)
+        return pd.DataFrame({"event_id": eid, "event_type": et,
+                             "oof_te": te})
+
+    return ds.map_batches(_apply, batch_format="pyarrow")
+
+
+def q_day_user_overlap(sf_dir: str):
+    """Day-over-day active-user overlap: for every calendar day pair
+    (d, d+1) both present in the stream, |active(d) ∩ active(d+1)|,
+    the two day actives, and their Jaccard — the retention/churn
+    signal at daily grain.  Plan: exact DISTINCT (day, user) partials,
+    then a user-bucketed shuffle where each user's sorted day list
+    emits its consecutive-day pairs locally (the intersection count is
+    Σ over users, so per-user locality makes the join embarrassingly
+    parallel); the driver folds O(days) rows and mirrors the one
+    division."""
+    from ..stages.dedup import distinct_values
+    from ..stages.events import with_bucket
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def _du(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "day": batch["ts"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False) // DAY_US})
+
+    du = distinct_values(ds.map_batches(_du, batch_format="pyarrow"),
+                         ["user_id", "day"],
+                         num_buckets=_skinny_w(sf_dir, "events", 16))
+    tagged = with_bucket(du, "user_id", _w(sf_dir, "events"))
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"day": pd.Series([], dtype=np.int64),
+                              "n_day": pd.Series([], dtype=np.int64),
+                              "inter": pd.Series([], dtype=np.int64)})
+        if df.empty or "user_id" not in df.columns:
+            return empty
+        df = df.sort_values(["user_id", "day"], kind="mergesort")
+        u = df["user_id"].to_numpy(np.int64)
+        d = df["day"].to_numpy(np.int64)
+        nxt = (u[1:] == u[:-1]) & (d[1:] == d[:-1] + 1)
+        inter = (pd.Series(d[:-1][nxt]).value_counts().sort_index())
+        nday = pd.Series(d).value_counts().sort_index()
+        out = pd.DataFrame({"day": nday.index.to_numpy(np.int64),
+                            "n_day": nday.to_numpy(np.int64)})
+        out["inter"] = out["day"].map(inter).fillna(0).astype(np.int64)
+        return out
+
+    parts = (tagged.groupby("_bucket")
+             .map_groups(_pairs, batch_format="pandas").to_pandas())
+    agg = (parts.groupby("day").agg(n_day=("n_day", "sum"),
+                                    inter=("inter", "sum"))
+           .sort_index().reset_index())
+    nd = agg.set_index("day")["n_day"]
+    nxt = agg["day"].to_numpy(np.int64) + 1
+    n_next = nd.reindex(nxt).to_numpy()
+    has_next = ~np.isnan(n_next)
+    out = agg[has_next].reset_index(drop=True)
+    out["n_next"] = n_next[has_next].astype(np.int64)
+    uni = out["n_day"] + out["n_next"] - out["inter"]
+    out["jaccard"] = (out["inter"].to_numpy(np.float64)
+                      / uni.to_numpy(np.float64))
+    return out[["day", "n_day", "n_next", "inter", "jaccard"]].astype(
+        {"day": np.int64, "n_day": np.int64, "n_next": np.int64,
+         "inter": np.int64})
+
+
+def q_fano_factor_daily(sf_dir: str):
+    """Burstiness (Fano factor = variance / mean) of each event type's
+    DAILY count series over the global zero-filled day spine — the
+    dispersion diagnostic beside the CUSUM change point: Fano 1 ≈
+    Poisson arrivals, >1 bursty.  Population variance over D spine
+    days keeps it integer-exact — fano = (D·Σc² − N²) / (D·N) — with
+    ONE mirrored division; one (type, day) count combine, driver holds
+    O(types × days-present)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+
+    def _day(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "et": batch["event_type"].to_numpy(zero_copy_only=False),
+            "day": batch["ts"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False) // DAY_US})
+
+    c = partial_agg(ds.map_batches(_day, batch_format="pyarrow"),
+                    ["et", "day"], combine="driver").to_pandas()
+    c["n"] = c["n"].astype(np.int64)
+    d_spine = int(c["day"].max()) - int(c["day"].min()) + 1
+    rows = []
+    for et, x in c.groupby("et", sort=True):
+        cnts = [int(v) for v in x["n"]]           # Python ints: n² and
+        nn = sum(cnts)                            # D·Σc² never wrap
+        sq = sum(v * v for v in cnts)
+        fano = float(d_spine * sq - nn * nn) / float(d_spine * nn)
+        rows.append((et, d_spine, nn, fano))
+    return pd.DataFrame(rows, columns=["event_type", "n_days",
+                                       "n_events", "fano"]).astype(
+        {"n_days": np.int64, "n_events": np.int64,
+         "fano": np.float64})

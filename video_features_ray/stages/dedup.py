@@ -1026,6 +1026,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     num_buckets: int = 16,
     max_df: int | None = None,
+    metric: str = "jaccard",
 ) -> "ray.data.Dataset":
     """EXACT word-n-gram Jaccard near-dup pairs via an inverted-index
     join — the oracle-checkable exact baseline to the subquadratic
@@ -1149,6 +1150,21 @@ def ngram_jaccard_pairs(
         g = df.groupby(["id_a", "id_b"], sort=False).agg(
             inter=("inter", "sum"), na=("na", "first"),
             nb=("nb", "first")).reset_index()
+        if metric == "containment":
+            # asymmetric doc-in-doc score: |A∩B| / min(|A|, |B|) — a
+            # short doc fully quoted inside a long one scores 1.0 while
+            # its Jaccard stays tiny (the boilerplate/quotation case
+            # symmetric Jaccard misses)
+            nmin = np.minimum(g["na"].to_numpy(),
+                              g["nb"].to_numpy()).astype(np.int64)
+            c = g["inter"].to_numpy() / nmin
+            keep = c >= threshold
+            return pd.DataFrame({
+                "id_a": g["id_a"].to_numpy()[keep],
+                "id_b": g["id_b"].to_numpy()[keep],
+                "inter": g["inter"].to_numpy().astype(np.int64)[keep],
+                "nmin": nmin[keep],
+                "containment": c[keep]})
         uni = (g["na"] + g["nb"] - g["inter"]).astype(np.int64)
         j = g["inter"].to_numpy() / uni.to_numpy()
         keep = j >= threshold
