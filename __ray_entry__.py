@@ -378,6 +378,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oof_target_encode": q.q_oof_target_encode,
         "day_user_overlap": q.q_day_user_overlap,
         "fano_factor_daily": q.q_fano_factor_daily,
+        "link_pred_jaccard": q.q_link_pred_jaccard,
+        "anova_value_by_type": q.q_anova_value_by_type,
+        "kruskal_value_by_type": q.q_kruskal_value_by_type,
+        # rows-only (PAV pooling is iterative — no SQL equivalent;
+        # tests/test_isotonic.py pins the math)
+        "isotonic_calibration": q.q_isotonic_calibration,
     }
 
 def _langid_oracle_sql() -> str:
@@ -3377,5 +3383,85 @@ def oracle_sql() -> dict[str, str]:
             "CAST(bo.dd * sq - nn * nn AS DOUBLE) / "
             "CAST(bo.dd * nn AS DOUBLE) AS fano "
             "FROM s, bo ORDER BY event_type"
+        ),
+        # neighborhood-Jaccard link prediction over the synthetic
+        # citation graph; one mirrored division, deterministic tiebreak
+        "link_pred_jaccard": (
+            "WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM documents), "
+            "e0 AS (SELECT doc_id AS s, (7 * doc_id + 3) % nn.n AS d "
+            "FROM documents, nn UNION ALL "
+            "SELECT doc_id, (3 * doc_id + 1) % nn.n "
+            "FROM documents, nn), "
+            "und AS (SELECT DISTINCT least(s, d) AS a, "
+            "greatest(s, d) AS b FROM e0 WHERE s <> d), "
+            "adj AS (SELECT a AS c, b AS x FROM und "
+            "UNION ALL SELECT b, a FROM und), "
+            "deg AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS dg "
+            "FROM adj GROUP BY 1), "
+            "w AS (SELECT a1.x AS a, a2.x AS b, "
+            "CAST(COUNT(*) AS BIGINT) AS cn FROM adj a1 "
+            "JOIN adj a2 ON a1.c = a2.c AND a1.x < a2.x "
+            "GROUP BY 1, 2), "
+            "cand AS (SELECT w.a, w.b, w.cn FROM w LEFT JOIN und u "
+            "ON w.a = u.a AND w.b = u.b WHERE u.a IS NULL) "
+            "SELECT c.a AS node_a, c.b AS node_b, c.cn, "
+            "CAST(c.cn AS DOUBLE) / "
+            "CAST(da.dg + db.dg - c.cn AS DOUBLE) AS jaccard "
+            "FROM cand c JOIN deg da ON c.a = da.c "
+            "JOIN deg db ON c.b = db.c "
+            "ORDER BY jaccard DESC, node_a, node_b LIMIT 50"
+        ),
+        # one-way ANOVA F on the 1e-6 grid (same cast-then-divide tree
+        # per group; the k-term sum order sits ~5 decimal orders under
+        # the grid — the link_pagerank convention)
+        "anova_value_by_type": (
+            "WITH v AS (SELECT event_type, "
+            "CAST(round(value * 100.0) AS BIGINT) AS vc FROM events), "
+            "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "SUM(vc) AS s, SUM(vc * vc) AS q FROM v GROUP BY 1), "
+            "t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, "
+            "CAST(COUNT(*) AS BIGINT) AS k, "
+            "CAST(SUM(s) AS DOUBLE) AS st, "
+            "CAST(SUM(q) AS DOUBLE) AS qt, "
+            "SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / "
+            "CAST(n AS DOUBLE)) AS term FROM m), "
+            "f AS (SELECT nn, k, "
+            "((term - st * st / CAST(nn AS DOUBLE)) / "
+            "CAST(k - 1 AS DOUBLE)) / "
+            "((qt - term) / CAST(nn - k AS DOUBLE)) AS fv FROM t) "
+            "SELECT nn AS n_rows, k AS n_groups, "
+            "CAST(CASE WHEN sx >= 0 THEN floor(sx + 0.5) "
+            "ELSE -floor(-sx + 0.5) END AS BIGINT) AS f_e6 "
+            "FROM (SELECT nn, k, fv * 1000000.0 AS sx FROM f)"
+        ),
+        # Kruskal-Wallis H (tie-corrected) via doubled average ranks;
+        # 1e-6 grid
+        "kruskal_value_by_type": (
+            "WITH v AS (SELECT event_type, "
+            "CAST(round(value * 100.0) AS BIGINT) AS vc FROM events), "
+            "c AS (SELECT event_type, vc, CAST(COUNT(*) AS BIGINT) AS "
+            "cnt FROM v GROUP BY 1, 2), "
+            "gt AS (SELECT vc, SUM(cnt) AS t FROM c GROUP BY 1), "
+            "gr AS (SELECT vc, t, 2 * (SUM(t) OVER (ORDER BY vc)) "
+            "- t + 1 AS r2 FROM gt), "
+            "rj AS (SELECT c.event_type, SUM(c.cnt * gr.r2) AS r2j, "
+            "SUM(c.cnt) AS nj FROM c JOIN gr ON c.vc = gr.vc "
+            "GROUP BY 1), "
+            "tot AS (SELECT CAST(SUM(nj) AS BIGINT) AS nn, "
+            "CAST(COUNT(*) AS BIGINT) AS k FROM rj), "
+            "ties AS (SELECT SUM(t * t * t - t) AS tie FROM gt), "
+            "s AS (SELECT SUM(CAST(r2j AS DOUBLE) * "
+            "CAST(r2j AS DOUBLE) / (4.0 * CAST(nj AS DOUBLE))) AS "
+            "num FROM rj), "
+            "h AS (SELECT nn, k, ((12.0 / (CAST(nn AS DOUBLE) * "
+            "CAST(nn + 1 AS DOUBLE))) * num - 3.0 * "
+            "CAST(nn + 1 AS DOUBLE)) / (1.0 - CAST(tie AS DOUBLE) / "
+            "CAST(nn * nn * nn - nn AS DOUBLE)) AS hv "
+            "FROM tot, ties, s) "
+            "SELECT nn AS n_rows, k AS n_groups, "
+            "CAST(CASE WHEN sx >= 0 THEN floor(sx + 0.5) "
+            "ELSE -floor(-sx + 0.5) END AS BIGINT) AS h_e6 "
+            "FROM (SELECT nn, k, hv * 1000000.0 AS sx FROM h)"
         ),
     }

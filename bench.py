@@ -320,6 +320,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "followed_within_1h", "containment_neardup",
         "quantile_normalize_value", "oof_target_encode",
         "day_user_overlap", "fano_factor_daily",
+        "link_pred_jaccard", "anova_value_by_type",
+        "kruskal_value_by_type", "isotonic_calibration",
     ]
     qs = em.queries()
     import gc

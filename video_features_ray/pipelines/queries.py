@@ -8058,3 +8058,236 @@ def q_fano_factor_daily(sf_dir: str):
                                        "n_events", "fano"]).astype(
         {"n_days": np.int64, "n_events": np.int64,
          "fano": np.float64})
+
+
+def q_link_pred_jaccard(sf_dir: str):
+    """Link prediction by neighborhood Jaccard over the synthetic
+    citation graph (`link_pagerank`'s edge set, undirected): for every
+    NON-adjacent pair sharing ≥1 neighbor, score = |Γa∩Γb| /
+    |Γa∪Γb|, global top-50 (score desc, then ids).  Plan: distinct
+    undirected edges → node-bucketed adjacency where each center emits
+    its neighbor pairs locally (wedge join, the triangle-count
+    pattern) → pair-bucketed combine that filters existing edges
+    against a broadcast packed-key set and scores with broadcast
+    degrees → per-bucket top-50 partials, driver merges O(50·buckets).
+    The broadcasts are O(edges)/O(nodes) — fine for a dimension-sized
+    graph; a 100 TB edge list swaps them for hash anti/equi joins.
+    Jaccard is ONE mirrored division so the float order is exact."""
+    from ..stages.dedup import distinct_values
+    from ..stages.events import with_bucket
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    n = ds.count()
+    nb = shuffle_width(2 * n * 16, floor=8, cluster_cap=8)
+
+    def _und(batch: pa.Table) -> pd.DataFrame:
+        s = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        src = np.concatenate([s, s])
+        dst = np.concatenate([(s * 7 + 3) % n, (s * 3 + 1) % n])
+        lo = np.minimum(src, dst)
+        hi = np.maximum(src, dst)
+        keep = lo != hi
+        return pd.DataFrame({"a": lo[keep], "b": hi[keep]})
+
+    und = distinct_values(ds.map_batches(_und, batch_format="pyarrow"),
+                          ["a", "b"], num_buckets=nb).materialize()
+    und_pd = und.to_pandas()
+    BIG = np.int64(1) << np.int64(32)
+    assert int(und_pd[["a", "b"]].to_numpy().max()) < int(BIG), \
+        "link_pred_jaccard: packed edge keys need ids < 2^32"
+    edge_keys = np.sort(und_pd["a"].to_numpy(np.int64) * BIG
+                        + und_pd["b"].to_numpy(np.int64))
+    adj_pd = pd.concat([
+        und_pd.rename(columns={"a": "c", "b": "x"}),
+        und_pd.rename(columns={"b": "c", "a": "x"})[["c", "x"]]])
+    deg = adj_pd.groupby("c").size()
+    deg_nodes = deg.index.to_numpy(np.int64)
+    deg_vals = deg.to_numpy(np.int64)
+    bc = ray.put((edge_keys, deg_nodes, deg_vals))
+
+    adj = ray.data.from_pandas(adj_pd).map_batches(
+        lambda df: df.astype({"c": np.int64, "x": np.int64}),
+        batch_format="pandas")
+    tagged = with_bucket(adj, "c", nb)
+
+    _empty = pd.DataFrame({"k": pd.Series([], dtype=np.int64),
+                           "cn": pd.Series([], dtype=np.int64),
+                           "_pb": pd.Series([], dtype=np.int32)})
+
+    def _wedges(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "c" not in df.columns:
+            return _empty
+        df = df.sort_values(["c", "x"], kind="mergesort")
+        c = df["c"].to_numpy(np.int64)
+        x = df["x"].to_numpy(np.int64)
+        first = np.empty(len(c), bool)
+        first[0] = True
+        first[1:] = c[1:] != c[:-1]
+        loc = np.arange(len(c)) - np.maximum.accumulate(
+            np.where(first, np.arange(len(c)), 0))
+        total = int(loc.sum())
+        if total == 0:
+            return _empty
+        bi = np.repeat(np.arange(len(c)), loc)
+        off = np.concatenate(([0], np.cumsum(loc)))
+        ai = bi - loc[bi] + (np.arange(total) - np.repeat(off[:-1], loc))
+        k = x[ai] * BIG + x[bi]          # sorted neighbors → a < b
+        out = (pd.DataFrame({"k": k}).groupby("k", sort=False).size()
+               .rename("cn").reset_index())
+        out["cn"] = out["cn"].astype(np.int64)
+        out["_pb"] = (out["k"].to_numpy(np.uint64)
+                      % np.uint64(nb)).astype(np.int32)
+        return out
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "node_a": pd.Series([], dtype=np.int64),
+            "node_b": pd.Series([], dtype=np.int64),
+            "cn": pd.Series([], dtype=np.int64),
+            "jaccard": pd.Series([], dtype=np.float64)})
+        if df.empty or "k" not in df.columns:
+            return empty
+        g = df.groupby("k", sort=False)["cn"].sum().reset_index()
+        keys = g["k"].to_numpy(np.int64)
+        ek, dn, dv = ray.get(bc)
+        pos = np.searchsorted(ek, keys)
+        pos = np.minimum(pos, len(ek) - 1)
+        is_edge = ek[pos] == keys
+        g = g[~is_edge]
+        if g.empty:
+            return empty
+        a = (g["k"].to_numpy(np.int64) // BIG).astype(np.int64)
+        b = (g["k"].to_numpy(np.int64) % BIG).astype(np.int64)
+        cn = g["cn"].to_numpy(np.int64)
+        da = dv[np.searchsorted(dn, a)]
+        db = dv[np.searchsorted(dn, b)]
+        j = cn.astype(np.float64) / (da + db - cn).astype(np.float64)
+        out = pd.DataFrame({"node_a": a, "node_b": b, "cn": cn,
+                            "jaccard": j})
+        return (out.sort_values(["jaccard", "node_a", "node_b"],
+                                ascending=[False, True, True],
+                                kind="mergesort").head(50))
+
+    parts = (tagged.groupby("_bucket")
+             .map_groups(_wedges, batch_format="pandas")
+             .groupby("_pb").map_groups(_score, batch_format="pandas")
+             .to_pandas())
+    return (parts.sort_values(["jaccard", "node_a", "node_b"],
+                              ascending=[False, True, True],
+                              kind="mergesort").head(50)
+            .reset_index(drop=True))
+
+
+def q_anova_value_by_type(sf_dir: str):
+    """One-way ANOVA F statistic of event `value` across event types —
+    the k-group generalization of `ab_test_value`'s Welch t.  One pass
+    of exact int64 cent-moment partials (n, Σv, Σv²) per type; the
+    driver evaluates the per-type terms with the SAME cast-then-divide
+    expression tree as the SQL and emits F on the 1e-6 grid
+    (half-away-from-zero) — the k-term float sum's order difference is
+    ~5 decimal orders under the grid, the `link_pagerank` convention."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        v = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        return pa.table({"event_type": batch["event_type"],
+                         "v": pa.array(v), "vv": pa.array(v * v)})
+
+    m = partial_agg(ds.map_batches(_prep, batch_format="pyarrow",
+                                   zero_copy_batch=True),
+                    ["event_type"], sums=["v", "vv"],
+                    combine="driver").to_pandas()
+    m = m.sort_values("event_type", kind="mergesort")
+    k = len(m)
+    nn = int(m["n"].sum())
+    s_tot = float(int(m["sum_v"].sum()))
+    q_tot = float(int(m["sum_vv"].sum()))
+    term = 0.0
+    for r in m.itertuples():              # Σ_j S_j²/n_j, sorted order
+        term += float(int(r.sum_v)) * float(int(r.sum_v)) / float(r.n)
+    ssb = term - s_tot * s_tot / float(nn)
+    ssw = q_tot - term
+    f = (ssb / float(k - 1)) / (ssw / float(nn - k))
+    sx = f * 1e6
+    f_e6 = int(np.floor(sx + 0.5) if sx >= 0 else -np.floor(-sx + 0.5))
+    return pd.DataFrame({"n_rows": [np.int64(nn)],
+                         "n_groups": [np.int64(k)],
+                         "f_e6": [np.int64(f_e6)]})
+
+
+def q_kruskal_value_by_type(sf_dir: str):
+    """Kruskal-Wallis H (tie-corrected) of event `value` across event
+    types — the rank-based (nonparametric) sibling of the ANOVA F,
+    sharing `mannwhitney_value`'s doubled-average-rank machinery so
+    every rank sum R2_j = Σ 2·avgrank stays integer: one (type,
+    cent-value) count shuffle, the driver walks the O(distinct values
+    × types) histogram and emits H on the 1e-6 grid."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def _cnt(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "et": batch["event_type"].to_numpy(zero_copy_only=False),
+            "vc": np.round(batch["value"].to_numpy(zero_copy_only=False)
+                           * 100.0).astype(np.int64)})
+
+    c = partial_agg(ds.map_batches(_cnt, batch_format="pyarrow"),
+                    ["et", "vc"],
+                    num_buckets=_skinny_w(sf_dir, "events", 24),
+                    combine="distributed").to_pandas()
+    c["n"] = c["n"].astype(np.int64)
+    g = c.groupby("vc")["n"].sum().sort_index()
+    gv = g.index.to_numpy(np.int64)
+    t = g.to_numpy(np.int64)
+    cless = np.concatenate(([0], np.cumsum(t)[:-1]))
+    r2_of = dict(zip(gv.tolist(),
+                     (2 * cless + t + 1).tolist()))  # doubled avg rank
+    nn = int(t.sum())
+    ties = sum(int(x) ** 3 - int(x) for x in t)       # Σ t³−t, exact
+    num = 0.0
+    for et, grp in sorted(c.groupby("et"), key=lambda kv: kv[0]):
+        r2j = sum(int(x) * r2_of[int(v)]
+                  for v, x in zip(grp["vc"], grp["n"]))  # exact int
+        num += (float(r2j) * float(r2j)) / (4.0 * float(int(
+            grp["n"].sum())))
+    h = (12.0 / (float(nn) * float(nn + 1))) * num - 3.0 * float(
+        nn + 1)
+    h = h / (1.0 - float(ties) / float(nn ** 3 - nn))
+    sx = h * 1e6
+    h_e6 = int(np.floor(sx + 0.5) if sx >= 0 else -np.floor(-sx + 0.5))
+    return pd.DataFrame({"n_rows": [np.int64(nn)],
+                         "n_groups": [np.int64(c["et"].nunique())],
+                         "h_e6": [np.int64(h_e6)]})
+
+
+def q_isotonic_calibration(sf_dir: str):
+    """Isotonic (PAV) calibration of P(purchase | value) — the exact
+    monotone calibration curve beside the binned `calibration_value`:
+    the same (score, label) stream, fitted to the least-squares
+    nondecreasing step function.  One (cent-score, label) count
+    shuffle; the driver's PAV walks the O(distinct cents) histogram
+    with cross-multiplied integer pool comparisons (see
+    `stages/isotonic.py`).  No SQL equivalent (the pooling is
+    iterative) — rows-only driver check; `tests/test_isotonic.py`
+    pins monotonicity, mass preservation, the max-min closed form and
+    brute-force parity."""
+    from ..stages.isotonic import isotonic_calibration
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def _prep(batch: pa.Table) -> pd.DataFrame:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        return pd.DataFrame({
+            "score": np.round(batch["value"].to_numpy(
+                zero_copy_only=False) * 100.0).astype(np.int64),
+            "label": (et == "purchase").astype(np.int64)})
+
+    return isotonic_calibration(
+        ds.map_batches(_prep, batch_format="pyarrow"),
+        "score", "label",
+        num_buckets=_skinny_w(sf_dir, "events", 24))
