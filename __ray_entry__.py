@@ -384,6 +384,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (PAV pooling is iterative — no SQL equivalent;
         # tests/test_isotonic.py pins the math)
         "isotonic_calibration": q.q_isotonic_calibration,
+        "ks_source_matrix": q.q_ks_source_matrix,
+        "wasserstein_source_pairs": q.q_wasserstein_source_pairs,
     }
 
 def _langid_oracle_sql() -> str:
@@ -3463,5 +3465,69 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN sx >= 0 THEN floor(sx + 0.5) "
             "ELSE -floor(-sx + 0.5) END AS BIGINT) AS h_e6 "
             "FROM (SELECT nn, k, hv * 1000000.0 AS sx FROM h)"
+        ),
+        # pairwise KS drift matrix on the union doc-length CDF grid;
+        # integer argmax, ties to the smallest length, one division
+        "ks_source_matrix": (
+            "WITH c AS (SELECT source, n_chars AS v, "
+            "CAST(COUNT(*) AS BIGINT) AS cnt FROM documents "
+            "GROUP BY 1, 2), "
+            "tot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n "
+            "FROM c GROUP BY 1), "
+            "vals AS (SELECT DISTINCT v FROM c), "
+            "grid AS (SELECT t.source, v.v FROM tot t "
+            "CROSS JOIN vals v), "
+            "cdf AS (SELECT g.source, g.v, CAST(SUM(COALESCE(c.cnt, "
+            "0)) OVER (PARTITION BY g.source ORDER BY g.v) AS BIGINT) "
+            "AS cum FROM grid g LEFT JOIN c ON c.source = g.source "
+            "AND c.v = g.v), "
+            "pairs AS (SELECT a.source AS sa, a.n AS na, b.source AS "
+            "sb, b.n AS nb FROM tot a JOIN tot b "
+            "ON a.source < b.source), "
+            "j AS (SELECT p.sa, p.sb, p.na, p.nb, a.v, a.cum AS ca, "
+            "b.cum AS cb FROM pairs p JOIN cdf a ON a.source = p.sa "
+            "JOIN cdf b ON b.source = p.sb AND b.v = a.v), "
+            "m AS (SELECT sa, sb, na, nb, v, "
+            "abs(ca * nb - cb * na) AS diff FROM j), "
+            "best AS (SELECT sa, sb, na, nb, v, diff, ROW_NUMBER() "
+            "OVER (PARTITION BY sa, sb ORDER BY diff DESC, v) AS rn "
+            "FROM m) "
+            "SELECT sa AS source_a, sb AS source_b, na AS n_a, "
+            "nb AS n_b, CAST(v AS BIGINT) AS at_value, "
+            "CAST(diff AS DOUBLE) / (CAST(na AS DOUBLE) * "
+            "CAST(nb AS DOUBLE)) AS ks FROM best WHERE rn = 1 "
+            "ORDER BY source_a, source_b"
+        ),
+        # pairwise 1-Wasserstein: integer Σ |ΔCDF|·gap (HUGEINT),
+        # one mirrored division
+        "wasserstein_source_pairs": (
+            "WITH c AS (SELECT source, n_chars AS v, "
+            "CAST(COUNT(*) AS BIGINT) AS cnt FROM documents "
+            "GROUP BY 1, 2), "
+            "tot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n "
+            "FROM c GROUP BY 1), "
+            "vals AS (SELECT DISTINCT v FROM c), "
+            "grid AS (SELECT t.source, v.v FROM tot t "
+            "CROSS JOIN vals v), "
+            "cdf AS (SELECT g.source, g.v, CAST(SUM(COALESCE(c.cnt, "
+            "0)) OVER (PARTITION BY g.source ORDER BY g.v) AS BIGINT) "
+            "AS cum FROM grid g LEFT JOIN c ON c.source = g.source "
+            "AND c.v = g.v), "
+            "pairs AS (SELECT a.source AS sa, a.n AS na, b.source AS "
+            "sb, b.n AS nb FROM tot a JOIN tot b "
+            "ON a.source < b.source), "
+            "j AS (SELECT p.sa, p.sb, p.na, p.nb, a.v, a.cum AS ca, "
+            "b.cum AS cb FROM pairs p JOIN cdf a ON a.source = p.sa "
+            "JOIN cdf b ON b.source = p.sb AND b.v = a.v), "
+            "w AS (SELECT sa, sb, na, nb, v, "
+            "abs(ca * nb - cb * na) AS diff, "
+            "LEAD(v) OVER (PARTITION BY sa, sb ORDER BY v) AS nv "
+            "FROM j), "
+            "s AS (SELECT sa, sb, na, nb, SUM(diff * (nv - v)) AS tv "
+            "FROM w WHERE nv IS NOT NULL GROUP BY 1, 2, 3, 4) "
+            "SELECT sa AS source_a, sb AS source_b, na AS n_a, "
+            "nb AS n_b, CAST(tv AS DOUBLE) / (CAST(na AS DOUBLE) * "
+            "CAST(nb AS DOUBLE)) AS w1 FROM s "
+            "ORDER BY source_a, source_b"
         ),
     }

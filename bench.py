@@ -322,6 +322,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "day_user_overlap", "fano_factor_daily",
         "link_pred_jaccard", "anova_value_by_type",
         "kruskal_value_by_type", "isotonic_calibration",
+        "ks_source_matrix", "wasserstein_source_pairs",
     ]
     qs = em.queries()
     import gc

@@ -8291,3 +8291,74 @@ def q_isotonic_calibration(sf_dir: str):
         ds.map_batches(_prep, batch_format="pyarrow"),
         "score", "label",
         num_buckets=_skinny_w(sf_dir, "events", 24))
+
+
+def _source_nchars_cdf(sf_dir: str):
+    """Shared front end for the corpus drift matrix ops: per-source
+    CDF of the document-length (n_chars) distribution on the UNION
+    value grid.  One (source, n_chars) count shuffle; returns
+    (sources, n per source, sorted values, cum counts [S×V]) — driver
+    memory O(sources × distinct lengths), bounded by the length
+    DOMAIN, not row count."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "n_chars"])
+    c = partial_agg(ds, ["source", "n_chars"],
+                    num_buckets=_skinny_w(sf_dir, "documents", 24),
+                    combine="distributed").to_pandas()
+    c["n"] = c["n"].astype(np.int64)
+    piv = (c.pivot_table(index="n_chars", columns="source", values="n",
+                         aggfunc="sum", fill_value=0).sort_index())
+    sources = sorted(piv.columns)
+    piv = piv[sources]
+    vals = piv.index.to_numpy(np.int64)
+    cum = piv.to_numpy(np.int64).cumsum(axis=0)     # V × S
+    n_of = {s: int(cum[-1, j]) for j, s in enumerate(sources)}
+    return sources, n_of, vals, cum
+
+
+def q_ks_source_matrix(sf_dir: str):
+    """Pairwise two-sample KS drift matrix between every pair of
+    document sources on the doc-length distribution — the corpus-
+    monitoring generalization of `ks_value_drift`: per (source_a,
+    source_b), the integer argmax of |ca·nb − cb·na| over the union
+    CDF grid (ties to the smallest length) and ONE mirrored division.
+    Driver walks O(pairs × distinct lengths)."""
+    sources, n_of, vals, cum = _source_nchars_cdf(sf_dir)
+    rows = []
+    for i, sa in enumerate(sources):
+        for j in range(i + 1, len(sources)):
+            sb = sources[j]
+            na, nb = n_of[sa], n_of[sb]
+            diff = np.abs(cum[:, i] * np.int64(nb)
+                          - cum[:, j] * np.int64(na))
+            k = int(np.argmax(diff))       # first max = smallest v
+            rows.append((sa, sb, na, nb, int(vals[k]),
+                         float(np.int64(diff[k]))
+                         / (float(na) * float(nb))))
+    return pd.DataFrame(rows, columns=["source_a", "source_b", "n_a",
+                                       "n_b", "at_value", "ks"]).astype(
+        {"n_a": np.int64, "n_b": np.int64, "at_value": np.int64})
+
+
+def q_wasserstein_source_pairs(sf_dir: str):
+    """Pairwise 1-Wasserstein (earth mover) distance between source
+    doc-length distributions — the drift metric that, unlike KS, sees
+    HOW FAR mass moved: W1 = ∫|F_a − F_b|.  INTEGER-exact end-to-end:
+    W1·na·nb = Σ_i |ca_i·nb − cb_i·na|·(v_{i+1} − v_i) over the union
+    grid, folded with Python ints (the HUGEINT sum in SQL), then ONE
+    mirrored division.  Same single count shuffle as the KS matrix."""
+    sources, n_of, vals, cum = _source_nchars_cdf(sf_dir)
+    gaps = (vals[1:] - vals[:-1]).astype(object)
+    rows = []
+    for i, sa in enumerate(sources):
+        for j in range(i + 1, len(sources)):
+            sb = sources[j]
+            na, nb = n_of[sa], n_of[sb]
+            diff = np.abs(cum[:-1, i].astype(object) * nb
+                          - cum[:-1, j].astype(object) * na)
+            tv = int(np.sum(diff * gaps))
+            rows.append((sa, sb, na, nb,
+                         float(tv) / (float(na) * float(nb))))
+    return pd.DataFrame(rows, columns=["source_a", "source_b", "n_a",
+                                       "n_b", "w1"]).astype(
+        {"n_a": np.int64, "n_b": np.int64})
