@@ -386,6 +386,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "isotonic_calibration": q.q_isotonic_calibration,
         "ks_source_matrix": q.q_ks_source_matrix,
         "wasserstein_source_pairs": q.q_wasserstein_source_pairs,
+        "tv_source_pairs": q.q_tv_source_pairs,
+        "unigram_cosine_sources": q.q_unigram_cosine_sources,
     }
 
 def _langid_oracle_sql() -> str:
@@ -3528,6 +3530,53 @@ def oracle_sql() -> dict[str, str]:
             "SELECT sa AS source_a, sb AS source_b, na AS n_a, "
             "nb AS n_b, CAST(tv AS DOUBLE) / (CAST(na AS DOUBLE) * "
             "CAST(nb AS DOUBLE)) AS w1 FROM s "
+            "ORDER BY source_a, source_b"
+        ),
+        # pairwise total-variation: integer Σ |pmf gap| on the union
+        # grid, one mirrored division (×2 in the denominator)
+        "tv_source_pairs": (
+            "WITH c AS (SELECT source, n_chars AS v, "
+            "CAST(COUNT(*) AS BIGINT) AS cnt FROM documents "
+            "GROUP BY 1, 2), "
+            "tot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n "
+            "FROM c GROUP BY 1), "
+            "vals AS (SELECT DISTINCT v FROM c), "
+            "grid AS (SELECT t.source, v.v FROM tot t "
+            "CROSS JOIN vals v), "
+            "pmf AS (SELECT g.source, g.v, "
+            "CAST(COALESCE(c.cnt, 0) AS BIGINT) AS f FROM grid g "
+            "LEFT JOIN c ON c.source = g.source AND c.v = g.v), "
+            "pairs AS (SELECT a.source AS sa, a.n AS na, b.source AS "
+            "sb, b.n AS nb FROM tot a JOIN tot b "
+            "ON a.source < b.source), "
+            "j AS (SELECT p.sa, p.sb, p.na, p.nb, "
+            "abs(a.f * p.nb - b.f * p.na) AS gap FROM pairs p "
+            "JOIN pmf a ON a.source = p.sa "
+            "JOIN pmf b ON b.source = p.sb AND b.v = a.v) "
+            "SELECT sa AS source_a, sb AS source_b, na AS n_a, "
+            "nb AS n_b, CAST(SUM(gap) AS DOUBLE) / "
+            "(2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS tv "
+            "FROM j GROUP BY 1, 2, 3, 4 ORDER BY 1, 2"
+        ),
+        # pairwise unigram-count cosine: integer dots and norms, one
+        # mirrored sqrt expression; inner term join drops
+        # disjoint-vocabulary pairs
+        "unigram_cosine_sources": (
+            "WITH e AS (SELECT source, "
+            "unnest(string_split(text, ' ')) AS term FROM documents), "
+            "c AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM e GROUP BY 1, 2), "
+            "d AS (SELECT a.source AS sa, b.source AS sb, "
+            "SUM(a.n * b.n) AS dot FROM c a JOIN c b "
+            "ON a.term = b.term AND a.source < b.source "
+            "GROUP BY 1, 2), "
+            "nrm AS (SELECT source, SUM(n * n) AS n2 FROM c "
+            "GROUP BY 1) "
+            "SELECT d.sa AS source_a, d.sb AS source_b, "
+            "CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * "
+            "CAST(nb.n2 AS DOUBLE)) AS cosine FROM d "
+            "JOIN nrm na ON d.sa = na.source "
+            "JOIN nrm nb ON d.sb = nb.source "
             "ORDER BY source_a, source_b"
         ),
     }

@@ -323,6 +323,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "link_pred_jaccard", "anova_value_by_type",
         "kruskal_value_by_type", "isotonic_calibration",
         "ks_source_matrix", "wasserstein_source_pairs",
+        "tv_source_pairs", "unigram_cosine_sources",
     ]
     qs = em.queries()
     import gc

@@ -17,6 +17,8 @@ nothing here calls ray.init.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -7651,7 +7653,7 @@ def q_spearman_qty_price(sf_dir: str):
     sxy = int(m["sum_sxy"].iloc[0])
     num = n * sxy - sx * sy                      # exact Python ints
     d1, d2 = n * sxx - sx * sx, n * syy - sy * sy
-    rho = float(num) / ((float(d1) * float(d2)) ** 0.5)
+    rho = float(num) / math.sqrt(float(d1) * float(d2))
     return pd.DataFrame({"n_rows": [np.int64(n)],
                          "spearman": [np.float64(rho)]})
 
@@ -7772,7 +7774,7 @@ def q_mann_kendall_daily(sf_dir: str):
     n0 = d * (d - 1) // 2
     _, tcnt = np.unique(dense, return_counts=True)
     n1 = int(sum(int(t) * (int(t) - 1) // 2 for t in tcnt))
-    tau = float(s) / ((float(n0 - n1) * float(n0)) ** 0.5)
+    tau = float(s) / math.sqrt(float(n0 - n1) * float(n0))
     return pd.DataFrame({"n_days": [np.int64(d)],
                          "s_stat": [np.int64(s)],
                          "tau_b": [np.float64(tau)]})
@@ -8362,3 +8364,92 @@ def q_wasserstein_source_pairs(sf_dir: str):
     return pd.DataFrame(rows, columns=["source_a", "source_b", "n_a",
                                        "n_b", "w1"]).astype(
         {"n_a": np.int64, "n_b": np.int64})
+
+
+def q_tv_source_pairs(sf_dir: str):
+    """Pairwise TOTAL-VARIATION distance between source doc-length
+    distributions — the pointwise-pmf member of the drift family
+    (KS = sup of the CDF gap, W1 = its integral, TV = half the L1 pmf
+    gap): TV·2·na·nb = Σ_v |fa_v·nb − fb_v·na| stays integer on the
+    union value grid; ONE mirrored division.  Shares the single
+    (source, n_chars) count shuffle with the KS/W1 matrix."""
+    sources, n_of, vals, cum = _source_nchars_cdf(sf_dir)
+    # pmf back from the cumulative: f_0 = cum_0, f_i = cum_i - cum_{i-1}
+    pmf = np.vstack([cum[:1], np.diff(cum, axis=0)]).astype(object)
+    rows = []
+    for i, sa in enumerate(sources):
+        for j in range(i + 1, len(sources)):
+            sb = sources[j]
+            na, nb = n_of[sa], n_of[sb]
+            tv2 = int(np.sum(np.abs(pmf[:, i] * nb - pmf[:, j] * na)))
+            rows.append((sa, sb, na, nb,
+                         float(tv2) / (2.0 * float(na) * float(nb))))
+    return pd.DataFrame(rows, columns=["source_a", "source_b", "n_a",
+                                       "n_b", "tv"]).astype(
+        {"n_a": np.int64, "n_b": np.int64})
+
+
+def q_unigram_cosine_sources(sf_dir: str):
+    """Pairwise cosine similarity between source UNIGRAM count
+    vectors — term-level corpus similarity (which sources share a
+    vocabulary distribution), the drift family's content-aware member.
+    EXACT: dot products and squared norms are integer sums — one
+    (source, term) count shuffle, then each term-hash bucket pivots
+    its slice to a dense S×T block and matmuls S×S partial dots
+    (int64) — the driver folds O(buckets · S²) partials with Python
+    ints and evaluates dot/√(‖a‖²·‖b‖²) as the single mirrored float
+    expression.  Tokenization is text.split(' ') == DuckDB
+    string_split, empties kept."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+    nb = _w(sf_dir, "documents")
+
+    def _counts(df: pd.DataFrame) -> pd.DataFrame:
+        s = pd.DataFrame({"source": df["source"],
+                          "term": df["text"].fillna("").str.split(" ")})
+        e = s.explode("term", ignore_index=True)
+        out = (e.groupby(["source", "term"], sort=False).size()
+               .rename("n").reset_index())
+        h = pd.util.hash_pandas_object(out["term"],
+                                       index=False).to_numpy()
+        out["_bucket"] = (h % np.uint64(nb)).astype(np.int32)
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    _empty = pd.DataFrame({"sa": pd.Series([], dtype=object),
+                           "sb": pd.Series([], dtype=object),
+                           "dot": pd.Series([], dtype=np.int64)})
+
+    def _dots(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "source" not in df.columns:
+            return _empty
+        g = (df.groupby(["source", "term"], sort=False)["n"].sum()
+             .reset_index())
+        piv = g.pivot_table(index="term", columns="source", values="n",
+                            aggfunc="sum", fill_value=0)
+        srcs = sorted(piv.columns)
+        m = piv[srcs].to_numpy(np.int64)
+        dots = m.T @ m                       # S×S int64 partial
+        ii, jj = np.triu_indices(len(srcs))  # includes diag = norms²
+        return pd.DataFrame({
+            "sa": np.array(srcs, dtype=object)[ii],
+            "sb": np.array(srcs, dtype=object)[jj],
+            "dot": dots[ii, jj].astype(np.int64)})
+
+    parts = (ds.map_batches(_counts, batch_format="pandas")
+             .groupby("_bucket").map_groups(_dots,
+                                            batch_format="pandas")
+             .to_pandas())
+    agg = {}
+    for r in parts.itertuples():             # Python ints: Σ over
+        k = (r.sa, r.sb)                     # buckets never wraps
+        agg[k] = agg.get(k, 0) + int(r.dot)
+    norms = {a: v for (a, b), v in agg.items() if a == b}
+    rows = []
+    for (a, b), dot in sorted(agg.items()):
+        if a == b or dot == 0:   # SQL's inner term join omits
+            continue             # disjoint-vocabulary pairs
+        rows.append((a, b, float(dot)
+                     / math.sqrt(float(norms[a]) * float(norms[b]))))
+    return pd.DataFrame(rows, columns=["source_a", "source_b",
+                                       "cosine"])
