@@ -388,6 +388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wasserstein_source_pairs": q.q_wasserstein_source_pairs,
         "tv_source_pairs": q.q_tv_source_pairs,
         "unigram_cosine_sources": q.q_unigram_cosine_sources,
+        "textrank_keywords": q.q_textrank_keywords,
     }
 
 def _langid_oracle_sql() -> str:
@@ -478,6 +479,49 @@ def _pagerank_oracle_sql(iters: int = 3, damping: float = 0.85,
         f" SELECT node, CAST(CASE WHEN sx >= 0 THEN floor(sx + 0.5) "
         f"ELSE -floor(-sx + 0.5) END AS BIGINT) AS rank_e9 FROM "
         f"(SELECT node, rank * 1000000000.0 AS sx FROM r{iters})"
+    )
+    return sql
+
+
+def _textrank_oracle_sql(iters: int = 3, damping: float = 0.85) -> str:
+    """TextRank: the same unrolled PageRank CTE trio per iteration as
+    `_pagerank_oracle_sql`, over the DISTINCT word-adjacency edge
+    table (string nodes — ids are irrelevant to the ranks), top-20 on
+    the 1e-9 grid with word tiebreak."""
+    sql = (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w, "
+        "len(string_split(text, ' ')) AS nw FROM documents), "
+        "e AS (SELECT DISTINCT w[i] AS src, w[i + 1] AS dst FROM "
+        "(SELECT w, unnest(generate_series(1, nw - 1)) AS i FROM t "
+        "WHERE nw >= 2) x), "
+        "od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg "
+        "FROM e GROUP BY src), "
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e)), "
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes), "
+        "r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)"
+    )
+    for i in range(1, iters + 1):
+        p, c, d, r = f"r{i - 1}", f"c{i}", f"d{i}", f"r{i}"
+        sql += (
+            f", {d} AS (SELECT COALESCE(SUM(r.rank), 0.0) AS dm "
+            f"FROM {p} r LEFT JOIN od ON r.node = od.src "
+            f"WHERE od.src IS NULL)"
+            f", {c} AS (SELECT e.dst AS node, "
+            f"SUM(r.rank / od.outdeg) AS c "
+            f"FROM e JOIN od ON e.src = od.src "
+            f"JOIN {p} r ON r.node = e.src GROUP BY e.dst)"
+            f", {r} AS (SELECT nd.node, "
+            f"{1.0 - damping!r} / nn.n + {damping!r} * {d}.dm / nn.n "
+            f"+ {damping!r} * COALESCE({c}.c, 0.0) AS rank "
+            f"FROM nodes nd CROSS JOIN nn CROSS JOIN {d} "
+            f"LEFT JOIN {c} ON nd.node = {c}.node)"
+        )
+    sql += (
+        f" SELECT node AS word, CAST(CASE WHEN sx >= 0 THEN "
+        f"floor(sx + 0.5) ELSE -floor(-sx + 0.5) END AS BIGINT) AS "
+        f"rank_e9 FROM (SELECT node, rank * 1000000000.0 AS sx "
+        f"FROM r{iters}) ORDER BY rank_e9 DESC, word LIMIT 20"
     )
     return sql
 
@@ -3579,4 +3623,8 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nrm nb ON d.sb = nb.source "
             "ORDER BY source_a, source_b"
         ),
+        # TextRank keywords: unrolled PageRank over the distinct
+        # word-adjacency graph, 1e-9 grid, word tiebreak
+        "textrank_keywords": _textrank_oracle_sql(iters=3,
+                                                  damping=0.85),
     }

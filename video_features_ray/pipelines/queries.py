@@ -8453,3 +8453,63 @@ def q_unigram_cosine_sources(sf_dir: str):
                      / math.sqrt(float(norms[a]) * float(norms[b]))))
     return pd.DataFrame(rows, columns=["source_a", "source_b",
                                        "cosine"])
+
+
+def q_textrank_keywords(sf_dir: str):
+    """TextRank keyword extraction — PageRank over the corpus's
+    directed word-adjacency graph (distinct `w_i → w_{i+1}` pairs,
+    Mihalcea & Tarau '04), global top-20 words.  Pure composition of
+    existing machinery: the bigram shift-concat front end feeds
+    `distinct_values`, the edge table (bounded by VOCAB², not corpus
+    size) gets dense int ids from the sorted endpoint vocabulary, and
+    `stages/graph.pagerank` runs unchanged; ranks land on the 1e-9
+    half-away grid like `link_pagerank` and map back to words on the
+    driver (O(vocab))."""
+    from ..stages.dedup import distinct_values
+    from ..stages.graph import pagerank
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"sw": pd.Series([], dtype=object),
+                              "dw": pd.Series([], dtype=object)})
+        if df.empty:
+            return empty
+        s = pd.DataFrame({
+            "doc": df["doc_id"].astype(np.int64),
+            "term": df["text"].fillna("").str.split(" ")})
+        e = s.explode("term", ignore_index=True)
+        doc = e["doc"].to_numpy()
+        term = e["term"].astype(str)
+        m = len(term) - 1
+        if m <= 0:
+            return empty
+        valid = doc[:m] == doc[1:]
+        out = pd.DataFrame({
+            "sw": term.iloc[:m].reset_index(drop=True)[valid],
+            "dw": term.iloc[1:].reset_index(drop=True)[valid]})
+        return out.drop_duplicates()
+
+    pairs = distinct_values(ds.map_batches(_pairs,
+                                           batch_format="pandas"),
+                            ["sw", "dw"],
+                            num_buckets=_w(sf_dir, "documents")
+                            ).to_pandas()
+    vocab = np.array(sorted(set(pairs["sw"]) | set(pairs["dw"])),
+                     dtype=object)
+    edges = ray.data.from_pandas(pd.DataFrame({
+        "src": np.searchsorted(vocab, pairs["sw"].to_numpy()),
+        "dst": np.searchsorted(vocab, pairs["dw"].to_numpy())}))
+    edges = edges.map_batches(
+        lambda df: df.astype({"src": np.int64, "dst": np.int64}),
+        batch_format="pandas")
+    ranks = pagerank(edges, iters=3, num_buckets=8).to_pandas()
+    s = ranks["rank"].to_numpy(np.float64) * 1e9
+    r9 = np.where(s >= 0, np.floor(s + 0.5),
+                  -np.floor(-s + 0.5)).astype(np.int64)
+    out = pd.DataFrame({"word": vocab[ranks["node"].to_numpy(np.int64)],
+                        "rank_e9": r9})
+    return (out.sort_values(["rank_e9", "word"],
+                            ascending=[False, True], kind="mergesort")
+            .head(20).reset_index(drop=True))
