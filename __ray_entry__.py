@@ -389,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tv_source_pairs": q.q_tv_source_pairs,
         "unigram_cosine_sources": q.q_unigram_cosine_sources,
         "textrank_keywords": q.q_textrank_keywords,
+        "stl_daily_decomp": q.q_stl_daily_decomp,
     }
 
 def _langid_oracle_sql() -> str:
@@ -3627,4 +3628,32 @@ def oracle_sql() -> dict[str, str]:
         # word-adjacency graph, 1e-9 grid, word tiebreak
         "textrank_keywords": _textrank_oracle_sql(iters=3,
                                                   damping=0.85),
+        # STL-lite period-7 decomposition over the zero-filled day
+        # spine; trend kept ×7 integer, two mirrored divisions
+        "stl_daily_decomp": (
+            "WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1), "
+            "bo AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d), "
+            "g AS (SELECT unnest(generate_series(d0, d1)) AS day "
+            "FROM bo), "
+            "x AS (SELECT g.day, COALESCE(d.c, 0) AS c FROM g "
+            "LEFT JOIN d ON g.day = d.day), "
+            "w AS (SELECT day, c, day % 7 AS dow, "
+            "SUM(c) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND "
+            "3 FOLLOWING) AS t7, COUNT(*) OVER (ORDER BY day ROWS "
+            "BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn FROM x), "
+            "v AS (SELECT day, dow, c, "
+            "CASE WHEN wn = 7 THEN t7 END AS trend7, "
+            "CASE WHEN wn = 7 THEN 7 * c - t7 END AS detr FROM w), "
+            "s AS (SELECT dow, (CAST(SUM(detr) AS DOUBLE) / "
+            "CAST(COUNT(detr) AS DOUBLE)) / 7.0 AS seasonal FROM v "
+            "WHERE detr IS NOT NULL GROUP BY 1) "
+            "SELECT CAST(v.day AS BIGINT) AS day, "
+            "CAST(v.dow AS BIGINT) AS dow, v.c AS n_events, "
+            "CAST(v.trend7 AS DOUBLE) AS trend7_sum, s.seasonal, "
+            "CASE WHEN v.detr IS NOT NULL THEN "
+            "CAST(v.detr AS DOUBLE) / 7.0 - s.seasonal END AS "
+            "residual FROM v LEFT JOIN s ON v.dow = s.dow "
+            "ORDER BY v.day"
+        ),
     }

@@ -324,7 +324,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "kruskal_value_by_type", "isotonic_calibration",
         "ks_source_matrix", "wasserstein_source_pairs",
         "tv_source_pairs", "unigram_cosine_sources",
-        "textrank_keywords",
+        "textrank_keywords", "stl_daily_decomp",
     ]
     qs = em.queries()
     import gc

@@ -8513,3 +8513,55 @@ def q_textrank_keywords(sf_dir: str):
     return (out.sort_values(["rank_e9", "word"],
                             ascending=[False, True], kind="mergesort")
             .head(20).reset_index(drop=True))
+
+
+def q_stl_daily_decomp(sf_dir: str):
+    """Additive seasonal-trend decomposition (STL-lite, period 7) of
+    the daily event-count series: trend = centered 7-day moving sum
+    (full windows only, kept ×7 so it stays integer), seasonal = mean
+    detrended value per weekday, residual = detrended − seasonal.
+    Everything after the ONE daily count combine is an O(days) driver
+    walk on the zero-filled spine (the CUSUM/Mann-Kendall pattern);
+    the only floats are the two mirrored divisions by 7 and the
+    seasonal mean."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts"])
+
+    def _day(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({"day": batch["ts"].cast(pa.int64())
+                             .to_numpy(zero_copy_only=False) // DAY_US})
+
+    c = (partial_agg(ds.map_batches(_day, batch_format="pyarrow"),
+                     ["day"], combine="driver").to_pandas()
+         .sort_values("day").reset_index(drop=True))
+    days = c["day"].to_numpy(np.int64)
+    d0, d1 = int(days[0]), int(days[-1])
+    spine = np.arange(d0, d1 + 1, dtype=np.int64)
+    dense = np.zeros(len(spine), np.int64)
+    dense[days - d0] = c["n"].to_numpy(np.int64)
+    D = len(spine)
+    t7 = np.full(D, np.iinfo(np.int64).min, np.int64)
+    valid = np.zeros(D, bool)
+    if D >= 7:
+        csum = np.concatenate(([0], np.cumsum(dense)))
+        t7[3:D - 3] = csum[7:] - csum[:-7]
+        valid[3:D - 3] = True
+    detr = 7 * dense - t7                      # int, only where valid
+    dow = spine % 7
+    seasonal_of = {}
+    for w in range(7):
+        m = valid & (dow == w)
+        if m.any():
+            seasonal_of[w] = (float(int(detr[m].sum()))
+                              / float(int(m.sum()))) / 7.0
+    seas = np.array([seasonal_of.get(int(w), np.nan) for w in dow])
+    resid = np.where(valid & ~np.isnan(seas),
+                     detr.astype(np.float64) / 7.0 - seas, np.nan)
+    return pd.DataFrame({
+        "day": spine, "dow": dow.astype(np.int64),
+        "n_events": dense,
+        # float64 with NaN at the 3-day edges (small ints — exact in
+        # double; keeps both sides' schema trivially identical)
+        "trend7_sum": np.where(valid, t7.astype(np.float64), np.nan),
+        "seasonal": seas,
+        "residual": resid})
