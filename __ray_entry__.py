@@ -390,6 +390,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_cosine_sources": q.q_unigram_cosine_sources,
         "textrank_keywords": q.q_textrank_keywords,
         "stl_daily_decomp": q.q_stl_daily_decomp,
+        "theilsen_daily_slope": q.q_theilsen_daily_slope,
+        "linear_attribution": q.q_linear_attribution,
     }
 
 def _langid_oracle_sql() -> str:
@@ -3655,5 +3657,41 @@ def oracle_sql() -> dict[str, str]:
             "CAST(v.detr AS DOUBLE) / 7.0 - s.seasonal END AS "
             "residual FROM v LEFT JOIN s ON v.dow = s.dow "
             "ORDER BY v.day"
+        ),
+        # Theil-Sen: discrete median (quantile_disc picks sorted
+        # element ceil(n·q)−1) of the bit-identical pairwise slopes
+        "theilsen_daily_slope": (
+            "WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1), "
+            "bo AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d), "
+            "g AS (SELECT unnest(generate_series(d0, d1)) AS day "
+            "FROM bo), "
+            "x AS (SELECT g.day, COALESCE(d.c, 0) AS c FROM g "
+            "LEFT JOIN d ON g.day = d.day), "
+            "s AS (SELECT CAST(b.c - a.c AS DOUBLE) / "
+            "CAST(b.day - a.day AS DOUBLE) AS slope "
+            "FROM x a JOIN x b ON b.day > a.day) "
+            "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM x) AS "
+            "n_days, CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+            "quantile_disc(slope, 0.5) AS slope FROM s"
+        ),
+        # linear attribution: per-purchase equal credit over the
+        # user's clicks in [t−1h, t); one mirrored division per row
+        "linear_attribution": (
+            "WITH e AS (SELECT event_id, user_id, event_type, "
+            "epoch_us(ts) AS t, value FROM events), "
+            "p AS (SELECT event_id, user_id, t, "
+            "CAST(round(value * 100.0) AS BIGINT) AS vc FROM e "
+            "WHERE event_type = 'purchase'), "
+            "c AS (SELECT user_id, t FROM e "
+            "WHERE event_type = 'click'), "
+            "j AS (SELECT p.event_id, p.t, p.vc, "
+            "CAST(COUNT(*) AS BIGINT) AS n_clicks FROM p JOIN c "
+            "ON c.user_id = p.user_id AND c.t >= p.t - 3600000000 "
+            "AND c.t < p.t GROUP BY 1, 2, 3) "
+            "SELECT event_id, CAST(t // 86400000000 AS BIGINT) AS "
+            "day, vc / 100.0 AS value, n_clicks, "
+            "(vc / 100.0) / CAST(n_clicks AS DOUBLE) AS credit_each "
+            "FROM j"
         ),
     }

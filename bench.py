@@ -325,6 +325,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "ks_source_matrix", "wasserstein_source_pairs",
         "tv_source_pairs", "unigram_cosine_sources",
         "textrank_keywords", "stl_daily_decomp",
+        "theilsen_daily_slope", "linear_attribution",
     ]
     qs = em.queries()
     import gc

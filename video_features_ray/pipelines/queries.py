@@ -8565,3 +8565,91 @@ def q_stl_daily_decomp(sf_dir: str):
         "trend7_sum": np.where(valid, t7.astype(np.float64), np.nan),
         "seasonal": seas,
         "residual": resid})
+
+
+def q_theilsen_daily_slope(sf_dir: str):
+    """Theil-Sen robust trend of the daily event-count series: the
+    median over all C(D,2) pairwise slopes (c_j − c_i)/(day_j − day_i)
+    on the zero-filled spine — the outlier-resistant sibling of the
+    Mann-Kendall S (which only signs these pairs).  Day counts come
+    from the ONE O(days) combine; slopes are each a single mirrored
+    division (bit-identical both sides) so the discrete median —
+    DuckDB's quantile_disc convention, element ceil(n·q)−1 of the
+    sorted list — picks the same element."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts"])
+
+    def _day(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({"day": batch["ts"].cast(pa.int64())
+                             .to_numpy(zero_copy_only=False) // DAY_US})
+
+    c = (partial_agg(ds.map_batches(_day, batch_format="pyarrow"),
+                     ["day"], combine="driver").to_pandas()
+         .sort_values("day").reset_index(drop=True))
+    days = c["day"].to_numpy(np.int64)
+    d0, d1 = int(days[0]), int(days[-1])
+    spine = np.arange(d0, d1 + 1, dtype=np.int64)
+    dense = np.zeros(len(spine), np.int64)
+    dense[days - d0] = c["n"].to_numpy(np.int64)
+    i, j = np.triu_indices(len(spine), k=1)
+    slopes = ((dense[j] - dense[i]).astype(np.float64)
+              / (spine[j] - spine[i]).astype(np.float64))
+    slopes = np.sort(slopes)
+    n = len(slopes)
+    med = slopes[int(np.ceil(n * 0.5)) - 1]
+    return pd.DataFrame({"n_days": [np.int64(len(spine))],
+                         "n_pairs": [np.int64(n)],
+                         "slope": [np.float64(med)]})
+
+
+def q_linear_attribution(sf_dir: str):
+    """Linear (equal-credit) marketing attribution: every purchase
+    splits its value equally across the user's click events in the
+    preceding hour — per-purchase rows (purchase id, day, clicks
+    credited, credit each) so each row is ONE mirrored division and
+    no float accumulates across rows.  Same user-bucketed packed-key
+    searchsorted window as `followed_within_1h`, pointed backward;
+    purchases with no preceding click drop (inner semantics)."""
+    from ..stages.events import with_bucket
+
+    ds = _events_us(sf_dir, ["user_id", "ts", "event_type",
+                             "event_id", "value"])
+    tagged = with_bucket(ds, "user_id", _w(sf_dir, "events"))
+
+    def _credit(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "event_id": pd.Series([], dtype=np.int64),
+            "day": pd.Series([], dtype=np.int64),
+            "value": pd.Series([], dtype=np.float64),
+            "n_clicks": pd.Series([], dtype=np.int64),
+            "credit_each": pd.Series([], dtype=np.float64)})
+        if df.empty or "user_id" not in df.columns:
+            return empty
+        df = df.sort_values(["user_id", "ts_us", "event_id"],
+                            kind="mergesort")
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts_us"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        urank = np.cumsum(np.concatenate(([0], (u[1:] != u[:-1])
+                                          .astype(np.int64))))
+        t0 = int(ts.min())
+        span = np.int64(int(ts.max()) - t0 + HOUR_US + 2)
+        key = urank * span + (ts - t0)
+        is_click = et == "click"
+        ckey = key[is_click]               # sorted subsequence
+        lo = np.searchsorted(ckey, key - HOUR_US, side="left")
+        hi = np.searchsorted(ckey, key, side="left")  # strictly before
+        n_clicks = (hi - lo).astype(np.int64)
+        is_p = (et == "purchase") & (n_clicks > 0)
+        vc = np.round(df["value"].to_numpy(np.float64)[is_p]
+                      * 100.0).astype(np.int64)
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64)[is_p],
+            "day": (ts[is_p] // DAY_US).astype(np.int64),
+            "value": vc / 100.0,
+            "n_clicks": n_clicks[is_p],
+            "credit_each": (vc / 100.0)
+            / n_clicks[is_p].astype(np.float64)})
+
+    return (tagged.groupby("_bucket")
+            .map_groups(_credit, batch_format="pandas"))
