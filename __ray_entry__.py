@@ -392,6 +392,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stl_daily_decomp": q.q_stl_daily_decomp,
         "theilsen_daily_slope": q.q_theilsen_daily_slope,
         "linear_attribution": q.q_linear_attribution,
+        "pad_waste_by_bucket": q.q_pad_waste_by_bucket,
+        # rows-only (array splicing has no SQL equivalent;
+        # tests/test_corruption.py pins lossless reconstruction)
+        "span_corruption": q.q_span_corruption,
     }
 
 def _langid_oracle_sql() -> str:
@@ -3693,5 +3697,21 @@ def oracle_sql() -> dict[str, str]:
             "day, vc / 100.0 AS value, n_clicks, "
             "(vc / 100.0) / CAST(n_clicks AS DOUBLE) AS credit_each "
             "FROM j"
+        ),
+        # power-of-two padding buckets via forward ASOF against a
+        # generated powers table (no float log2); mirrored waste ratio
+        "pad_waste_by_bucket": (
+            "WITH p AS (SELECT (CAST(1 AS BIGINT) << e) AS b FROM "
+            "(SELECT unnest(generate_series(0, 40)) AS e)), "
+            "d AS (SELECT greatest(n_chars, 1) AS n, n_chars "
+            "FROM documents), "
+            "a AS (SELECT d.n_chars, p.b FROM d ASOF JOIN p "
+            "ON d.n <= p.b) "
+            "SELECT b AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS real_tokens, "
+            "CAST(b * COUNT(*) AS BIGINT) AS padded_tokens, "
+            "CAST(b * COUNT(*) - SUM(n_chars) AS DOUBLE) / "
+            "CAST(b * COUNT(*) AS DOUBLE) AS waste_ratio "
+            "FROM a GROUP BY 1 ORDER BY 1"
         ),
     }

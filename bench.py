@@ -326,6 +326,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "tv_source_pairs", "unigram_cosine_sources",
         "textrank_keywords", "stl_daily_decomp",
         "theilsen_daily_slope", "linear_attribution",
+        "span_corruption", "pad_waste_by_bucket",
     ]
     qs = em.queries()
     import gc

@@ -8653,3 +8653,60 @@ def q_linear_attribution(sf_dir: str):
 
     return (tagged.groupby("_bucket")
             .map_groups(_credit, batch_format="pandas"))
+
+
+def q_span_corruption(sf_dir: str):
+    """T5-style span-corruption examples over the tokenized corpus —
+    the denoising-objective data transform: deterministic
+    Knuth-hashed span masks, one sentinel per span in the encoder
+    input, (sentinel, span) pairs in the decoder target.  Stateless
+    vectorized map over the Arrow list column (one flat int32 buffer
+    per batch, zero shuffle); the per-row LOSSLESS-reconstruction
+    invariant is pinned in `tests/test_corruption.py` (no SQL — array
+    splicing; rows-only driver check).  Returns per-doc stats + both
+    token streams."""
+    from ..stages.corruption import corrupt_spans
+
+    seqs = sequences_from_documents(sf_dir)
+    return seqs.map_batches(corrupt_spans, batch_format="pyarrow")
+
+
+def q_pad_waste_by_bucket(sf_dir: str):
+    """Sequence-length power-of-two bucketing for batch padding — the
+    batching-efficiency planner: docs land in the smallest 2^e ≥
+    n_chars bucket; per bucket, the doc count, real tokens, padded
+    slots (bucket · docs) and the mirrored waste ratio.  One O(41)
+    driver combine (bucket exponents are bounded by the length
+    domain); the SQL pins the same exact bucket via a forward ASOF
+    against a generated powers table — no float log2 edge cases on
+    exact powers."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["n_chars"])
+
+    def _bucket(batch: pa.Table) -> pd.DataFrame:
+        n = batch["n_chars"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = np.maximum(n, 1)
+        e = np.zeros(len(n), np.int64)
+        m = n - 1
+        while (m > 0).any():                   # integer bit-length:
+            e += (m > 0).astype(np.int64)      # e = ceil(log2(n)),
+            m >>= 1                            # exact on powers
+        return pd.DataFrame({"bucket": (np.int64(1) << e),
+                             "nc": batch["n_chars"].to_numpy(
+                                 zero_copy_only=False).astype(np.int64)})
+
+    c = partial_agg(ds.map_batches(_bucket, batch_format="pyarrow"),
+                    ["bucket"], sums=["nc"],
+                    combine="driver").to_pandas()
+    c = c.sort_values("bucket").reset_index(drop=True)
+    docs = c["n"].to_numpy(np.int64)
+    real = c["sum_nc"].to_numpy(np.int64)
+    padded = c["bucket"].to_numpy(np.int64) * docs
+    return pd.DataFrame({
+        "bucket": c["bucket"].astype(np.int64),
+        "n_docs": docs,
+        "real_tokens": real,
+        "padded_tokens": padded,
+        "waste_ratio": (padded - real).astype(np.float64)
+        / padded.astype(np.float64)})
