@@ -7941,25 +7941,30 @@ def q_oof_target_encode(sf_dir: str):
     tot = c.groupby("et").agg(sv=("sum_vc", "sum"),
                               cnt=("n", "sum")).reset_index()
     c = c.merge(tot, on="et")
-    lut = {(r.et, int(r.fold)): (int(r.sv) - int(r.sum_vc),
-                                 int(r.cnt) - int(r.n))
-           for r in c.itertuples()}
+    lut = pd.DataFrame({
+        "et": c["et"], "fold": c["fold"].astype(np.int64),
+        "num": (c["sv"].astype(np.int64)
+                - c["sum_vc"].astype(np.int64)),
+        "den": c["cnt"].astype(np.int64) - c["n"].astype(np.int64)})
     lut_ref = ray.put(lut)
 
     def _apply(batch: pa.Table) -> pd.DataFrame:
         m = ray.get(lut_ref)
         eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(
             np.int64)
-        et = batch["event_type"].to_numpy(zero_copy_only=False)
-        keys = [(e, int(f)) for e, f in zip(et, eid % 5)]
-        num = np.array([m[k][0] for k in keys], np.int64)
-        den = np.array([m[k][1] for k in keys], np.int64)
+        df = pd.DataFrame({
+            "event_id": eid,
+            "et": batch["event_type"].to_numpy(zero_copy_only=False),
+            "fold": eid % 5})
+        j = df.merge(m, on=["et", "fold"], how="left", sort=False)
+        num = j["num"].to_numpy(np.int64)
+        den = j["den"].to_numpy(np.int64)
         te = np.where(den > 0,
                       (num.astype(np.float64)
                        / np.where(den > 0, den, 1).astype(np.float64))
                       / 100.0, np.nan)
-        return pd.DataFrame({"event_id": eid, "event_type": et,
-                             "oof_te": te})
+        return pd.DataFrame({"event_id": j["event_id"],
+                             "event_type": j["et"], "oof_te": te})
 
     return ds.map_batches(_apply, batch_format="pyarrow")
 
