@@ -393,6 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theilsen_daily_slope": q.q_theilsen_daily_slope,
         "linear_attribution": q.q_linear_attribution,
         "pad_waste_by_bucket": q.q_pad_waste_by_bucket,
+        "ppjoin_neardup": q.q_ppjoin_neardup,
         # rows-only (array splicing has no SQL equivalent;
         # tests/test_corruption.py pins lossless reconstruction)
         "span_corruption": q.q_span_corruption,
@@ -3713,5 +3714,27 @@ def oracle_sql() -> dict[str, str]:
             "CAST(b * COUNT(*) - SUM(n_chars) AS DOUBLE) / "
             "CAST(b * COUNT(*) AS DOUBLE) AS waste_ratio "
             "FROM a GROUP BY 1 ORDER BY 1"
+        ),
+        # PPJoin prefix-filtered join must EQUAL the quadratic
+        # posting-join result at tau=0.5 (lossless-pruning proof)
+        "ppjoin_neardup": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS "
+            "t, len(string_split(text, ' ')) AS nt FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, "
+            "array_to_string(t[i:i+2], ' ') AS gram "
+            "FROM (SELECT doc_id, t, unnest(generate_series(1, nt - "
+            "2)) AS i FROM toks WHERE nt >= 3) x), "
+            "counts AS (SELECT doc_id, COUNT(*) AS ng FROM grams "
+            "GROUP BY doc_id), "
+            "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "COUNT(*) AS inter FROM grams a "
+            "JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT p.id_a, p.id_b, CAST(p.inter AS BIGINT) AS "
+            "inter, CAST(ca.ng + cb.ng - p.inter AS BIGINT) AS uni, "
+            "p.inter / (ca.ng + cb.ng - p.inter) AS jaccard "
+            "FROM pairs p JOIN counts ca ON p.id_a = ca.doc_id "
+            "JOIN counts cb ON p.id_b = cb.doc_id "
+            "WHERE p.inter / (ca.ng + cb.ng - p.inter) >= 0.5"
         ),
     }

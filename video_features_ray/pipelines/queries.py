@@ -8715,3 +8715,20 @@ def q_pad_waste_by_bucket(sf_dir: str):
         "padded_tokens": padded,
         "waste_ratio": (padded - real).astype(np.float64)
         / padded.astype(np.float64)})
+
+
+def q_ppjoin_neardup(sf_dir: str):
+    """Prefix-filtered (PPJoin-style) exact word-3-gram Jaccard join
+    at τ=0.5 — the SUBQUADRATIC exact path beside `ngram_jaccard`'s
+    full posting join and MinHash-LSH's approximate one: candidates
+    come only from each doc's rarest-gram PREFIX (|d| − ⌈τ|d|⌉ + 1
+    grams in (df, hash) order), then a fully-distributed text join
+    re-verifies exactly.  The oracle is the SAME quadratic SQL as
+    `ngram_jaccard` at 0.5 — equality proves the prefix pruning
+    lossless on the data (the FastSS edit-1 entry's pattern)."""
+    from ..stages.dedup import ppjoin_gram_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ppjoin_gram_pairs(ds, n=3, threshold=0.5,
+                             num_buckets=_w(sf_dir, "documents"))

@@ -1365,3 +1365,225 @@ def edit1_pairs(
     return (cand.map_batches(_tag_pair, batch_format="pandas")
             .groupby("_bucket")
             .map_groups(_distinct_pairs, batch_format="pandas"))
+
+
+def ppjoin_gram_pairs(
+    ds: "ray.data.Dataset",
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """PPJoin-style PREFIX-FILTERED exact set-similarity self-join
+    over distinct word-n-gram sets (Xiao et al., WWW'08; the
+    MapReduce adaptation follows Vernica et al., SIGMOD'10): returns
+    exactly the pairs with Jaccard ≥ ``threshold`` — the same result
+    (and the same quadratic SQL oracle) as ``ngram_jaccard_pairs`` at
+    that threshold, via a subquadratic candidate path:
+
+    1. gram postings (per-doc distinct, hashed) + a distributed df
+       count; postings meet their gram's df in the gram-bucketed
+       shuffle — no global rank map is ever built: (df, gram_h) IS
+       the total order PPJoin needs, shipped alongside each posting.
+    2. doc-bucketed stage sorts each doc's grams by (df, gram_h)
+       ascending (rarest first) and keeps only the PREFIX — the first
+       ``|d| − ⌈τ·|d|⌉ + 1`` grams.  Lossless: two sets with
+       J ≥ τ overlap in ≥ ⌈τ·|d|⌉ elements, so a disjoint-prefix
+       pair can't qualify (the oracle equality re-proves it on data).
+    3. prefix postings collide in a gram-bucketed shuffle → candidate
+       pairs (deduped, skinny).
+    4. fully-distributed verify: candidates hash-join their two texts
+       (never via the driver), each pair recomputes both distinct
+       gram sets and the exact intersection — bit-identical
+       inter/uni/jaccard to the full posting join.
+
+    Pruning power scales with df skew (web boilerplate: prefixes are
+    the RARE grams, so hot grams never generate pairs); the full
+    posting join stays the exact baseline.
+    """
+    from .joins import hash_join, partial_agg
+
+    def _postings(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            id_col: pd.Series([], dtype=np.int64),
+            "gram_h": pd.Series([], dtype=np.uint64),
+            "ng": pd.Series([], dtype=np.int64),
+            "_bucket": pd.Series([], dtype=np.int32)})
+        if df.empty:
+            return empty
+        s = pd.DataFrame({
+            id_col: df[id_col].astype(np.int64),
+            "term": df[text_col].fillna("").str.split(" ")})
+        e = s.explode("term", ignore_index=True)
+        doc = e[id_col].to_numpy()
+        term = e["term"].astype(str)
+        m = len(term) - (n - 1)
+        if m <= 0:
+            return empty
+        parts = [term.iloc[i:m + i].reset_index(drop=True)
+                 for i in range(n)]
+        gram = parts[0].str.cat(parts[1:], sep=" ")
+        valid = doc[:m] == doc[n - 1:]
+        g = pd.DataFrame({id_col: doc[:m][valid],
+                          "gram": gram[valid]}).drop_duplicates()
+        cnt = g.groupby(id_col, sort=False)[id_col].transform("size")
+        h = pd.util.hash_pandas_object(g["gram"], index=False).to_numpy()
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "gram_h": h,
+            "ng": cnt.to_numpy().astype(np.int64),
+            "_bucket": (h % np.uint64(num_buckets)).astype(np.int32)})
+
+    post = ds.map_batches(_postings, batch_format="pandas")
+
+    # distributed df per gram; met in the SAME gram-keyed bucketing
+    def _with_df(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            id_col: pd.Series([], dtype=np.int64),
+            "gram_h": pd.Series([], dtype=np.uint64),
+            "ng": pd.Series([], dtype=np.int64),
+            "df": pd.Series([], dtype=np.int64),
+            "_db": pd.Series([], dtype=np.int32)})
+        if df.empty or "gram_h" not in df.columns:
+            return empty
+        cnt = df.groupby("gram_h", sort=False)["gram_h"].transform(
+            "size")
+        out = pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "gram_h": df["gram_h"].to_numpy(),
+            "ng": df["ng"].to_numpy(),
+            "df": cnt.to_numpy().astype(np.int64)})
+        out["_db"] = (out[id_col].to_numpy(np.int64).astype(np.uint64)
+                      % np.uint64(num_buckets)).astype(np.int32)
+        return out
+
+    with_df = post.groupby("_bucket").map_groups(
+        _with_df, batch_format="pandas")
+
+    def _prefix(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "gram_h": pd.Series([], dtype=np.uint64),
+            id_col: pd.Series([], dtype=np.int64),
+            "_gb": pd.Series([], dtype=np.int32)})
+        if df.empty or "gram_h" not in df.columns:
+            return empty
+        df = df.sort_values([id_col, "df", "gram_h"], kind="mergesort")
+        ids = df[id_col].to_numpy(np.int64)
+        ng = df["ng"].to_numpy(np.int64)
+        first = np.concatenate(([True], ids[1:] != ids[:-1]))
+        pos = np.arange(len(ids)) - np.maximum.accumulate(
+            np.where(first, np.arange(len(ids)), 0))
+        # prefix length |d| - ceil(tau*|d|) + 1
+        need = (ng * np.int64(round(threshold * 1_000_000))
+                + 999_999) // 1_000_000          # ceil(tau*ng), exact
+        keep = pos < (ng - need + 1)
+        gh = df["gram_h"].to_numpy()[keep]
+        out = pd.DataFrame({"gram_h": gh, id_col: ids[keep]})
+        out["_gb"] = (gh % np.uint64(num_buckets)).astype(np.int32)
+        return out
+
+    prefixes = with_df.groupby("_db").map_groups(
+        _prefix, batch_format="pandas")
+
+    _pair_empty = pd.DataFrame({
+        "id_a": pd.Series([], dtype=object),
+        "id_b": pd.Series([], dtype=object),
+        "_pb": pd.Series([], dtype=np.int32)})
+
+    def _cands(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "gram_h" not in df.columns:
+            return _pair_empty
+        dup = df[df.duplicated("gram_h", keep=False)]
+        if not len(dup):
+            return _pair_empty
+        dup = dup.sort_values(["gram_h", id_col], kind="mergesort")
+        ids = dup[id_col].to_numpy(np.int64)
+        grams = dup["gram_h"].to_numpy()
+        first = np.concatenate(([True], grams[1:] != grams[:-1]))
+        loc = np.arange(len(dup)) - np.maximum.accumulate(
+            np.where(first, np.arange(len(dup)), 0))
+        total = int(loc.sum())
+        if total == 0:
+            return _pair_empty
+        bi = np.repeat(np.arange(len(dup)), loc)
+        off = np.concatenate(([0], np.cumsum(loc)))
+        ai = bi - loc[bi] + (np.arange(total) - np.repeat(off[:-1],
+                                                          loc))
+        out = pd.DataFrame({"id_a": ids[ai],
+                            "id_b": ids[bi]}).drop_duplicates()
+        h = (out["id_a"].to_numpy().astype(np.uint64) * _GOLD
+             + out["id_b"].to_numpy().astype(np.uint64))
+        out = out.astype({"id_a": str, "id_b": str})
+        out["_pb"] = (h % np.uint64(num_buckets)).astype(np.int32)
+        return out
+
+    cands = (prefixes.groupby("_gb")
+             .map_groups(_cands, batch_format="pandas")
+             .groupby("_pb").map_groups(
+                 lambda df: (df.drop_duplicates(["id_a", "id_b"])
+                             if len(df) and "id_a" in df.columns
+                             else _pair_empty),
+                 batch_format="pandas")
+             .map_batches(lambda df: (df[["id_a", "id_b"]]
+                                      if len(df) else
+                                      _pair_empty[["id_a", "id_b"]]),
+                          batch_format="pandas"))
+
+    # fully-distributed verify: join texts, recompute exact gram sets
+    pairs_schema = pa.schema([("id_a", pa.string()),
+                              ("id_b", pa.string())])
+
+    def _side(col_id: str, col_text: str):
+        def _fn(batch: pa.Table) -> pa.Table:
+            return pa.table({col_id: batch[id_col].cast(pa.string()),
+                             col_text: batch[text_col]})
+        return _fn
+
+    docs_a = ds.map_batches(_side("id_a", "text_a"),
+                            batch_format="pyarrow")
+    docs_b = ds.map_batches(_side("id_b", "text_b"),
+                            batch_format="pyarrow")
+    sch_a = pa.schema([("id_a", pa.string()), ("text_a", pa.string())])
+    sch_b = pa.schema([("id_b", pa.string()), ("text_b", pa.string())])
+    j1 = hash_join(cands, docs_a, on="id_a", num_buckets=num_buckets,
+                   schemas=(pairs_schema, sch_a))
+    j1_schema = pa.schema([("id_a", pa.string()),
+                           ("id_b", pa.string()),
+                           ("text_a", pa.string())])
+    j2 = hash_join(j1, docs_b, on="id_b", num_buckets=num_buckets,
+                   schemas=(j1_schema, sch_b))
+
+    def _gramset(text: str) -> np.ndarray:
+        toks = text.split(" ")
+        if len(toks) < n:
+            return np.empty(0, dtype=object)
+        return np.unique(np.array(
+            [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)],
+            dtype=object))
+
+    def _verify(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "id_a": pd.Series([], dtype=np.int64),
+            "id_b": pd.Series([], dtype=np.int64),
+            "inter": pd.Series([], dtype=np.int64),
+            "uni": pd.Series([], dtype=np.int64),
+            "jaccard": pd.Series([], dtype=np.float64)})
+        if df.empty or "text_a" not in df.columns:
+            return empty
+        rows = []
+        for r in df.itertuples():
+            sa, sb = _gramset(r.text_a), _gramset(r.text_b)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            uni = len(sa) + len(sb) - inter
+            if uni and inter / uni >= threshold:
+                rows.append((int(r.id_a), int(r.id_b), inter, uni,
+                             inter / uni))
+        if not rows:
+            return empty
+        out = pd.DataFrame(rows, columns=["id_a", "id_b", "inter",
+                                          "uni", "jaccard"])
+        return out.astype({"id_a": np.int64, "id_b": np.int64,
+                           "inter": np.int64, "uni": np.int64})
+
+    return j2.map_batches(_verify, batch_format="pandas")
