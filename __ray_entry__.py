@@ -394,6 +394,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linear_attribution": q.q_linear_attribution,
         "pad_waste_by_bucket": q.q_pad_waste_by_bucket,
         "ppjoin_neardup": q.q_ppjoin_neardup,
+        "breakpoint_daily_trend": q.q_breakpoint_daily_trend,
+        "ccf_daily_lags": q.q_ccf_daily_lags,
         # rows-only (array splicing has no SQL equivalent;
         # tests/test_corruption.py pins lossless reconstruction)
         "span_corruption": q.q_span_corruption,
@@ -3736,5 +3738,81 @@ def oracle_sql() -> dict[str, str]:
             "FROM pairs p JOIN counts ca ON p.id_a = ca.doc_id "
             "JOIN counts cb ON p.id_b = cb.doc_id "
             "WHERE p.inter / (ca.ng + cb.ng - p.inter) >= 0.5"
+        ),
+        # segmented-regression breakpoint: same exact-integer-moment
+        # SSE tree per candidate, argmin ties to the earliest day
+        "breakpoint_daily_trend": (
+            "WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1), "
+            "bo AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d), "
+            "g AS (SELECT unnest(generate_series(d0, d1)) AS day "
+            "FROM bo), "
+            "x AS (SELECT g.day, COALESCE(d.c, 0) AS c FROM g "
+            "LEFT JOIN d ON g.day = d.day), "
+            "z AS (SELECT day, c, ROW_NUMBER() OVER (ORDER BY day) "
+            "- 1 AS xi FROM x), "
+            "p AS (SELECT day, SUM(xi) OVER w AS px, SUM(c) OVER w "
+            "AS py, SUM(xi * xi) OVER w AS pxx, SUM(xi * c) OVER w "
+            "AS pxy, SUM(c * c) OVER w AS pyy, ROW_NUMBER() OVER "
+            "(ORDER BY day) AS rn FROM z WINDOW w AS (ORDER BY day "
+            "ROWS UNBOUNDED PRECEDING)), "
+            "t AS (SELECT px AS tx, py AS ty, pxx AS txx, pxy AS "
+            "txy, pyy AS tyy, rn AS nd FROM p WHERE rn = "
+            "(SELECT MAX(rn) FROM p)), "
+            "cand AS (SELECT p.day, p.rn AS nl, t.nd - p.rn AS nr, "
+            "((CAST(p.pyy AS DOUBLE) - CAST(p.py AS DOUBLE) * "
+            "CAST(p.py AS DOUBLE) / CAST(p.rn AS DOUBLE)) - "
+            "(CAST(p.pxy AS DOUBLE) - CAST(p.px AS DOUBLE) * "
+            "CAST(p.py AS DOUBLE) / CAST(p.rn AS DOUBLE)) * "
+            "(CAST(p.pxy AS DOUBLE) - CAST(p.px AS DOUBLE) * "
+            "CAST(p.py AS DOUBLE) / CAST(p.rn AS DOUBLE)) / "
+            "(CAST(p.pxx AS DOUBLE) - CAST(p.px AS DOUBLE) * "
+            "CAST(p.px AS DOUBLE) / CAST(p.rn AS DOUBLE))) + "
+            "((CAST(t.tyy - p.pyy AS DOUBLE) - "
+            "CAST(t.ty - p.py AS DOUBLE) * CAST(t.ty - p.py AS "
+            "DOUBLE) / CAST(t.nd - p.rn AS DOUBLE)) - "
+            "(CAST(t.txy - p.pxy AS DOUBLE) - CAST(t.tx - p.px AS "
+            "DOUBLE) * CAST(t.ty - p.py AS DOUBLE) / "
+            "CAST(t.nd - p.rn AS DOUBLE)) * (CAST(t.txy - p.pxy AS "
+            "DOUBLE) - CAST(t.tx - p.px AS DOUBLE) * "
+            "CAST(t.ty - p.py AS DOUBLE) / CAST(t.nd - p.rn AS "
+            "DOUBLE)) / (CAST(t.txx - p.pxx AS DOUBLE) - "
+            "CAST(t.tx - p.px AS DOUBLE) * CAST(t.tx - p.px AS "
+            "DOUBLE) / CAST(t.nd - p.rn AS DOUBLE))) AS sse "
+            "FROM p, t WHERE p.rn >= 2 AND t.nd - p.rn >= 2), "
+            "pick AS (SELECT *, ROW_NUMBER() OVER (ORDER BY sse, "
+            "day) AS k FROM cand) "
+            "SELECT CAST(day AS BIGINT) AS split_day, "
+            "CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS "
+            "n_right, sse FROM pick WHERE k = 1"
+        ),
+        # lead-lag cross-correlation at lags 0..7 on the zero-filled
+        # spine; exact integer moments, one mirrored sqrt per lag
+        "ccf_daily_lags": (
+            "WITH e AS (SELECT event_type, epoch_us(ts) // "
+            "86400000000 AS day FROM events), "
+            "bo AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e), "
+            "g AS (SELECT unnest(generate_series(d0, d1)) AS day "
+            "FROM bo), "
+            "ac AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS c FROM "
+            "e WHERE event_type = 'click' GROUP BY 1), "
+            "bc AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS c FROM "
+            "e WHERE event_type = 'purchase' GROUP BY 1), "
+            "a AS (SELECT g.day, COALESCE(ac.c, 0) AS c FROM g "
+            "LEFT JOIN ac ON g.day = ac.day), "
+            "b AS (SELECT g.day, COALESCE(bc.c, 0) AS c FROM g "
+            "LEFT JOIN bc ON g.day = bc.day), "
+            "lags AS (SELECT unnest(generate_series(0, 7)) AS lag), "
+            "j AS (SELECT l.lag, a.c AS av, b.c AS bv FROM lags l "
+            "JOIN a ON TRUE JOIN b ON b.day = a.day + l.lag), "
+            "m AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n, "
+            "SUM(av) AS sa, SUM(bv) AS sb, SUM(av * av) AS saa, "
+            "SUM(bv * bv) AS sbb, SUM(av * bv) AS sab FROM j "
+            "GROUP BY 1) "
+            "SELECT CAST(lag AS BIGINT) AS lag, n AS n_days, "
+            "CAST(n * sab - sa * sb AS DOUBLE) / "
+            "sqrt(CAST(n * saa - sa * sa AS DOUBLE) * "
+            "CAST(n * sbb - sb * sb AS DOUBLE)) AS ccf "
+            "FROM m ORDER BY lag"
         ),
     }

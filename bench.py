@@ -327,6 +327,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "textrank_keywords", "stl_daily_decomp",
         "theilsen_daily_slope", "linear_attribution",
         "span_corruption", "pad_waste_by_bucket",
+        "breakpoint_daily_trend", "ccf_daily_lags",
     ]
     qs = em.queries()
     import gc

@@ -8732,3 +8732,106 @@ def q_ppjoin_neardup(sf_dir: str):
                                columns=["doc_id", "text"])
     return ppjoin_gram_pairs(ds, n=3, threshold=0.5,
                              num_buckets=_w(sf_dir, "documents"))
+
+
+def q_breakpoint_daily_trend(sf_dir: str):
+    """Structural-change detection by segmented regression: the split
+    day k (first segment = days ≤ k) minimizing the total SSE of two
+    independent OLS fits on the zero-filled daily count series — the
+    regression sibling of the CUSUM change point.  Day counts come
+    from the ONE O(days) combine; every candidate's SSE evaluates the
+    same exact-integer-moment expression tree on both sides (x
+    centered to day−d0 so moments stay small), so the float SSEs are
+    bit-identical and the argmin (ties → earliest day) agrees.
+    Segments need ≥2 days each."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts"])
+
+    def _day(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({"day": batch["ts"].cast(pa.int64())
+                             .to_numpy(zero_copy_only=False) // DAY_US})
+
+    c = (partial_agg(ds.map_batches(_day, batch_format="pyarrow"),
+                     ["day"], combine="driver").to_pandas()
+         .sort_values("day").reset_index(drop=True))
+    days = c["day"].to_numpy(np.int64)
+    d0, d1 = int(days[0]), int(days[-1])
+    spine = np.arange(d0, d1 + 1, dtype=np.int64)
+    y = np.zeros(len(spine), np.int64)
+    y[days - d0] = c["n"].to_numpy(np.int64)
+    x = spine - d0
+    D = len(spine)
+
+    def _sse(n, sx, sy, sxx, sxy, syy):
+        nf = float(n)
+        vx = float(sxx) - float(sx) * float(sx) / nf
+        cxy = float(sxy) - float(sx) * float(sy) / nf
+        vy = float(syy) - float(sy) * float(sy) / nf
+        return vy - (cxy * cxy) / vx
+
+    px = np.cumsum(x)
+    py = np.cumsum(y)
+    pxx = np.cumsum(x * x)
+    pxy = np.cumsum(x * y)
+    pyy = np.cumsum(y * y)
+    best = None
+    for i in range(1, D - 2):            # split AFTER index i (>=2/2)
+        nl = i + 1
+        nr = D - nl
+        sse = (_sse(nl, int(px[i]), int(py[i]), int(pxx[i]),
+                    int(pxy[i]), int(pyy[i]))
+               + _sse(nr, int(px[-1] - px[i]), int(py[-1] - py[i]),
+                      int(pxx[-1] - pxx[i]), int(pxy[-1] - pxy[i]),
+                      int(pyy[-1] - pyy[i])))
+        if best is None or sse < best[1]:
+            best = (int(spine[i]), sse, nl, nr)
+    return pd.DataFrame({"split_day": [np.int64(best[0])],
+                         "n_left": [np.int64(best[2])],
+                         "n_right": [np.int64(best[3])],
+                         "sse": [np.float64(best[1])]})
+
+
+def q_ccf_daily_lags(sf_dir: str):
+    """Lead-lag analysis: Pearson cross-correlation between the daily
+    'click' and 'purchase' count series at lags 0..7 (corr of clicks_t
+    with purchases_{t+l} over the overlapping zero-filled spine) —
+    does click volume LEAD purchase volume?  One (type, day) combine;
+    each lag's correlation evaluates the exact-integer-moment tree
+    (the `ab_test_value` convention) with one mirrored sqrt."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+
+    def _day(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "et": batch["event_type"].to_numpy(zero_copy_only=False),
+            "day": batch["ts"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False) // DAY_US})
+
+    c = partial_agg(ds.map_batches(_day, batch_format="pyarrow"),
+                    ["et", "day"], combine="driver").to_pandas()
+    d0 = int(c["day"].min())
+    d1 = int(c["day"].max())
+    D = d1 - d0 + 1
+
+    def series(et):
+        g = c[c["et"] == et]
+        v = np.zeros(D, np.int64)
+        v[g["day"].to_numpy(np.int64) - d0] = g["n"].to_numpy(np.int64)
+        return v
+
+    a, b = series("click"), series("purchase")
+    rows = []
+    for lag in range(8):
+        aa = a[:D - lag]
+        bb = b[lag:]
+        n = len(aa)
+        sa, sb = int(aa.sum()), int(bb.sum())
+        saa = int((aa * aa).sum())
+        sbb = int((bb * bb).sum())
+        sab = int((aa * bb).sum())
+        num = float(n * sab - sa * sb)
+        den = math.sqrt(float(n * saa - sa * sa)
+                        * float(n * sbb - sb * sb))
+        rows.append((lag, n, num / den))
+    return pd.DataFrame(rows, columns=["lag", "n_days", "ccf"]).astype(
+        {"lag": np.int64, "n_days": np.int64})
