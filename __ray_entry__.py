@@ -396,6 +396,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppjoin_neardup": q.q_ppjoin_neardup,
         "breakpoint_daily_trend": q.q_breakpoint_daily_trend,
         "ccf_daily_lags": q.q_ccf_daily_lags,
+        "runs_test_daily": q.q_runs_test_daily,
+        "durbin_watson_daily": q.q_durbin_watson_daily,
         # rows-only (array splicing has no SQL equivalent;
         # tests/test_corruption.py pins lossless reconstruction)
         "span_corruption": q.q_span_corruption,
@@ -3814,5 +3816,66 @@ def oracle_sql() -> dict[str, str]:
             "sqrt(CAST(n * saa - sa * sa AS DOUBLE) * "
             "CAST(n * sbb - sb * sb AS DOUBLE)) AS ccf "
             "FROM m ORDER BY lag"
+        ),
+        # Wald-Wolfowitz runs test on day-over-day diff signs (zero
+        # diffs dropped); one mirrored z expression
+        "runs_test_daily": (
+            "WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1), "
+            "bo AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d), "
+            "g AS (SELECT unnest(generate_series(d0, d1)) AS day "
+            "FROM bo), "
+            "x AS (SELECT g.day, COALESCE(d.c, 0) AS c FROM g "
+            "LEFT JOIN d ON g.day = d.day), "
+            "df AS (SELECT day, c - LAG(c) OVER (ORDER BY day) AS dd "
+            "FROM x), "
+            "s AS (SELECT day, CASE WHEN dd > 0 THEN 1 ELSE -1 END "
+            "AS sg FROM df WHERE dd IS NOT NULL AND dd <> 0), "
+            "r AS (SELECT CAST(SUM(CASE WHEN prev IS NULL OR "
+            "sg <> prev THEN 1 ELSE 0 END) AS BIGINT) AS runs FROM "
+            "(SELECT sg, LAG(sg) OVER (ORDER BY day) AS prev "
+            "FROM s)), "
+            "ab AS (SELECT CAST(SUM(CASE WHEN sg = 1 THEN 1 ELSE 0 "
+            "END) AS BIGINT) AS a, CAST(SUM(CASE WHEN sg = -1 THEN "
+            "1 ELSE 0 END) AS BIGINT) AS b FROM s) "
+            "SELECT a AS n_up, b AS n_down, runs AS n_runs, "
+            "(CAST(runs AS DOUBLE) - (1.0 + 2.0 * CAST(a AS DOUBLE) "
+            "* CAST(b AS DOUBLE) / (CAST(a AS DOUBLE) + "
+            "CAST(b AS DOUBLE)))) / sqrt(2.0 * CAST(a AS DOUBLE) * "
+            "CAST(b AS DOUBLE) * (2.0 * CAST(a AS DOUBLE) * "
+            "CAST(b AS DOUBLE) - CAST(a AS DOUBLE) - "
+            "CAST(b AS DOUBLE)) / ((CAST(a AS DOUBLE) + "
+            "CAST(b AS DOUBLE)) * (CAST(a AS DOUBLE) + "
+            "CAST(b AS DOUBLE)) * (CAST(a AS DOUBLE) + "
+            "CAST(b AS DOUBLE) - 1.0))) AS z FROM ab, r"
+        ),
+        # Durbin-Watson: the residual denominator cancels in the
+        # ratio, so scaled residuals are HUGEINT-exact; one division
+        "durbin_watson_daily": (
+            "WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1), "
+            "bo AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d), "
+            "g AS (SELECT unnest(generate_series(d0, d1)) AS day "
+            "FROM bo), "
+            "x AS (SELECT g.day, COALESCE(d.c, 0) AS c FROM g "
+            "LEFT JOIN d ON g.day = d.day), "
+            "z AS (SELECT day, c, ROW_NUMBER() OVER (ORDER BY day) "
+            "- 1 AS xi FROM x), "
+            "m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
+            "SUM(CAST(xi AS HUGEINT)) AS sx, "
+            "SUM(CAST(c AS HUGEINT)) AS sy, "
+            "SUM(CAST(xi AS HUGEINT) * xi) AS sxx, "
+            "SUM(CAST(xi AS HUGEINT) * c) AS sxy FROM z), "
+            "k AS (SELECT n, n * sxy - sx * sy AS bn, "
+            "n * sxx - sx * sx AS bd, "
+            "sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx "
+            "AS cst FROM m), "
+            "e AS (SELECT z.day, k.n * k.bd * z.c - k.cst - "
+            "k.n * k.bn * z.xi AS ev FROM z, k), "
+            "dd AS (SELECT ev, ev - LAG(ev) OVER (ORDER BY day) AS "
+            "dv FROM e) "
+            "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM z) AS "
+            "n_days, CAST(SUM(dv * dv) AS DOUBLE) / "
+            "CAST(SUM(ev * ev) AS DOUBLE) AS dw FROM dd"
         ),
     }

@@ -328,6 +328,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "theilsen_daily_slope", "linear_attribution",
         "span_corruption", "pad_waste_by_bucket",
         "breakpoint_daily_trend", "ccf_daily_lags",
+        "runs_test_daily", "durbin_watson_daily",
     ]
     qs = em.queries()
     import gc

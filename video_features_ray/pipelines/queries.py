@@ -8835,3 +8835,77 @@ def q_ccf_daily_lags(sf_dir: str):
         rows.append((lag, n, num / den))
     return pd.DataFrame(rows, columns=["lag", "n_days", "ccf"]).astype(
         {"lag": np.int64, "n_days": np.int64})
+
+
+def q_runs_test_daily(sf_dir: str):
+    """Wald-Wolfowitz runs test on the daily event-count series: are
+    up-days and down-days randomly interleaved?  Signs come from
+    day-over-day diffs on the zero-filled spine (zero diffs dropped,
+    the standard treatment); the run count R, n_up and n_down are
+    integers, and the z-score evaluates ONE mirrored expression tree
+    (E[R] = 1 + 2ab/(a+b), Var = 2ab(2ab−a−b)/((a+b)²(a+b−1)))."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts"])
+
+    def _day(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({"day": batch["ts"].cast(pa.int64())
+                             .to_numpy(zero_copy_only=False) // DAY_US})
+
+    c = (partial_agg(ds.map_batches(_day, batch_format="pyarrow"),
+                     ["day"], combine="driver").to_pandas()
+         .sort_values("day").reset_index(drop=True))
+    days = c["day"].to_numpy(np.int64)
+    d0, d1 = int(days[0]), int(days[-1])
+    dense = np.zeros(d1 - d0 + 1, np.int64)
+    dense[days - d0] = c["n"].to_numpy(np.int64)
+    s = np.sign(np.diff(dense))
+    s = s[s != 0]
+    a = int((s > 0).sum())
+    b = int((s < 0).sum())
+    runs = int(1 + (s[1:] != s[:-1]).sum()) if len(s) else 0
+    af, bf = float(a), float(b)
+    er = 1.0 + 2.0 * af * bf / (af + bf)
+    var = (2.0 * af * bf * (2.0 * af * bf - af - bf)
+           / ((af + bf) * (af + bf) * (af + bf - 1.0)))
+    z = (float(runs) - er) / math.sqrt(var)
+    return pd.DataFrame({"n_up": [np.int64(a)], "n_down": [np.int64(b)],
+                         "n_runs": [np.int64(runs)],
+                         "z": [np.float64(z)]})
+
+
+def q_durbin_watson_daily(sf_dir: str):
+    """Durbin-Watson autocorrelation statistic of the OLS residuals of
+    the daily count series — INTEGER-exact end-to-end: the residual
+    e_t = y_t − a − b·x_t has denominator n·(n·Sxx − Sx²), which
+    CANCELS in DW = Σ(Δe)²/Σe², so the scaled residuals
+    E_t = n·b_den·y_t − (Sy·b_den − b_num·Sx) − n·b_num·x_t are plain
+    (big) integers — Python ints here, HUGEINT in the SQL — and the
+    statistic is ONE mirrored division.  O(days) driver walk after
+    the one count combine."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts"])
+
+    def _day(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({"day": batch["ts"].cast(pa.int64())
+                             .to_numpy(zero_copy_only=False) // DAY_US})
+
+    c = (partial_agg(ds.map_batches(_day, batch_format="pyarrow"),
+                     ["day"], combine="driver").to_pandas()
+         .sort_values("day").reset_index(drop=True))
+    days = c["day"].to_numpy(np.int64)
+    d0, d1 = int(days[0]), int(days[-1])
+    y = np.zeros(d1 - d0 + 1, np.int64)
+    y[days - d0] = c["n"].to_numpy(np.int64)
+    n = len(y)
+    x = np.arange(n, dtype=object)
+    yo = y.astype(object)
+    sx, sy = int(np.sum(x)), int(np.sum(yo))
+    sxx, sxy = int(np.sum(x * x)), int(np.sum(x * yo))
+    b_num = n * sxy - sx * sy
+    b_den = n * sxx - sx * sx
+    const = sy * b_den - b_num * sx
+    e = n * b_den * yo - const - n * b_num * x     # exact big ints
+    de = e[1:] - e[:-1]
+    dw = float(int(np.sum(de * de))) / float(int(np.sum(e * e)))
+    return pd.DataFrame({"n_days": [np.int64(n)],
+                         "dw": [np.float64(dw)]})
