@@ -398,6 +398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccf_daily_lags": q.q_ccf_daily_lags,
         "runs_test_daily": q.q_runs_test_daily,
         "durbin_watson_daily": q.q_durbin_watson_daily,
+        "levene_value_by_type": q.q_levene_value_by_type,
         # rows-only (array splicing has no SQL equivalent;
         # tests/test_corruption.py pins lossless reconstruction)
         "span_corruption": q.q_span_corruption,
@@ -3877,5 +3878,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM z) AS "
             "n_days, CAST(SUM(dv * dv) AS DOUBLE) / "
             "CAST(SUM(ev * ev) AS DOUBLE) AS dw FROM dd"
+        ),
+        # Brown-Forsythe: ANOVA F tree over |2v − 2·median| integer
+        # deviations (2·median integral on the doubled grid); 1e-6
+        "levene_value_by_type": (
+            "WITH v AS (SELECT event_type, "
+            "CAST(round(value * 100.0) AS BIGINT) AS vc FROM events), "
+            "md AS (SELECT event_type, quantile_cont(vc, 0.5) AS med "
+            "FROM v GROUP BY 1), "
+            "d AS (SELECT v.event_type, abs(2 * v.vc - "
+            "CAST(2.0 * md.med AS BIGINT)) AS dv FROM v JOIN md "
+            "USING(event_type)), "
+            "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "SUM(dv) AS s, SUM(dv * dv) AS q FROM d GROUP BY 1), "
+            "t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, "
+            "CAST(COUNT(*) AS BIGINT) AS k, "
+            "CAST(SUM(s) AS DOUBLE) AS st, "
+            "CAST(SUM(q) AS DOUBLE) AS qt, "
+            "SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / "
+            "CAST(n AS DOUBLE)) AS term FROM m), "
+            "f AS (SELECT nn, k, "
+            "((term - st * st / CAST(nn AS DOUBLE)) / "
+            "CAST(k - 1 AS DOUBLE)) / "
+            "((qt - term) / CAST(nn - k AS DOUBLE)) AS fv FROM t) "
+            "SELECT nn AS n_rows, k AS n_groups, "
+            "CAST(CASE WHEN sx >= 0 THEN floor(sx + 0.5) "
+            "ELSE -floor(-sx + 0.5) END AS BIGINT) AS f_e6 "
+            "FROM (SELECT nn, k, fv * 1000000.0 AS sx FROM f)"
         ),
     }

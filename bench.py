@@ -329,6 +329,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "span_corruption", "pad_waste_by_bucket",
         "breakpoint_daily_trend", "ccf_daily_lags",
         "runs_test_daily", "durbin_watson_daily",
+        "levene_value_by_type",
     ]
     qs = em.queries()
     import gc

@@ -8909,3 +8909,63 @@ def q_durbin_watson_daily(sf_dir: str):
     dw = float(int(np.sum(de * de))) / float(int(np.sum(e * e)))
     return pd.DataFrame({"n_days": [np.int64(n)],
                          "dw": [np.float64(dw)]})
+
+
+def q_levene_value_by_type(sf_dir: str):
+    """Brown-Forsythe (median-centered Levene) test for equal
+    variances of `value` across event types — the robust
+    heteroscedasticity gate that composes two existing exact pieces:
+    the grouped interpolated median on the DOUBLED cent grid (2·med
+    is always integral, the `mad_value_per_type` trick) and the
+    one-way ANOVA F tree over the integer deviations |2·v − 2·med|,
+    emitted on the 1e-6 grid.  Two passes: one grouped-median
+    quantile fit, one integer moment combine."""
+    from ..stages.joins import grouped_quantile_cont
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def _scale(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": batch["event_type"],
+                         "value_c": pa.array(
+                             np.round(v * 100.0).astype(np.int64))})
+
+    scaled = ds.map_batches(_scale, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    med = grouped_quantile_cont(scaled, "event_type", "value_c", 0.5,
+                                num_buckets=_w(sf_dir, "events"))
+    qcol = [c for c in med.columns if c.startswith("q")][0]
+    m2 = {r["event_type"]: int(round(2.0 * r[qcol]))
+          for _, r in med.iterrows()}
+    m2_ref = ray.put(m2)
+
+    def _dev(batch: pa.Table) -> pd.DataFrame:
+        lut = ray.get(m2_ref)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        vc = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                      * 100.0).astype(np.int64)
+        m2v = pd.Series(et).map(lut).to_numpy(np.int64)
+        dv = np.abs(2 * vc - m2v)
+        return pd.DataFrame({"event_type": et, "dv": dv,
+                             "dvv": dv * dv})
+
+    m = partial_agg(ds.map_batches(_dev, batch_format="pyarrow"),
+                    ["event_type"], sums=["dv", "dvv"],
+                    combine="driver").to_pandas()
+    m = m.sort_values("event_type", kind="mergesort")
+    k = len(m)
+    nn = int(m["n"].sum())
+    s_tot = float(int(m["sum_dv"].sum()))
+    q_tot = float(int(m["sum_dvv"].sum()))
+    term = 0.0
+    for r in m.itertuples():
+        term += float(int(r.sum_dv)) * float(int(r.sum_dv)) / float(r.n)
+    ssb = term - s_tot * s_tot / float(nn)
+    ssw = q_tot - term
+    f = (ssb / float(k - 1)) / (ssw / float(nn - k))
+    sx = f * 1e6
+    f_e6 = int(np.floor(sx + 0.5) if sx >= 0 else -np.floor(-sx + 0.5))
+    return pd.DataFrame({"n_rows": [np.int64(nn)],
+                         "n_groups": [np.int64(k)],
+                         "f_e6": [np.int64(f_e6)]})
